@@ -1,0 +1,46 @@
+"""pytest analogues of the reference's ValarSuite assertion helpers
+(valar-munit ValarSuite.scala:23-125): assert_valid, assert_n_violations,
+assert_violation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def rows(df: DataFrame) -> list[dict]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def assert_valid(violations: DataFrame) -> None:
+    got = rows(violations)
+    assert got == [], f"expected no violations, got {got}"
+
+
+def assert_n_violations(violations: DataFrame, n: int) -> list[dict]:
+    got = rows(violations)
+    assert len(got) == n, f"expected {n} violations, got {len(got)}: {got}"
+    return got
+
+
+def assert_violation(
+    violations: list[dict],
+    *,
+    path: list[str] | None = None,
+    code: str | None = None,
+    rule_id: str | None = None,
+    actual: str | None = None,
+) -> dict:
+    for v in violations:
+        if path is not None and v["field_path"] != path:
+            continue
+        if code is not None and v["code"] != code:
+            continue
+        if rule_id is not None and v["rule_id"] != rule_id:
+            continue
+        if actual is not None and v["actual"] != actual:
+            continue
+        return v
+    raise AssertionError(
+        f"no violation matching path={path} code={code} rule_id={rule_id} "
+        f"actual={actual} in {violations}"
+    )

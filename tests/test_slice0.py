@@ -1,0 +1,79 @@
+"""Slice 0 (SURVEY.md §7.1): one validation run end-to-end.
+
+Synthesize transcripts, derive a two-rule tree — non_empty(text)
+(ValidationHelpers.scala:74-99) and non_negative(turn_idx) (:110-120) —
+and assert the violation counts match independently computed filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from valar_spark import rules as R
+from valar_spark import validate
+from valar_spark.synth import synth_transcripts
+
+
+def test_slice0_end_to_end(spark):
+    df = synth_transcripts(spark, total_turns=20_000, seed=42)
+
+    run = validate(
+        df,
+        {"text": R.non_empty(), "turn_idx": R.non_negative()},
+        keys=("conv_id", "turn_idx"),
+    )
+    viol = run.violations.cache()
+
+    # independent expectations straight off the data
+    exp_null = df.filter(F.col("text").isNull()).count()
+    exp_empty = df.filter(F.col("text").isNotNull() & (F.trim("text") == "")).count()
+    exp_neg = df.filter(F.col("turn_idx") < 0).count()
+    assert exp_null > 0 and exp_empty > 0 and exp_neg > 0, "plants must exist"
+
+    by_code = {
+        r["code"]: r["n"]
+        for r in viol.groupBy("code").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_code.get("validation.string.null", 0) == exp_null
+    assert by_code.get("validation.string.empty", 0) == exp_empty
+    assert by_code.get("validation.number.negative", 0) == exp_neg
+
+    # violation row shape: rule_id, keys, annotated path and message
+    sample = viol.filter(F.col("code") == "validation.string.empty").first()
+    assert sample["rule_id"] == "text.non_empty"
+    assert sample["field_path"] == ["text"]
+    assert sample["message"].startswith("Invalid field: text, field type: string:")
+    assert sample["expected"] == "non-empty string"
+
+    # verdicts: every (bucket, rule_id) pair present; pass == (count == 0)
+    verd = run.verdicts.cache()
+    rule_ids = {r["rule_id"] for r in verd.select("rule_id").distinct().collect()}
+    assert rule_ids == {"text.non_empty", "turn_idx.non_negative"}
+    bad = verd.filter(
+        (F.col("pass") & (F.col("violation_count") > 0))
+        | (~F.col("pass") & (F.col("violation_count") == 0))
+    ).count()
+    assert bad == 0
+    total_rows = df.count()
+    per_rule_rows = (
+        verd.groupBy("rule_id").agg(F.sum("rows_checked").alias("n")).collect()
+    )
+    assert all(r["n"] == total_rows for r in per_rule_rows)
+    # violation totals agree between the two outputs
+    v_tot = dict(
+        (r["rule_id"], r["n"])
+        for r in viol.groupBy("rule_id").agg(F.count("*").alias("n")).collect()
+    )
+    verd_tot = dict(
+        (r["rule_id"], r["n"])
+        for r in verd.groupBy("rule_id").agg(F.sum("violation_count").alias("n")).collect()
+    )
+    assert v_tot == {k: v for k, v in verd_tot.items() if v > 0}
+
+
+def test_synth_deterministic(spark):
+    a = synth_transcripts(spark, total_turns=5_000, seed=7)
+    b = synth_transcripts(spark, total_turns=5_000, seed=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    c = synth_transcripts(spark, total_turns=5_000, seed=8)
+    assert a.exceptAll(c).count() > 0

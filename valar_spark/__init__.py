@@ -1,0 +1,24 @@
+"""valar_spark — a PySpark-native schema + constraint validation engine.
+
+A from-scratch reimagining of the reference validation library's semantics
+(rule algebra, error accumulation, field-path annotation — see SURVEY.md)
+as declarative rule trees compiled to Spark Column expressions, evaluated
+distributed over transcript tables, with dataset-level checks (uniqueness,
+referential integrity, stats profiles, distribution drift) and
+checkpoint/resume.
+"""
+
+from .config import DEFAULT, PERMISSIVE, STRICT, ValidationConfig
+from .validate import RuleSet, ValidationRun, validate
+
+__all__ = [
+    "DEFAULT",
+    "PERMISSIVE",
+    "STRICT",
+    "RuleSet",
+    "ValidationConfig",
+    "ValidationRun",
+    "validate",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,47 @@
+"""Run-level validation configuration.
+
+Mirrors the reference's ``ValidationConfig`` (ValidationConfig.scala:40-69,
+presets :79-103): ``max_collection_size`` guards element validation of
+array/map columns (oversize ⇒ ONE security error, element checks skipped —
+ValidationLogic.scala:47-56), ``max_nesting_depth`` is reserved.
+
+Engine-only knobs (absent from the reference, obligated by the scale
+contract): partitioning/salting and checkpoint parameters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class ValidationConfig:
+    # --- reference-parity knobs (ValidationConfig.scala:40-43) ---
+    max_collection_size: int | None = None
+    max_nesting_depth: int | None = None
+
+    # --- engine knobs (BASELINE.json:14 — salted repartition, buckets) ---
+    # Deterministic partition key: pmod(xxhash64(partition_col), num_buckets).
+    # Buckets are the unit of verdicts and of checkpoint/resume lineage.
+    num_buckets: int = 32
+    # Extra salt factor applied on top of the bucket for the physical
+    # repartition, so one hot conv_id spreads over `salt` tasks while the
+    # verdict stays keyed by the logical bucket.
+    salt: int = 4
+    # Violation rows kept per (bucket, rule_id) in the report sink; caps the
+    # violations output at pathological error rates. None = keep all.
+    max_violations_per_rule: int | None = None
+
+    def strict_size(self) -> "ValidationConfig":
+        return replace(self, max_collection_size=10_000, max_nesting_depth=20)
+
+    def permissive_size(self) -> "ValidationConfig":
+        return replace(self, max_collection_size=1_000_000, max_nesting_depth=100)
+
+
+#: No limits — trusted input (ValidationConfig.scala `default`).
+DEFAULT = ValidationConfig()
+#: Untrusted input preset (ValidationConfig.scala `strict`).
+STRICT = ValidationConfig(max_collection_size=10_000, max_nesting_depth=20)
+#: Trusted internal data, higher limits (ValidationConfig.scala `permissive`).
+PERMISSIVE = ValidationConfig(max_collection_size=1_000_000, max_nesting_depth=100)

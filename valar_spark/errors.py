@@ -1,0 +1,153 @@
+"""Relational error model.
+
+The reference accumulates ``ValidationError(message, fieldPath, children,
+code, severity, expected, actual)`` values (ValidationError.scala:191-199).
+This engine flattens that model into rows of a fixed struct so errors can
+live inside Spark columns (``array<error_struct>``) and explode into the
+violations DataFrame. ``children`` hierarchies (union errors) are flattened
+into sibling rows tagged with the parent rule_id — equivalent information,
+relational shape (SURVEY.md §1.1).
+
+Everything here is pure Column algebra — JVM-side, whole-stage-codegen
+friendly; no Python executes per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stable error codes, verbatim from the reference helpers
+# (ValidationHelpers.scala, ValidationConfig.scala:61).
+CODE_STRING_EMPTY = "validation.string.empty"
+CODE_STRING_NULL = "validation.string.null"
+CODE_NUMBER_NEGATIVE = "validation.number.negative"
+CODE_NUMBER_NOT_FINITE = "validation.number.not_finite"
+CODE_STRING_TOO_SHORT = "validation.string.too_short"
+CODE_STRING_TOO_LONG = "validation.string.too_long"
+CODE_PATTERN_MISMATCH = "validation.string.pattern_mismatch"
+CODE_REGEX_INVALID = "validation.regex.invalid_pattern"
+CODE_REGEX_ERROR = "validation.regex.error"
+CODE_OUT_OF_RANGE = "validation.number.out_of_range"
+CODE_NOT_IN_SET = "validation.value.not_in_set"
+CODE_REQUIRED = "validation.required"
+CODE_COLLECTION_TOO_LARGE = "validation.security.collection_too_large"
+CODE_UNION_NO_MATCH = "validation.union.no_match"
+CODE_TYPE_MISMATCH = "validation.type.mismatch"
+CODE_UDF_FAILURE = "validation.udf.failure"
+
+# Engine-level dataset rule codes (BASELINE.json:6 obligations).
+CODE_DUPLICATE_KEY = "validation.dataset.duplicate_key"
+CODE_REF_INTEGRITY = "validation.dataset.referential_integrity"
+CODE_DRIFT_PSI = "validation.dataset.drift_psi"
+CODE_DRIFT_KS = "validation.dataset.drift_ks"
+CODE_ORDERING = "validation.dataset.ordering"
+CODE_TEXT_MISMATCH = "validation.dataset.text_mismatch"
+
+ERROR_FIELDS = (
+    "rule_id",
+    "field_path",
+    "message",
+    "code",
+    "severity",
+    "expected",
+    "actual",
+)
+
+ERROR_STRUCT_DDL = (
+    "struct<rule_id:string,field_path:array<string>,message:string,"
+    "code:string,severity:string,expected:string,actual:string>"
+)
+ERROR_ARRAY_DDL = f"array<{ERROR_STRUCT_DDL}>"
+
+
+def _as_str_col(v: Column | str | None) -> Column:
+    if v is None:
+        return F.lit(None).cast("string")
+    if isinstance(v, Column):
+        return v.cast("string")
+    return F.lit(str(v))
+
+
+def error_struct(
+    rule_id: str,
+    message: Column | str,
+    code: str | None,
+    *,
+    expected: Column | str | None = None,
+    actual: Column | str | None = None,
+    severity: Column | str | None = None,
+    field_path: Column | Sequence[str] | None = None,
+) -> Column:
+    """One error value as a struct Column.
+
+    ``field_path`` defaults to empty — enclosing struct levels prepend
+    segments via :func:`annotate_field`, mirroring how the reference's
+    ``annotateField`` builds paths bottom-up (ValidationError.scala:140-151).
+    """
+    if field_path is None:
+        path_col = F.array().cast("array<string>")
+    elif isinstance(field_path, Column):
+        path_col = field_path
+    else:
+        path_col = F.array(*[F.lit(s) for s in field_path])
+    return F.struct(
+        F.lit(rule_id).alias("rule_id"),
+        path_col.alias("field_path"),
+        _as_str_col(message).alias("message"),
+        _as_str_col(code).alias("code"),
+        _as_str_col(severity).alias("severity"),
+        _as_str_col(expected).alias("expected"),
+        _as_str_col(actual).alias("actual"),
+    )
+
+
+def empty_errors() -> Column:
+    """A correctly-typed empty ``array<error_struct>``."""
+    return F.array().cast(ERROR_ARRAY_DDL)
+
+
+def errors_array(*conditional_errors: Column) -> Column:
+    """Pack ``when(...)``-guarded error structs (null when the rule passes)
+    into a compact error array. The filter keeps only actual failures."""
+    return F.filter(F.array(*conditional_errors), lambda e: e.isNotNull())
+
+
+def _rebuild(e: Column, **overrides: Column) -> Column:
+    return F.struct(
+        *[
+            (overrides[f] if f in overrides else e[f]).alias(f)
+            for f in ERROR_FIELDS
+        ]
+    )
+
+
+def annotate_field(errs: Column, field: str, type_name: str) -> Column:
+    """Reference ``annotateField`` (ValidationError.scala:140-151): prepend
+    the field name to every error's path and rewrite the message to
+    ``Invalid field: $f, field type: $t: $msg``. Applied per nesting level,
+    so deeply nested errors accumulate one prefix per level, exactly like
+    the reference's derived validators (Derivation.scala:84-95)."""
+    prefix = f"Invalid field: {field}, field type: {type_name}: "
+    return F.transform(
+        errs,
+        lambda e: _rebuild(
+            e,
+            field_path=F.concat(F.array(F.lit(field)), e["field_path"]),
+            message=F.concat(F.lit(prefix), e["message"]),
+        ),
+    )
+
+
+def concat_errors(arrays: Sequence[Column]) -> Column:
+    """Ordered error accumulation — the reference's ``ErrorAccumulator.
+    combine`` is Vector concatenation (ErrorAccumulator.scala:45-47); field
+    declaration order then element order is preserved."""
+    arrays = list(arrays)
+    if not arrays:
+        return empty_errors()
+    if len(arrays) == 1:
+        return arrays[0]
+    return F.concat(*arrays)

@@ -1,0 +1,763 @@
+"""Rule DSL — leaf constraints and combinators.
+
+Reimagines the reference's ``Validator[A]`` typeclass + ``ValidationResult``
+algebra (Validator.scala:22-32, ValidationResult.scala:36-51) as a tree of
+:class:`Rule` nodes that compiles to ``pyspark.sql.Column`` expressions.
+One validated *row* plays the role of one reference *value*; a rule bound to
+a column plays the role of a ``Validator`` for that field's type.
+
+Compilation contract: ``Rule.errors(col, rid_prefix, ctx)`` returns a Column
+of ``array<error_struct>`` — empty array ⇔ the reference's ``Valid``,
+non-empty ⇔ ``Invalid(errors)`` (an Invalid never holds an empty vector,
+ValidationResult.scala:112-115; here likewise the array is empty iff valid).
+
+Combinator semantics (ValidationResult.scala):
+- ``a & b``   → accumulate both error sets in order (``zip``, :482-489) —
+  THE default semantics of the reference (README.md:22-23); also the
+  intersection-type validator (Validator.scala:126-129).
+- ``a | b``   → first valid wins; both invalid ⇒ combined errors
+  (``or``, :537-543).
+- ``a.then(b)`` → fail-fast: b's errors reported only if a passed
+  (``flatMap``/``zipFailFast``, :409-434).
+- ``union(a, b)`` → try A then B; both fail ⇒ ONE parent error with the
+  branch errors flattened as children rows (``validateUnion``, :315-343).
+- ``optional(r)`` → null passes (``ValidationHelpers.optional``, :428-433).
+
+Null policy mirrors the reference per leaf: string rules treat null as a
+distinct ``validation.string.null`` error (ValidationHelpers.scala:88-98);
+numeric/range/finite rules skip null (a Scala ``Int`` cannot be null — the
+null case belongs to ``Option``, i.e. ``optional``/``required`` here).
+
+Everything is JVM-side Column algebra except :func:`pandas_rule`, the
+sanctioned vectorized-UDF escape hatch (Arrow batches, no per-row Python —
+BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+import re as _re
+from collections.abc import Callable, Iterable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import errors as E
+from .config import DEFAULT, ValidationConfig
+
+
+@dataclass(frozen=True)
+class CompileContext:
+    config: ValidationConfig = DEFAULT
+    #: Spark type name of the column a rule is bound to, used by
+    #: annotate_field message templates; filled in by RuleSet/derivation.
+    type_name: str = "value"
+
+
+def _rid(prefix: tuple[str, ...], name: str) -> str:
+    return ".".join((*prefix, name))
+
+
+class Rule:
+    """Base rule node. Subclasses implement :meth:`errors`."""
+
+    #: short node name used in rule_id construction
+    name: str = "rule"
+
+    def errors(self, col: Column, rid_prefix: tuple[str, ...], ctx: CompileContext) -> Column:
+        raise NotImplementedError
+
+    def ok(self, col: Column, rid_prefix: tuple[str, ...], ctx: CompileContext) -> Column:
+        return F.size(self.errors(col, rid_prefix, ctx)) == 0
+
+    def rule_ids(self, rid_prefix: tuple[str, ...]) -> list[str]:
+        """Static list of leaf rule_ids this node can emit — drives the
+        verdict DataFrame so rules with zero violations still report
+        ``pass=true``."""
+        raise NotImplementedError
+
+    # --- combinator sugar -------------------------------------------------
+    def __and__(self, other: "Rule") -> "Rule":
+        return AllOf([self, other])
+
+    def __or__(self, other: "Rule") -> "Rule":
+        return FirstOf([self, other])
+
+    def then(self, other: "Rule") -> "Rule":
+        return FailFast([self, other])
+
+
+class LeafRule(Rule):
+    """A leaf constraint: a predicate plus reference-parity error metadata.
+
+    ``build`` returns the error array given (column, rule_id, ctx).
+    """
+
+    def __init__(self, name: str, build: Callable[[Column, str, CompileContext], Column]):
+        self.name = name
+        self.build = build
+
+    def errors(self, col: Column, rid_prefix: tuple[str, ...], ctx: CompileContext) -> Column:
+        return self.build(col, _rid(rid_prefix, self.name), ctx)
+
+    def rule_ids(self, rid_prefix: tuple[str, ...]) -> list[str]:
+        return [_rid(rid_prefix, self.name)]
+
+
+def _leaf(name: str, build: Callable[[Column, str, CompileContext], Column]) -> LeafRule:
+    return LeafRule(name=name, build=build)
+
+
+def _cond_err(fail: Column, err: Column) -> Column:
+    """struct when failing, typed-null otherwise (filtered out later)."""
+    return F.when(fail, err)
+
+
+# ---------------------------------------------------------------------------
+# Leaf constraints — semantics + messages per ValidationHelpers.scala
+# ---------------------------------------------------------------------------
+
+
+def non_empty(message: str | None = None) -> LeafRule:
+    """Trimmed non-emptiness; null is a distinct error
+    (ValidationHelpers.scala:74-99)."""
+
+    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+        msg = message or "String must not be empty"
+        return E.errors_array(
+            _cond_err(
+                col.isNull(),
+                E.error_struct(rid, msg, E.CODE_STRING_NULL,
+                               expected="non-empty string", actual="null"),
+            ),
+            _cond_err(
+                col.isNotNull() & (F.trim(col) == F.lit("")),
+                E.error_struct(rid, msg, E.CODE_STRING_EMPTY,
+                               expected="non-empty string", actual=col),
+            ),
+        )
+
+    return _leaf("non_empty", build)
+
+
+def non_negative(message: str | None = None) -> LeafRule:
+    """``i >= 0`` (ValidationHelpers.scala:110-120). Null skips (see module
+    docstring null policy)."""
+
+    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+        msg = message or "Int must be non-negative"
+        return E.errors_array(
+            _cond_err(
+                col.isNotNull() & (col < 0),
+                E.error_struct(rid, msg, E.CODE_NUMBER_NEGATIVE,
+                               expected=">= 0", actual=col),
+            )
+        )
+
+    return _leaf("non_negative", build)
+
+
+def finite(message: str | None = None) -> LeafRule:
+    """Rejects NaN and ±Infinity (ValidationHelpers.scala:131-176).
+
+    Spark treats NaN as orderable (NaN == NaN, NaN > everything), so this
+    must use isnan/abs-infinity checks, never range predicates
+    (SURVEY.md §7 hard-part 5). Null skips. Note the pass-through validator
+    for Double *accepts* NaN (ValidatorSpec.scala:25-29) — finiteness is
+    opt-in, exactly as in the reference.
+    """
+
+    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+        msg_f = F.lit(message) if message is not None else (
+            F.when(F.isnan(col), F.lit("Double must be finite"))
+            .otherwise(F.lit("Double must be finite"))
+        )
+        fail = col.isNotNull() & (F.isnan(col) | (F.abs(col) == F.lit(float("inf"))))
+        return E.errors_array(
+            _cond_err(
+                fail,
+                E.error_struct(rid, msg_f, E.CODE_NUMBER_NOT_FINITE,
+                               expected="finite value", actual=col),
+            )
+        )
+
+    return _leaf("finite", build)
+
+
+def min_length(n: int, message: str | None = None) -> LeafRule:
+    """Untrimmed length >= n; null invalid (ValidationHelpers.scala:182-207)."""
+
+    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+        null_msg = message or (
+            f"Actual length (null) is less than minimum required length of {n}"
+        )
+        fail_msg = (
+            F.lit(message)
+            if message is not None
+            else F.concat(
+                F.lit("Actual length ("), F.length(col).cast("string"),
+                F.lit(f") is less than minimum required length of {n}"),
+            )
+        )
+        return E.errors_array(
+            _cond_err(
+                col.isNull(),
+                E.error_struct(rid, null_msg, E.CODE_STRING_NULL,
+                               expected=f"length >= {n}", actual="null"),
+            ),
+            _cond_err(
+                col.isNotNull() & (F.length(col) < n),
+                E.error_struct(rid, fail_msg, E.CODE_STRING_TOO_SHORT,
+                               expected=f"length >= {n}",
+                               actual=F.length(col)),
+            ),
+        )
+
+    return _leaf("min_length", build)
+
+
+def max_length(n: int, message: str | None = None) -> LeafRule:
+    """Untrimmed length <= n; null invalid (ValidationHelpers.scala:213-237)."""
+
+    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+        fail_msg = (
+            F.lit(message)
+            if message is not None
+            else F.concat(
+                F.lit("Length ("), F.length(col).cast("string"),
+                F.lit(f") exceeds maximum allowed length of {n}"),
+            )
+        )
+        return E.errors_array(
+            _cond_err(
+                col.isNull(),
+                E.error_struct(
+                    rid, "Input must be a non-null string (actual: null)",
+                    E.CODE_STRING_NULL,
+                    expected=f"non-null string with length <= {n}",
+                    actual="null"),
+            ),
+            _cond_err(
+                col.isNotNull() & (F.length(col) > n),
+                E.error_struct(rid, fail_msg, E.CODE_STRING_TOO_LONG,
+                               expected=f"length <= {n}",
+                               actual=F.length(col)),
+            ),
+        )
+
+    return _leaf("max_length", build)
+
+
+def matches(pattern: str, message: str | None = None) -> LeafRule:
+    """Full-string regex match; null invalid (ValidationHelpers.scala:250-274).
+
+    Scala's ``Regex.matches`` is whole-string while Spark's ``rlike`` is
+    substring search, so the pattern is anchored as ``^(?:pattern)$``
+    (SURVEY.md §7 hard-part 3). The regex stays on the JVM (``rlike``) to
+    avoid Python/Java dialect drift (hard-part 4). Pattern syntax is checked
+    eagerly at rule-build time; a bad pattern yields a rule that reports
+    ``validation.regex.invalid_pattern`` on every row instead of raising,
+    mirroring the string-overload's exception capture
+    (ValidationHelpers.scala:314-331).
+    """
+    try:
+        _re.compile(pattern)
+        bad: str | None = None
+    except _re.error as exc:  # keep message shape of the reference
+        bad = f"Invalid regex pattern: {exc}"
+
+    anchored = f"^(?:{pattern})$"
+
+    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+        if bad is not None:
+            return E.errors_array(
+                _cond_err(F.lit(True),
+                          E.error_struct(rid, bad, E.CODE_REGEX_INVALID))
+            )
+        fail_msg = (
+            F.lit(message)
+            if message is not None
+            else F.concat(F.lit("Value '"), col,
+                          F.lit(f"' does not match pattern '{pattern}'"))
+        )
+        null_msg = message or f"Value 'null' does not match pattern '{pattern}'"
+        return E.errors_array(
+            _cond_err(
+                col.isNull(),
+                E.error_struct(rid, null_msg, E.CODE_STRING_NULL,
+                               expected=pattern, actual="null"),
+            ),
+            _cond_err(
+                col.isNotNull() & ~col.rlike(anchored),
+                E.error_struct(rid, fail_msg, E.CODE_PATTERN_MISMATCH,
+                               expected=pattern, actual=col),
+            ),
+        )
+
+    return _leaf("matches", build)
+
+
+def in_range(lo, hi, message: str | None = None) -> LeafRule:
+    """Inclusive ``[lo, hi]`` (ValidationHelpers.scala:358-371). Null skips."""
+
+    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+        msg = message or f"Must be in range [{lo}, {hi}]"
+        return E.errors_array(
+            _cond_err(
+                col.isNotNull() & ~col.between(lo, hi),
+                E.error_struct(rid, msg, E.CODE_OUT_OF_RANGE,
+                               expected=f"[{lo}, {hi}]", actual=col),
+            )
+        )
+
+    return _leaf("in_range", build)
+
+
+def one_of(values: Sequence, message: str | None = None) -> LeafRule:
+    """Set membership (ValidationHelpers.scala:377-390) — the role/tool
+    domain check of BASELINE.json:6. Null is not a member ⇒ error."""
+    rendered = ", ".join(str(v) for v in values)
+
+    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+        msg = message or f"Must be one of {rendered}"
+        return E.errors_array(
+            _cond_err(
+                col.isNull() | ~col.isin(*values),
+                E.error_struct(rid, msg, E.CODE_NOT_IN_SET,
+                               expected=rendered,
+                               actual=F.coalesce(col.cast("string"),
+                                                 F.lit("null"))),
+            )
+        )
+
+    return _leaf("one_of", build)
+
+
+def required(message: str | None = None) -> LeafRule:
+    """Null ⇒ invalid (ValidationHelpers.scala:402-415 — ``None`` fails)."""
+
+    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+        msg = message or "Required value must not be empty/null"
+        return E.errors_array(
+            _cond_err(
+                col.isNull(),
+                E.error_struct(rid, msg, E.CODE_REQUIRED,
+                               expected="defined Option (Some)",
+                               actual="None"),
+            )
+        )
+
+    return _leaf("required", build)
+
+
+def castable(to_type: str, message: str | None = None) -> LeafRule:
+    """Runtime type check — the ``validateType`` analogue
+    (ValidationResult.scala:281-289): the value must cast cleanly."""
+
+    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+        msg = message or f"Value is not a valid {to_type}"
+        return E.errors_array(
+            _cond_err(
+                col.isNotNull() & col.cast(to_type).isNull(),
+                E.error_struct(rid, msg, E.CODE_TYPE_MISMATCH,
+                               expected=to_type, actual=col),
+            )
+        )
+
+    return _leaf(f"castable_{to_type}", build)
+
+
+def satisfies(
+    predicate: Callable[[Column], Column],
+    name: str,
+    *,
+    code: str = "validation.custom",
+    message: str | Callable[[Column], Column] = "Custom validation failed",
+    expected: str | None = None,
+    severity: str | None = None,
+) -> LeafRule:
+    """Custom native rule — the preferred UDF-surface analogue
+    (SURVEY.md §2.4): a ``Column → Column[bool]`` lambda that stays inside
+    whole-stage codegen. Null predicate results count as failures only if
+    the predicate says so (wrap with ``optional`` for null-pass)."""
+
+    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+        ok = predicate(col)
+        msg = message(col) if callable(message) else F.lit(message)
+        return E.errors_array(
+            _cond_err(
+                ~F.coalesce(ok, F.lit(False)),
+                E.error_struct(rid, msg, code, expected=expected,
+                               actual=col, severity=severity),
+            )
+        )
+
+    return _leaf(name, build)
+
+
+def pandas_rule(
+    fn: Callable,
+    name: str,
+    *,
+    code: str = "validation.custom",
+    message: str = "Custom validation failed",
+    expected: str | None = None,
+) -> LeafRule:
+    """Vectorized custom rule — the Arrow escape hatch (BASELINE.json:6 "no
+    per-row Python"). ``fn: pd.Series -> pd.Series[bool]`` runs per Arrow
+    batch. An exception inside the batch marks every row of the batch with
+    the reference's async-failure recovery semantics — rule-level error, not
+    job crash (Derivation.scala:405-416): message
+    ``Asynchronous validation failed unexpectedly: ...`` and code
+    ``validation.udf.failure``.
+    """
+    import pandas as pd  # noqa: F401  (documented dependency of this path)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _check(s):  # returns null when ok, else an error message
+        import pandas as pd
+
+        try:
+            ok = fn(s)
+            out = pd.Series([None] * len(s), dtype=object)
+            out[~ok.fillna(False).astype(bool)] = message
+            return out
+        except Exception as exc:  # reference: failed Future ⇒ Invalid(...)
+            return pd.Series(
+                [f"Asynchronous validation failed unexpectedly: {exc}"] * len(s),
+                dtype=object,
+            )
+
+    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+        msg = _check(col)
+        is_udf_fail = msg.startswith("Asynchronous validation failed")
+        return E.errors_array(
+            _cond_err(
+                msg.isNotNull(),
+                E.error_struct(
+                    rid, msg,
+                    F.when(is_udf_fail, F.lit(E.CODE_UDF_FAILURE))
+                    .otherwise(F.lit(code)).cast("string"),
+                    expected=expected, actual=col),
+            )
+        )
+
+    # error_struct expects code as str; build passes a Column — allow both
+    leaf = _leaf(name, build)
+    return leaf
+
+
+def always_valid() -> LeafRule:
+    """Pass-through — the reference's default validators accept everything
+    since constraints became opt-in (Validator.scala:43-60, MIGRATION.md:9-21)."""
+
+    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+        return E.empty_errors()
+
+    return _leaf("pass", build)
+
+
+# ---------------------------------------------------------------------------
+# Combinators — ValidationResult.scala algebra
+# ---------------------------------------------------------------------------
+
+
+class AllOf(Rule):
+    """Accumulate: every child evaluated, all errors kept in declaration
+    order (``zip``/``mapN``, ValidationResult.scala:482-516; ordering =
+    Vector concat, ErrorAccumulator.scala:45-47)."""
+
+    name = "all_of"
+
+    def __init__(self, children: Iterable[Rule]):
+        # flatten nested AllOf so `a & b & c` stays one level
+        flat: list[Rule] = []
+        for c in children:
+            if isinstance(c, AllOf):
+                flat.extend(c.children)
+            else:
+                flat.append(c)
+        self.children = flat
+
+    def errors(self, col, rid_prefix, ctx):
+        return E.concat_errors([c.errors(col, rid_prefix, ctx) for c in self.children])
+
+    def rule_ids(self, rid_prefix):
+        return [r for c in self.children for r in c.rule_ids(rid_prefix)]
+
+
+class FirstOf(Rule):
+    """``or``: first valid wins; all invalid ⇒ combined errors in order
+    (ValidationResult.scala:537-543)."""
+
+    name = "first_of"
+
+    def __init__(self, children: Iterable[Rule]):
+        flat: list[Rule] = []
+        for c in children:
+            if isinstance(c, FirstOf):
+                flat.extend(c.children)
+            else:
+                flat.append(c)
+        self.children = flat
+
+    def errors(self, col, rid_prefix, ctx):
+        errs = [c.errors(col, rid_prefix, ctx) for c in self.children]
+        any_ok = None
+        for e in errs:
+            ok = F.size(e) == 0
+            any_ok = ok if any_ok is None else (any_ok | ok)
+        return F.when(any_ok, E.empty_errors()).otherwise(E.concat_errors(errs))
+
+    def rule_ids(self, rid_prefix):
+        return [r for c in self.children for r in c.rule_ids(rid_prefix)]
+
+
+class FailFast(Rule):
+    """``flatMap``/``zipFailFast`` sequencing: later rules are reported only
+    when every earlier rule passed (ValidationResult.scala:409-434)."""
+
+    name = "fail_fast"
+
+    def __init__(self, children: Iterable[Rule]):
+        flat: list[Rule] = []
+        for c in children:
+            if isinstance(c, FailFast):
+                flat.extend(c.children)
+            else:
+                flat.append(c)
+        self.children = flat
+
+    def then(self, other: "Rule") -> "Rule":
+        return FailFast([*self.children, other])
+
+    def errors(self, col, rid_prefix, ctx):
+        errs = [c.errors(col, rid_prefix, ctx) for c in self.children]
+        out = F.when(F.size(errs[0]) > 0, errs[0])
+        for e in errs[1:]:
+            out = out.when(F.size(e) > 0, e)
+        return out.otherwise(E.empty_errors())
+
+    def rule_ids(self, rid_prefix):
+        return [r for c in self.children for r in c.rule_ids(rid_prefix)]
+
+
+class Optional(Rule):
+    """Null passes; non-null delegates (``ValidationHelpers.optional``,
+    :428-433 — ``None ⇒ Valid``)."""
+
+    name = "optional"
+
+    def __init__(self, inner: Rule):
+        self.inner = inner
+
+    def errors(self, col, rid_prefix, ctx):
+        return F.when(col.isNull(), E.empty_errors()).otherwise(
+            self.inner.errors(col, rid_prefix, ctx)
+        )
+
+    def rule_ids(self, rid_prefix):
+        return self.inner.rule_ids(rid_prefix)
+
+
+def optional(inner: Rule) -> Optional:
+    return Optional(inner)
+
+
+class Union(Rule):
+    """``validateUnion`` (ValidationResult.scala:315-343): try every branch;
+    first valid wins; all fail ⇒ ONE parent error (message ``Value failed
+    validation for all expected types: A | B``, expected = the union
+    rendering, actual = the value) plus the branch errors flattened as
+    sibling rows — the relational encoding of the reference's ``children``
+    vector (SURVEY.md §1.1)."""
+
+    name = "union"
+
+    def __init__(self, branches: dict[str, Rule] | Sequence[Rule],
+                 expected: str | None = None):
+        if isinstance(branches, dict):
+            self.branches = list(branches.items())
+        else:
+            self.branches = [(f"t{i}", b) for i, b in enumerate(branches)]
+        self.expected = expected or " | ".join(n for n, _ in self.branches)
+
+    def errors(self, col, rid_prefix, ctx):
+        prefix = (*rid_prefix, "union")
+        errs = [b.errors(col, (*prefix, n), ctx) for n, b in self.branches]
+        any_ok = None
+        for e in errs:
+            ok = F.size(e) == 0
+            any_ok = ok if any_ok is None else (any_ok | ok)
+        parent = E.error_struct(
+            _rid(rid_prefix, "union"),
+            f"Value failed validation for all expected types: {self.expected}",
+            E.CODE_UNION_NO_MATCH,
+            expected=self.expected,
+            actual=F.coalesce(col.cast("string"), F.lit("null")),
+        )
+        return F.when(any_ok, E.empty_errors()).otherwise(
+            E.concat_errors([F.array(parent), *errs])
+        )
+
+    def rule_ids(self, rid_prefix):
+        prefix = (*rid_prefix, "union")
+        ids = [_rid(rid_prefix, "union")]
+        for n, b in self.branches:
+            ids.extend(b.rule_ids((*prefix, n)))
+        return ids
+
+
+def union(branches: dict[str, Rule] | Sequence[Rule], expected: str | None = None) -> Union:
+    return Union(branches, expected)
+
+
+# ---------------------------------------------------------------------------
+# Structural rules — derivation targets (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+class StructRule(Rule):
+    """Product-type validator over a struct column: run ALL field rules,
+    accumulate every error, annotate each with its field segment — the
+    runtime half of the reference's derived validator
+    (Derivation.scala:57-68, 84-95)."""
+
+    name = "struct"
+
+    def __init__(self, fields: dict[str, Rule],
+                 type_names: dict[str, str] | None = None):
+        self.fields = dict(fields)
+        self.type_names = dict(type_names or {})
+
+    def errors(self, col, rid_prefix, ctx):
+        parts = []
+        for f_name, rule in self.fields.items():
+            child = rule.errors(col.getField(f_name), (*rid_prefix, f_name), ctx)
+            parts.append(E.annotate_field(
+                child, f_name, self.type_names.get(f_name, "value")))
+        out = E.concat_errors(parts)
+        # a null struct (Option[Product] = None) passes, like Optional
+        return F.when(col.isNull(), E.empty_errors()).otherwise(out)
+
+    def rule_ids(self, rid_prefix):
+        return [
+            r
+            for f_name, rule in self.fields.items()
+            for r in rule.rule_ids((*rid_prefix, f_name))
+        ]
+
+
+class ArrayRule(Rule):
+    """Collection validator (ValidationLogic.scala:36-73): (1) if a size
+    limit is configured and exceeded ⇒ ONE ``collection_too_large`` security
+    error and element validation is SKIPPED entirely (proved by
+    ValidationConfigSpec.scala:50-65: zero elements validated); (2) else
+    every element is validated and all element errors accumulate in element
+    order; valid elements are not reported. Elements carry no index
+    annotation — matching the reference, which concatenates element errors
+    raw (ValidationLogic.scala:63-71)."""
+
+    name = "array"
+
+    def __init__(self, element: Rule, collection_type: str = "Collection"):
+        self.element = element
+        self.collection_type = collection_type
+
+    def errors(self, col, rid_prefix, ctx):
+        elem_errs = F.flatten(
+            F.transform(col, lambda x: self.element.errors(x, rid_prefix, ctx))
+        )
+        max_size = ctx.config.max_collection_size
+        if max_size is None:
+            guarded = elem_errs
+        else:
+            size_err = E.error_struct(
+                _rid(rid_prefix, "size_limit"),
+                F.concat(
+                    F.lit(f"{self.collection_type} size ("),
+                    F.size(col).cast("string"),
+                    F.lit(f") exceeds maximum allowed size ({max_size}). "
+                          "This limit protects against memory exhaustion attacks."),
+                ),
+                E.CODE_COLLECTION_TOO_LARGE,
+                severity="Error",
+                expected=f"size <= {max_size}",
+                actual=F.size(col),
+            )
+            guarded = F.when(F.size(col) > max_size, F.array(size_err)).otherwise(elem_errs)
+        return F.when(col.isNull(), E.empty_errors()).otherwise(guarded)
+
+    def rule_ids(self, rid_prefix):
+        ids = list(self.element.rule_ids(rid_prefix))
+        ids.append(_rid(rid_prefix, "size_limit"))
+        return ids
+
+
+class MapRule(Rule):
+    """Map validator (ValidationLogic.scala:84-138): size guard first, then
+    per-entry key/value validation — key errors annotated with segment
+    ``key``, value errors with ``value`` (both can fail ⇒ up to 2 errors per
+    entry; parity fixture ValidationSpec.scala:96-106)."""
+
+    name = "map"
+
+    def __init__(self, key_rule: Rule, value_rule: Rule,
+                 key_type: str = "key", value_type: str = "value"):
+        self.key_rule = key_rule
+        self.value_rule = value_rule
+        self.key_type = key_type
+        self.value_type = value_type
+
+    def errors(self, col, rid_prefix, ctx):
+        def entry_errs(e):
+            k_errs = E.annotate_field(
+                self.key_rule.errors(e["key"], (*rid_prefix, "key"), ctx),
+                "key", self.key_type)
+            v_errs = E.annotate_field(
+                self.value_rule.errors(e["value"], (*rid_prefix, "value"), ctx),
+                "value", self.value_type)
+            return F.concat(k_errs, v_errs)
+
+        entry_level = F.flatten(F.transform(F.map_entries(col), entry_errs))
+        max_size = ctx.config.max_collection_size
+        if max_size is None:
+            guarded = entry_level
+        else:
+            size_err = E.error_struct(
+                _rid(rid_prefix, "size_limit"),
+                F.concat(
+                    F.lit("Map size ("), F.size(col).cast("string"),
+                    F.lit(f") exceeds maximum allowed size ({max_size}). "
+                          "This limit protects against memory exhaustion attacks."),
+                ),
+                E.CODE_COLLECTION_TOO_LARGE,
+                severity="Error",
+                expected=f"size <= {max_size}",
+                actual=F.size(col),
+            )
+            guarded = F.when(F.size(col) > max_size, F.array(size_err)).otherwise(entry_level)
+        return F.when(col.isNull(), E.empty_errors()).otherwise(guarded)
+
+    def rule_ids(self, rid_prefix):
+        ids = list(self.key_rule.rule_ids((*rid_prefix, "key")))
+        ids.extend(self.value_rule.rule_ids((*rid_prefix, "value")))
+        ids.append(_rid(rid_prefix, "size_limit"))
+        return ids
+
+
+class Recover(Rule):
+    """``recover`` (ValidationResult.scala:578-581) — a repair, not a check:
+    swallow the inner rule's errors. Kept for API parity; emits nothing."""
+
+    name = "recover"
+
+    def __init__(self, inner: Rule):
+        self.inner = inner
+
+    def errors(self, col, rid_prefix, ctx):
+        return E.empty_errors()
+
+    def rule_ids(self, rid_prefix):
+        return []

@@ -1,0 +1,160 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md §1).
+
+Schema is the BASELINE.json:15 input hint: ``(conv_id string, turn_idx int,
+role string, text string, tool string, ts timestamp)``. Generation is pure
+DataFrame algebra over ``spark.range`` — fully distributed, no driver-side
+data, no RNG state: every decision derives from ``xxhash64(seed, keys...)``,
+so the same (seed, total_turns) yields byte-identical data at any
+parallelism, which is what makes the two-cluster-size scaling evidence and
+the determinism tests meaningful.
+
+Planted violations (all hash-derived, hence exactly countable by an
+independent filter):
+- empty / whitespace text            → non_empty (validation.string.empty)
+- null text                          → non_empty (validation.string.null)
+- turn_idx = -1                      → non_negative
+- duplicated (conv_id, turn_idx)     → uniqueness dataset rule
+- conv_ids absent from the registry  → referential-integrity dataset rule
+- role = 'narrator'                  → one_of domain rule
+- text longer than 8000 chars        → max_length
+- ts regressions within a conv       → ordering dataset rule
+
+Skew: one conversation per ~10k gets ~2000 turns (zipf-ish head) so salting
+and AQE skew handling are actually exercised (BASELINE.json:14).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EPOCH = 1_700_000_000  # fixed; wall-clock never used
+
+ROLES = ("system", "user", "assistant", "tool")
+TOOLS = ("search", "code", "browser", "none")
+
+_PAD = "lorem ipsum dolor sit amet consectetur adipiscing elit "
+
+
+@dataclass(frozen=True)
+class PlantRates:
+    p_empty: float = 0.010
+    p_null: float = 0.005
+    p_neg: float = 0.002
+    p_dup: float = 0.002
+    p_bad_role: float = 0.003
+    p_long: float = 0.0005
+    p_ooo: float = 0.002      # out-of-order ts within conv
+    p_orphan_conv: float = 0.01  # conv-level: missing from registry
+
+
+def _u(seed: int, salt: int, *cols: Column) -> Column:
+    """Deterministic uniform in [0,1) from a keyed hash."""
+    h = F.xxhash64(F.lit(seed), F.lit(salt), *cols)
+    return F.pmod(h, F.lit(1_000_000)).cast("double") / F.lit(1_000_000.0)
+
+
+def _conversations(spark: SparkSession, total_turns: int, seed: int) -> DataFrame:
+    avg_len = 21  # mean of uniform 2..40
+    n_convs = max(total_turns // avg_len, 1)
+    conv = spark.range(n_convs).select(
+        F.col("id").alias("conv_num"),
+        F.format_string("c%08d", F.col("id")).alias("conv_id"),
+    )
+    base_len = (F.lit(2) + F.pmod(F.xxhash64(F.lit(seed), F.lit(1), "conv_num"),
+                                  F.lit(39)).cast("int"))
+    heavy = F.pmod(F.col("conv_num"), F.lit(10_000)) == F.lit(9_999)
+    return conv.withColumn("conv_len",
+                           F.when(heavy, F.lit(2_000)).otherwise(base_len))
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    total_turns: int = 100_000,
+    seed: int = 42,
+    rates: PlantRates = PlantRates(),
+    len_shift: int = 0,
+    clean: bool = False,
+) -> DataFrame:
+    """The transcript table. ``clean=True`` disables every plant (the
+    ``transcripts_expected`` fixture for text-equality checks);
+    ``len_shift`` shifts the text-length distribution (the seed-43 drift
+    companion of FIXTURES.md §1)."""
+    r = PlantRates(0, 0, 0, 0, 0, 0, 0, 0) if clean else rates
+    conv = _conversations(spark, total_turns, seed)
+    t = conv.select(
+        "conv_num", "conv_id",
+        F.explode(F.sequence(F.lit(0), F.col("conv_len") - 1)).alias("turn_idx"),
+    )
+
+    u_role = _u(seed, 2, F.col("conv_num"), F.col("turn_idx"))
+    role = (
+        F.when(u_role < r.p_bad_role, F.lit("narrator"))
+        .when(F.col("turn_idx") == 0, F.lit("system"))
+        .when(_u(seed, 3, F.col("conv_num"), F.col("turn_idx")) < 0.10, F.lit("tool"))
+        .when(F.pmod(F.col("turn_idx"), F.lit(2)) == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+
+    body_len = (F.lit(10 + max(len_shift, 0))
+                + F.pmod(F.xxhash64(F.lit(seed), F.lit(4), "conv_num", "turn_idx"),
+                         F.lit(190)).cast("int"))
+    base_text = F.format_string("c%08d t%d ", F.col("conv_num"), F.col("turn_idx"))
+    normal_text = F.rpad(base_text, body_len + F.length(base_text), _PAD)
+
+    u_text = _u(seed, 5, F.col("conv_num"), F.col("turn_idx"))
+    text = (
+        F.when(u_text < r.p_null, F.lit(None).cast("string"))
+        .when(u_text < r.p_null + r.p_empty / 2, F.lit(""))
+        .when(u_text < r.p_null + r.p_empty, F.lit("   "))
+        .when(u_text < r.p_null + r.p_empty + r.p_long,
+              F.rpad(base_text, 8_200, _PAD))
+        .otherwise(normal_text)
+    )
+
+    u_neg = _u(seed, 6, F.col("conv_num"), F.col("turn_idx"))
+    turn_idx = F.when(u_neg < r.p_neg, F.lit(-1)).otherwise(F.col("turn_idx"))
+
+    tool = F.when(
+        role == "tool",
+        F.element_at(
+            F.array(*[F.lit(x) for x in TOOLS]),
+            (F.pmod(F.xxhash64(F.lit(seed), F.lit(7), "conv_num", "turn_idx"),
+                    F.lit(len(TOOLS))) + 1).cast("int"),
+        ),
+    ).otherwise(F.lit(None).cast("string"))
+
+    u_ooo = _u(seed, 8, F.col("conv_num"), F.col("turn_idx"))
+    ts = F.timestamp_seconds(
+        F.lit(EPOCH) + F.col("conv_num") * 100 + F.col("turn_idx")
+        - F.when(u_ooo < r.p_ooo, F.lit(5_000)).otherwise(F.lit(0))
+    )
+
+    out = t.select(
+        "conv_id",
+        turn_idx.cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+        "conv_num",
+    )
+
+    dups = out.filter(_u(seed, 9, F.col("conv_num"), F.col("turn_idx")) < r.p_dup)
+    return out.unionAll(dups).drop("conv_num")
+
+
+def synth_registry(
+    spark: SparkSession,
+    total_turns: int = 100_000,
+    seed: int = 42,
+    rates: PlantRates = PlantRates(),
+) -> DataFrame:
+    """Conversation registry (parent table for referential integrity):
+    every generated conv_id EXCEPT the planted orphan fraction — those
+    transcripts then violate ``conv_id ⊆ registry``."""
+    conv = _conversations(spark, total_turns, seed)
+    orphan = _u(seed, 10, F.col("conv_num")) < rates.p_orphan_conv
+    return conv.filter(~orphan).select("conv_id")

@@ -1,0 +1,222 @@
+"""Bind rules to columns and evaluate them over a DataFrame.
+
+One run compiles the whole rule set into a SINGLE wide projection of
+error-array columns — the Spark analogue of the reference's fully-inlined
+derived validator (Derivation.scala:315-325, docs/design.md:87-92): all row
+rules evaluate in one whole-stage-codegen pass over the scan, no shuffle.
+
+Outputs (SURVEY.md §1.1):
+- violations DataFrame: one row per ValidationError —
+  ``(rule_id, <key cols>, partition_id, field_path, message, code,
+  severity, expected, actual)``.
+- verdict DataFrame: ``(partition_id, rule_id, pass, violation_count,
+  rows_checked)`` — ``pass = violation_count == 0`` is the analogue of
+  ``Invalid.errors.isEmpty`` in ``processResults`` (Derivation.scala:61-67).
+
+``partition_id`` is a DETERMINISTIC bucket — ``pmod(xxhash64(partition_col),
+num_buckets)`` — not the ephemeral Spark task partition: it is stable across
+runs/cluster sizes, which makes it the unit of checkpoint/resume lineage
+(BASELINE.json:6) and keeps verdicts reproducible. The physical shuffle key
+adds a salt factor so a skewed conv_id spreads over ``salt`` tasks while the
+logical verdict stays per-bucket (BASELINE.json:14).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import errors as E
+from .config import DEFAULT, ValidationConfig
+from .rules import CompileContext, Rule
+
+BUCKET_COL = "partition_id"
+
+
+class RuleSet:
+    """Named rules bound to (possibly nested) columns.
+
+    Keys are column names or dotted paths (``"address.street"``). The outer
+    binding annotates errors with the column name and Spark type — the Spark
+    analogue of the outermost derived validator's ``annotateErrors``
+    (Derivation.scala:84-95).
+    """
+
+    def __init__(self, rules: dict[str, Rule], config: ValidationConfig = DEFAULT):
+        self.rules = dict(rules)
+        self.config = config
+
+    # -- compilation --------------------------------------------------------
+
+    def _bound(self, df: DataFrame) -> list[tuple[str, Column]]:
+        """[(column_key, error_array_column)] — one array per bound column.
+
+        Dotted keys annotate one level per segment, innermost first, so a
+        rule on ``address.street`` yields path ``[address, street]`` with
+        per-level message prefixes — same bottom-up annotation as nested
+        derived validators (Derivation.scala:84-95)."""
+        ctx = CompileContext(config=self.config)
+        out: list[tuple[str, Column]] = []
+        for key, rule in self.rules.items():
+            segs = key.split(".")
+            errs = rule.errors(F.col(key), tuple(segs), ctx)
+            tnames = _dtype_chain(df.schema, segs)
+            for seg, tname in zip(reversed(segs), reversed(tnames)):
+                errs = E.annotate_field(errs, seg, tname)
+            out.append((key, errs))
+        return out
+
+    def errors_column(self, df: DataFrame) -> Column:
+        """All errors of a row, concatenated in rule-declaration order."""
+        return E.concat_errors([c for _, c in self._bound(df)])
+
+    def rule_ids(self) -> list[str]:
+        ids: list[str] = []
+        for key, rule in self.rules.items():
+            ids.extend(rule.rule_ids(_rid_prefix(key)))
+        return ids
+
+
+def _rid_prefix(key: str) -> tuple[str, ...]:
+    return tuple(key.split("."))
+
+
+def _dtype_chain(schema, segs: Sequence[str]) -> list[str]:
+    """Spark type simpleString per path segment (``value`` when unknown)."""
+    from pyspark.sql.types import StructType
+
+    out: list[str] = []
+    cur = schema
+    for seg in segs:
+        if isinstance(cur, StructType) and seg in cur.fieldNames():
+            dt = cur[seg].dataType
+            out.append(dt.simpleString().split("<")[0])
+            cur = dt
+        else:
+            out.append("value")
+            cur = None
+    return out
+
+
+def bucket_expr(partition_cols: Sequence[str], num_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(*[F.col(c) for c in partition_cols]),
+                  F.lit(num_buckets)).cast("int")
+
+
+class ValidationRun:
+    """Lazy handle over one validation pass.
+
+    ``violations`` and ``verdicts`` are independent DataFrames over the same
+    compiled projection; Spark recomputes the (cheap, codegen'd) scan for
+    each unless :meth:`persist` is called. The checkpointing runner instead
+    writes violations once and derives verdicts from the sink — see
+    ``runner.py``.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        ruleset: RuleSet,
+        keys: Sequence[str] = ("conv_id", "turn_idx"),
+        partition_cols: Sequence[str] | None = None,
+    ):
+        self.ruleset = ruleset
+        self.keys = list(keys)
+        cfg = ruleset.config
+        self.partition_cols = list(partition_cols) if partition_cols else [self.keys[0]]
+        self._base = df.withColumn(
+            BUCKET_COL, bucket_expr(self.partition_cols, cfg.num_buckets)
+        )
+        self._errs = self._base.select(
+            *self.keys, BUCKET_COL, ruleset.errors_column(df).alias("_errors")
+        )
+
+    def persist(self, level: str = "MEMORY_AND_DISK") -> "ValidationRun":
+        from pyspark import StorageLevel
+
+        self._errs = self._errs.persist(getattr(StorageLevel, level))
+        return self
+
+    def unpersist(self) -> None:
+        self._errs.unpersist()
+
+    @property
+    def violations(self) -> DataFrame:
+        e = F.col("_e")
+        return (
+            self._errs.filter(F.size("_errors") > 0)
+            .select(*self.keys, BUCKET_COL, F.explode("_errors").alias("_e"))
+            .select(
+                e["rule_id"].alias("rule_id"),
+                *self.keys,
+                BUCKET_COL,
+                e["field_path"].alias("field_path"),
+                e["message"].alias("message"),
+                e["code"].alias("code"),
+                e["severity"].alias("severity"),
+                e["expected"].alias("expected"),
+                e["actual"].alias("actual"),
+            )
+        )
+
+    @property
+    def verdicts(self) -> DataFrame:
+        return verdicts_from(
+            self._errs, self.ruleset.rule_ids(), bucket_col=BUCKET_COL
+        )
+
+    def summary(self) -> DataFrame:
+        """Table-level rollup: one row per rule_id."""
+        return (
+            self.verdicts.groupBy("rule_id")
+            .agg(
+                F.min("pass").alias("pass"),
+                F.sum("violation_count").alias("violation_count"),
+                F.sum("rows_checked").alias("rows_checked"),
+            )
+            .orderBy("rule_id")
+        )
+
+
+def verdicts_from(errs: DataFrame, rule_ids: Sequence[str], bucket_col: str = BUCKET_COL) -> DataFrame:
+    """(partition_id, rule_id, pass, violation_count, rows_checked) from a
+    frame with an ``_errors`` array column. Rules with zero violations still
+    appear (pass=true) — the static rule_id list is crossed with the
+    observed buckets."""
+    spark = errs.sparkSession
+    per_bucket = errs.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("rows_checked"))
+    viol = (
+        errs.select(bucket_col, F.explode("_errors").alias("_e"))
+        .groupBy(bucket_col, F.col("_e")["rule_id"].alias("rule_id"))
+        .agg(F.count(F.lit(1)).alias("violation_count"))
+    )
+    rules_df = spark.createDataFrame([(r,) for r in rule_ids], "rule_id string")
+    return (
+        per_bucket.crossJoin(F.broadcast(rules_df))
+        .join(viol, [bucket_col, "rule_id"], "left")
+        .select(
+            F.col(bucket_col),
+            "rule_id",
+            F.coalesce("violation_count", F.lit(0)).alias("violation_count"),
+            "rows_checked",
+        )
+        .withColumn("pass", F.col("violation_count") == 0)
+        .select(bucket_col, "rule_id", "pass", "violation_count", "rows_checked")
+    )
+
+
+def validate(
+    df: DataFrame,
+    ruleset: RuleSet | dict[str, Rule],
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    partition_cols: Sequence[str] | None = None,
+    config: ValidationConfig | None = None,
+) -> ValidationRun:
+    """Evaluate ``ruleset`` over ``df``. See :class:`ValidationRun`."""
+    if isinstance(ruleset, dict):
+        ruleset = RuleSet(ruleset, config or DEFAULT)
+    elif config is not None:
+        ruleset = RuleSet(ruleset.rules, config)
+    return ValidationRun(df, ruleset, keys=keys, partition_cols=partition_cols)
