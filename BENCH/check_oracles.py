@@ -1,0 +1,79 @@
+"""Mimic the driver's correctness gate: run each queries()[name] on Spark
+and oracle_sql()[name] on DuckDB at sf0.01, compare row count, column
+names, and an order-insensitive value hash."""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(
+        "|".join(_norm(r[i]) for i in idx) for r in rows
+    )
+    return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
+
+
+def _norm(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    return str(v)
+
+
+def main() -> None:
+    import duckdb
+
+    import __spark_entry__ as e
+    from valar_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    oracles = e.oracle_sql()
+    failures = 0
+    for name, fn in e.queries().items():
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"ROWS-ONLY  {name:34s} rows={len(srows)}")
+            continue
+        rel = con.sql(oracles[name])
+        dcols = rel.columns
+        drows = rel.fetchall()
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_rows = len(srows) == len(drows)
+        sh = value_hash(srows, scols)
+        dh = value_hash(drows, dcols)
+        ok_hash = sh == dh
+        status = "OK " if (ok_cols and ok_rows and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{status}      {name:34s} rows={len(srows)}/{len(drows)} "
+              f"cols={'=' if ok_cols else f'{scols} vs {dcols}'} "
+              f"hash={'=' if ok_hash else f'{sh} vs {dh}'}")
+        if not ok_hash and ok_cols and ok_rows and srows:
+            idx = sorted(range(len(scols)), key=lambda i: scols[i])
+            sset = sorted("|".join(_norm(r[i]) for i in idx) for r in srows)
+            didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            dset = sorted("|".join(_norm(r[i]) for i in didx) for r in drows)
+            diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+            for a, b in diff:
+                print(f"      spark: {a}\n      duck : {b}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

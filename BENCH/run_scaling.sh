@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Two-cluster-size scaling evidence (BASELINE.json:14): identical job,
+# identical input, N=local[8] vs 4N=local[32]; efficiency =
+# (thru_4N / thru_N) / 4, required >= 0.8. Results land in
+# BENCH/scaling_{8,32}.json; summarize into BENCH/BASELINE.md.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+TURNS="${VALAR_BENCH_TURNS:-2000000}"
+REPEAT="${VALAR_BENCH_REPEAT:-3}"
+
+for CPUS in 8 32; do
+  echo "=== local[$CPUS] ==="
+  SPARK_GRAFT_CPUS=$CPUS VALAR_BENCH_TURNS=$TURNS VALAR_BENCH_REPEAT=$REPEAT \
+    python bench.py | tail -1 | tee "BENCH/scaling_${CPUS}.json"
+done
+
+python - <<'EOF'
+import json
+a = json.load(open("BENCH/scaling_8.json"))
+b = json.load(open("BENCH/scaling_32.json"))
+tn, t4n = a["validated_turns_per_sec"], b["validated_turns_per_sec"]
+eff = (t4n / tn) / 4
+print(f"N=8 cores:  {tn:,} turns/s")
+print(f"4N=32 cores: {t4n:,} turns/s")
+print(f"scaling efficiency: {eff:.3f} (required >= 0.8)")
+json.dump({"throughput_N": tn, "throughput_4N": t4n,
+           "efficiency": round(eff, 4), "turns": a["transcript_turns"]},
+          open("BENCH/scaling_summary.json", "w"), indent=1)
+EOF

@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full validation of a synthesized transcript
+table (schema per BASELINE.json:15), returning the violations DataFrame.
+
+``queries()`` — one entry per implemented operator from SURVEY.md §2 /
+§2.5. Dataset rules run against the driver's parquet tables so each has a
+DuckDB oracle in ``oracle_sql()``; transcript-table rules synthesize their
+input deterministically inside the callable (the transcripts table is not
+registered in DuckDB → rows-only checks, as the contract allows).
+
+Column names are aliased identically on both sides — the driver's compare
+sorts columns by name before hashing.
 """
 
 from __future__ import annotations
@@ -12,27 +18,373 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_DOMAIN = ["click", "view", "purchase", "signup"]  # 'error' is out-of-domain
+ROLE_DOMAIN = ["system", "user", "assistant", "tool"]
+TOOL_DOMAIN = ["search", "code", "browser", "none"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _transcripts(spark: SparkSession, total_turns: int = 60_000) -> DataFrame:
+    from valar_spark.synth import synth_transcripts
+
+    return synth_transcripts(spark, total_turns=total_turns, seed=42)
+
+
+def transcript_ruleset():
+    from valar_spark import rules as R
+
+    return {
+        "text": R.non_empty() & R.max_length(8000),
+        "turn_idx": R.non_negative(),
+        "role": R.one_of(ROLE_DOMAIN),
+        "tool": R.optional(R.one_of(TOOL_DOMAIN)),
+    }
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate a sf0.001-scale synthetic transcript table with
+    row rules + dataset rules, returning the combined violations frame."""
+    from valar_spark import dataset_rules as D
+    from valar_spark import validate
+    from valar_spark.synth import synth_registry
+
+    df = _transcripts(spark, total_turns=6_000)
+    run = validate(df, transcript_ruleset())
+    row_viol = run.violations.select(
+        "rule_id", "conv_id",
+        F.col("turn_idx").cast("string").alias("turn_idx"),
+        "field_path", "message", "code", "severity", "expected", "actual",
+    )
+    uniq = D.uniqueness_violations(df, ["conv_id", "turn_idx"]).drop("partition_id")
+    reg = synth_registry(spark, total_turns=6_000, seed=42)
+    ri = D.referential_violations(df, "conv_id", reg).drop("partition_id")
+    order = D.ordering_violations(df).drop("partition_id")
+    return row_viol.unionByName(uniq).unionByName(ri).unionByName(order)
+
+
+# ---------------------------------------------------------------------------
+# queries / oracle pairs
+# ---------------------------------------------------------------------------
+
+
+def _q_uniqueness_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import dataset_rules as D
+
+    return (
+        D.duplicate_keys(_read(spark, sf_dir, "events"), ["user_id"])
+        .select("user_id", F.col("dup_count").cast("long").alias("dup_count"))
+        .orderBy("user_id")
+    )
+
+
+def _q_uniqueness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import dataset_rules as D
+
+    return D.duplicate_keys(
+        _read(spark, sf_dir, "events"), ["user_id", "event_id"]
+    ).select("user_id", "event_id", F.col("dup_count").cast("long").alias("dup_count"))
+
+
+def _q_ref_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import dataset_rules as D
+
+    return D.orphan_keys(
+        _read(spark, sf_dir, "orders"), "o_custkey",
+        _read(spark, sf_dir, "customer"), "c_custkey",
+    ).select("o_custkey", F.col("orphan_rows").cast("long").alias("orphan_rows"))
+
+
+def _q_ref_lineitem_cheap_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RI against a FILTERED parent — produces real orphans, exercising the
+    # broadcast anti-join with a non-empty result
+    from valar_spark import dataset_rules as D
+
+    parts = _read(spark, sf_dir, "part").filter(F.col("p_retailprice") < 950.0)
+    return (
+        D.orphan_keys(_read(spark, sf_dir, "lineitem"), "l_partkey",
+                      parts, "p_partkey")
+        .select("l_partkey", F.col("orphan_rows").cast("long").alias("orphan_rows"))
+        .orderBy("l_partkey")
+    )
+
+
+def _q_domain_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import dataset_rules as D
+
+    return D.domain_breakdown(
+        _read(spark, sf_dir, "events"), "event_type", EVENT_DOMAIN
+    ).select("value", F.col("n").cast("long").alias("n"))
+
+
+def _q_stats_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.sum(F.col("value").isNull().cast("long")).cast("long").alias("null_count"),
+        F.round(F.avg(F.col("value").isNull().cast("double")), 9).alias("null_rate"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.count_distinct("user_id").cast("long").alias("distinct_users"),
+    )
+
+
+def _q_quantiles_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    qs = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75),
+                                       F.lit(0.95)))
+    return ev.agg(
+        F.round(qs.getItem(0), 6).alias("q25"),
+        F.round(qs.getItem(1), 6).alias("q50"),
+        F.round(qs.getItem(2), 6).alias("q75"),
+        F.round(qs.getItem(3), 6).alias("q95"),
+    )
+
+
+def _q_stats_documents_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("text").isNull().cast("long")).cast("long").alias("null_texts"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_nchars_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.filter(
+        ~F.col("n_chars").eqNullSafe(F.length("text"))
+    ).select("doc_id", "n_chars", F.length("text").cast("long").alias("text_len"))
+
+
+def _q_nonempty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").isNull() | (F.trim("text") == "")
+    ).select("doc_id")
+
+
+def _q_ordering_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts-monotonicity per user under ORDER BY event_id (the transcript
+    # ordering invariant applied to the events stand-in)
+    from valar_spark import dataset_rules as D
+
+    bad = D.ordering_regressions(
+        _read(spark, sf_dir, "events"),
+        partition_by="user_id", order_by=("event_id",), ts_col="ts",
+    )
+    return bad.select("user_id", "event_id")
+
+
+def _q_ordering_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same operator driven to a non-empty result: order by value is
+    # effectively random w.r.t. ts, so regressions exist
+    from valar_spark import dataset_rules as D
+
+    bad = D.ordering_regressions(
+        _read(spark, sf_dir, "events"),
+        partition_by="user_id", order_by=("value", "event_id"), ts_col="ts",
+    )
+    return bad.select("user_id", "event_id").orderBy("user_id", "event_id")
+
+
+def _q_psi_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between even/odd event_id halves on fixed-width bins [0,50) x10 —
+    fixed edges so Spark and DuckDB bin identically."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.least(F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)),
+                     F.lit(9)).cast("int")
+    side = (F.pmod(F.col("event_id"), F.lit(2)) == 0).cast("int")
+    hist = (
+        ev.select(bucket.alias("bucket"), side.alias("side"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("side")).cast("double").alias("p_n"),
+            F.sum(1 - F.col("side")).cast("double").alias("q_n"),
+        )
+    )
+    tot = hist.agg(F.sum("p_n").alias("pt"), F.sum("q_n").alias("qt"))
+    eps = 1e-6
+    joined = hist.crossJoin(tot).select(
+        (F.greatest(F.col("p_n") / F.col("pt"), F.lit(eps))).alias("p"),
+        (F.greatest(F.col("q_n") / F.col("qt"), F.lit(eps))).alias("q"),
+    )
+    return joined.agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 9)
+        .alias("psi")
+    )
+
+
+def _q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-rule violations over the synthetic transcript table — rows-only
+    check (transcripts are not a registered DuckDB view)."""
+    from valar_spark import validate
+
+    df = _transcripts(spark)
+    return (
+        validate(df, transcript_ruleset())
+        .violations
+        .select("rule_id", "conv_id", "turn_idx", "code", "actual")
+    )
+
+
+def _q_transcript_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import validate
+
+    df = _transcripts(spark)
+    return validate(df, transcript_ruleset()).verdicts
+
+
+def _q_hll_cardinality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch cardinality (mergeable across partitions) — rows-only:
+    DuckDB's approx sketch differs; exactness is covered by
+    stats_events_value.distinct_users."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+        .cast("long").alias("approx_users"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "uniqueness_user_events": _q_uniqueness_user,
+        "uniqueness_events_key": _q_uniqueness_events,
+        "ref_orders_customer": _q_ref_orders_customer,
+        "ref_lineitem_cheap_parts": _q_ref_lineitem_cheap_parts,
+        "domain_event_type": _q_domain_event_type,
+        "stats_events_value": _q_stats_events_value,
+        "quantiles_events_value": _q_quantiles_events_value,
+        "stats_documents_by_lang": _q_stats_documents_by_lang,
+        "nchars_consistency_documents": _q_nchars_consistency,
+        "nonempty_documents": _q_nonempty_documents,
+        "ordering_events": _q_ordering_events,
+        "ordering_events_by_value": _q_ordering_events_by_value,
+        "psi_events_value_halves": _q_psi_events_value_halves,
+        "validate_transcripts": _q_validate_transcripts,
+        "transcript_verdicts": _q_transcript_verdicts,
+        "hll_cardinality_events": _q_hll_cardinality_events,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "uniqueness_user_events": """
+            SELECT user_id, COUNT(*) AS dup_count
+            FROM events GROUP BY user_id HAVING COUNT(*) > 1
+            ORDER BY user_id
+        """,
+        "uniqueness_events_key": """
+            SELECT user_id, event_id, COUNT(*) AS dup_count
+            FROM events GROUP BY user_id, event_id HAVING COUNT(*) > 1
+        """,
+        "ref_orders_customer": """
+            SELECT o.o_custkey, COUNT(*) AS orphan_rows
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL
+            GROUP BY o.o_custkey
+        """,
+        "ref_lineitem_cheap_parts": """
+            SELECT l.l_partkey, COUNT(*) AS orphan_rows
+            FROM lineitem l
+            LEFT JOIN (SELECT p_partkey FROM part WHERE p_retailprice < 950.0) p
+              ON l.l_partkey = p.p_partkey
+            WHERE p.p_partkey IS NULL
+            GROUP BY l.l_partkey
+            ORDER BY l.l_partkey
+        """,
+        "domain_event_type": """
+            SELECT event_type AS value, COUNT(*) AS n
+            FROM events
+            WHERE event_type IS NULL
+               OR event_type NOT IN ('click','view','purchase','signup')
+            GROUP BY event_type
+        """,
+        "stats_events_value": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS rows,
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS null_count,
+                   ROUND(AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 9)
+                     AS null_rate,
+                   ROUND(MIN(value), 6) AS min_value,
+                   ROUND(MAX(value), 6) AS max_value,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+            FROM events
+        """,
+        "quantiles_events_value": """
+            SELECT ROUND(quantile_cont(value, 0.25), 6) AS q25,
+                   ROUND(quantile_cont(value, 0.50), 6) AS q50,
+                   ROUND(quantile_cont(value, 0.75), 6) AS q75,
+                   ROUND(quantile_cont(value, 0.95), 6) AS q95
+            FROM events
+        """,
+        "stats_documents_by_lang": """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS null_texts,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+                   ROUND(AVG(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "nchars_consistency_documents": """
+            SELECT doc_id, n_chars, CAST(LENGTH(text) AS BIGINT) AS text_len
+            FROM documents
+            WHERE n_chars IS DISTINCT FROM LENGTH(text)
+        """,
+        "nonempty_documents": """
+            SELECT doc_id FROM documents
+            WHERE text IS NULL OR TRIM(text) = ''
+        """,
+        "ordering_events": """
+            SELECT user_id, event_id FROM (
+                SELECT user_id, event_id,
+                       ts < LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                         AS bad
+                FROM events
+            ) WHERE bad
+        """,
+        "ordering_events_by_value": """
+            SELECT user_id, event_id FROM (
+                SELECT user_id, event_id,
+                       ts < LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY value, event_id) AS bad
+                FROM events
+            ) WHERE bad
+            ORDER BY user_id, event_id
+        """,
+        "psi_events_value_halves": """
+            WITH binned AS (
+                SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9)
+                         AS bucket,
+                       CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS side
+                FROM events WHERE value IS NOT NULL
+            ), hist AS (
+                SELECT bucket,
+                       CAST(SUM(side) AS DOUBLE) AS p_n,
+                       CAST(SUM(1 - side) AS DOUBLE) AS q_n
+                FROM binned GROUP BY bucket
+            ), tot AS (
+                SELECT SUM(p_n) AS pt, SUM(q_n) AS qt FROM hist
+            )
+            SELECT ROUND(SUM((GREATEST(p_n/pt, 1e-6) - GREATEST(q_n/qt, 1e-6))
+                       * LN(GREATEST(p_n/pt, 1e-6) / GREATEST(q_n/qt, 1e-6))), 9)
+                     AS psi
+            FROM hist, tot
+        """,
+        # validate_transcripts / transcript_verdicts / hll_cardinality_events:
+        # intentionally omitted → rows-only checks (non-registered input /
+        # sketch-estimate nondeterminism across engines)
+    }

@@ -1,0 +1,97 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: validated turns/sec (rules×rows throughput) on the
+synthetic transcript table (BASELINE.json:2), plus per-query wall times for
+the dataset-rule suite over $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Scaling evidence (N vs 4N cores) is produced by running this script twice —
+see BENCH/run_scaling.sh and BENCH/BASELINE.md.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, VALAR_BENCH_TURNS,
+       VALAR_BENCH_REPEAT
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    total_turns = int(os.environ.get("VALAR_BENCH_TURNS", "2000000"))
+    repeat = int(os.environ.get("VALAR_BENCH_REPEAT", "1"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from valar_spark import dataset_rules as D
+    from valar_spark import validate
+    from valar_spark.session import get_spark
+    from valar_spark.synth import synth_registry, synth_transcripts
+
+    spark = get_spark(app_name="valar_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    # ---- flagship: full validation of the transcript table ----------------
+    ruleset = entrymod.transcript_ruleset()
+
+    def flagship(turns: int) -> tuple[float, int]:
+        df = synth_transcripts(spark, total_turns=turns, seed=42)
+        reg = synth_registry(spark, total_turns=turns, seed=42)
+        t0 = time.perf_counter()
+        run = validate(df, ruleset)
+        n_viol = run.violations.count()
+        n_viol += D.uniqueness_violations(df, ["conv_id", "turn_idx"]).count()
+        n_viol += D.referential_violations(df, "conv_id", reg).count()
+        n_viol += D.ordering_violations(df).count()
+        dt = time.perf_counter() - t0
+        return dt, n_viol
+
+    # warmup (JVM/codegen), then measured repeats
+    flagship(min(total_turns, 100_000))
+    times = []
+    n_viol = 0
+    for _ in range(repeat):
+        dt, n_viol = flagship(total_turns)
+        times.append(dt)
+    flagship_sec = sorted(times)[len(times) // 2]
+    rows_validated = total_turns  # ~total rows (plus planted dups, <1%)
+    n_rules = 6  # text(2 leaves via &), turn_idx, role, tool + 3 dataset rules
+    turns_per_sec = rows_validated / flagship_sec
+
+    # ---- dataset-rule suite over the driver's parquet ---------------------
+    queries = entrymod.queries()
+    per_query: dict[str, float] = {"flagship_validate": round(flagship_sec, 3)}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            per_query[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a failing query is reported, not hidden
+            per_query[name] = -1.0
+            print(f"QUERY FAILED {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in per_query.values() if v >= 0), 3)
+    print(json.dumps({
+        "metric": "validated turns/sec (rules x rows) + dataset-rule suite",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cpus": cpus,
+        "transcript_turns": total_turns,
+        "validated_turns_per_sec": round(turns_per_sec),
+        "violations_found": n_viol,
+        "rules_evaluated": n_rules,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

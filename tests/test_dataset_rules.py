@@ -1,0 +1,130 @@
+"""Dataset-level rules (SURVEY.md §2.5) over the synthetic transcript table,
+cross-checked against independent computations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from valar_spark import dataset_rules as D
+from valar_spark import drift
+from valar_spark.synth import PlantRates, synth_registry, synth_transcripts
+
+
+def test_uniqueness(spark):
+    df = synth_transcripts(spark, total_turns=20_000, seed=42)
+    dups = D.duplicate_keys(df, ["conv_id", "turn_idx"])
+    # independent: total rows minus distinct keys = extra rows
+    extra = df.count() - df.select("conv_id", "turn_idx").distinct().count()
+    got_extra = dups.agg(F.sum(F.col("dup_count") - 1)).first()[0]
+    assert extra > 0 and got_extra == extra
+    v = D.uniqueness_violations(df, ["conv_id", "turn_idx"])
+    assert v.count() == dups.count()
+    row = v.first()
+    assert row["code"] == "validation.dataset.duplicate_key"
+    assert row["conv_id"] is not None and row["turn_idx"] is not None
+
+
+def test_referential_integrity(spark):
+    df = synth_transcripts(spark, total_turns=20_000, seed=42)
+    reg = synth_registry(spark, total_turns=20_000, seed=42)
+    orphans = D.orphan_keys(df, "conv_id", reg)
+    # independent: left-anti of distinct conv_ids
+    exp = (
+        df.select("conv_id").distinct()
+        .join(reg, "conv_id", "left_anti").count()
+    )
+    assert exp > 0 and orphans.count() == exp
+    v = D.referential_violations(df, "conv_id", reg)
+    assert v.count() == exp
+    assert v.first()["code"] == "validation.dataset.referential_integrity"
+
+
+def test_stats_profile_single_pass(spark):
+    df = synth_transcripts(spark, total_turns=10_000, seed=42)
+    prof = D.stats_profile(df, ["text", "turn_idx"], exact_distinct=True)
+    rows = {r["column"]: r for r in prof.collect()}
+    n = df.count()
+    assert rows["text"]["rows"] == n
+    assert rows["text"]["null_count"] == df.filter(F.col("text").isNull()).count()
+    assert abs(rows["text"]["null_rate"] - rows["text"]["null_count"] / n) < 1e-12
+    assert rows["turn_idx"]["min"] == "-1"
+    assert rows["turn_idx"]["distinct_estimate"] == (
+        df.select("turn_idx").distinct().count())
+    # quantiles exist for numerics, null for strings
+    assert rows["turn_idx"]["q_5"] is not None
+    assert rows["text"]["q_5"] is None
+
+
+def test_stats_profile_hll_close_to_exact(spark):
+    df = synth_transcripts(spark, total_turns=10_000, seed=42)
+    prof = {r["column"]: r for r in
+            D.stats_profile(df, ["conv_id"]).collect()}
+    exact = df.select("conv_id").distinct().count()
+    est = prof["conv_id"]["distinct_estimate"]
+    assert abs(est - exact) / exact < 0.05  # HLL lg_k=12 ⇒ ~1.6% rse
+
+
+def test_ordering_and_text_equality(spark):
+    df = synth_transcripts(spark, total_turns=20_000, seed=42)
+    regress = D.ordering_regressions(df)
+    assert regress.count() > 0  # p_ooo plants exist
+    clean = synth_transcripts(spark, total_turns=20_000, seed=42, clean=True)
+    assert D.ordering_regressions(clean).count() == 0
+
+    # same generator, same seed ⇒ zero text mismatches
+    a = synth_transcripts(spark, total_turns=5_000, seed=42, clean=True)
+    b = synth_transcripts(spark, total_turns=5_000, seed=42, clean=True)
+    assert D.text_equality_mismatches(a, b).count() == 0
+    # different seed ⇒ mismatches
+    c = synth_transcripts(spark, total_turns=5_000, seed=99, clean=True)
+    assert D.text_equality_mismatches(a, c).count() > 0
+
+
+def test_domain_breakdown(spark):
+    df = synth_transcripts(spark, total_turns=10_000, seed=42)
+    bad = D.domain_breakdown(df, "role", ["system", "user", "assistant", "tool"])
+    got = {r["value"]: r["n"] for r in bad.collect()}
+    exp = df.filter(F.col("role") == "narrator").count()
+    assert got == {"narrator": exp}
+
+
+def test_psi_detects_shift(spark):
+    base = synth_transcripts(spark, total_turns=10_000, seed=42, clean=True)
+    same = synth_transcripts(spark, total_turns=10_000, seed=43, clean=True)
+    shifted = synth_transcripts(spark, total_turns=10_000, seed=43,
+                                clean=True, len_shift=120)
+    base = base.withColumn("text_len", F.length("text"))
+    same = same.withColumn("text_len", F.length("text"))
+    shifted = shifted.withColumn("text_len", F.length("text"))
+
+    stable = drift.psi(same, base, "text_len", bins=10)
+    drifted = drift.psi(shifted, base, "text_len", bins=10)
+    assert not stable.drifted, f"PSI false positive: {stable.statistic}"
+    assert drifted.drifted, f"PSI missed shift: {drifted.statistic}"
+    assert drifted.statistic > stable.statistic
+
+
+def test_ks_binned_matches_exact(spark):
+    base = synth_transcripts(spark, total_turns=5_000, seed=42, clean=True)
+    cur = synth_transcripts(spark, total_turns=5_000, seed=43,
+                            clean=True, len_shift=60)
+    base = base.withColumn("text_len", F.length("text").cast("double"))
+    cur = cur.withColumn("text_len", F.length("text").cast("double"))
+    exact = drift.ks_exact(cur, base, "text_len")
+    binned = drift.ks_binned(cur, base, "text_len", bins=256)
+    assert exact.drifted and binned.drifted
+    # binned statistic approximates the exact one
+    assert abs(binned.statistic - exact.statistic) < 0.05
+
+
+def test_drift_violation_row(spark):
+    r = drift.DriftResult(statistic=0.5, threshold=0.2, bins=10,
+                          n_current=100, n_baseline=100)
+    v = drift.drift_violation_row(spark, r, "text_len", "psi")
+    assert v.count() == 1
+    row = v.first()
+    assert row["code"] == "validation.dataset.drift_psi"
+    assert row["rule_id"] == "dataset.drift_psi.text_len"
+    ok = drift.DriftResult(statistic=0.01, threshold=0.2, bins=10,
+                           n_current=100, n_baseline=100)
+    assert drift.drift_violation_row(spark, ok, "text_len", "psi").count() == 0

@@ -1,0 +1,437 @@
+"""Valar-parity fixtures (FIXTURES.md §2): the reference's derived-validator
+test assertions re-expressed over struct-column rule trees, asserting
+identical violation counts, field paths, codes and actual values."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from valar_spark import STRICT, ValidationConfig, validate
+from valar_spark import rules as R
+from valar_spark.derive import RuleDerivationError, derive_ruleset
+
+from .helpers import assert_n_violations, assert_violation, rows
+
+
+def _viol(spark, data, schema, ruleset, config=None, keys=("id",)):
+    df = spark.createDataFrame(data, schema)
+    run = validate(df, ruleset, keys=keys, config=config)
+    return run.violations
+
+
+# --- 2.1 users: flat product, Option[Int] age (ValidationSpec.scala:52-53) --
+
+
+def test_users_flat(spark):
+    viol = _viol(
+        spark,
+        [(1, "Alice", 30), (2, "", 25), (3, "", -10), (4, "Bob", None)],
+        "id bigint, name string, age int",
+        {"name": R.non_empty(), "age": R.optional(R.non_negative())},
+    )
+    per_id = {
+        r["id"]: r["n"]
+        for r in viol.groupBy("id").agg(F.count("*").alias("n")).collect()
+    }
+    # README.md:171-179: Alice valid; '' one error; ('', -10) accumulates TWO
+    # (README.md:210-218); None age passes optional (ValidationHelpers:428-433)
+    assert per_id == {2: 1, 3: 2}
+    got = rows(viol.filter(F.col("id") == 3))
+    assert_violation(got, path=["name"], code="validation.string.empty")
+    assert_violation(got, path=["age"], code="validation.number.negative",
+                     actual="-10")
+
+
+# --- 2.2 companies: two-level nesting (ValidationSpec.scala:55-59,302-308) --
+
+
+COMPANY_SCHEMA = (
+    "id bigint, name string, "
+    "address struct<street:string, city:string, zip:int>, "
+    "ceo struct<name:string, age:int>"
+)
+
+
+def company_rules():
+    return {
+        "name": R.non_empty(),
+        "address": R.StructRule({
+            "street": R.non_empty(),
+            "city": R.non_empty(),
+            "zip": R.non_negative(),
+        }),
+        "ceo": R.StructRule({"name": R.non_empty(), "age": R.non_negative()}),
+    }
+
+
+def test_company_nested_exactly_three(spark):
+    viol = _viol(
+        spark,
+        [(1, "BadCo", ("", "Springfield", -1), ("", 25))],
+        COMPANY_SCHEMA,
+        company_rules(),
+    )
+    got = assert_n_violations(viol, 3)  # ValidationSpec.scala:302-308
+    assert_violation(got, path=["address", "street"],
+                     code="validation.string.empty")
+    assert_violation(got, path=["address", "zip"],
+                     code="validation.number.negative", actual="-1")
+    assert_violation(got, path=["ceo", "name"], code="validation.string.empty")
+    # nested message accumulates one annotation per level
+    street = assert_violation(got, path=["address", "street"])
+    assert street["message"].startswith("Invalid field: address, field type: struct:")
+    assert "Invalid field: street, field type: string:" in street["message"]
+    assert street["rule_id"] == "address.street.non_empty"
+
+
+def test_company_none_ceo_passes(spark):
+    viol = _viol(
+        spark,
+        [(1, "GoodCo", ("1 Main St", "Springfield", 12345), None)],
+        COMPANY_SCHEMA,
+        company_rules(),
+    )
+    assert_n_violations(viol, 0)  # Option[User] None ⇒ Valid
+
+
+# --- 2.3 posts: array of structs (AsyncValidatorSpec.scala:27-31,241-254) ---
+
+
+POSTS_SCHEMA = (
+    "id bigint, title string, "
+    "comments array<struct<author:string, text:string>>"
+)
+
+
+def post_rules():
+    no_profanity = R.satisfies(
+        lambda c: ~c.contains("heck"), "no_profanity",
+        code="validation.string.profanity",
+        message="Comment contains forbidden words",
+    )
+    return {
+        "title": R.non_empty(),
+        "comments": R.ArrayRule(
+            R.StructRule({
+                "author": R.non_empty(),
+                "text": R.non_empty() & no_profanity,
+            }),
+            collection_type="Array",
+        ),
+    }
+
+
+def test_post_comments_two_errors(spark):
+    viol = _viol(
+        spark,
+        [(
+            1, "My Thoughts",
+            [("Alice", "Great post!"), ("Bob", "What the heck?"), ("Charlie", "")],
+        )],
+        POSTS_SCHEMA,
+        post_rules(),
+    )
+    # exactly 2: Bob profanity + Charlie empty; valid elements unreported
+    # (AsyncValidatorSpec.scala:241-254; ValidationLogic.scala:63-71)
+    got = assert_n_violations(viol, 2)
+    assert all(v["field_path"][0] == "comments" for v in got)
+    assert_violation(got, code="validation.string.profanity")
+    assert_violation(got, code="validation.string.empty")
+    # element errors carry no index segment, matching the reference's raw
+    # element-error concatenation
+    assert {tuple(v["field_path"]) for v in got} == {("comments", "text")}
+
+
+def test_post_size_limit_skips_elements(spark):
+    # ValidationConfigSpec.scala:50-65: oversize ⇒ ONE security error and
+    # ZERO element validations
+    viol = _viol(
+        spark,
+        [(1, "t", [("", ""), ("", ""), ("", ""), ("", "")])],
+        POSTS_SCHEMA,
+        post_rules(),
+        config=ValidationConfig(max_collection_size=2),
+    )
+    got = assert_n_violations(viol, 1)
+    v = got[0]
+    assert v["code"] == "validation.security.collection_too_large"
+    assert v["severity"] == "Error"
+    assert "size (4) exceeds maximum allowed size (2)" in v["message"]
+    assert "memory exhaustion" in v["message"]
+    assert v["expected"] == "size <= 2"
+    assert v["actual"] == "4"
+
+
+def test_list_of_ints_two_errors(spark):
+    # ValidationSpec.scala:63-70: List(1,-2,3,-4) ⇒ exactly 2 errors
+    viol = _viol(
+        spark,
+        [(1, [1, -2, 3, -4])],
+        "id bigint, xs array<int>",
+        {"xs": R.ArrayRule(R.non_negative(), collection_type="List")},
+    )
+    got = assert_n_violations(viol, 2)
+    assert {v["actual"] for v in got} == {"-2", "-4"}
+
+
+def test_array_actual_values(spark):
+    # ValidationSpec.scala:108-116: Array invalid actual set {"-50","-150"}
+    viol = _viol(
+        spark,
+        [(1, [-50, 100, -150])],
+        "id bigint, xs array<int>",
+        {"xs": R.ArrayRule(R.non_negative(), collection_type="Array")},
+    )
+    got = assert_n_violations(viol, 2)
+    assert {v["actual"] for v in got} == {"-50", "-150"}
+
+
+# --- 2.4 profiles: optional format + membership (AsyncValidatorSpec) -------
+
+
+def profile_rules():
+    reserved = ["admin", "root", "superuser"]
+    return {
+        "username": R.non_empty() & R.satisfies(
+            lambda c: ~c.isin(*reserved), "not_reserved",
+            code="validation.value.reserved",
+            message="Username is reserved",
+        ),
+        "email": R.optional(R.matches(".+@.+")),
+    }
+
+
+def test_profiles(spark):
+    viol = _viol(
+        spark,
+        [
+            (1, "testuser", "not-an-email"),
+            (2, "testuser", None),
+            (3, "admin", "a@b.c"),
+        ],
+        "id bigint, username string, email string",
+        profile_rules(),
+    )
+    per_id = {
+        r["id"]: r["n"]
+        for r in viol.groupBy("id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_id == {1: 1, 3: 1}
+    got = rows(viol)
+    assert_violation(got, path=["email"], code="validation.string.pattern_mismatch",
+                     actual="not-an-email")
+    assert_violation(got, path=["username"], code="validation.value.reserved")
+
+
+# --- 2.5 kv_entries: map key+value (ValidationSpec.scala:96-106) -----------
+
+
+def test_map_key_value_four_errors(spark):
+    viol = _viol(
+        spark,
+        [(1, {-1: "a", 2: "", -3: ""})],
+        "id bigint, kv map<int,string>",
+        {"kv": R.MapRule(R.non_negative(), R.non_empty())},
+    )
+    got = assert_n_violations(viol, 4)
+    key_errs = [v for v in got if v["field_path"] == ["kv", "key"]]
+    val_errs = [v for v in got if v["field_path"] == ["kv", "value"]]
+    assert len(key_errs) == 2 and len(val_errs) == 2
+    assert {v["actual"] for v in key_errs} == {"-1", "-3"}
+    assert all(v["code"] == "validation.string.empty" for v in val_errs)
+    # key/value annotation carries the map entry types
+    assert key_errs[0]["message"].startswith("Invalid field: kv, field type: map:")
+    assert "Invalid field: key, field type: int:" in key_errs[0]["message"]
+
+
+# --- 2.6 measurements: numeric helpers + union ------------------------------
+
+
+def test_measurements_helpers(spark):
+    viol = _viol(
+        spark,
+        [
+            (1, float("nan"), 1.0, 5, "abcd", "A"),
+            (2, 1.5, float("inf"), 0, "ab", "B"),
+            (3, 2.5, float("-inf"), 11, "abcdef", "D"),
+            (4, 3.5, 2.0, 10, "abcde", "C"),
+        ],
+        "id bigint, f float, d double, n int, s string, tag string",
+        {
+            "f": R.finite(),
+            "d": R.finite(),
+            "n": R.in_range(1, 10),
+            "s": R.min_length(3) & R.max_length(5),
+            "tag": R.one_of(["A", "B", "C"]),
+        },
+    )
+    got = rows(viol)
+    assert_violation(got, path=["f"], code="validation.number.not_finite",
+                     actual="NaN")
+    assert_violation(got, path=["d"], code="validation.number.not_finite",
+                     actual="Infinity")
+    assert_violation(got, path=["n"], code="validation.number.out_of_range",
+                     actual="0")
+    assert_violation(got, path=["n"], code="validation.number.out_of_range",
+                     actual="11")
+    short = assert_violation(got, path=["s"], code="validation.string.too_short")
+    assert short["message"] == (
+        "Invalid field: s, field type: string: "
+        "Actual length (2) is less than minimum required length of 3"
+    )
+    long_ = assert_violation(got, path=["s"], code="validation.string.too_long")
+    assert long_["actual"] == "6"
+    tag = assert_violation(got, path=["tag"], code="validation.value.not_in_set")
+    assert tag["expected"] == "A, B, C" and tag["actual"] == "D"
+    assert len(got) == 8
+
+
+def test_pass_through_accepts_nan(spark):
+    # ValidatorSpec.scala:25-29: the default Double validator accepts NaN —
+    # finiteness is opt-in
+    viol = _viol(
+        spark,
+        [(1, float("nan"))],
+        "id bigint, d double",
+        {"d": R.always_valid()},
+    )
+    assert_n_violations(viol, 0)
+
+
+def test_union_both_fail(spark):
+    # ValidationResult.scala:315-343: both branches fail ⇒ ONE parent error
+    # with children flattened (SURVEY.md §1.1), expected = "A | B",
+    # actual = the value
+    u = R.union({"Int": R.castable("int"), "NonEmpty": R.non_empty()})
+    viol = _viol(
+        spark,
+        [(1, ""), (2, "42"), (3, "hello")],
+        "id bigint, v string",
+        {"v": u},
+    )
+    got = rows(viol)  # only id=1 fails both branches
+    assert all(v["id"] == 1 for v in got)
+    assert len(got) == 3  # parent + 2 flattened children
+    parent = assert_violation(got, code="validation.union.no_match")
+    assert parent["message"] == (
+        "Invalid field: v, field type: string: "
+        "Value failed validation for all expected types: Int | NonEmpty"
+    )
+    assert parent["expected"] == "Int | NonEmpty"
+    assert parent["actual"] == ""
+    assert_violation(got, code="validation.type.mismatch")
+    assert_violation(got, code="validation.string.empty")
+
+
+# --- combinator algebra (ValidationResult.scala) ----------------------------
+
+
+def test_fail_fast_suppresses_later(spark):
+    rule = R.non_empty().then(R.min_length(5))
+    viol = _viol(spark, [(1, ""), (2, "abc"), (3, "abcdef")],
+                 "id bigint, s string", {"s": rule})
+    got = rows(viol)
+    by_id = {}
+    for v in got:
+        by_id.setdefault(v["id"], []).append(v["code"])
+    # ValidationResult.scala:409-434: first failure suppresses later rules
+    assert by_id == {1: ["validation.string.empty"],
+                     2: ["validation.string.too_short"]}
+
+
+def test_or_combined_errors(spark):
+    rule = R.castable("int") | R.min_length(3)
+    viol = _viol(spark, [(1, "42"), (2, "abcd"), (3, "x")],
+                 "id bigint, s string", {"s": rule})
+    got = rows(viol)  # only id=3 fails both; or ⇒ combined errors, no parent
+    assert all(v["id"] == 3 for v in got)
+    assert sorted(v["code"] for v in got) == [
+        "validation.string.too_short", "validation.type.mismatch"]
+
+
+def test_accumulate_order_is_declaration_order(spark):
+    # ErrorAccumulator.scala:45-47: ordered concat
+    rule = R.min_length(10) & R.matches("[0-9]+")
+    viol = _viol(spark, [(1, "abc")], "id bigint, s string", {"s": rule})
+    got = assert_n_violations(viol, 2)
+    assert got[0]["code"] == "validation.string.too_short"
+    assert got[1]["code"] == "validation.string.pattern_mismatch"
+
+
+def test_recover_swallows(spark):
+    viol = _viol(spark, [(1, "")], "id bigint, s string",
+                 {"s": R.Recover(R.non_empty())})
+    assert_n_violations(viol, 0)
+
+
+def test_regex_invalid_pattern(spark):
+    # ValidationHelpers.scala:314-331: bad pattern ⇒ invalid result, no throw
+    viol = _viol(spark, [(1, "x")], "id bigint, s string",
+                 {"s": R.matches("[unclosed")})
+    got = assert_n_violations(viol, 1)
+    assert got[0]["code"] == "validation.regex.invalid_pattern"
+    assert "Invalid regex pattern:" in got[0]["message"]
+
+
+def test_regex_is_full_match(spark):
+    # Scala Regex.matches is whole-string; Spark rlike is substring —
+    # the rule must anchor (SURVEY.md §7 hard-part 3)
+    viol = _viol(spark, [(1, "xx123yy"), (2, "123")],
+                 "id bigint, s string", {"s": R.matches("[0-9]+")})
+    got = assert_n_violations(viol, 1)
+    assert got[0]["id"] == 1
+
+
+# --- derivation completeness (Derivation.scala:155-209) ---------------------
+
+
+def test_derive_reports_all_missing(spark):
+    schema = spark.createDataFrame(
+        [], COMPANY_SCHEMA).schema
+    with pytest.raises(RuleDerivationError) as ei:
+        derive_ruleset(schema, {"name": R.non_empty()}, exclude=["id"])
+    msg = str(ei.value)
+    # ALL uncovered fields reported at once
+    for path in ["address.street", "address.city", "address.zip",
+                 "ceo.name", "ceo.age"]:
+        assert path in msg
+
+
+def test_derive_with_defaults_and_exclude(spark):
+    from pyspark.sql import types as T
+
+    schema = spark.createDataFrame([], COMPANY_SCHEMA).schema
+    rs = derive_ruleset(
+        schema,
+        {"name": R.non_empty(),
+         "address": R.StructRule({"street": R.non_empty(),
+                                  "city": R.non_empty(),
+                                  "zip": R.non_negative()})},
+        exclude=["id"],
+        type_defaults={T.StringType: R.always_valid(),
+                       T.IntegerType: R.non_negative()},
+    )
+    df = spark.createDataFrame(
+        [(1, "Co", ("s", "c", 1), ("x", -2))], COMPANY_SCHEMA)
+    got = rows(validate(df, rs, keys=("id",)).violations)
+    # ceo.name got the pass-through default, ceo.age the int default
+    assert len(got) == 1
+    assert got[0]["field_path"] == ["ceo", "age"]
+    # derived struct rules carry real type names in messages
+    assert got[0]["message"].startswith("Invalid field: ceo, field type: struct:")
+
+
+def test_derive_unknown_column(spark):
+    schema = spark.createDataFrame([], "id bigint, s string").schema
+    with pytest.raises(RuleDerivationError):
+        derive_ruleset(schema, {"nope": R.non_empty()}, exclude=["id", "s"])
+
+
+def test_config_presets():
+    from valar_spark import DEFAULT, PERMISSIVE
+
+    assert DEFAULT.max_collection_size is None
+    assert STRICT.max_collection_size == 10_000
+    assert STRICT.max_nesting_depth == 20
+    assert PERMISSIVE.max_collection_size == 1_000_000

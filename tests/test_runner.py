@@ -1,0 +1,126 @@
+"""Checkpoint/resume runner (BASELINE.json:6 — interrupted runs resume
+without re-validating completed partitions)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from valar_spark import ValidationConfig, validate
+from valar_spark import rules as R
+from valar_spark.runner import RunnerConfig, run_checkpointed, rule_set_hash
+from valar_spark.validate import RuleSet
+
+
+RULES = {"text": R.non_empty(), "turn_idx": R.non_negative()}
+
+
+@pytest.fixture()
+def small_df(spark):
+    from valar_spark.synth import synth_transcripts
+
+    return synth_transcripts(spark, total_turns=8_000, seed=42)
+
+
+def test_run_matches_direct_validation(spark, small_df, tmp_path):
+    cfg = ValidationConfig(num_buckets=8, salt=2)
+    rs = RuleSet(RULES, cfg)
+    rc = RunnerConfig(work_dir=str(tmp_path / "w"), run_id="r1",
+                      buckets_per_job=3)
+    res = run_checkpointed(small_df, rs, rc)
+    assert sorted(res.buckets_processed) == list(range(8))
+    assert res.buckets_skipped == []
+
+    direct = validate(small_df, RULES, config=cfg).violations
+    got = res.violations.select("rule_id", "conv_id", "turn_idx", "code")
+    exp = direct.select("rule_id", "conv_id", "turn_idx", "code")
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+    # verdict totals agree
+    verd_total = (res.verdicts.groupBy("rule_id")
+                  .agg(F.sum("violation_count").alias("n")).collect())
+    direct_total = {r["rule_id"]: r["n"] for r in
+                    direct.groupBy("rule_id").agg(F.count("*").alias("n")).collect()}
+    for r in verd_total:
+        assert r["n"] == direct_total.get(r["rule_id"], 0)
+    # every bucket has a verdict for every rule
+    assert res.verdicts.count() == 8 * len(rs.rule_ids())
+
+
+def test_resume_skips_completed(spark, small_df, tmp_path):
+    cfg = ValidationConfig(num_buckets=8, salt=2)
+    rs = RuleSet(RULES, cfg)
+    rc = RunnerConfig(work_dir=str(tmp_path / "w"), run_id="r1",
+                      buckets_per_job=8)
+
+    # first run: full
+    first = run_checkpointed(small_df, rs, rc)
+    n_first = first.violations.count()
+
+    # second run: everything already done → zero buckets processed
+    second = run_checkpointed(small_df, rs, rc)
+    assert second.buckets_processed == []
+    assert second.buckets_skipped == list(range(8))
+    assert second.violations.count() == n_first
+    # state rows not duplicated
+    assert second.verdicts.count() == 8 * len(rs.rule_ids())
+
+
+def test_resume_after_partial_state(spark, small_df, tmp_path):
+    """Simulate a crash: pre-mark half the buckets done, then run — only the
+    other half may be (re)processed."""
+    cfg = ValidationConfig(num_buckets=8, salt=2)
+    rs = RuleSet(RULES, cfg)
+    rc = RunnerConfig(work_dir=str(tmp_path / "w"), run_id="r1",
+                      buckets_per_job=8)
+    rsh = rule_set_hash(rs)
+
+    done = [0, 1, 2, 3]
+    rows = [("r1", rsh, b, "done", rid, 0, 0, None, 0.0)
+            for b in done for rid in rs.rule_ids()]
+    from valar_spark.runner import STATE_SCHEMA
+
+    (spark.createDataFrame(rows, STATE_SCHEMA)
+     .write.mode("append").parquet(rc.state_path))
+
+    res = run_checkpointed(small_df, rs, rc)
+    assert res.buckets_processed == [4, 5, 6, 7]
+    assert res.buckets_skipped == done
+    # violations exist only for processed buckets
+    got_buckets = {r["partition_id"] for r in
+                   res.violations.select("partition_id").distinct().collect()}
+    assert got_buckets <= {4, 5, 6, 7}
+
+
+def test_rule_change_invalidates_state(spark, small_df, tmp_path):
+    cfg = ValidationConfig(num_buckets=4, salt=2)
+    rc = RunnerConfig(work_dir=str(tmp_path / "w"), run_id="r1",
+                      buckets_per_job=4)
+    run_checkpointed(small_df, RuleSet(RULES, cfg), rc)
+    # different rule set ⇒ different hash ⇒ full re-run
+    rs2 = RuleSet({"text": R.non_empty() & R.max_length(8000),
+                   "turn_idx": R.non_negative()}, cfg)
+    res2 = run_checkpointed(small_df, rs2, rc)
+    assert res2.buckets_processed == list(range(4))
+
+
+def test_crashed_bucket_rerun_is_idempotent(spark, small_df, tmp_path):
+    """Violations written but state row missing (crash between the two
+    writes) → re-run must REPLACE the bucket's violations, not append."""
+    cfg = ValidationConfig(num_buckets=4, salt=2)
+    rs = RuleSet(RULES, cfg)
+    rc = RunnerConfig(work_dir=str(tmp_path / "w"), run_id="r1",
+                      buckets_per_job=4)
+    first = run_checkpointed(small_df, rs, rc)
+    n = first.violations.count()
+    # wipe the state only — violations stay on disk, like a crash before
+    # the state append
+    import shutil
+
+    shutil.rmtree(rc.state_path)
+    second = run_checkpointed(small_df, rs, rc)
+    assert second.buckets_processed == list(range(4))
+    assert second.violations.count() == n  # replaced, not doubled

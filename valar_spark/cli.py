@@ -1,0 +1,86 @@
+"""spark-submit entrypoint (BASELINE.json:6 "ships as a spark-submit
+--py-files package").
+
+Usage:
+    spark-submit --py-files valar_spark.zip -m valar_spark.cli ...  # or
+    python -m valar_spark.cli --input /path/to/transcripts.parquet \
+        --work-dir /tmp/valar_run --run-id run1 [--resume]
+
+Validates a transcript table (schema per BASELINE.json:15) with the
+standard rule set + dataset rules, checkpointing per-bucket lineage so an
+interrupted run resumes where it stopped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="valar_spark")
+    p.add_argument("--input", help="transcript table path (parquet) or "
+                                   "'synth:<turns>' for the generator")
+    p.add_argument("--registry", help="conversation registry path (parquet); "
+                                      "enables the referential check")
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--salt", type=int, default=4)
+    p.add_argument("--buckets-per-job", type=int, default=8)
+    p.add_argument("--master", default=None)
+    p.add_argument("--report", action="store_true",
+                   help="print the per-rule summary table")
+    args = p.parse_args(argv)
+
+    from valar_spark import ValidationConfig
+    from valar_spark import dataset_rules as D
+    from valar_spark.runner import RunnerConfig, run_checkpointed
+    from valar_spark.session import get_spark
+    from valar_spark.validate import RuleSet
+
+    sys.path.insert(0, ".")
+    from __spark_entry__ import transcript_ruleset
+
+    spark = get_spark(app_name=f"valar:{args.run_id}", master=args.master)
+    if args.input and args.input.startswith("synth:"):
+        from valar_spark.synth import synth_transcripts
+
+        df = synth_transcripts(spark, total_turns=int(args.input[6:]), seed=42)
+    else:
+        df = spark.read.parquet(args.input)
+
+    cfg = ValidationConfig(num_buckets=args.buckets, salt=args.salt)
+    rs = RuleSet(transcript_ruleset(), cfg)
+    rc = RunnerConfig(work_dir=args.work_dir, run_id=args.run_id,
+                      buckets_per_job=args.buckets_per_job)
+    t0 = time.perf_counter()
+    res = run_checkpointed(df, rs, rc)
+    n_viol = res.violations.count()
+    dataset_viol = D.uniqueness_violations(df, ["conv_id", "turn_idx"]).count()
+    if args.registry:
+        reg = spark.read.parquet(args.registry)
+        dataset_viol += D.referential_violations(df, "conv_id", reg).count()
+    dataset_viol += D.ordering_violations(df).count()
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "run_id": args.run_id,
+        "buckets_processed": res.buckets_processed,
+        "buckets_resumed_from_checkpoint": res.buckets_skipped,
+        "row_violations": n_viol,
+        "dataset_violations": dataset_viol,
+        "seconds": round(dt, 2),
+    }))
+    if args.report:
+        (res.verdicts.groupBy("rule_id")
+         .agg({"violation_count": "sum", "rows_checked": "sum"})
+         .orderBy("rule_id").show(100, truncate=False))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

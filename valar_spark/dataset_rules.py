@@ -1,0 +1,366 @@
+"""Dataset-level rules (SURVEY.md §2.5 — obligated by BASELINE.json:6,
+absent from the single-value reference): uniqueness, referential integrity,
+per-column stats profiles with mergeable sketches, domain checks, ordering
+invariants, and per-turn text equality.
+
+Every rule is a stock DataFrame program — shuffles only where semantically
+required (the key agg / anti-join), broadcast for small reference sides,
+AQE handles skew. Each has two faces:
+
+- an *analytic* function returning the natural result frame (used directly
+  and by the DuckDB-oracle queries in ``__spark_entry__.py``), and
+- a ``*_violations`` adapter emitting rows in the engine's violation schema
+  so dataset findings union with row-rule findings in one report.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import errors as E
+
+VIOLATION_COLS = ("rule_id", "conv_id", "turn_idx", "partition_id",
+                  "field_path", "message", "code", "severity",
+                  "expected", "actual")
+
+
+def _as_violations(
+    df: DataFrame,
+    rule_id: str,
+    code: str,
+    message: Column,
+    *,
+    keys: Sequence[str] = (),
+    key_aliases: Sequence[str] = ("conv_id", "turn_idx"),
+    field_path: Sequence[str] = (),
+    expected: Column | str | None = None,
+    actual: Column | str | None = None,
+    bucket: Column | None = None,
+) -> DataFrame:
+    cols = [F.lit(rule_id).alias("rule_id")]
+    for i, alias in enumerate(key_aliases):
+        src = F.col(keys[i]).cast("string") if i < len(keys) else F.lit(None).cast("string")
+        cols.append(src.alias(alias))
+    cols.append((bucket if bucket is not None else F.lit(None).cast("int"))
+                .alias("partition_id"))
+    cols.append(F.array(*[F.lit(s) for s in field_path]).cast("array<string>")
+                .alias("field_path"))
+    cols.append(message.cast("string").alias("message"))
+    cols.append(F.lit(code).alias("code"))
+    cols.append(F.lit(None).cast("string").alias("severity"))
+    exp = expected if isinstance(expected, Column) else F.lit(expected)
+    act = actual if isinstance(actual, Column) else F.lit(actual)
+    cols.append(exp.cast("string").alias("expected"))
+    cols.append(act.cast("string").alias("actual"))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Uniqueness (BASELINE.json:6 "uniqueness of (conv_id, turn_idx)")
+# ---------------------------------------------------------------------------
+
+
+def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Key groups appearing more than once: ``(*keys, dup_count)``.
+
+    One hash-aggregate shuffle on the key columns; map-side partial
+    aggregation keeps the shuffle small when duplicates are rare. AQE
+    splits skewed reducers."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def uniqueness_violations(
+    df: DataFrame, keys: Sequence[str], rule_id: str = "dataset.uniqueness"
+) -> DataFrame:
+    dups = duplicate_keys(df, keys)
+    return _as_violations(
+        dups,
+        rule_id,
+        E.CODE_DUPLICATE_KEY,
+        F.concat(F.lit(f"Duplicate key ({', '.join(keys)}): seen "),
+                 F.col("dup_count").cast("string"), F.lit(" times")),
+        keys=keys,
+        field_path=keys,
+        expected="unique key",
+        actual=F.col("dup_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity (BASELINE.json:6 — conv_id ⊆ registry)
+# ---------------------------------------------------------------------------
+
+
+def orphan_keys(
+    child: DataFrame,
+    child_key: str | Sequence[str],
+    parent: DataFrame,
+    parent_key: str | Sequence[str] | None = None,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Distinct child keys with no parent — LEFT ANTI join, the async
+    membership check of the reference (AsyncValidatorSpec.scala:56-65)
+    re-expressed as a join (SURVEY.md §2.4). Returns
+    ``(*child_key, orphan_rows)``.
+
+    The parent side is deduplicated to its key and broadcast when small
+    (registry ≪ facts); otherwise a shuffled anti-join with AQE skew
+    handling. Child is pre-aggregated to distinct keys FIRST so the join
+    input is |distinct keys|, not |rows|."""
+    ck = [child_key] if isinstance(child_key, str) else list(child_key)
+    pk = ck if parent_key is None else (
+        [parent_key] if isinstance(parent_key, str) else list(parent_key))
+    child_keys = child.groupBy(*ck).agg(F.count(F.lit(1)).alias("orphan_rows"))
+    parent_keys = parent.select(*[F.col(p).alias(c) for p, c in zip(pk, ck)]).dropDuplicates(ck)
+    if broadcast_parent:
+        parent_keys = F.broadcast(parent_keys)
+    return child_keys.join(parent_keys, ck, "left_anti")
+
+
+def referential_violations(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str | None = None,
+    rule_id: str = "dataset.referential_integrity",
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    orphans = orphan_keys(child, child_key, parent, parent_key,
+                          broadcast_parent=broadcast_parent)
+    return _as_violations(
+        orphans,
+        rule_id,
+        E.CODE_REF_INTEGRITY,
+        F.concat(F.lit(f"{child_key} not present in reference table ("),
+                 F.col("orphan_rows").cast("string"),
+                 F.lit(" child rows affected)")),
+        keys=[child_key],
+        field_path=[child_key],
+        expected="key present in reference table",
+        actual=F.col(child_key),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain membership at dataset grain (role/tool checks as a report)
+# ---------------------------------------------------------------------------
+
+
+def domain_breakdown(df: DataFrame, col: str, allowed: Sequence[str]) -> DataFrame:
+    """Per-value counts of out-of-domain values: ``(value, n)``."""
+    return (
+        df.filter(F.col(col).isNull() | ~F.col(col).isin(*allowed))
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-column stats profile (BASELINE.json:6: null rate, min/max, HLL
+# cardinality, quantile sketches)
+# ---------------------------------------------------------------------------
+
+
+def stats_profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    hll_lg_k: int = 12,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One row per column: ``(column, rows, null_count, null_rate, min, max,
+    distinct_estimate, q_<p>...)`` — computed in a SINGLE aggregation pass
+    (one job, no per-column scans).
+
+    Cardinality uses the Datasketches HLL aggregate (``hll_sketch_agg``,
+    built into Spark ≥3.5) — per-partition sketches merge associatively,
+    which is what makes per-partition lineage mergeable at 10^12 rows
+    (``hll_union_agg`` for cross-run unions). ``exact_distinct`` swaps in
+    ``count_distinct`` for oracle comparisons at small scale.
+
+    Quantiles via ``approx_percentile`` (KLL-class mergeable sketch) on
+    numeric columns; non-numeric get nulls.
+    """
+    if columns is None:
+        columns = [f.name for f in df.schema.fields]
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in
+        ("integer", "long", "short", "byte", "float", "double", "decimal")
+    }
+    aggs: list[Column] = [F.count(F.lit(1)).alias("rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(col).alias(f"{c}__distinct"))
+        else:
+            aggs.append(
+                F.hll_sketch_estimate(F.hll_sketch_agg(col, F.lit(hll_lg_k)))
+                .alias(f"{c}__distinct"))
+        if c in numeric:
+            aggs.append(
+                F.percentile_approx(col, F.array(*[F.lit(q) for q in quantiles]),
+                                    F.lit(10_000))
+                .alias(f"{c}__quantiles"))
+    wide = df.agg(*aggs)
+
+    q_names = [f"q_{str(q).replace('0.', '')}" for q in quantiles]
+    parts = []
+    for c in columns:
+        fields = [
+            F.lit(c).alias("column"),
+            F.col("rows").alias("rows"),
+            F.col(f"{c}__nulls").alias("null_count"),
+            (F.col(f"{c}__nulls") / F.col("rows")).alias("null_rate"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__max").alias("max"),
+            F.col(f"{c}__distinct").cast("long").alias("distinct_estimate"),
+        ]
+        for i, qn in enumerate(q_names):
+            if c in numeric:
+                fields.append(F.col(f"{c}__quantiles").getItem(i).cast("double").alias(qn))
+            else:
+                fields.append(F.lit(None).cast("double").alias(qn))
+        parts.append(F.struct(*fields))
+    return (
+        wide.select(F.explode(F.array(*parts)).alias("s"))
+        .select("s.*")
+    )
+
+
+def stats_violations(
+    profile: DataFrame,
+    *,
+    max_null_rate: dict[str, float] | None = None,
+    rule_id: str = "dataset.stats",
+) -> DataFrame:
+    """Threshold checks over a stats profile (e.g. null-rate ceilings)."""
+    max_null_rate = max_null_rate or {}
+    conds = None
+    if not max_null_rate:
+        return _as_violations(
+            profile.limit(0), rule_id, E.CODE_DRIFT_PSI, F.lit(""))
+    thresholds = F.create_map(
+        *[x for c, t in max_null_rate.items() for x in (F.lit(c), F.lit(t))])
+    flagged = (
+        profile.withColumn("_max", thresholds.getItem(F.col("column")))
+        .filter(F.col("_max").isNotNull() & (F.col("null_rate") > F.col("_max")))
+    )
+    return _as_violations(
+        flagged,
+        rule_id,
+        "validation.dataset.null_rate",
+        F.concat(F.lit("null rate "), F.round("null_rate", 6).cast("string"),
+                 F.lit(" exceeds threshold "), F.col("_max").cast("string"),
+                 F.lit(" for column "), F.col("column")),
+        keys=["column"],
+        field_path=(),
+        expected=F.col("_max"),
+        actual=F.col("null_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordering invariant + per-turn text equality (BASELINE.json:6,15)
+# ---------------------------------------------------------------------------
+
+
+def ordering_regressions(
+    df: DataFrame,
+    partition_by: str = "conv_id",
+    order_by: Sequence[str] = ("turn_idx",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rows whose ``ts`` moves backwards under the stable
+    ``(conv_id, turn_idx)`` window ordering — the monotonicity invariant of
+    the transcript model. One window shuffle on the partition key; skewed
+    conversations are bounded by conv length, not table size."""
+    w = Window.partitionBy(partition_by).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("_prev_ts", F.lag(ts_col).over(w))
+        .filter(F.col("_prev_ts").isNotNull() & (F.col(ts_col) < F.col("_prev_ts")))
+        .drop("_prev_ts")
+    )
+
+
+def ordering_violations(
+    df: DataFrame,
+    rule_id: str = "dataset.ordering",
+    partition_by: str = "conv_id",
+    order_by: Sequence[str] = ("turn_idx",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    bad = ordering_regressions(df, partition_by, order_by, ts_col)
+    return _as_violations(
+        bad,
+        rule_id,
+        E.CODE_ORDERING,
+        F.concat(F.lit(f"{ts_col} not monotone within "), F.col(partition_by),
+                 F.lit(f" under ORDER BY {', '.join(order_by)}")),
+        keys=[partition_by, *order_by],
+        field_path=[ts_col],
+        expected="non-decreasing ts",
+        actual=F.col(ts_col),
+    )
+
+
+def text_equality_mismatches(
+    df: DataFrame,
+    expected: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-turn text equality vs a reference run under the stable
+    window-ordered sort (BASELINE.json:15 per-row invariant). Dedupes both
+    sides on the key via ``row_number`` over ``(keys, ts)`` so planted
+    duplicates can't produce spurious diffs, then joins on the key —
+    a co-partitioned sort-merge join (both sides shuffle once on the same
+    key) — and keeps rows whose text differs (null-safe)."""
+    w = Window.partitionBy(*keys).orderBy(F.col("ts"))
+
+    def stable(d: DataFrame) -> DataFrame:
+        return (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*keys, text_col)
+        )
+
+    left = stable(df)
+    right = stable(expected).withColumnRenamed(text_col, "_expected_text")
+    return (
+        left.join(right, list(keys), "full_outer")
+        .filter(~F.col(text_col).eqNullSafe(F.col("_expected_text")))
+    )
+
+
+def text_equality_violations(
+    df: DataFrame,
+    expected: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    rule_id: str = "dataset.text_equality",
+) -> DataFrame:
+    bad = text_equality_mismatches(df, expected, keys, text_col)
+    return _as_violations(
+        bad,
+        rule_id,
+        E.CODE_TEXT_MISMATCH,
+        F.lit("per-turn text differs from reference under stable "
+              f"({', '.join(keys)}) ordering"),
+        keys=keys,
+        field_path=[text_col],
+        expected=F.col("_expected_text"),
+        actual=F.col(text_col),
+    )

@@ -1,0 +1,114 @@
+"""Rule-tree derivation from a DataFrame schema.
+
+The Spark analogue of the reference's compile-time derivation
+(Derivation.scala:237-326): walk ``df.schema`` recursively, bind the
+registered rule of every field, and — mirroring the macro's batch
+completeness check (Derivation.scala:155-209, design rationale
+docs/design.md:93-108) — refuse to build unless EVERY leaf field is covered
+by a rule, an explicit pass-through, or a type default, reporting ALL
+uncovered fields in one :class:`RuleDerivationError`.
+
+``strict=False`` reproduces the reference's post-v0.6.0 behavior instead:
+uncovered fields get the pass-through validator (constraints are opt-in,
+MIGRATION.md:9-21).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import types as T
+
+from .config import DEFAULT, ValidationConfig
+from .rules import Rule, always_valid, fill_type_names
+from .validate import RuleSet
+
+
+class RuleDerivationError(Exception):
+    """All uncovered fields reported at once — the UX of the reference's
+    compile-time abort (Derivation.scala:155-209)."""
+
+    def __init__(self, missing: list[tuple[str, str]]):
+        self.missing = missing
+        lines = "\n".join(f"  - {path}: {t}" for path, t in missing)
+        super().__init__(
+            "Cannot derive a rule set: no rule found for the following "
+            f"fields (bind a rule, list them in `exclude`, or add a type "
+            f"default):\n{lines}"
+        )
+
+
+def _leaf_paths(dtype: T.DataType, prefix: str = "") -> list[tuple[str, T.DataType]]:
+    """All scalar leaf paths under a type. Arrays/maps are themselves
+    leaves for coverage purposes (a rule binds at the collection)."""
+    if isinstance(dtype, T.StructType):
+        out: list[tuple[str, T.DataType]] = []
+        for f in dtype.fields:
+            p = f"{prefix}.{f.name}" if prefix else f.name
+            out.extend(_leaf_paths(f.dataType, p))
+        return out
+    return [(prefix, dtype)]
+
+
+def _covered(path: str, bound: Sequence[str]) -> bool:
+    return any(path == b or path.startswith(b + ".") for b in bound)
+
+
+def _resolve_path(schema: T.StructType, path: str) -> T.DataType | None:
+    cur: T.DataType = schema
+    for seg in path.split("."):
+        if isinstance(cur, T.StructType) and seg in cur.fieldNames():
+            cur = cur[seg].dataType
+        else:
+            return None
+    return cur
+
+
+def derive_ruleset(
+    schema: T.StructType,
+    rules: dict[str, Rule],
+    *,
+    exclude: Sequence[str] = (),
+    type_defaults: dict[type, Rule] | None = None,
+    config: ValidationConfig = DEFAULT,
+    strict: bool = True,
+) -> RuleSet:
+    """Build a complete :class:`RuleSet` for ``schema``.
+
+    - ``rules``: dotted column path → rule (a rule at a struct path covers
+      its whole subtree).
+    - ``exclude``: paths explicitly passed through (the analogue of a
+      pass-through ``given`` in scope).
+    - ``type_defaults``: Spark type class → rule applied to any uncovered
+      leaf of that type (the analogue of the reference's per-type default
+      validators, Validator.scala:43-60).
+    - ``strict``: if True, any remaining uncovered leaf aborts with ALL
+      misses listed; if False, uncovered leaves pass through.
+    """
+    type_defaults = type_defaults or {}
+    out: dict[str, Rule] = {}
+
+    # validate that every bound path exists and wire type names
+    unknown = [p for p in rules if _resolve_path(schema, p) is None]
+    if unknown:
+        raise RuleDerivationError([(p, "<no such column>") for p in unknown])
+    for p, r in rules.items():
+        fill_type_names(r, _resolve_path(schema, p))
+        out[p] = r
+
+    bound = list(rules.keys()) + list(exclude)
+    missing: list[tuple[str, str]] = []
+    for path, dtype in _leaf_paths(schema):
+        if _covered(path, bound):
+            continue
+        default = type_defaults.get(type(dtype))
+        if default is not None:
+            out[path] = default
+        elif strict:
+            missing.append((path, dtype.simpleString()))
+        else:
+            out[path] = always_valid()
+
+    if missing:
+        raise RuleDerivationError(missing)
+    return RuleSet(out, config)

@@ -1,0 +1,191 @@
+"""Distribution-drift checks vs a baseline snapshot (BASELINE.json:6):
+PSI and two-sample Kolmogorov–Smirnov.
+
+Scale design: both statistics reduce the data to a FIXED-SIZE histogram
+(one aggregation shuffle each side, ≤ ``bins`` rows leave the cluster), so
+they cost the same at 10^12 rows as at 10^4. The exact-KS variant (global
+window over every distinct value) exists for small-scale verification of
+the binned approximation and is clearly marked as non-scalable.
+
+No built-in 2-sample KS exists in Spark — these are custom aggregation
+pipelines, still pure DataFrame ops (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def quantile_edges(df: DataFrame, col: str, bins: int = 10,
+                   accuracy: int = 10_000) -> list[float]:
+    """Bin edges = baseline quantiles (equal-frequency), via the mergeable
+    ``approx_percentile`` sketch — one pass, driver receives ``bins-1``
+    numbers."""
+    probs = [i / bins for i in range(1, bins)]
+    row = df.select(
+        F.percentile_approx(col, F.array(*[F.lit(p) for p in probs]),
+                            F.lit(accuracy)).alias("q")
+    ).first()
+    edges: list[float] = []
+    for v in row["q"] or []:
+        fv = float(v)
+        if not edges or fv > edges[-1]:
+            edges.append(fv)  # drop duplicate edges on low-cardinality data
+    return edges
+
+
+def histogram(df: DataFrame, col: str, edges: list[float]) -> list[int]:
+    """Counts per bin (len(edges)+1 bins, (-inf, e1], …, (e_k, inf)).
+    One hash aggregate; the binning stays JVM-side — bucket index = number
+    of edges strictly below the value (Spark's ``width_bucket`` only
+    supports uniform bins, so arbitrary quantile edges use a
+    higher-order-function count)."""
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    v = F.col(col).cast("double")
+    bucket = F.size(F.filter(arr, lambda e: v > e))
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out = [0] * (len(edges) + 1)
+    for r in counts:
+        out[int(r["bucket"])] += int(r["n"])
+    return out
+
+
+@dataclass(frozen=True)
+class DriftResult:
+    statistic: float
+    threshold: float
+    bins: int
+    n_current: int
+    n_baseline: int
+
+    @property
+    def drifted(self) -> bool:
+        return self.statistic > self.threshold
+
+
+def psi(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    bins: int = 10,
+    threshold: float = 0.2,
+    eps: float = 1e-6,
+) -> DriftResult:
+    """Population Stability Index over baseline-quantile bins:
+    ``Σ (p−q)·ln(p/q)`` with epsilon smoothing. Conventional thresholds:
+    <0.1 stable, 0.1–0.2 moderate, >0.2 drifted."""
+    edges = quantile_edges(baseline, col, bins)
+    q_counts = histogram(baseline, col, edges)
+    p_counts = histogram(current, col, edges)
+    n_p, n_q = sum(p_counts), sum(q_counts)
+    stat = 0.0
+    for pc, qc in zip(p_counts, q_counts):
+        p = max(pc / max(n_p, 1), eps)
+        q = max(qc / max(n_q, 1), eps)
+        stat += (p - q) * math.log(p / q)
+    return DriftResult(stat, threshold, len(edges) + 1, n_p, n_q)
+
+
+def ks_binned(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    bins: int = 256,
+    threshold: float | None = None,
+) -> DriftResult:
+    """Two-sample KS statistic approximated on shared quantile bins:
+    ``D = max |ECDF_p − ECDF_q|`` evaluated at bin edges. With ``bins``
+    edges the approximation error is ≤ 1/bins of mass per side — 256 bins
+    is ample for drift gating. Default threshold = the asymptotic 95%
+    critical value ``1.358·sqrt((n+m)/(n·m))``."""
+    both = baseline.select(F.col(col)).unionAll(current.select(F.col(col)))
+    edges = quantile_edges(both, col, bins)
+    q_counts = histogram(baseline, col, edges)
+    p_counts = histogram(current, col, edges)
+    n_p, n_q = sum(p_counts), sum(q_counts)
+    d = 0.0
+    cp = cq = 0
+    for pc, qc in zip(p_counts, q_counts):
+        cp += pc
+        cq += qc
+        d = max(d, abs(cp / max(n_p, 1) - cq / max(n_q, 1)))
+    if threshold is None:
+        threshold = (
+            1.358 * math.sqrt((n_p + n_q) / max(n_p * n_q, 1))
+            if n_p and n_q else 1.0
+        )
+    return DriftResult(d, threshold, len(edges) + 1, n_p, n_q)
+
+
+def ks_exact(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    threshold: float | None = None,
+) -> DriftResult:
+    """EXACT two-sample KS via ECDFs over the union of values.
+
+    ⚠ Uses an un-partitioned window (global ordering) — correct but
+    single-reducer; small-scale verification only. Use :func:`ks_binned`
+    in production (SURVEY.md §2.5 KS row)."""
+    cur = current.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()).withColumn("src", F.lit(1))
+    base = baseline.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()).withColumn("src", F.lit(0))
+    n_p = cur.count()
+    n_q = base.count()
+    u = cur.unionAll(base)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = u.select(
+        "v",
+        (F.sum(F.when(F.col("src") == 1, 1).otherwise(0)).over(w) / n_p).alias("cdf_p"),
+        (F.sum(F.when(F.col("src") == 0, 1).otherwise(0)).over(w) / n_q).alias("cdf_q"),
+    )
+    # evaluate at the last row of each tie group (max v per value)
+    d = (
+        ecdf.groupBy("v")
+        .agg(F.max("cdf_p").alias("cdf_p"), F.max("cdf_q").alias("cdf_q"))
+        .select(F.max(F.abs(F.col("cdf_p") - F.col("cdf_q"))).alias("d"))
+        .first()["d"]
+    )
+    if threshold is None:
+        threshold = (
+            1.358 * math.sqrt((n_p + n_q) / max(n_p * n_q, 1))
+            if n_p and n_q else 1.0
+        )
+    return DriftResult(float(d), threshold, 0, n_p, n_q)
+
+
+def drift_violation_row(spark, result: DriftResult, col: str, kind: str,
+                        rule_id: str | None = None) -> DataFrame:
+    """One violation row when a drift check trips; empty frame otherwise."""
+    from . import errors as E
+    from .dataset_rules import VIOLATION_COLS
+
+    rule_id = rule_id or f"dataset.drift_{kind}.{col}"
+    code = E.CODE_DRIFT_PSI if kind == "psi" else E.CODE_DRIFT_KS
+    rows = []
+    if result.drifted:
+        rows.append((
+            rule_id, None, None, None, [col],
+            f"{kind.upper()} drift on {col}: statistic "
+            f"{result.statistic:.6f} > threshold {result.threshold:.6f} "
+            f"(bins={result.bins}, n={result.n_current}, "
+            f"baseline_n={result.n_baseline})",
+            code, None, f"<= {result.threshold:.6f}",
+            f"{result.statistic:.6f}",
+        ))
+    schema = ("rule_id string, conv_id string, turn_idx string, "
+              "partition_id int, field_path array<string>, message string, "
+              "code string, severity string, expected string, actual string")
+    return spark.createDataFrame(rows, schema).select(*VIOLATION_COLS)

@@ -1,0 +1,88 @@
+"""TableProvider seam (SURVEY.md §1.2).
+
+Production target is an Iceberg catalog (``spark.read.table``, snapshot
+reads, atomic appends to the state table). This sandbox ships no Iceberg
+runtime jar and has no network, so the same interface degrades to
+path-based Parquet with file-convention equivalents; the engine never
+calls a storage API directly, only this seam.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableProvider:
+    """``fmt='parquet'``: tables are ``{base_path}/{name}.parquet`` (the
+    driver's testdata layout) or directories. ``fmt='iceberg'``: tables are
+    ``{catalog}.{namespace}.{name}`` resolved through the session catalog —
+    requires the Iceberg runtime on the cluster classpath."""
+
+    def __init__(self, fmt: str = "parquet", base_path: str | None = None,
+                 catalog: str | None = None, namespace: str = "default"):
+        if fmt not in ("parquet", "iceberg"):
+            raise ValueError(f"unsupported format: {fmt}")
+        self.fmt = fmt
+        self.base_path = base_path
+        self.catalog = catalog
+        self.namespace = namespace
+
+    def _ident(self, name: str) -> str:
+        parts = [p for p in (self.catalog, self.namespace, name) if p]
+        return ".".join(parts)
+
+    def _path(self, name: str) -> str:
+        assert self.base_path is not None, "base_path required for parquet"
+        p = os.path.join(self.base_path, f"{name}.parquet")
+        if os.path.exists(p):
+            return p
+        return os.path.join(self.base_path, name)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return spark.read.table(self._ident(name))
+        return spark.read.parquet(self._path(name))
+
+    def snapshot_id(self, spark: SparkSession, name: str) -> str | None:
+        """Lineage anchor: Iceberg current snapshot id; for parquet, the
+        max mtime of the table files (a weak but honest equivalent)."""
+        if self.fmt == "iceberg":
+            row = spark.sql(
+                f"SELECT snapshot_id FROM {self._ident(name)}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1").first()
+            return str(row["snapshot_id"]) if row else None
+        path = self._path(name)
+        try:
+            mtimes = [
+                os.path.getmtime(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path) for f in fs
+            ] or [os.path.getmtime(path)]
+            return f"mtime:{max(mtimes):.0f}"
+        except OSError:
+            return None
+
+    def append(self, df: DataFrame, name: str) -> None:
+        if self.fmt == "iceberg":
+            df.writeTo(self._ident(name)).append()
+        else:
+            df.write.mode("append").parquet(self._path_for_write(name))
+
+    def overwrite_partitions(self, df: DataFrame, name: str,
+                             partition_cols: list[str]) -> None:
+        """Idempotent per-partition replace — Iceberg dynamic overwrite, or
+        Parquet dynamic partitionOverwriteMode (only the partitions present
+        in ``df`` are replaced): the primitive that makes bucket re-runs
+        safe after a mid-run crash."""
+        if self.fmt == "iceberg":
+            df.writeTo(self._ident(name)).overwritePartitions()
+        else:
+            (df.sparkSession.conf
+             .set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
+            (df.write.mode("overwrite").partitionBy(*partition_cols)
+             .parquet(self._path_for_write(name)))
+
+    def _path_for_write(self, name: str) -> str:
+        assert self.base_path is not None
+        return os.path.join(self.base_path, name)

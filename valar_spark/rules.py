@@ -352,13 +352,15 @@ def required(message: str | None = None) -> LeafRule:
 
 def castable(to_type: str, message: str | None = None) -> LeafRule:
     """Runtime type check — the ``validateType`` analogue
-    (ValidationResult.scala:281-289): the value must cast cleanly."""
+    (ValidationResult.scala:281-289): the value must cast cleanly.
+    ``try_cast`` (not ``cast``) so ANSI mode reports a rule violation
+    instead of failing the job on malformed input."""
 
     def build(col: Column, rid: str, ctx: CompileContext) -> Column:
         msg = message or f"Value is not a valid {to_type}"
         return E.errors_array(
             _cond_err(
-                col.isNotNull() & col.cast(to_type).isNull(),
+                col.isNotNull() & col.try_cast(to_type).isNull(),
                 E.error_struct(rid, msg, E.CODE_TYPE_MISMATCH,
                                expected=to_type, actual=col),
             )
@@ -745,6 +747,42 @@ class MapRule(Rule):
         ids.extend(self.value_rule.rule_ids((*rid_prefix, "value")))
         ids.append(_rid(rid_prefix, "size_limit"))
         return ids
+
+
+def fill_type_names(rule: Rule, dtype) -> None:
+    """Propagate Spark type names into structural rules so annotated
+    messages carry real types (annotateField's ``fieldType`` argument,
+    ValidationError.scala:140-151). Called by RuleSet binding and by
+    schema derivation."""
+    from pyspark.sql import types as T
+
+    if dtype is None:
+        return
+    if isinstance(rule, StructRule) and isinstance(dtype, T.StructType):
+        for f_name, child in rule.fields.items():
+            if f_name in dtype.fieldNames():
+                ft = dtype[f_name].dataType
+                rule.type_names.setdefault(
+                    f_name, ft.simpleString().split("<")[0])
+                fill_type_names(child, ft)
+    elif isinstance(rule, ArrayRule) and isinstance(dtype, T.ArrayType):
+        fill_type_names(rule.element, dtype.elementType)
+    elif isinstance(rule, MapRule) and isinstance(dtype, T.MapType):
+        if rule.key_type == "key":
+            rule.key_type = dtype.keyType.simpleString().split("<")[0]
+        if rule.value_type == "value":
+            rule.value_type = dtype.valueType.simpleString().split("<")[0]
+        fill_type_names(rule.key_rule, dtype.keyType)
+        fill_type_names(rule.value_rule, dtype.valueType)
+    else:
+        # combinators: descend into children bound to the same column
+        for child in getattr(rule, "children", []) or []:
+            fill_type_names(child, dtype)
+        if hasattr(rule, "inner"):
+            fill_type_names(rule.inner, dtype)
+        if hasattr(rule, "branches"):
+            for _, b in rule.branches:
+                fill_type_names(b, dtype)
 
 
 class Recover(Rule):

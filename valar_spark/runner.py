@@ -1,0 +1,213 @@
+"""Checkpointed, resumable validation runs (BASELINE.json:6,14).
+
+The unit of work and of lineage is the deterministic BUCKET —
+``pmod(xxhash64(partition_cols), num_buckets)`` — stable across runs and
+cluster sizes. A run processes pending buckets in batches; per batch it
+
+1. filters the scan to the batch's buckets (the bucket expression is
+   recomputed from the data, so no bookkeeping column needs to exist),
+2. salted-repartitions on ``(bucket, salt)`` so one hot conv_id spreads
+   over ``salt`` tasks (BASELINE.json:14; AQE then coalesces/splits),
+3. evaluates the compiled rule projection ONCE (persisted for the batch),
+4. writes violations with idempotent per-partition overwrite (a re-run of
+   a crashed bucket replaces, never duplicates),
+5. appends per-bucket verdict + metrics rows to the state table.
+
+Resume = read the state table, anti-select completed buckets for the same
+``(run_id, rule_set_hash)``, process only the rest. The rule-set hash
+guards against resuming across a rule change; the table snapshot id is
+recorded for lineage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .validate import BUCKET_COL, RuleSet, bucket_expr, verdicts_from
+
+STATE_SCHEMA = (
+    "run_id string, rule_set_hash string, partition_id int, status string, "
+    "rule_id string, violation_count long, rows_checked long, "
+    "snapshot_id string, finished_at double"
+)
+
+
+def rule_set_hash(ruleset: RuleSet) -> str:
+    cfg = ruleset.config
+    payload = json.dumps(
+        {
+            "rules": sorted(ruleset.rule_ids()),
+            "max_collection_size": cfg.max_collection_size,
+            "num_buckets": cfg.num_buckets,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class RunnerConfig:
+    work_dir: str
+    run_id: str = "run0"
+    buckets_per_job: int = 8
+    snapshot_id: str | None = None
+
+    @property
+    def state_path(self) -> str:
+        return os.path.join(self.work_dir, "state")
+
+    @property
+    def violations_path(self) -> str:
+        return os.path.join(self.work_dir, "violations")
+
+
+@dataclass
+class RunResult:
+    violations: DataFrame
+    verdicts: DataFrame
+    buckets_processed: list[int]
+    buckets_skipped: list[int]
+    rows_checked: int
+
+
+def _completed_buckets(spark: SparkSession, cfg: RunnerConfig, rsh: str) -> set[int]:
+    if not os.path.exists(cfg.state_path):
+        return set()
+    st = spark.read.parquet(cfg.state_path)
+    rows = (
+        st.filter(
+            (F.col("run_id") == cfg.run_id)
+            & (F.col("rule_set_hash") == rsh)
+            & (F.col("status") == "done")
+        )
+        .select("partition_id")
+        .distinct()
+        .collect()
+    )
+    return {r["partition_id"] for r in rows}
+
+
+def run_checkpointed(
+    df: DataFrame,
+    ruleset: RuleSet,
+    cfg: RunnerConfig,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    partition_cols: Sequence[str] = ("conv_id",),
+) -> RunResult:
+    spark = df.sparkSession
+    vcfg = ruleset.config
+    rsh = rule_set_hash(ruleset)
+    rule_ids = ruleset.rule_ids()
+
+    done = _completed_buckets(spark, cfg, rsh)
+    all_buckets = list(range(vcfg.num_buckets))
+    pending = [b for b in all_buckets if b not in done]
+
+    base = df.withColumn(BUCKET_COL, bucket_expr(list(partition_cols), vcfg.num_buckets))
+    errors_col = ruleset.errors_column(df)
+    total_rows = 0
+
+    for i in range(0, len(pending), cfg.buckets_per_job):
+        batch = pending[i:i + cfg.buckets_per_job]
+        sub = base.filter(F.col(BUCKET_COL).isin(batch))
+        # salted repartition: hot conv_ids spread over `salt` tasks while the
+        # logical bucket stays the verdict/lineage key
+        salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(vcfg.salt))
+        sub = sub.repartition(len(batch) * vcfg.salt, F.col(BUCKET_COL), salt)
+
+        errs = sub.select(*keys, BUCKET_COL, errors_col.alias("_errors"))
+        errs = errs.persist()
+        try:
+            viol = _explode_violations(errs, keys)
+            if vcfg.max_violations_per_rule is not None:
+                from pyspark.sql.window import Window
+
+                w = (Window.partitionBy(BUCKET_COL, "rule_id")
+                     .orderBy(*[F.col(k) for k in keys]))
+                viol = (viol.withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") <= vcfg.max_violations_per_rule)
+                        .drop("_rn"))
+            # idempotent: re-running a crashed bucket replaces its partition
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (viol.write.mode("overwrite").partitionBy(BUCKET_COL)
+             .parquet(cfg.violations_path))
+
+            verd = verdicts_from(errs, rule_ids).collect()
+        finally:
+            errs.unpersist()
+
+        seen = {r[BUCKET_COL] for r in verd}
+        state_rows = [
+            (cfg.run_id, rsh, int(r[BUCKET_COL]), "done", r["rule_id"],
+             int(r["violation_count"]), int(r["rows_checked"]),
+             cfg.snapshot_id, time.time())
+            for r in verd
+        ]
+        # buckets with zero rows in this batch are still complete
+        for b in batch:
+            if b not in seen:
+                for rid in rule_ids:
+                    state_rows.append((cfg.run_id, rsh, b, "done", rid,
+                                       0, 0, cfg.snapshot_id, time.time()))
+        total_rows += sum(int(r["rows_checked"]) for r in verd) // max(len(rule_ids), 1)
+        (spark.createDataFrame(state_rows, STATE_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(cfg.state_path))
+
+    violations = (
+        spark.read.parquet(cfg.violations_path)
+        if os.path.exists(cfg.violations_path)
+        else _empty_violations(spark, keys)
+    )
+    verdicts = (
+        spark.read.parquet(cfg.state_path)
+        .filter((F.col("run_id") == cfg.run_id) & (F.col("rule_set_hash") == rsh))
+        .select(
+            F.col("partition_id"), "rule_id",
+            (F.col("violation_count") == 0).alias("pass"),
+            "violation_count", "rows_checked",
+        )
+    )
+    return RunResult(
+        violations=violations,
+        verdicts=verdicts,
+        buckets_processed=pending,
+        buckets_skipped=sorted(done),
+        rows_checked=total_rows,
+    )
+
+
+def _explode_violations(errs: DataFrame, keys: Sequence[str]) -> DataFrame:
+    e = F.col("_e")
+    return (
+        errs.filter(F.size("_errors") > 0)
+        .select(*keys, BUCKET_COL, F.explode("_errors").alias("_e"))
+        .select(
+            e["rule_id"].alias("rule_id"),
+            *keys,
+            e["field_path"].alias("field_path"),
+            e["message"].alias("message"),
+            e["code"].alias("code"),
+            e["severity"].alias("severity"),
+            e["expected"].alias("expected"),
+            e["actual"].alias("actual"),
+            F.col(BUCKET_COL),
+        )
+    )
+
+
+def _empty_violations(spark: SparkSession, keys: Sequence[str]) -> DataFrame:
+    key_ddl = ", ".join(f"{k} string" for k in keys)
+    return spark.createDataFrame(
+        [],
+        f"rule_id string, {key_ddl}, field_path array<string>, "
+        "message string, code string, severity string, expected string, "
+        f"actual string, {BUCKET_COL} int",
+    )

@@ -1,0 +1,30 @@
+"""Message translation (valar-translator Translator.scala:9-18, 30-47):
+rewrite ``message`` by error ``code``, preserving every other field.
+
+The reference's translator is explicitly NON-recursive into children
+(TranslatorSpec.scala:71-84); the engine's violations are already flattened,
+so each row translates independently — same observable behavior: a child
+row's message is rewritten only because it is itself a row, exactly the
+information content of translating a flat list.
+
+Implementation: a broadcast map lookup — one ``withColumn``, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def translate_errors(violations: DataFrame, catalog: dict[str, str]) -> DataFrame:
+    """``catalog``: error code → replacement message. Codes absent from the
+    catalog keep their original message (Translator.scala:34-38)."""
+    if not catalog:
+        return violations
+    mapping = F.create_map(
+        *[x for code, msg in catalog.items() for x in (F.lit(code), F.lit(msg))]
+    )
+    return violations.withColumn(
+        "message",
+        F.coalesce(mapping.getItem(F.col("code")), F.col("message")),
+    )

@@ -57,10 +57,13 @@ class RuleSet:
         rule on ``address.street`` yields path ``[address, street]`` with
         per-level message prefixes — same bottom-up annotation as nested
         derived validators (Derivation.scala:84-95)."""
+        from .rules import fill_type_names
+
         ctx = CompileContext(config=self.config)
         out: list[tuple[str, Column]] = []
         for key, rule in self.rules.items():
             segs = key.split(".")
+            fill_type_names(rule, _resolve_dtype(df.schema, segs))
             errs = rule.errors(F.col(key), tuple(segs), ctx)
             tnames = _dtype_chain(df.schema, segs)
             for seg, tname in zip(reversed(segs), reversed(tnames)):
@@ -81,6 +84,18 @@ class RuleSet:
 
 def _rid_prefix(key: str) -> tuple[str, ...]:
     return tuple(key.split("."))
+
+
+def _resolve_dtype(schema, segs: Sequence[str]):
+    from pyspark.sql.types import StructType
+
+    cur = schema
+    for seg in segs:
+        if isinstance(cur, StructType) and seg in cur.fieldNames():
+            cur = cur[seg].dataType
+        else:
+            return None
+    return cur
 
 
 def _dtype_chain(schema, segs: Sequence[str]) -> list[str]:
