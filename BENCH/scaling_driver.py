@@ -1,0 +1,75 @@
+"""Interleaved N-vs-4N scaling measurement.
+
+This VM's wall-clock noise is large and drifts over minutes (measured
+swings of 1.5-2x on identical runs), so a single N run followed by a single
+4N run measures the drift, not the engine. This driver alternates
+N and 4N rounds (A B A B ...), pins each JVM to exactly its core budget
+with taskset, takes min-of-runs within each round, and reports efficiency
+from the best round of each level plus per-round detail for transparency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N = int(os.environ.get("SCALE_N", "4"))
+N4 = 4 * N
+ROUNDS = int(os.environ.get("SCALE_ROUNDS", "2"))
+TURNS = os.environ.get("VALAR_BENCH_TURNS", "20000000")
+
+
+def run_level(cpus: int) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cpus),
+               VALAR_BENCH_TURNS=TURNS,
+               VALAR_BENCH_REPEAT="2",
+               VALAR_BENCH_FLAGSHIP_ONLY="1")
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "bench.py"]
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    rounds = []
+    for r in range(ROUNDS):
+        row = {}
+        for cpus in (N, N4):
+            res = run_level(cpus)
+            best = min(res["flagship_times"])
+            row[cpus] = {"best_sec": best,
+                         "turns_per_sec": res["transcript_turns"] / best,
+                         "all": res["flagship_times"]}
+            print(f"round {r} cpus={cpus}: best={best}s "
+                  f"({row[cpus]['turns_per_sec']:,.0f} turns/s) "
+                  f"all={res['flagship_times']}", flush=True)
+        rounds.append(row)
+
+    best_n = max(r[N]["turns_per_sec"] for r in rounds)
+    best_4n = max(r[N4]["turns_per_sec"] for r in rounds)
+    eff = (best_4n / best_n) / 4
+    per_round_eff = [round((r[N4]["turns_per_sec"] / r[N]["turns_per_sec"]) / 4, 3)
+                     for r in rounds]
+    summary = {
+        "N": N, "4N": N4, "turns": int(TURNS),
+        "throughput_N": round(best_n),
+        "throughput_4N": round(best_4n),
+        "efficiency": round(eff, 4),
+        "per_round_efficiency": per_round_eff,
+        "rounds": [
+            {str(c): r[c] for c in (N, N4)} for r in rounds
+        ],
+    }
+    print(json.dumps(summary))
+    here = os.path.dirname(os.path.abspath(__file__))
+    json.dump(summary, open(os.path.join(here, "scaling_summary.json"), "w"),
+              indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -257,6 +257,116 @@ def _q_hll_cardinality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# text-pipeline + similarity-search operators (dedup, quality, ANN)
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of the even-id docs (ids +100000) — a
+    deterministic construction both engines can reproduce, so dedup
+    operators have non-trivial output on the clean driver data."""
+    docs = _read(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars")
+    return docs.unionByName(copies)
+
+
+_DOCS_WITH_COPIES_SQL = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import textops as X
+
+    return (
+        X.exact_duplicate_groups(_docs_with_copies(spark, sf_dir))
+        .select("text_hash", F.col("n_docs").cast("long").alias("n_docs"),
+                "min_doc_id")
+        .orderBy("text_hash")
+    )
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    q = X.quality_features(docs)
+    return q.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "chars_per_token", "digit_ratio", "space_ratio")
+
+
+def _q_en_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit(r"\b(the|and|of|to|is)\b"))
+        .cast("long").alias("en_hits"),
+    )
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import textops as X
+
+    return (
+        X.jaccard_pairs(_docs_with_copies(spark, sf_dir), shingle_n=3,
+                        threshold=0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: hash family is xxhash64 (no DuckDB analogue); exactness of
+    # the verify stage is covered by jaccard_pairs_documents above
+    from valar_spark import textops as X
+
+    u = _docs_with_copies(spark, sf_dir)
+    cand = X.minhash_candidates(u, num_hashes=64, bands=16)
+    return X.jaccard_pairs(u, threshold=0.8, candidates=cand)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import textops as X
+
+    return X.simhash_near_pairs(_docs_with_copies(spark, sf_dir),
+                                max_hamming=3)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import ann
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ann.brute_force_topk(emb, queries_df, k=5).orderBy(
+        "query_id", "rank")
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: KMeans centroids have no SQL analogue; recall vs brute
+    # force is pinned in tests/test_ann.py
+    from valar_spark import ann
+
+    emb = _read(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_build(emb, nlist=8)
+    return ann.ivf_topk(assigned, centroids,
+                        emb.filter(F.col("vec_id") < 5), k=5, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "uniqueness_user_events": _q_uniqueness_user,
@@ -275,6 +385,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_transcripts": _q_validate_transcripts,
         "transcript_verdicts": _q_transcript_verdicts,
         "hll_cardinality_events": _q_hll_cardinality_events,
+        "dedup_exact_documents": _q_dedup_exact,
+        "token_count_documents": _q_token_count,
+        "quality_documents": _q_quality,
+        "en_marker_hits_documents": _q_en_marker_hits,
+        "jaccard_pairs_documents": _q_jaccard_pairs,
+        "minhash_near_dup_pairs": _q_minhash_near_dups,
+        "simhash_pairs_documents": _q_simhash_pairs,
+        "ann_topk_embeddings": _q_ann_topk,
+        "ann_ivf_topk_embeddings": _q_ann_ivf,
     }
 
 
@@ -384,7 +503,95 @@ def oracle_sql() -> dict[str, str]:
                      AS psi
             FROM hist, tot
         """,
-        # validate_transcripts / transcript_verdicts / hll_cardinality_events:
-        # intentionally omitted → rows-only checks (non-registered input /
-        # sketch-estimate nondeterminism across engines)
+        "dedup_exact_documents": f"""
+            WITH u AS ({_DOCS_WITH_COPIES_SQL})
+            SELECT md5(text) AS text_hash,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS min_doc_id
+            FROM u WHERE text IS NOT NULL
+            GROUP BY md5(text) HAVING COUNT(*) > 1
+            ORDER BY text_hash
+        """,
+        "token_count_documents": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_documents": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+                        END AS BIGINT) AS n_tokens,
+                   ROUND(LENGTH(text) * 1.0 / GREATEST(
+                       CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+                       END, 1), 6) AS chars_per_token,
+                   ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]',
+                       '', 'g'))) * 1.0 / GREATEST(LENGTH(text), 1), 6)
+                     AS digit_ratio,
+                   ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '\s',
+                       '', 'g'))) * 1.0 / GREATEST(LENGTH(text), 1), 6)
+                     AS space_ratio
+            FROM documents
+        """,
+        "en_marker_hits_documents": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(LOWER(text),
+                       '\b(the|and|of|to|is)\b')) AS BIGINT) AS en_hits
+            FROM documents
+        """,
+        "jaccard_pairs_documents": rf"""
+            WITH u AS ({_DOCS_WITH_COPIES_SQL}),
+            toks AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
+                FROM u WHERE text IS NOT NULL AND TRIM(text) <> ''
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, GREATEST(len(t) - 2, 1)),
+                    i -> array_to_string(t[i:i+2], ' ')))) AS s
+                FROM toks
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "ann_topk_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                WHERE vec_id < 5
+            ),
+            sims AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[],
+                                              q.qv::DOUBLE[]) AS sim
+                FROM embeddings e, q WHERE e.vec_id <> q.qid
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rnk
+                FROM sims
+            )
+            SELECT query_id, vec_id, ROUND(sim, 6) AS cosine_sim,
+                   CAST(rnk AS INT) AS rank
+            FROM ranked WHERE rnk <= 5
+            ORDER BY query_id, rank
+        """,
+        # validate_transcripts / transcript_verdicts / hll_cardinality_events
+        # / minhash_near_dup_pairs / simhash_pairs_documents /
+        # ann_ivf_topk_embeddings: intentionally omitted → rows-only checks
+        # (non-registered input / engine-specific hash or sketch / KMeans)
     }

@@ -1,0 +1,163 @@
+"""Text-pipeline operators: dedup (exact/minhash/simhash), quality,
+language-ID, fingerprints — over the driver's documents table plus planted
+near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from valar_spark import textops as X
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """documents ∪ near-duplicates: +100000 ids are exact copies,
+    +200000 ids have one token appended (near-dup, jaccard ≳ 0.9)."""
+    exact = docs.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text",
+        "lang", "source", "n_chars").filter(F.col("doc_id") % 2 == 0)
+    near = docs.select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+        "lang", "source", "n_chars").filter(F.col("doc_id") % 2 == 1)
+    return docs.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    groups = X.exact_duplicate_groups(docs_with_dups)
+    n_docs = docs_with_dups.count()
+    n_exact_copies = docs_with_dups.filter(
+        (F.col("doc_id") >= 100_000) & (F.col("doc_id") < 200_000)).count()
+    assert groups.count() == n_exact_copies  # each copy forms one 2-group
+    assert groups.agg(F.max("n_docs")).first()[0] == 2
+    kept = X.dedup_exact(docs_with_dups)
+    assert kept.count() == n_docs - n_exact_copies
+    # lowest id survives
+    assert kept.filter(F.col("doc_id") >= 100_000).filter(
+        F.col("doc_id") < 200_000).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_with_dups):
+    cand = X.minhash_candidates(docs_with_dups, num_hashes=64, bands=16)
+    pairs = X.jaccard_pairs(docs_with_dups, threshold=0.8, candidates=cand)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every planted pair (exact copies jaccard=1, near-dups jaccard≈0.9+)
+    exact_expected = {
+        (r["doc_id"], r["doc_id"] + 100_000)
+        for r in docs_with_dups.filter(
+            (F.col("doc_id") < 100_000) & (F.col("doc_id") % 2 == 0)
+        ).select("doc_id").collect()
+    }
+    found_exact = sum(1 for p in exact_expected if p in got)
+    assert found_exact / max(len(exact_expected), 1) >= 0.95, (
+        f"LSH recall on exact copies {found_exact}/{len(exact_expected)}")
+    # near-dups: jaccard just below 1; bands=16,r=4 → P(cand) ~ 1 at j≥0.9
+    near_ids = [r["doc_id"] for r in docs_with_dups.filter(
+        (F.col("doc_id") < 100_000) & (F.col("doc_id") % 2 == 1)
+    ).select("doc_id").collect()]
+    near_expected = {(i, i + 200_000) for i in near_ids}
+    found_near = sum(1 for p in near_expected if p in got)
+    assert found_near / max(len(near_expected), 1) >= 0.8
+
+
+def test_dedup_minhash_drops_near_dups(spark, docs_with_dups, docs):
+    kept = X.dedup_minhash(docs_with_dups, threshold=0.8)
+    # every exact planted copy dropped (identical text ⇒ identical signature
+    # ⇒ candidate in every band ⇒ jaccard 1.0)
+    assert kept.filter((F.col("doc_id") >= 100_000)
+                       & (F.col("doc_id") < 200_000)).count() == 0
+    # most planted near-dups dropped
+    n_near = docs_with_dups.filter(F.col("doc_id") >= 200_000).count()
+    n_near_left = kept.filter(F.col("doc_id") >= 200_000).count()
+    assert n_near_left <= n_near * 0.2
+    # originals survive except natural near-dups already present in the
+    # corpus (greedy drop removes the higher id of any >= threshold pair)
+    natural_drops = (
+        X.jaccard_pairs(docs, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id")).distinct().count()
+    )
+    n_orig_kept = kept.filter(F.col("doc_id") < 100_000).count()
+    assert n_orig_kept >= docs.count() - natural_drops - 2  # LSH extras ~0
+
+
+def test_jaccard_exact_small(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c d x"),
+         (4, "q r s t u")],
+        "doc_id bigint, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in X.jaccard_pairs(df, shingle_n=3, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # doc3 shares shingle 'a b c' and 'b c d' of 3 each → j = 2/4 = 0.5
+    assert pairs[(1, 3)] == 0.5
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_pairs(spark, docs_with_dups):
+    pairs = X.simhash_near_pairs(docs_with_dups, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    exact_expected = {
+        (r["doc_id"], r["doc_id"] + 100_000)
+        for r in docs_with_dups.filter(
+            (F.col("doc_id") < 100_000) & (F.col("doc_id") % 2 == 0)
+        ).select("doc_id").collect()
+    }
+    # identical docs have identical simhash → hamming 0 → all found
+    assert exact_expected <= got
+    # and unrelated docs aren't flooding: pair count stays near planted size
+    assert len(got) < docs_with_dups.count() * 5
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world, this is fine 123."),
+         (2, "x"),
+         (3, None),
+         (4, "    ")],
+        "doc_id bigint, text string")
+    q = {r["doc_id"]: r for r in X.quality_score(df).collect()}
+    assert q[1]["n_tokens"] == 6
+    assert q[1]["keep"] is True
+    assert q[2]["n_tokens"] == 1 and q[2]["keep"] is False
+    assert q[3]["n_tokens"] == 0
+    assert q[4]["n_tokens"] == 0
+    assert 0 < q[1]["punct_ratio"] < 0.2
+    assert q[1]["digit_ratio"] > 0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house is here"),
+         (2, "der Hund und die Katze das ist gut"),
+         (3, "le chat et la maison les arbres est grand"),
+         (4, "xyzzy plugh")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in X.language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_content_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"),
+         (3, "alpha beta delta")],
+        "doc_id bigint, text string")
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in X.content_fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "")],
+                               "doc_id bigint, text string")
+    got = df.select(X.shingles(F.col("text"), 3).alias("s")).collect()
+    assert got[0]["s"] == ["a b"]  # shorter than n → whole text
+    assert got[1]["s"] == []

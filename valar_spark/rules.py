@@ -6,10 +6,20 @@ algebra (Validator.scala:22-32, ValidationResult.scala:36-51) as a tree of
 One validated *row* plays the role of one reference *value*; a rule bound to
 a column plays the role of a ``Validator`` for that field's type.
 
-Compilation contract: ``Rule.errors(col, rid_prefix, ctx)`` returns a Column
-of ``array<error_struct>`` — empty array ⇔ the reference's ``Valid``,
+Compilation contract: ``Rule.errors(col, rid_prefix, ctx, ann)`` returns a
+Column of ``array<error_struct>`` — empty array ⇔ the reference's ``Valid``,
 non-empty ⇔ ``Invalid(errors)`` (an Invalid never holds an empty vector,
 ValidationResult.scala:112-115; here likewise the array is empty iff valid).
+
+``ann`` is the static annotation chain — the compile-time equivalent of the
+reference's runtime ``annotateField`` bubbling (ValidationError.scala:
+140-151, Derivation.scala:84-95). Every path segment is known at compile
+time (collection elements carry no index, ValidationLogic.scala:63-71), so
+field paths and message prefixes are literals and the entire row-rule
+pipeline stays inside whole-stage codegen: only when/array/concat/struct
+expressions, NO higher-order functions on the scalar-column path (HOFs fall
+back to interpreted evaluation — measured ~50× slower). HOFs appear only
+where semantics require per-element work (ArrayRule / MapRule).
 
 Combinator semantics (ValidationResult.scala):
 - ``a & b``   → accumulate both error sets in order (``zip``, :482-489) —
@@ -45,13 +55,12 @@ from pyspark.sql import functions as F
 from . import errors as E
 from .config import DEFAULT, ValidationConfig
 
+Ann = E.Annotation
+
 
 @dataclass(frozen=True)
 class CompileContext:
     config: ValidationConfig = DEFAULT
-    #: Spark type name of the column a rule is bound to, used by
-    #: annotate_field message templates; filled in by RuleSet/derivation.
-    type_name: str = "value"
 
 
 def _rid(prefix: tuple[str, ...], name: str) -> str:
@@ -64,11 +73,13 @@ class Rule:
     #: short node name used in rule_id construction
     name: str = "rule"
 
-    def errors(self, col: Column, rid_prefix: tuple[str, ...], ctx: CompileContext) -> Column:
+    def errors(self, col: Column, rid_prefix: tuple[str, ...],
+               ctx: CompileContext, ann: Ann = ()) -> Column:
         raise NotImplementedError
 
-    def ok(self, col: Column, rid_prefix: tuple[str, ...], ctx: CompileContext) -> Column:
-        return F.size(self.errors(col, rid_prefix, ctx)) == 0
+    def ok(self, col: Column, rid_prefix: tuple[str, ...],
+           ctx: CompileContext, ann: Ann = ()) -> Column:
+        return F.size(self.errors(col, rid_prefix, ctx, ann)) == 0
 
     def rule_ids(self, rid_prefix: tuple[str, ...]) -> list[str]:
         """Static list of leaf rule_ids this node can emit — drives the
@@ -90,27 +101,23 @@ class Rule:
 class LeafRule(Rule):
     """A leaf constraint: a predicate plus reference-parity error metadata.
 
-    ``build`` returns the error array given (column, rule_id, ctx).
+    ``build(col, rule_id, ctx, ann)`` returns the error array.
     """
 
-    def __init__(self, name: str, build: Callable[[Column, str, CompileContext], Column]):
+    def __init__(self, name: str,
+                 build: Callable[[Column, str, CompileContext, Ann], Column]):
         self.name = name
         self.build = build
 
-    def errors(self, col: Column, rid_prefix: tuple[str, ...], ctx: CompileContext) -> Column:
-        return self.build(col, _rid(rid_prefix, self.name), ctx)
+    def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
+        return self.build(col, _rid(rid_prefix, self.name), ctx, ann)
 
-    def rule_ids(self, rid_prefix: tuple[str, ...]) -> list[str]:
+    def rule_ids(self, rid_prefix):
         return [_rid(rid_prefix, self.name)]
 
 
-def _leaf(name: str, build: Callable[[Column, str, CompileContext], Column]) -> LeafRule:
+def _leaf(name: str, build) -> LeafRule:
     return LeafRule(name=name, build=build)
-
-
-def _cond_err(fail: Column, err: Column) -> Column:
-    """struct when failing, typed-null otherwise (filtered out later)."""
-    return F.when(fail, err)
 
 
 # ---------------------------------------------------------------------------
@@ -122,19 +129,15 @@ def non_empty(message: str | None = None) -> LeafRule:
     """Trimmed non-emptiness; null is a distinct error
     (ValidationHelpers.scala:74-99)."""
 
-    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+    def build(col, rid, ctx, ann):
         msg = message or "String must not be empty"
-        return E.errors_array(
-            _cond_err(
-                col.isNull(),
-                E.error_struct(rid, msg, E.CODE_STRING_NULL,
-                               expected="non-empty string", actual="null"),
-            ),
-            _cond_err(
-                col.isNotNull() & (F.trim(col) == F.lit("")),
-                E.error_struct(rid, msg, E.CODE_STRING_EMPTY,
-                               expected="non-empty string", actual=col),
-            ),
+        return E.cond_errors(
+            (col.isNull(),
+             E.error_struct(rid, msg, E.CODE_STRING_NULL, ann=ann,
+                            expected="non-empty string", actual="null")),
+            (col.isNotNull() & (F.trim(col) == F.lit("")),
+             E.error_struct(rid, msg, E.CODE_STRING_EMPTY, ann=ann,
+                            expected="non-empty string", actual=col)),
         )
 
     return _leaf("non_empty", build)
@@ -144,14 +147,12 @@ def non_negative(message: str | None = None) -> LeafRule:
     """``i >= 0`` (ValidationHelpers.scala:110-120). Null skips (see module
     docstring null policy)."""
 
-    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+    def build(col, rid, ctx, ann):
         msg = message or "Int must be non-negative"
-        return E.errors_array(
-            _cond_err(
-                col.isNotNull() & (col < 0),
-                E.error_struct(rid, msg, E.CODE_NUMBER_NEGATIVE,
-                               expected=">= 0", actual=col),
-            )
+        return E.cond_errors(
+            (col.isNotNull() & (col < 0),
+             E.error_struct(rid, msg, E.CODE_NUMBER_NEGATIVE, ann=ann,
+                            expected=">= 0", actual=col)),
         )
 
     return _leaf("non_negative", build)
@@ -162,23 +163,18 @@ def finite(message: str | None = None) -> LeafRule:
 
     Spark treats NaN as orderable (NaN == NaN, NaN > everything), so this
     must use isnan/abs-infinity checks, never range predicates
-    (SURVEY.md §7 hard-part 5). Null skips. Note the pass-through validator
-    for Double *accepts* NaN (ValidatorSpec.scala:25-29) — finiteness is
+    (SURVEY.md §7 hard-part 5). Null skips. The pass-through validator for
+    Double *accepts* NaN (ValidatorSpec.scala:25-29) — finiteness is
     opt-in, exactly as in the reference.
     """
 
-    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
-        msg_f = F.lit(message) if message is not None else (
-            F.when(F.isnan(col), F.lit("Double must be finite"))
-            .otherwise(F.lit("Double must be finite"))
-        )
+    def build(col, rid, ctx, ann):
+        msg = message or "Double must be finite"
         fail = col.isNotNull() & (F.isnan(col) | (F.abs(col) == F.lit(float("inf"))))
-        return E.errors_array(
-            _cond_err(
-                fail,
-                E.error_struct(rid, msg_f, E.CODE_NUMBER_NOT_FINITE,
-                               expected="finite value", actual=col),
-            )
+        return E.cond_errors(
+            (fail,
+             E.error_struct(rid, msg, E.CODE_NUMBER_NOT_FINITE, ann=ann,
+                            expected="finite value", actual=col)),
         )
 
     return _leaf("finite", build)
@@ -187,7 +183,7 @@ def finite(message: str | None = None) -> LeafRule:
 def min_length(n: int, message: str | None = None) -> LeafRule:
     """Untrimmed length >= n; null invalid (ValidationHelpers.scala:182-207)."""
 
-    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+    def build(col, rid, ctx, ann):
         null_msg = message or (
             f"Actual length (null) is less than minimum required length of {n}"
         )
@@ -199,18 +195,14 @@ def min_length(n: int, message: str | None = None) -> LeafRule:
                 F.lit(f") is less than minimum required length of {n}"),
             )
         )
-        return E.errors_array(
-            _cond_err(
-                col.isNull(),
-                E.error_struct(rid, null_msg, E.CODE_STRING_NULL,
-                               expected=f"length >= {n}", actual="null"),
-            ),
-            _cond_err(
-                col.isNotNull() & (F.length(col) < n),
-                E.error_struct(rid, fail_msg, E.CODE_STRING_TOO_SHORT,
-                               expected=f"length >= {n}",
-                               actual=F.length(col)),
-            ),
+        return E.cond_errors(
+            (col.isNull(),
+             E.error_struct(rid, null_msg, E.CODE_STRING_NULL, ann=ann,
+                            expected=f"length >= {n}", actual="null")),
+            (col.isNotNull() & (F.length(col) < n),
+             E.error_struct(rid, fail_msg, E.CODE_STRING_TOO_SHORT, ann=ann,
+                            expected=f"length >= {n}",
+                            actual=F.length(col))),
         )
 
     return _leaf("min_length", build)
@@ -219,7 +211,7 @@ def min_length(n: int, message: str | None = None) -> LeafRule:
 def max_length(n: int, message: str | None = None) -> LeafRule:
     """Untrimmed length <= n; null invalid (ValidationHelpers.scala:213-237)."""
 
-    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+    def build(col, rid, ctx, ann):
         fail_msg = (
             F.lit(message)
             if message is not None
@@ -228,21 +220,17 @@ def max_length(n: int, message: str | None = None) -> LeafRule:
                 F.lit(f") exceeds maximum allowed length of {n}"),
             )
         )
-        return E.errors_array(
-            _cond_err(
-                col.isNull(),
-                E.error_struct(
-                    rid, "Input must be a non-null string (actual: null)",
-                    E.CODE_STRING_NULL,
-                    expected=f"non-null string with length <= {n}",
-                    actual="null"),
-            ),
-            _cond_err(
-                col.isNotNull() & (F.length(col) > n),
-                E.error_struct(rid, fail_msg, E.CODE_STRING_TOO_LONG,
-                               expected=f"length <= {n}",
-                               actual=F.length(col)),
-            ),
+        return E.cond_errors(
+            (col.isNull(),
+             E.error_struct(
+                 rid, "Input must be a non-null string (actual: null)",
+                 E.CODE_STRING_NULL, ann=ann,
+                 expected=f"non-null string with length <= {n}",
+                 actual="null")),
+            (col.isNotNull() & (F.length(col) > n),
+             E.error_struct(rid, fail_msg, E.CODE_STRING_TOO_LONG, ann=ann,
+                            expected=f"length <= {n}",
+                            actual=F.length(col))),
         )
 
     return _leaf("max_length", build)
@@ -268,11 +256,11 @@ def matches(pattern: str, message: str | None = None) -> LeafRule:
 
     anchored = f"^(?:{pattern})$"
 
-    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+    def build(col, rid, ctx, ann):
         if bad is not None:
-            return E.errors_array(
-                _cond_err(F.lit(True),
-                          E.error_struct(rid, bad, E.CODE_REGEX_INVALID))
+            return E.cond_errors(
+                (F.lit(True),
+                 E.error_struct(rid, bad, E.CODE_REGEX_INVALID, ann=ann)),
             )
         fail_msg = (
             F.lit(message)
@@ -281,17 +269,13 @@ def matches(pattern: str, message: str | None = None) -> LeafRule:
                           F.lit(f"' does not match pattern '{pattern}'"))
         )
         null_msg = message or f"Value 'null' does not match pattern '{pattern}'"
-        return E.errors_array(
-            _cond_err(
-                col.isNull(),
-                E.error_struct(rid, null_msg, E.CODE_STRING_NULL,
-                               expected=pattern, actual="null"),
-            ),
-            _cond_err(
-                col.isNotNull() & ~col.rlike(anchored),
-                E.error_struct(rid, fail_msg, E.CODE_PATTERN_MISMATCH,
-                               expected=pattern, actual=col),
-            ),
+        return E.cond_errors(
+            (col.isNull(),
+             E.error_struct(rid, null_msg, E.CODE_STRING_NULL, ann=ann,
+                            expected=pattern, actual="null")),
+            (col.isNotNull() & ~col.rlike(anchored),
+             E.error_struct(rid, fail_msg, E.CODE_PATTERN_MISMATCH, ann=ann,
+                            expected=pattern, actual=col)),
         )
 
     return _leaf("matches", build)
@@ -300,14 +284,12 @@ def matches(pattern: str, message: str | None = None) -> LeafRule:
 def in_range(lo, hi, message: str | None = None) -> LeafRule:
     """Inclusive ``[lo, hi]`` (ValidationHelpers.scala:358-371). Null skips."""
 
-    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+    def build(col, rid, ctx, ann):
         msg = message or f"Must be in range [{lo}, {hi}]"
-        return E.errors_array(
-            _cond_err(
-                col.isNotNull() & ~col.between(lo, hi),
-                E.error_struct(rid, msg, E.CODE_OUT_OF_RANGE,
-                               expected=f"[{lo}, {hi}]", actual=col),
-            )
+        return E.cond_errors(
+            (col.isNotNull() & ~col.between(lo, hi),
+             E.error_struct(rid, msg, E.CODE_OUT_OF_RANGE, ann=ann,
+                            expected=f"[{lo}, {hi}]", actual=col)),
         )
 
     return _leaf("in_range", build)
@@ -318,16 +300,14 @@ def one_of(values: Sequence, message: str | None = None) -> LeafRule:
     domain check of BASELINE.json:6. Null is not a member ⇒ error."""
     rendered = ", ".join(str(v) for v in values)
 
-    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+    def build(col, rid, ctx, ann):
         msg = message or f"Must be one of {rendered}"
-        return E.errors_array(
-            _cond_err(
-                col.isNull() | ~col.isin(*values),
-                E.error_struct(rid, msg, E.CODE_NOT_IN_SET,
-                               expected=rendered,
-                               actual=F.coalesce(col.cast("string"),
-                                                 F.lit("null"))),
-            )
+        return E.cond_errors(
+            (col.isNull() | ~col.isin(*values),
+             E.error_struct(rid, msg, E.CODE_NOT_IN_SET, ann=ann,
+                            expected=rendered,
+                            actual=F.coalesce(col.cast("string"),
+                                              F.lit("null")))),
         )
 
     return _leaf("one_of", build)
@@ -336,15 +316,13 @@ def one_of(values: Sequence, message: str | None = None) -> LeafRule:
 def required(message: str | None = None) -> LeafRule:
     """Null ⇒ invalid (ValidationHelpers.scala:402-415 — ``None`` fails)."""
 
-    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+    def build(col, rid, ctx, ann):
         msg = message or "Required value must not be empty/null"
-        return E.errors_array(
-            _cond_err(
-                col.isNull(),
-                E.error_struct(rid, msg, E.CODE_REQUIRED,
-                               expected="defined Option (Some)",
-                               actual="None"),
-            )
+        return E.cond_errors(
+            (col.isNull(),
+             E.error_struct(rid, msg, E.CODE_REQUIRED, ann=ann,
+                            expected="defined Option (Some)",
+                            actual="None")),
         )
 
     return _leaf("required", build)
@@ -356,14 +334,12 @@ def castable(to_type: str, message: str | None = None) -> LeafRule:
     ``try_cast`` (not ``cast``) so ANSI mode reports a rule violation
     instead of failing the job on malformed input."""
 
-    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+    def build(col, rid, ctx, ann):
         msg = message or f"Value is not a valid {to_type}"
-        return E.errors_array(
-            _cond_err(
-                col.isNotNull() & col.try_cast(to_type).isNull(),
-                E.error_struct(rid, msg, E.CODE_TYPE_MISMATCH,
-                               expected=to_type, actual=col),
-            )
+        return E.cond_errors(
+            (col.isNotNull() & col.try_cast(to_type).isNull(),
+             E.error_struct(rid, msg, E.CODE_TYPE_MISMATCH, ann=ann,
+                            expected=to_type, actual=col)),
         )
 
     return _leaf(f"castable_{to_type}", build)
@@ -383,15 +359,13 @@ def satisfies(
     whole-stage codegen. Null predicate results count as failures only if
     the predicate says so (wrap with ``optional`` for null-pass)."""
 
-    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+    def build(col, rid, ctx, ann):
         ok = predicate(col)
         msg = message(col) if callable(message) else F.lit(message)
-        return E.errors_array(
-            _cond_err(
-                ~F.coalesce(ok, F.lit(False)),
-                E.error_struct(rid, msg, code, expected=expected,
-                               actual=col, severity=severity),
-            )
+        return E.cond_errors(
+            (~F.coalesce(ok, F.lit(False)),
+             E.error_struct(rid, msg, code, ann=ann, expected=expected,
+                            actual=col, severity=severity)),
         )
 
     return _leaf(name, build)
@@ -413,7 +387,6 @@ def pandas_rule(
     ``Asynchronous validation failed unexpectedly: ...`` and code
     ``validation.udf.failure``.
     """
-    import pandas as pd  # noqa: F401  (documented dependency of this path)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -431,30 +404,26 @@ def pandas_rule(
                 dtype=object,
             )
 
-    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+    def build(col, rid, ctx, ann):
         msg = _check(col)
         is_udf_fail = msg.startswith("Asynchronous validation failed")
-        return E.errors_array(
-            _cond_err(
-                msg.isNotNull(),
-                E.error_struct(
-                    rid, msg,
-                    F.when(is_udf_fail, F.lit(E.CODE_UDF_FAILURE))
-                    .otherwise(F.lit(code)).cast("string"),
-                    expected=expected, actual=col),
-            )
+        return E.cond_errors(
+            (msg.isNotNull(),
+             E.error_struct(
+                 rid, msg,
+                 F.when(is_udf_fail, F.lit(E.CODE_UDF_FAILURE))
+                 .otherwise(F.lit(code)).cast("string"),
+                 ann=ann, expected=expected, actual=col)),
         )
 
-    # error_struct expects code as str; build passes a Column — allow both
-    leaf = _leaf(name, build)
-    return leaf
+    return _leaf(name, build)
 
 
 def always_valid() -> LeafRule:
     """Pass-through — the reference's default validators accept everything
     since constraints became opt-in (Validator.scala:43-60, MIGRATION.md:9-21)."""
 
-    def build(col: Column, rid: str, ctx: CompileContext) -> Column:
+    def build(col, rid, ctx, ann):
         return E.empty_errors()
 
     return _leaf("pass", build)
@@ -465,6 +434,16 @@ def always_valid() -> LeafRule:
 # ---------------------------------------------------------------------------
 
 
+def _flatten(children: Iterable[Rule], klass: type) -> list[Rule]:
+    flat: list[Rule] = []
+    for c in children:
+        if isinstance(c, klass):
+            flat.extend(c.children)
+        else:
+            flat.append(c)
+    return flat
+
+
 class AllOf(Rule):
     """Accumulate: every child evaluated, all errors kept in declaration
     order (``zip``/``mapN``, ValidationResult.scala:482-516; ordering =
@@ -473,17 +452,11 @@ class AllOf(Rule):
     name = "all_of"
 
     def __init__(self, children: Iterable[Rule]):
-        # flatten nested AllOf so `a & b & c` stays one level
-        flat: list[Rule] = []
-        for c in children:
-            if isinstance(c, AllOf):
-                flat.extend(c.children)
-            else:
-                flat.append(c)
-        self.children = flat
+        self.children = _flatten(children, AllOf)
 
-    def errors(self, col, rid_prefix, ctx):
-        return E.concat_errors([c.errors(col, rid_prefix, ctx) for c in self.children])
+    def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
+        return E.concat_errors(
+            [c.errors(col, rid_prefix, ctx, ann) for c in self.children])
 
     def rule_ids(self, rid_prefix):
         return [r for c in self.children for r in c.rule_ids(rid_prefix)]
@@ -496,16 +469,10 @@ class FirstOf(Rule):
     name = "first_of"
 
     def __init__(self, children: Iterable[Rule]):
-        flat: list[Rule] = []
-        for c in children:
-            if isinstance(c, FirstOf):
-                flat.extend(c.children)
-            else:
-                flat.append(c)
-        self.children = flat
+        self.children = _flatten(children, FirstOf)
 
-    def errors(self, col, rid_prefix, ctx):
-        errs = [c.errors(col, rid_prefix, ctx) for c in self.children]
+    def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
+        errs = [c.errors(col, rid_prefix, ctx, ann) for c in self.children]
         any_ok = None
         for e in errs:
             ok = F.size(e) == 0
@@ -523,19 +490,13 @@ class FailFast(Rule):
     name = "fail_fast"
 
     def __init__(self, children: Iterable[Rule]):
-        flat: list[Rule] = []
-        for c in children:
-            if isinstance(c, FailFast):
-                flat.extend(c.children)
-            else:
-                flat.append(c)
-        self.children = flat
+        self.children = _flatten(children, FailFast)
 
     def then(self, other: "Rule") -> "Rule":
         return FailFast([*self.children, other])
 
-    def errors(self, col, rid_prefix, ctx):
-        errs = [c.errors(col, rid_prefix, ctx) for c in self.children]
+    def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
+        errs = [c.errors(col, rid_prefix, ctx, ann) for c in self.children]
         out = F.when(F.size(errs[0]) > 0, errs[0])
         for e in errs[1:]:
             out = out.when(F.size(e) > 0, e)
@@ -554,10 +515,9 @@ class Optional(Rule):
     def __init__(self, inner: Rule):
         self.inner = inner
 
-    def errors(self, col, rid_prefix, ctx):
+    def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
         return F.when(col.isNull(), E.empty_errors()).otherwise(
-            self.inner.errors(col, rid_prefix, ctx)
-        )
+            self.inner.errors(col, rid_prefix, ctx, ann))
 
     def rule_ids(self, rid_prefix):
         return self.inner.rule_ids(rid_prefix)
@@ -585,9 +545,9 @@ class Union(Rule):
             self.branches = [(f"t{i}", b) for i, b in enumerate(branches)]
         self.expected = expected or " | ".join(n for n, _ in self.branches)
 
-    def errors(self, col, rid_prefix, ctx):
+    def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
         prefix = (*rid_prefix, "union")
-        errs = [b.errors(col, (*prefix, n), ctx) for n, b in self.branches]
+        errs = [b.errors(col, (*prefix, n), ctx, ann) for n, b in self.branches]
         any_ok = None
         for e in errs:
             ok = F.size(e) == 0
@@ -596,12 +556,12 @@ class Union(Rule):
             _rid(rid_prefix, "union"),
             f"Value failed validation for all expected types: {self.expected}",
             E.CODE_UNION_NO_MATCH,
+            ann=ann,
             expected=self.expected,
             actual=F.coalesce(col.cast("string"), F.lit("null")),
         )
         return F.when(any_ok, E.empty_errors()).otherwise(
-            E.concat_errors([F.array(parent), *errs])
-        )
+            E.concat_errors([F.array(parent), *errs]))
 
     def rule_ids(self, rid_prefix):
         prefix = (*rid_prefix, "union")
@@ -611,7 +571,8 @@ class Union(Rule):
         return ids
 
 
-def union(branches: dict[str, Rule] | Sequence[Rule], expected: str | None = None) -> Union:
+def union(branches: dict[str, Rule] | Sequence[Rule],
+          expected: str | None = None) -> Union:
     return Union(branches, expected)
 
 
@@ -624,7 +585,7 @@ class StructRule(Rule):
     """Product-type validator over a struct column: run ALL field rules,
     accumulate every error, annotate each with its field segment — the
     runtime half of the reference's derived validator
-    (Derivation.scala:57-68, 84-95)."""
+    (Derivation.scala:57-68, 84-95). Annotation is static (ann chain)."""
 
     name = "struct"
 
@@ -633,12 +594,12 @@ class StructRule(Rule):
         self.fields = dict(fields)
         self.type_names = dict(type_names or {})
 
-    def errors(self, col, rid_prefix, ctx):
+    def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
         parts = []
         for f_name, rule in self.fields.items():
-            child = rule.errors(col.getField(f_name), (*rid_prefix, f_name), ctx)
-            parts.append(E.annotate_field(
-                child, f_name, self.type_names.get(f_name, "value")))
+            child_ann = (*ann, (f_name, self.type_names.get(f_name, "value")))
+            parts.append(rule.errors(col.getField(f_name),
+                                     (*rid_prefix, f_name), ctx, child_ann))
         out = E.concat_errors(parts)
         # a null struct (Option[Product] = None) passes, like Optional
         return F.when(col.isNull(), E.empty_errors()).otherwise(out)
@@ -659,7 +620,11 @@ class ArrayRule(Rule):
     every element is validated and all element errors accumulate in element
     order; valid elements are not reported. Elements carry no index
     annotation — matching the reference, which concatenates element errors
-    raw (ValidationLogic.scala:63-71)."""
+    raw (ValidationLogic.scala:63-71).
+
+    The per-element pass is the one place a higher-order function
+    (transform+flatten) is semantically required; it prices only array
+    columns, never scalar ones."""
 
     name = "array"
 
@@ -667,9 +632,9 @@ class ArrayRule(Rule):
         self.element = element
         self.collection_type = collection_type
 
-    def errors(self, col, rid_prefix, ctx):
+    def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
         elem_errs = F.flatten(
-            F.transform(col, lambda x: self.element.errors(x, rid_prefix, ctx))
+            F.transform(col, lambda x: self.element.errors(x, rid_prefix, ctx, ann))
         )
         max_size = ctx.config.max_collection_size
         if max_size is None:
@@ -684,11 +649,13 @@ class ArrayRule(Rule):
                           "This limit protects against memory exhaustion attacks."),
                 ),
                 E.CODE_COLLECTION_TOO_LARGE,
+                ann=ann,
                 severity="Error",
                 expected=f"size <= {max_size}",
                 actual=F.size(col),
             )
-            guarded = F.when(F.size(col) > max_size, F.array(size_err)).otherwise(elem_errs)
+            guarded = F.when(F.size(col) > max_size,
+                             F.array(size_err)).otherwise(elem_errs)
         return F.when(col.isNull(), E.empty_errors()).otherwise(guarded)
 
     def rule_ids(self, rid_prefix):
@@ -712,14 +679,15 @@ class MapRule(Rule):
         self.key_type = key_type
         self.value_type = value_type
 
-    def errors(self, col, rid_prefix, ctx):
+    def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
+        key_ann = (*ann, ("key", self.key_type))
+        val_ann = (*ann, ("value", self.value_type))
+
         def entry_errs(e):
-            k_errs = E.annotate_field(
-                self.key_rule.errors(e["key"], (*rid_prefix, "key"), ctx),
-                "key", self.key_type)
-            v_errs = E.annotate_field(
-                self.value_rule.errors(e["value"], (*rid_prefix, "value"), ctx),
-                "value", self.value_type)
+            k_errs = self.key_rule.errors(e["key"], (*rid_prefix, "key"),
+                                          ctx, key_ann)
+            v_errs = self.value_rule.errors(e["value"], (*rid_prefix, "value"),
+                                            ctx, val_ann)
             return F.concat(k_errs, v_errs)
 
         entry_level = F.flatten(F.transform(F.map_entries(col), entry_errs))
@@ -735,11 +703,13 @@ class MapRule(Rule):
                           "This limit protects against memory exhaustion attacks."),
                 ),
                 E.CODE_COLLECTION_TOO_LARGE,
+                ann=ann,
                 severity="Error",
                 expected=f"size <= {max_size}",
                 actual=F.size(col),
             )
-            guarded = F.when(F.size(col) > max_size, F.array(size_err)).otherwise(entry_level)
+            guarded = F.when(F.size(col) > max_size,
+                             F.array(size_err)).otherwise(entry_level)
         return F.when(col.isNull(), E.empty_errors()).otherwise(guarded)
 
     def rule_ids(self, rid_prefix):
@@ -794,7 +764,7 @@ class Recover(Rule):
     def __init__(self, inner: Rule):
         self.inner = inner
 
-    def errors(self, col, rid_prefix, ctx):
+    def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
         return E.empty_errors()
 
     def rule_ids(self, rid_prefix):

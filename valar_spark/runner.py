@@ -187,7 +187,7 @@ def run_checkpointed(
 def _explode_violations(errs: DataFrame, keys: Sequence[str]) -> DataFrame:
     e = F.col("_e")
     return (
-        errs.filter(F.size("_errors") > 0)
+        errs
         .select(*keys, BUCKET_COL, F.explode("_errors").alias("_e"))
         .select(
             e["rule_id"].alias("rule_id"),

@@ -27,6 +27,15 @@ def get_spark(
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # Whole-stage fusion of wide validation projections generates
+        # methods beyond HotSpot's JIT huge-method limit, silently running
+        # as interpreted bytecode (measured: 26-36s vs 8s for a 10-leaf rule
+        # set over 20M rows; every dataset rule was >= as fast without
+        # fusion, window ordering 8x faster). Per-expression codegen keeps
+        # each method small and JIT-compiled; Parquet scans stay vectorized.
+        # Re-enable with VALAR_WSCG=1 for narrow-projection workloads.
+        .config("spark.sql.codegen.wholeStage",
+                "true" if os.environ.get("VALAR_WSCG") else "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

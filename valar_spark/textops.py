@@ -1,0 +1,397 @@
+"""Text analysis + deduplication operators for large-scale training-data
+pipelines, over a ``documents(doc_id, text, lang, source, n_chars)`` table.
+
+All hot paths are native Column expressions (whole-stage codegen, zero
+Python per row). MinHash/SimHash signatures are built with higher-order
+functions over token arrays — ``transform``/``aggregate``/``zip_with`` —
+so signature computation is a narrow map; only the LSH bucket join and the
+candidate verification shuffle.
+
+Scale notes per operator are in the docstrings; the governing principle:
+never materialize O(docs²) — candidate generation is always via a
+key-equality join (hash bucket / band hash), verification only on
+candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization (shared) — deterministic, engine-portable
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty/null text ⇒ empty array."""
+    return F.when(
+        col.isNull() | (F.trim(col) == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(col), r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Token n-gram shingles (space-joined). Fewer than n tokens ⇒ one
+    shingle of the whole text (standard MinHash practice so short docs
+    still compare)."""
+    t = tokens(col)
+    k = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(k == 0, F.array().cast("array<string>")).otherwise(grams)
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication — hash groupBy (one shuffle on the 32-hex-char key)
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-content groups: ``(text_hash, n_docs, min_doc_id)``.
+    md5 of the raw text — engine-portable (same digest in DuckDB), and the
+    shuffle carries only (hash, id), never the text."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per distinct text — the canonical exact-dedup
+    pass. Window-free: min-id per hash then semi-join (two shuffles on the
+    hash/id, no global sort)."""
+    keep = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Text quality / language-ID / fingerprints — pure projections (no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token count, mean token length, punctuation
+    ratio, digit ratio, uppercase ratio, whitespace ratio — the standard
+    cheap quality gates of a pretraining pipeline. One narrow projection."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    safe = F.greatest(n_chars, F.lit(1))
+    n_tok = token_count(c)
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        F.round(n_chars.cast("double") / F.greatest(n_tok, F.lit(1)), 6)
+        .alias("chars_per_token"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(c, r"[\p{Punct}]", "")))
+            .cast("double") / safe, 6).alias("punct_ratio"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(c, r"[0-9]", "")))
+            .cast("double") / safe, 6).alias("digit_ratio"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(c, r"[A-Z]", "")))
+            .cast("double") / safe, 6).alias("upper_ratio"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(c, r"\s", "")))
+            .cast("double") / safe, 6).alias("space_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  min_tokens: int = 5, max_chars_per_token: float = 12.0,
+                  max_punct_ratio: float = 0.2) -> DataFrame:
+    """Composite 0..1 quality score + keep flag from the features."""
+    feat = quality_features(df, text_col)
+    score = (
+        F.when(F.col("n_tokens") >= min_tokens, F.lit(0.4)).otherwise(0.0)
+        + F.when(F.col("chars_per_token") <= max_chars_per_token, F.lit(0.3))
+        .otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= max_punct_ratio, F.lit(0.3))
+        .otherwise(0.0)
+    )
+    return feat.withColumn("quality_score", F.round(score, 2)).withColumn(
+        "keep", F.col("quality_score") >= 0.7)
+
+
+# marker-word tables for the n-gram language heuristic; deterministic and
+# engine-portable (regexp counts)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: count whole-word hits per language,
+    argmax wins (ties → lexicographically first; no hits → 'und'). A real
+    deployment swaps the marker table for character-n-gram profiles — the
+    plumbing (pure projection, no shuffle) is identical."""
+    c = F.lower(F.col(text_col))
+    scores = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        pat = r"\b(" + "|".join(words) + r")\b"
+        scores.append(F.struct(
+            F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)).alias("hits"),
+            F.lit(lang).alias("lang"),
+        ))
+    # argmax: sort by (hits desc, lang asc) via array_max on (hits, negated
+    # lexicographic) — simplest portable form: greatest struct comparison
+    best = F.array_max(F.array(*[
+        F.struct(s["hits"].alias("hits"),
+                 # invert lang ordering so ties pick the FIRST language
+                 F.lit(-i).alias("prio"),
+                 s["lang"].alias("lang"))
+        for i, s in enumerate(scores)
+    ]))
+    return df.select(
+        "*",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def content_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — catches shuffled/reordered copies that exact-hash misses.
+    Pure projection; dedup on it is the same hash-groupBy as exact dedup."""
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(
+        tokens(F.col(text_col))))))
+    return df.withColumn("fingerprint", fp)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection — the scale path
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(col: Column, num_hashes: int = 64,
+                      shingle_n: int = 3) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``) over token
+    n-gram shingles. Hash family: ``xxhash64(seed_i, shingle)`` — 64-bit,
+    JVM-native, no UDF. Empty docs get an all-max signature (never matches).
+
+    Cost: |shingles| × num_hashes hashes per doc, all inside codegen — a
+    narrow map over the scan, embarrassingly parallel at any scale."""
+    sh = shingles(col, shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    )
+    empty = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    return F.when(F.size(sh) == 0, empty).otherwise(sig)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs ``(id_a, id_b, n_bands)`` with id_a < id_b.
+
+    shingle → minhash → split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows → hash each band → explode → self-join on
+    ``(band_idx, band_hash)``. Only docs agreeing on a full band meet —
+    candidate generation is a key-equality join (shuffle on band hash),
+    never a cross product. With r rows/band, P(candidate) ≈ 1-(1-j^r)^b —
+    steep S-curve around j ≈ (1/b)^(1/r)."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    sig_df = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+    )
+    band = sig_df.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(F.concat_ws(
+                        ",", F.slice("_sig", b * rows_per_band + 1,
+                                     rows_per_band))).alias("band_hash"),
+                ),
+            )
+        ).alias("b"),
+    ).select("_id", F.col("b.band_idx").alias("band_idx"),
+             F.col("b.band_hash").alias("band_hash"))
+    left = band.alias("l")
+    right = band.alias("r")
+    return (
+        left.join(right,
+                  (F.col("l.band_idx") == F.col("r.band_idx"))
+                  & (F.col("l.band_hash") == F.col("r.band_hash"))
+                  & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard similarity pairs ``(id_a, id_b, jaccard)``.
+
+    With ``candidates`` (from :func:`minhash_candidates`) this verifies only
+    LSH candidates — the production path. Without, it generates candidates
+    by the shingle-equality join (exact, but O(Σ docs_per_shingle²) —
+    small-scale / oracle use only)."""
+    sh = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(F.array_distinct(
+                      shingles(F.col(text_col), shingle_n))).alias("s"))
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a").join(sh.alias("b"),
+                           (F.col("a.s") == F.col("b.s"))
+                           & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(
+            candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    ja = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a")
+                   .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6)
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return ja
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup dedup: LSH candidates → exact-Jaccard verify → drop the
+    higher id of each ≥threshold pair (greedy, one pass — matches the
+    standard MinHash-dedup recipe; full connected components would need an
+    iterative join, deliberately out of the hot path)."""
+    cand = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    dup_pairs = jaccard_pairs(df, text_col, id_col, shingle_n, threshold,
+                              candidates=cand)
+    drop = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 64-bit near-dup fingerprint, pure higher-order functions
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over token n-grams: per bit, sum +1/−1 votes of each
+    shingle's hash bit; the sign vector packs into one bigint. Hamming
+    distance between simhashes approximates cosine distance of the shingle
+    sets. All JVM-side (aggregate + zip_with); no shuffle."""
+    sh = shingles(col, shingle_n)
+
+    def bit_votes(s):
+        # shift amounts must be Python ints (Spark's shiftright takes a
+        # literal bit count), so the 64 bit positions unroll at compile time
+        h = F.xxhash64(s)
+        return F.array(*[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+            for b in range(64)
+        ])
+
+    counts = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(0).cast("int"), 64),
+        lambda acc, s: F.zip_with(acc, bit_votes(s), lambda a, v: a + v),
+    )
+    from functools import reduce
+
+    bit_vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    packed = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [F.when(counts.getItem(b) > 0, F.lit(bit_vals[b]).cast("long"))
+         .otherwise(F.lit(0).cast("long")) for b in range(64)],
+    )
+    return F.when(F.size(sh) == 0, F.lit(0).cast("long")).otherwise(packed)
+
+
+def simhash_table(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 2) -> DataFrame:
+    return df.select(F.col(id_col), simhash(F.col(text_col), shingle_n)
+                     .alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       shingle_n: int = 2) -> DataFrame:
+    """Near pairs by SimHash: block on 4 × 16-bit chunks (two fingerprints
+    within Hamming ≤ 3 of 64 bits agree exactly on ≥ 1 of 4 chunks —
+    pigeonhole), join per chunk, verify Hamming. Same
+    candidates-by-key-join shape as MinHash LSH."""
+    t = simhash_table(df, text_col, id_col, shingle_n)
+    chunked = t.select(
+        F.col(id_col).alias("_id"), "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"))
+            for i in range(4)
+        ])).alias("c"),
+    ).select("_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    pairs = (
+        chunked.alias("a").join(
+            chunked.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                hamming64(F.col("a.simhash"), F.col("b.simhash"))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -53,10 +53,10 @@ class RuleSet:
     def _bound(self, df: DataFrame) -> list[tuple[str, Column]]:
         """[(column_key, error_array_column)] — one array per bound column.
 
-        Dotted keys annotate one level per segment, innermost first, so a
-        rule on ``address.street`` yields path ``[address, street]`` with
-        per-level message prefixes — same bottom-up annotation as nested
-        derived validators (Derivation.scala:84-95)."""
+        Dotted keys annotate one level per segment, so a rule on
+        ``address.street`` yields path ``[address, street]`` with per-level
+        message prefixes — the same annotation as nested derived validators
+        (Derivation.scala:84-95), computed statically at compile time."""
         from .rules import fill_type_names
 
         ctx = CompileContext(config=self.config)
@@ -64,10 +64,9 @@ class RuleSet:
         for key, rule in self.rules.items():
             segs = key.split(".")
             fill_type_names(rule, _resolve_dtype(df.schema, segs))
-            errs = rule.errors(F.col(key), tuple(segs), ctx)
             tnames = _dtype_chain(df.schema, segs)
-            for seg, tname in zip(reversed(segs), reversed(tnames)):
-                errs = E.annotate_field(errs, seg, tname)
+            ann = tuple(zip(segs, tnames))
+            errs = rule.errors(F.col(key), tuple(segs), ctx, ann)
             out.append((key, errs))
         return out
 
@@ -159,9 +158,12 @@ class ValidationRun:
 
     @property
     def violations(self) -> DataFrame:
+        # no size(...)>0 pre-filter: explode of an empty array already emits
+        # nothing, and a filter would duplicate the whole compiled rule
+        # expression into a second (and scan-pushed third) evaluation
         e = F.col("_e")
         return (
-            self._errs.filter(F.size("_errors") > 0)
+            self._errs
             .select(*self.keys, BUCKET_COL, F.explode("_errors").alias("_e"))
             .select(
                 e["rule_id"].alias("rule_id"),
