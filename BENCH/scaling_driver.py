@@ -19,13 +19,21 @@ N = int(os.environ.get("SCALE_N", "4"))
 N4 = 4 * N
 ROUNDS = int(os.environ.get("SCALE_ROUNDS", "2"))
 TURNS = os.environ.get("VALAR_BENCH_TURNS", "20000000")
+# Host CPU appears burst-limited: sustained high-core-count load gets
+# throttled mid-run (observed 12s -> 75-95s on identical 16-core runs while
+# 4-core runs stay stable). One measured run per JVM + a cool-down between
+# runs keeps each measurement inside the burst budget.
+COOLDOWN = int(os.environ.get("SCALE_COOLDOWN", "20"))
 
 
 def run_level(cpus: int) -> dict:
+    import time
+
+    time.sleep(COOLDOWN)
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                VALAR_BENCH_TURNS=TURNS,
-               VALAR_BENCH_REPEAT="2",
+               VALAR_BENCH_REPEAT="1",
                VALAR_BENCH_FLAGSHIP_ONLY="1")
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "bench.py"]
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,

@@ -60,7 +60,8 @@ def main() -> None:
         run = validate(stored, ruleset)
         n_viol = run.violations.count()
         n_viol += D.transcript_integrity_violations(stored).count()
-        n_viol += D.referential_violations(stored, "conv_id", registry).count()
+        n_viol += D.referential_violations(stored, "conv_id", registry,
+                                          broadcast_parent=False).count()
         dt = time.perf_counter() - t0
         return dt, n_viol
 

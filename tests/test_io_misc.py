@@ -1,0 +1,98 @@
+"""TableProvider seam, translator, error-order config, streaming bolt-on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from valar_spark import ValidationConfig, validate
+from valar_spark import rules as R
+from valar_spark.io import TableProvider
+from valar_spark.translator import translate_errors
+
+
+def test_table_provider_parquet(spark, tmp_path):
+    tp = TableProvider(fmt="parquet", base_path=str(tmp_path))
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    tp.append(df, "t1")
+    got = tp.read(spark, "t1")
+    assert got.count() == 10
+    tp.append(df, "t1")
+    assert tp.read(spark, "t1").count() == 20
+    snap = tp.snapshot_id(spark, "t1")
+    assert snap is not None and snap.startswith("mtime:")
+
+
+def test_table_provider_reads_driver_layout(spark):
+    tp = TableProvider(fmt="parquet", base_path="/root/testdata/sf0.001")
+    assert tp.read(spark, "region").count() > 0  # resolves name.parquet
+
+
+def test_table_provider_partition_overwrite(spark, tmp_path):
+    tp = TableProvider(fmt="parquet", base_path=str(tmp_path))
+    a = spark.createDataFrame([(1, 0), (2, 0), (3, 1)], "v int, p int")
+    tp.overwrite_partitions(a, "t2", ["p"])
+    # rewrite only partition p=0 with ONE row; p=1 must survive
+    b = spark.createDataFrame([(9, 0)], "v int, p int")
+    tp.overwrite_partitions(b, "t2", ["p"])
+    got = {(r["v"], r["p"]) for r in tp.read(spark, "t2").collect()}
+    assert got == {(9, 0), (3, 1)}
+
+
+def test_table_provider_rejects_bad_format():
+    with pytest.raises(ValueError):
+        TableProvider(fmt="orc")
+
+
+def test_translate_errors(spark):
+    df = spark.createDataFrame([(1, "", -2)], "id bigint, s string, n int")
+    viol = validate(df, {"s": R.non_empty(), "n": R.non_negative()},
+                    keys=("id",)).violations
+    catalog = {"validation.string.empty": "Feld darf nicht leer sein"}
+    got = {r["code"]: r["message"]
+           for r in translate_errors(viol, catalog).collect()}
+    # translated by code; other fields and untranslated codes preserved
+    # (Translator.scala:30-47, TranslatorSpec.scala:30-84)
+    assert got["validation.string.empty"] == "Feld darf nicht leer sein"
+    assert "non-negative" in got["validation.number.negative"]
+    assert translate_errors(viol, {}).count() == 2
+
+
+def test_error_order_reversed(spark):
+    # custom accumulator parity: ValidationSpec.scala:258-268 swaps e2 ++ e1
+    df = spark.createDataFrame([(1, "x")], "id bigint, s string")
+    rule = R.min_length(5) & R.matches("[0-9]+")
+    default = validate(df, {"s": rule}, keys=("id",)).violations.collect()
+    assert [r["code"] for r in default] == [
+        "validation.string.too_short", "validation.string.pattern_mismatch"]
+    rev = validate(df, {"s": rule}, keys=("id",),
+                   config=ValidationConfig(error_order="reversed")
+                   ).violations.collect()
+    assert [r["code"] for r in rev] == [
+        "validation.string.pattern_mismatch", "validation.string.too_short"]
+
+
+def test_streaming_violations(spark, tmp_path):
+    """Rule expressions apply verbatim to a stream: feed files through a
+    file-source stream, collect violations in a memory sink."""
+    from valar_spark.streaming import stream_violations
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [("c1", 0, "hello", None), ("c1", 1, "", None), ("c2", -1, "x", None)],
+        "conv_id string, turn_idx int, text string, tool string",
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    viol = stream_violations(
+        stream, {"text": R.non_empty(), "turn_idx": R.non_negative()})
+    q = (viol.writeStream.format("memory").queryName("v_test")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM v_test").collect()
+    finally:
+        q.stop()
+    codes = sorted(r["code"] for r in got)
+    assert codes == ["validation.number.negative", "validation.string.empty"]
+    assert all(r["rule_id"] for r in got)

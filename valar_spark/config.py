@@ -19,6 +19,11 @@ class ValidationConfig:
     # --- reference-parity knobs (ValidationConfig.scala:40-43) ---
     max_collection_size: int | None = None
     max_nesting_depth: int | None = None
+    # Pluggable error accumulation (the reference's ErrorAccumulator is a
+    # typeclass a caller can swap, e.g. to reverse merge order —
+    # ValidationSpec.scala:258-268): "declaration" = ordered Vector concat
+    # (ErrorAccumulator.scala:45-47, the default), "reversed" = e2 ++ e1.
+    error_order: str = "declaration"
 
     # --- engine knobs (BASELINE.json:14 — salted repartition, buckets) ---
     # Deterministic partition key: pmod(xxhash64(partition_col), num_buckets).

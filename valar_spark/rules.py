@@ -455,8 +455,10 @@ class AllOf(Rule):
         self.children = _flatten(children, AllOf)
 
     def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
-        return E.concat_errors(
-            [c.errors(col, rid_prefix, ctx, ann) for c in self.children])
+        parts = [c.errors(col, rid_prefix, ctx, ann) for c in self.children]
+        if ctx.config.error_order == "reversed":
+            parts = list(reversed(parts))  # custom accumulator parity
+        return E.concat_errors(parts)
 
     def rule_ids(self, rid_prefix):
         return [r for c in self.children for r in c.rule_ids(rid_prefix)]

@@ -42,9 +42,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("VALAR_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("VALAR_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # RAM-backed shuffle dir (VALAR_SHM_SHUFFLE=1): a single shared local
+    # disk is a single-box artifact — real clusters have per-node disks —
+    # so local-mode scaling runs use tmpfs to remove it.
+    if os.environ.get("VALAR_SHM_SHUFFLE"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
