@@ -1,0 +1,65 @@
+"""Observer hook (ValidationObserver parity) and the vectorized pandas-UDF
+rule path incl. the async-failure recovery semantics
+(Derivation.scala:405-416)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from valar_spark import ValidationConfig, validate
+from valar_spark import rules as R
+from valar_spark.observer import CollectingObserver
+from valar_spark.runner import RunnerConfig, run_checkpointed
+from valar_spark.validate import RuleSet
+
+
+def test_observer_invoked_per_bucket(spark, tmp_path):
+    from valar_spark.synth import synth_transcripts
+
+    df = synth_transcripts(spark, total_turns=4_000, seed=42)
+    cfg = ValidationConfig(num_buckets=4, salt=2)
+    rs = RuleSet({"text": R.non_empty()}, cfg)
+    obs = CollectingObserver()
+    run_checkpointed(df, rs, RunnerConfig(work_dir=str(tmp_path / "w")),
+                     observer=obs)
+    assert len(obs.events) == 4  # one event per (bucket, rule)
+    assert {e.partition_id for e in obs.events} == {0, 1, 2, 3}
+    assert all(e.rule_id == "text.non_empty" for e in obs.events)
+    assert sum(e.violation_count for e in obs.events) == df.filter(
+        F.col("text").isNull() | (F.trim("text") == "")).count()
+    assert all(e.passed == (e.violation_count == 0) for e in obs.events)
+
+
+def test_pandas_rule_vectorized(spark):
+    rule = R.pandas_rule(
+        lambda s: ~s.str.contains("heck", na=False),
+        "no_profanity_udf",
+        code="validation.string.profanity",
+        message="Comment contains forbidden words",
+    )
+    df = spark.createDataFrame(
+        [(1, "fine text"), (2, "what the heck"), (3, None)],
+        "id bigint, s string")
+    got = {r["id"]: r for r in
+           validate(df, {"s": rule}, keys=("id",)).violations.collect()}
+    assert list(got) == [2]
+    assert got[2]["code"] == "validation.string.profanity"
+    assert got[2]["message"].endswith("Comment contains forbidden words")
+    assert got[2]["actual"] == "what the heck"
+
+
+def test_pandas_rule_failure_recovery(spark):
+    # a UDF that raises marks the rule errored — job does NOT crash
+    # (reference: failed Future => Invalid("Asynchronous validation failed
+    # unexpectedly: ..."), Derivation.scala:405-416)
+    def boom(s):
+        raise RuntimeError("db unavailable")
+
+    rule = R.pandas_rule(boom, "reserved_lookup")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    got = validate(df, {"s": rule}, keys=("id",)).violations.collect()
+    assert len(got) == 2  # every row of the batch marked
+    assert all(r["code"] == "validation.udf.failure" for r in got)
+    assert all("Asynchronous validation failed unexpectedly" in r["message"]
+               for r in got)
+    assert all("db unavailable" in r["message"] for r in got)

@@ -1,0 +1,45 @@
+"""Validation observers — the engine analogue of the reference's
+``ValidationObserver.onResult`` hook (ValidationObserver.scala:82-96).
+
+The reference's observer fires per validated value; a per-row Python hook
+would violate the no-per-row-Python mandate (BASELINE.json:6), so the
+engine invokes observers at the granularity Spark makes free: once per
+bucket-verdict batch (the runner) or once per computed verdict frame.
+The no-op default costs nothing — observers are plain callables, invoked
+driver-side with small aggregate rows only (rows never reach the driver).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class VerdictEvent:
+    """One observed verdict: mirrors the verdict schema."""
+
+    run_id: str
+    partition_id: int
+    rule_id: str
+    passed: bool
+    violation_count: int
+    rows_checked: int
+
+
+Observer = Callable[[Sequence[VerdictEvent]], None]
+
+
+def noop_observer(events: Sequence[VerdictEvent]) -> None:  # pragma: no cover
+    """Transparent default (ValidationObserver.scala:109-111)."""
+
+
+class CollectingObserver:
+    """Test/metrics helper: accumulates every event (the analogue of the
+    reference's ValidationObserverSpec invocation checks)."""
+
+    def __init__(self) -> None:
+        self.events: list[VerdictEvent] = []
+
+    def __call__(self, events: Sequence[VerdictEvent]) -> None:
+        self.events.extend(events)

@@ -101,6 +101,7 @@ def run_checkpointed(
     cfg: RunnerConfig,
     keys: Sequence[str] = ("conv_id", "turn_idx"),
     partition_cols: Sequence[str] = ("conv_id",),
+    observer=None,
 ) -> RunResult:
     spark = df.sparkSession
     vcfg = ruleset.config
@@ -160,6 +161,15 @@ def run_checkpointed(
         total_rows += sum(int(r["rows_checked"]) for r in verd) // max(len(rule_ids), 1)
         (spark.createDataFrame(state_rows, STATE_SCHEMA)
          .coalesce(1).write.mode("append").parquet(cfg.state_path))
+        if observer is not None:
+            from .observer import VerdictEvent
+
+            observer([
+                VerdictEvent(run_id=cfg.run_id, partition_id=r[2],
+                             rule_id=r[4], passed=r[5] == 0,
+                             violation_count=r[5], rows_checked=r[6])
+                for r in state_rows
+            ])
 
     violations = (
         spark.read.parquet(cfg.violations_path)
