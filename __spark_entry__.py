@@ -270,7 +270,11 @@ def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = docs.filter(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") + 100_000).alias("doc_id"),
         "text", "lang", "source", "n_chars")
-    return docs.unionByName(copies)
+    # the local parquet is 1-2 splits — spread the (per-doc heavy) shingle /
+    # signature maps over all cores; a real 100-TB scan already has
+    # thousands of splits and would skip this
+    return docs.unionByName(copies).repartition(
+        spark.sparkContext.defaultParallelism)
 
 
 _DOCS_WITH_COPIES_SQL = """
@@ -336,8 +340,9 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
     u = _docs_with_copies(spark, sf_dir)
-    cand = X.minhash_candidates(u, num_hashes=64, bands=16)
-    return X.jaccard_pairs(u, threshold=0.8, candidates=cand)
+    sets = X.shingle_hash_sets(u, persist=True)
+    cand = X.minhash_candidates(u, num_hashes=64, bands=16, sets=sets)
+    return X.jaccard_pairs(u, threshold=0.8, candidates=cand, sets=sets)
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

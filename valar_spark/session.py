@@ -27,15 +27,19 @@ def get_spark(
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        # Whole-stage fusion of wide validation projections generates
-        # methods beyond HotSpot's JIT huge-method limit, silently running
-        # as interpreted bytecode (measured: 26-36s vs 8s for a 10-leaf rule
-        # set over 20M rows; every dataset rule was >= as fast without
-        # fusion, window ordering 8x faster). Per-expression codegen keeps
-        # each method small and JIT-compiled; Parquet scans stay vectorized.
-        # Re-enable with VALAR_WSCG=1 for narrow-projection workloads.
+        # Whole-stage codegen ON, but with hugeMethodLimit lowered to
+        # HotSpot's JIT huge-method limit (8000 bytecode): a fused method
+        # larger than that silently runs as INTERPRETED bytecode (measured:
+        # 26-36s vs 8s for a 10-leaf rule set over 20M rows), so Spark
+        # should fall back to per-expression codegen exactly at the point
+        # HotSpot would stop JIT-compiling. This scopes the round-1
+        # session-wide codegen=off (which de-optimized every join/agg in
+        # the session, ~2x on the dedup/ANN suite) to just the wide rule
+        # projections that genuinely overflow the JIT.
+        # VALAR_WSCG=0 restores the round-1 behavior for A/B measurement.
         .config("spark.sql.codegen.wholeStage",
-                "true" if os.environ.get("VALAR_WSCG") else "false")
+                "false" if os.environ.get("VALAR_WSCG") == "0" else "true")
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

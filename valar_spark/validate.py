@@ -201,14 +201,30 @@ def verdicts_from(errs: DataFrame, rule_ids: Sequence[str], bucket_col: str = BU
     """(partition_id, rule_id, pass, violation_count, rows_checked) from a
     frame with an ``_errors`` array column. Rules with zero violations still
     appear (pass=true) — the static rule_id list is crossed with the
-    observed buckets."""
+    observed buckets.
+
+    ONE scan of ``errs``: ``posexplode_outer`` keeps a marker row for
+    error-free rows, so per-bucket row counts and per-(bucket, rule)
+    violation counts come out of a single groupBy (a source row is counted
+    once via its first exploded position). The round-1 shape scanned the
+    compiled rule projection twice — 2× the whole validation pass for any
+    caller that didn't persist."""
     spark = errs.sparkSession
-    per_bucket = errs.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("rows_checked"))
-    viol = (
-        errs.select(bucket_col, F.explode("_errors").alias("_e"))
-        .groupBy(bucket_col, F.col("_e")["rule_id"].alias("rule_id"))
-        .agg(F.count(F.lit(1)).alias("violation_count"))
+    ex = errs.select(
+        bucket_col, F.posexplode_outer("_errors").alias("_pos", "_e"))
+    first_of_row = (F.col("_pos") == 0) | F.col("_pos").isNull()
+    g = (
+        ex.groupBy(bucket_col,
+                   F.coalesce(F.col("_e")["rule_id"], F.lit("\u0000"))
+                   .alias("rule_id"))
+        .agg(F.count("_e").alias("violation_count"),
+             F.sum(first_of_row.cast("long")).alias("_first_rows"))
     )
+    # g is ≤ buckets × (rules+1) rows — the rollups below are driver-cheap
+    per_bucket = g.groupBy(bucket_col).agg(
+        F.sum("_first_rows").alias("rows_checked"))
+    viol = g.filter(F.col("rule_id") != "\u0000").select(
+        bucket_col, "rule_id", "violation_count")
     rules_df = spark.createDataFrame([(r,) for r in rule_ids], "rule_id string")
     return (
         per_bucket.crossJoin(F.broadcast(rules_df))
