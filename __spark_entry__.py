@@ -225,6 +225,71 @@ def _q_psi_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ks_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS between even/odd event_id halves on the same
+    fixed-width bins as the PSI query: D = max |ECDF_p - ECDF_q| at bin
+    edges. The cumulative window runs over ≤10 post-aggregation rows —
+    fixed-size regardless of input scale (drift.py:99 ks_binned is the
+    library form; this is its oracle-checkable fixed-bin projection)."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.least(F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)),
+                     F.lit(9)).cast("int")
+    side = (F.pmod(F.col("event_id"), F.lit(2)) == 0).cast("int")
+    hist = (
+        ev.select(bucket.alias("bucket"), side.alias("side"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("side")).cast("double").alias("p_n"),
+            F.sum(1 - F.col("side")).cast("double").alias("q_n"),
+        )
+    )
+    tot = hist.agg(F.sum("p_n").alias("pt"), F.sum("q_n").alias("qt"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("p_n").over(w).alias("cp"),
+        F.sum("q_n").over(w).alias("cq"),
+    )
+    return cum.crossJoin(tot).agg(
+        F.round(F.max(F.abs(F.col("cp") / F.col("pt")
+                            - F.col("cq") / F.col("qt"))), 9).alias("ks")
+    )
+
+
+def _q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return X.content_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def _q_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return X.language_id(docs).select(
+        "doc_id", "lang_pred", F.col("lang_hits").cast("long").alias("lang_hits"))
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (multimodal.py extract_features) over
+    deterministic payloads — documents text re-encoded as opaque binary, so
+    DuckDB can verify the Arrow-batched mapInPandas path (n_bytes + sha)."""
+    from valar_spark import multimodal as M
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("text/plain").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(F.lit("source"), F.lit("documents")).alias("meta"),
+    )
+    return M.extract_features(media).select(
+        "media_id", F.col("n_bytes").cast("long").alias("n_bytes"), "sha")
+
+
 def _q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-rule violations over the synthetic transcript table — rows-only
     check (transcripts are not a registered DuckDB view)."""
@@ -387,6 +452,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordering_events": _q_ordering_events,
         "ordering_events_by_value": _q_ordering_events_by_value,
         "psi_events_value_halves": _q_psi_events_value_halves,
+        "ks_events_value_halves": _q_ks_events_value_halves,
+        "fingerprint_documents": _q_fingerprint_documents,
+        "language_id_documents": _q_language_id_documents,
+        "media_features_documents": _q_media_features,
         "validate_transcripts": _q_validate_transcripts,
         "transcript_verdicts": _q_transcript_verdicts,
         "hll_cardinality_events": _q_hll_cardinality_events,
@@ -507,6 +576,66 @@ def oracle_sql() -> dict[str, str]:
                        * LN(GREATEST(p_n/pt, 1e-6) / GREATEST(q_n/qt, 1e-6))), 9)
                      AS psi
             FROM hist, tot
+        """,
+        "ks_events_value_halves": """
+            WITH binned AS (
+                SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9)
+                         AS bucket,
+                       CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS side
+                FROM events WHERE value IS NOT NULL
+            ), hist AS (
+                SELECT bucket,
+                       CAST(SUM(side) AS DOUBLE) AS p_n,
+                       CAST(SUM(1 - side) AS DOUBLE) AS q_n
+                FROM binned GROUP BY bucket
+            ), tot AS (
+                SELECT SUM(p_n) AS pt, SUM(q_n) AS qt FROM hist
+            ), cum AS (
+                SELECT SUM(p_n) OVER (ORDER BY bucket) AS cp,
+                       SUM(q_n) OVER (ORDER BY bucket) AS cq
+                FROM hist
+            )
+            SELECT ROUND(MAX(ABS(cp / pt - cq / qt)), 9) AS ks
+            FROM cum, tot
+        """,
+        "fingerprint_documents": r"""
+            SELECT doc_id,
+                   md5(CASE WHEN text IS NULL OR TRIM(text) = '' THEN ''
+                        ELSE array_to_string(list_sort(list_distinct(
+                            regexp_split_to_array(TRIM(text), '\s+'))), ' ')
+                        END) AS fingerprint
+            FROM documents
+        """,
+        "language_id_documents": r"""
+            WITH h AS (
+                SELECT doc_id,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(der|die|und|das|ist)\b')), 0) AS de,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(the|and|of|to|is)\b')), 0) AS en,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(el|la|los|que|es)\b')), 0) AS es,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(le|la|et|les|est)\b')), 0) AS fr,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(的|是|了|在|我)\b')), 0) AS zh
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN GREATEST(de, en, es, fr, zh) = 0 THEN 'und'
+                        WHEN de = GREATEST(de, en, es, fr, zh) THEN 'de'
+                        WHEN en = GREATEST(de, en, es, fr, zh) THEN 'en'
+                        WHEN es = GREATEST(de, en, es, fr, zh) THEN 'es'
+                        WHEN fr = GREATEST(de, en, es, fr, zh) THEN 'fr'
+                        ELSE 'zh' END AS lang_pred,
+                   CAST(GREATEST(de, en, es, fr, zh) AS BIGINT) AS lang_hits
+            FROM h
+        """,
+        "media_features_documents": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   LEFT(sha256(text), 16) AS sha
+            FROM documents WHERE text IS NOT NULL
         """,
         "dedup_exact_documents": f"""
             WITH u AS ({_DOCS_WITH_COPIES_SQL})
