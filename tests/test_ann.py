@@ -77,3 +77,20 @@ def test_ivf_recall(spark, emb):
         exact, k=10)
     assert r4 >= 0.5, f"IVF recall@10 too low: {r4}"
     assert r4 > r1, f"recall must grow with nprobe: {r1} -> {r4}"
+
+
+def test_ivf_recall_nlist64_sf01(spark):
+    """Centroids-as-table path at production-ish quantizer size: nlist=64
+    over the sf0.1 embeddings (2000 x 64-dim). Plan stays a broadcast join
+    + window — no 64-entry literal expression (ann.py ivf_build/ivf_topk)."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = ann.brute_force_topk(emb, queries, k=10)
+    assigned, centroids = ann.ivf_build(emb, nlist=64)
+    assert centroids.count() == 64  # centroid TABLE, not literals
+    full = ann.ivf_topk(assigned, centroids, queries, k=10, nprobe=64)
+    assert ann.recall_at_k(full, exact, k=10) == 1.0
+    r16 = ann.recall_at_k(
+        ann.ivf_topk(assigned, centroids, queries, k=10, nprobe=16),
+        exact, k=10)
+    assert r16 >= 0.5, f"IVF recall@10 at nprobe=16/64: {r16}"

@@ -435,3 +435,58 @@ def test_config_presets():
     assert STRICT.max_collection_size == 10_000
     assert STRICT.max_nesting_depth == 20
     assert PERMISSIVE.max_collection_size == 1_000_000
+
+
+def test_recover_value_substitutes_default(spark):
+    """recover(default): Valid(a) => a, Invalid(_) => Valid(default)
+    (ValidationResult.scala:578-581) as a column repair."""
+    from pyspark.sql import functions as F
+
+    from valar_spark.rules import recover_value
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, ""), (3, None)], "id bigint, s string")
+    repaired = df.select(
+        "id", recover_value(R.non_empty(), F.col("s"), "fallback").alias("s"))
+    got = {r["id"]: r["s"] for r in repaired.collect()}
+    assert got == {1: "ok", 2: "fallback", 3: "fallback"}
+
+
+def test_show_and_pretty_print_rendering(spark):
+    """show/prettyPrint line format: `{path.dot-joined}: {message}
+    [code] <severity> (expected: e) (got: a)`, children indented +2
+    (ValidationError.scala:208-248)."""
+    from valar_spark.errors import pretty_print, show_error
+
+    line = show_error(["address", "street"], "String must not be empty",
+                      code="validation.string.empty", severity=None,
+                      expected="non-empty string", actual="")
+    assert line == ("address.street: String must not be empty "
+                    "[validation.string.empty] (expected: non-empty string) "
+                    "(got: )")
+    # no path, no extras => bare message (reference trims the extras gap)
+    assert show_error([], "boom") == "boom"
+    # indent pads like prettyPrint(indent)
+    assert show_error(["f"], "m", indent=2) == "  f: m"
+
+    df = spark.createDataFrame(
+        [(1, None)], "id bigint, s string")
+    viol = validate(df, {"s": R.non_empty()}, keys=("id",)).violations
+    report = pretty_print(viol)
+    assert report.startswith("s: ")
+    assert "[validation.string.null]" in report
+
+
+def test_error_order_dedup(spark):
+    """Set-style accumulation drops duplicate error structs
+    (ErrorAccumulator.scala:50-63 pluggable merge)."""
+    from valar_spark import ValidationConfig
+
+    df = spark.createDataFrame([(1, None)], "id bigint, s string")
+    dup_rule = R.non_empty() & R.non_empty()  # identical errors twice
+    base = validate(df, {"s": dup_rule}, keys=("id",)).violations.count()
+    deduped = validate(
+        df, {"s": dup_rule}, keys=("id",),
+        config=ValidationConfig(error_order="dedup"),
+    ).violations.count()
+    assert base == 2 and deduped == 1

@@ -107,6 +107,52 @@ def test_rule_change_invalidates_state(spark, small_df, tmp_path):
     assert res2.buckets_processed == list(range(4))
 
 
+def test_rule_change_does_not_leak_old_violations(spark, small_df, tmp_path):
+    """Same work_dir, changed rule set: the old run's violation rows live in
+    other (run_id, rule_set_hash) partitions and must not leak into the new
+    run's result (runner.py sink-stamping contract)."""
+    cfg = ValidationConfig(num_buckets=4, salt=2)
+    rc = RunnerConfig(work_dir=str(tmp_path / "w"), run_id="r1",
+                      buckets_per_job=4)
+    first = run_checkpointed(small_df, RuleSet(RULES, cfg), rc)
+    assert first.violations.count() > 0
+    # a rule set that can't fire: every violation row of run 2 must be new
+    rs2 = RuleSet({"text": R.optional(R.max_length(10_000_000))}, cfg)
+    second = run_checkpointed(small_df, rs2, rc)
+    assert second.buckets_processed == list(range(4))
+    assert second.violations.count() == 0  # old rows invisible
+    # and the first run's view is still intact
+    again = run_checkpointed(small_df, RuleSet(RULES, cfg), rc)
+    assert again.buckets_processed == []  # still checkpointed
+    assert again.violations.count() == first.violations.count()
+
+
+def test_crashed_zero_violation_bucket_is_cleared(spark, small_df, tmp_path):
+    """A crashed attempt left violation rows for a bucket; the re-run yields
+    ZERO violations for it — the stale partition must be cleared, not
+    survive (dynamic overwrite alone writes nothing for empty buckets)."""
+    import os
+
+    cfg = ValidationConfig(num_buckets=4, salt=2)
+    rs = RuleSet({"text": R.optional(R.max_length(10_000_000))}, cfg)  # never fires
+    rc = RunnerConfig(work_dir=str(tmp_path / "w"), run_id="r1",
+                      buckets_per_job=4)
+    rsh = rule_set_hash(rs)
+    # fake a crashed attempt: stale violation rows in bucket 0's partition
+    stale_dir = os.path.join(rc.violations_path, "run_id=r1",
+                             f"rule_set_hash={rsh}", "partition_id=0")
+    (spark.createDataFrame(
+        [("text.max_length", "c0", "0", ["text"], "stale", "x", None, "e", "a")],
+        "rule_id string, conv_id string, turn_idx string, "
+        "field_path array<string>, message string, code string, "
+        "severity string, expected string, actual string")
+     .write.mode("overwrite").parquet(stale_dir))
+    res = run_checkpointed(small_df, rs, rc)
+    assert res.violations.count() == 0
+    # verdicts agree: nothing fired
+    assert res.verdicts.filter(F.col("violation_count") > 0).count() == 0
+
+
 def test_crashed_bucket_rerun_is_idempotent(spark, small_df, tmp_path):
     """Violations written but state row missing (crash between the two
     writes) → re-run must REPLACE the bucket's violations, not append."""

@@ -85,13 +85,18 @@ def ivf_build(
                 predictionCol="_cell")
     model = km.fit(vecs)
     assigned = model.transform(vecs).drop("_features")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    # centroids as a TABLE (cell, cvec) rather than literal expressions —
+    # a broadcast-join side that scales to nlist of 10^3-10^4, where an
+    # inlined array-of-structs literal would blow up plan size/compile time
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cvec array<double>")
     return assigned, centroids
 
 
 def ivf_topk(
     assigned: DataFrame,
-    centroids: list[list[float]],
+    centroids: DataFrame | list[list[float]],
     queries: DataFrame,
     k: int = 10,
     nprobe: int = 4,
@@ -100,29 +105,30 @@ def ivf_topk(
     query_id_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: each query probes its ``nprobe`` nearest cells
-    (computed against the tiny broadcast centroid table), then exact cosine
-    within those cells only. The join is a key-equality join on ``_cell`` —
-    the candidate set is |corpus|·nprobe/nlist per query instead of
-    |corpus|."""
+    (ranked via a broadcast join against the ``(cell, cvec)`` centroid
+    table), then exact cosine within those cells only. The corpus join is a
+    key-equality join on ``_cell`` — the candidate set is
+    |corpus|·nprobe/nlist per query instead of |corpus|. ``centroids`` may
+    also be a plain list (converted to a table)."""
     qid = query_id_col or id_col
-    cent = F.array(*[
-        F.struct(F.lit(i).alias("cell"),
-                 F.array(*[F.lit(x) for x in c]).alias("cvec"))
-        for i, c in enumerate(centroids)
-    ])
+    if isinstance(centroids, list):
+        centroids = assigned.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, cvec array<double>")
     q = queries.select(F.col(qid).alias("query_id"),
                        F.col(vec_col).alias("_qvec"))
-    # rank cells per query by centroid distance (broadcast-size math)
-    q_cells = q.select(
-        "query_id", "_qvec",
-        F.explode(F.slice(
-            F.array_sort(
-                F.transform(cent, lambda s: F.struct(
-                    (-cosine(F.col("_qvec"), s["cvec"])).alias("neg_sim"),
-                    s["cell"].alias("cell"),
-                ))
-            ), 1, nprobe)).alias("probe"),
-    ).select("query_id", "_qvec", F.col("probe.cell").alias("_cell"))
+    # rank cells per query by centroid similarity: queries × nlist rows via
+    # broadcast, top-nprobe per query by window — never a literal expression
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "_qvec", "cell",
+        cosine(F.col("_qvec"), F.col("cvec")).alias("_csim"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("cell"))
+    q_cells = (
+        qc.withColumn("_rnk", F.row_number().over(wq))
+        .filter(F.col("_rnk") <= nprobe)
+        .select("query_id", "_qvec", F.col("cell").alias("_cell"))
+    )
 
     cand = assigned.join(F.broadcast(q_cells), "_cell").filter(
         F.col("query_id") != F.col(id_col))

@@ -22,7 +22,9 @@ class ValidationConfig:
     # Pluggable error accumulation (the reference's ErrorAccumulator is a
     # typeclass a caller can swap, e.g. to reverse merge order —
     # ValidationSpec.scala:258-268): "declaration" = ordered Vector concat
-    # (ErrorAccumulator.scala:45-47, the default), "reversed" = e2 ++ e1.
+    # (ErrorAccumulator.scala:45-47, the default), "reversed" = e2 ++ e1,
+    # "dedup" = Set-style accumulation (duplicate error structs dropped,
+    # first occurrence kept — ErrorAccumulator.scala:50-63).
     error_order: str = "declaration"
 
     # --- engine knobs (BASELINE.json:14 — salted repartition, buckets) ---

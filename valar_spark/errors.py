@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Stable error codes, verbatim from the reference helpers
@@ -151,3 +151,52 @@ def concat_errors(arrays: Sequence[Column]) -> Column:
     if len(arrays) == 1:
         return arrays[0]
     return F.concat(*arrays)
+
+
+# ---------------------------------------------------------------------------
+# Rendering — `show` / `prettyPrint` parity (ValidationError.scala:208-248)
+# ---------------------------------------------------------------------------
+
+
+def _format_extras(code=None, severity=None, expected=None, actual=None) -> str:
+    """``[code] <severity> (expected: e) (got: a)`` — present fields only,
+    space-joined (ValidationError.scala:208-215 formatExtras)."""
+    parts = []
+    if code is not None:
+        parts.append(f"[{code}]")
+    if severity is not None:
+        parts.append(f"<{severity}>")
+    if expected is not None:
+        parts.append(f"(expected: {expected})")
+    if actual is not None:
+        parts.append(f"(got: {actual})")
+    return " ".join(parts)
+
+
+def show_error(field_path, message, code=None, severity=None,
+               expected=None, actual=None, indent: int = 0) -> str:
+    """One rendered error line, matching the reference's single-line
+    ``show`` / ``prettyPrint`` base line (ValidationError.scala:228-248):
+    ``{pad}{path.dot-joined}: {message} {extras}``. The engine stores
+    ``field_path`` outer→inner (the reference prepends and reverses on
+    render — same order). Child errors are FLATTENED into sibling rows by
+    the compiler, so nesting renders as extra lines, not recursion."""
+    pad = " " * indent
+    path = ".".join(field_path) + ": " if field_path else ""
+    base = f"{pad}{path}{message} " + _format_extras(
+        code, severity, expected, actual)
+    return base.strip() if indent == 0 else pad + base.strip()
+
+
+def pretty_print(violations: DataFrame, limit: int = 100,
+                 indent: int = 0) -> str:
+    """Multi-line report over a violations frame — the frame-level analogue
+    of ``ValidationError.prettyPrint`` (ValidationError.scala:237-248).
+    Driver-side and bounded: collects at most ``limit`` rows."""
+    rows = violations.limit(limit).collect()
+    return "\n".join(
+        show_error(
+            list(r["field_path"] or []), r["message"], r["code"],
+            r["severity"], r["expected"], r["actual"], indent=indent)
+        for r in rows
+    )

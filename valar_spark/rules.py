@@ -458,7 +458,13 @@ class AllOf(Rule):
         parts = [c.errors(col, rid_prefix, ctx, ann) for c in self.children]
         if ctx.config.error_order == "reversed":
             parts = list(reversed(parts))  # custom accumulator parity
-        return E.concat_errors(parts)
+        out = E.concat_errors(parts)
+        if ctx.config.error_order == "dedup":
+            # Set-accumulator parity (ErrorAccumulator.scala:50-63 allows
+            # arbitrary merge strategies incl. Set dedup): first occurrence
+            # kept, duplicates dropped
+            out = F.array_distinct(out)
+        return out
 
     def rule_ids(self, rid_prefix):
         return [r for c in self.children for r in c.rule_ids(rid_prefix)]
@@ -759,7 +765,10 @@ def fill_type_names(rule: Rule, dtype) -> None:
 
 class Recover(Rule):
     """``recover`` (ValidationResult.scala:578-581) — a repair, not a check:
-    swallow the inner rule's errors. Kept for API parity; emits nothing."""
+    swallow the inner rule's errors. Kept for API parity; emits nothing.
+    For the reference's ``Invalid(_) => Valid(default)`` VALUE substitution,
+    use :func:`recover_value` — in a column engine a repaired value is a
+    projection, not an error row."""
 
     name = "recover"
 
@@ -771,3 +780,17 @@ class Recover(Rule):
 
     def rule_ids(self, rid_prefix):
         return []
+
+
+def recover_value(rule: Rule, col: Column, default,
+                  config=None) -> Column:
+    """Column form of ``recover(default)`` (ValidationResult.scala:578-581):
+    rows the rule accepts keep their value, rows it rejects get ``default``
+    — ``Valid(a) => a, Invalid(_) => Valid(default)``. A single
+    ``when(size(errors) > 0, default)`` projection; composes with
+    ``DataFrame.withColumn`` for in-place repair pipelines."""
+    from .config import DEFAULT
+
+    ctx = CompileContext(config=config or DEFAULT)
+    errs = rule.errors(col, ("recover",), ctx, ())
+    return F.when(F.size(errs) > 0, F.lit(default)).otherwise(col)

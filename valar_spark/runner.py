@@ -13,6 +13,17 @@ cluster sizes. A run processes pending buckets in batches; per batch it
    a crashed bucket replaces, never duplicates),
 5. appends per-bucket verdict + metrics rows to the state table.
 
+Violation rows are STAMPED with ``(run_id, rule_set_hash)`` and the sink is
+partitioned by ``(run_id, rule_set_hash, partition_id)``: reads filter on
+the stamp, so rows from an earlier run or an older rule set in the same
+work_dir can never leak into this run's result (they live in other
+partition directories). Before a bucket is (re)written its partition
+directory is cleared explicitly — dynamic partition overwrite alone would
+leave a crashed attempt's rows behind when the re-run produces ZERO
+violations for that bucket (nothing written ⇒ nothing overwritten). On an
+Iceberg/Delta sink the stamp + ``overwritePartitions`` gives the same
+contract transactionally.
+
 Resume = read the state table, anti-select completed buckets for the same
 ``(run_id, rule_set_hash)``, process only the rest. The rule-set hash
 guards against resuming across a rule change; the table snapshot id is
@@ -127,7 +138,10 @@ def run_checkpointed(
         errs = sub.select(*keys, BUCKET_COL, errors_col.alias("_errors"))
         errs = errs.persist()
         try:
-            viol = _explode_violations(errs, keys)
+            viol = _explode_violations(errs, keys).withColumns({
+                "run_id": F.lit(cfg.run_id),
+                "rule_set_hash": F.lit(rsh),
+            })
             if vcfg.max_violations_per_rule is not None:
                 from pyspark.sql.window import Window
 
@@ -136,9 +150,14 @@ def run_checkpointed(
                 viol = (viol.withColumn("_rn", F.row_number().over(w))
                         .filter(F.col("_rn") <= vcfg.max_violations_per_rule)
                         .drop("_rn"))
-            # idempotent: re-running a crashed bucket replaces its partition
+            # idempotent: re-running a crashed bucket replaces its partition.
+            # Clear the batch's partition dirs first — a re-run that now
+            # yields ZERO violations for a bucket writes no partition, and
+            # dynamic overwrite alone would leave the crashed attempt's rows.
+            _clear_bucket_partitions(cfg, rsh, batch)
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            (viol.write.mode("overwrite").partitionBy(BUCKET_COL)
+            (viol.write.mode("overwrite")
+             .partitionBy("run_id", "rule_set_hash", BUCKET_COL)
              .parquet(cfg.violations_path))
 
             verd = verdicts_from(errs, rule_ids).collect()
@@ -171,11 +190,16 @@ def run_checkpointed(
                 for r in state_rows
             ])
 
-    violations = (
-        spark.read.parquet(cfg.violations_path)
-        if os.path.exists(cfg.violations_path)
-        else _empty_violations(spark, keys)
-    )
+    try:
+        violations = (
+            spark.read.parquet(cfg.violations_path)
+            .filter((F.col("run_id") == cfg.run_id)
+                    & (F.col("rule_set_hash") == rsh))
+        )
+    except Exception:
+        # sink absent or holds no data files (a run with zero violations
+        # writes only _SUCCESS) — same contract, empty frame
+        violations = _empty_violations(spark, keys)
     verdicts = (
         spark.read.parquet(cfg.state_path)
         .filter((F.col("run_id") == cfg.run_id) & (F.col("rule_set_hash") == rsh))
@@ -213,11 +237,26 @@ def _explode_violations(errs: DataFrame, keys: Sequence[str]) -> DataFrame:
     )
 
 
+def _clear_bucket_partitions(cfg: RunnerConfig, rsh: str,
+                             buckets: Sequence[int]) -> None:
+    """Remove the sink partition dirs about to be (re)written — the
+    parquet-directory analogue of Iceberg's ``overwritePartitions`` for the
+    zero-violation re-run case."""
+    import shutil
+
+    for b in buckets:
+        p = os.path.join(
+            cfg.violations_path,
+            f"run_id={cfg.run_id}", f"rule_set_hash={rsh}",
+            f"{BUCKET_COL}={b}")
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def _empty_violations(spark: SparkSession, keys: Sequence[str]) -> DataFrame:
     key_ddl = ", ".join(f"{k} string" for k in keys)
     return spark.createDataFrame(
         [],
         f"rule_id string, {key_ddl}, field_path array<string>, "
         "message string, code string, severity string, expected string, "
-        f"actual string, {BUCKET_COL} int",
+        f"actual string, run_id string, rule_set_hash string, {BUCKET_COL} int",
     )
