@@ -65,8 +65,24 @@ def main() -> None:
         dt = time.perf_counter() - t0
         return dt, n_viol
 
-    # warmup (JVM/codegen), then measured repeats
-    flagship()
+    # warmup on a 10% table: JIT/codegen compile on the full pipeline shape
+    # without burning the host's burst budget before the measured run (this
+    # VM throttles sustained multi-core load; a full-size warmup made the
+    # measured run the throttled one)
+    warm_turns = max(total_turns // 10, 100_000)
+    warm_dir = f"/tmp/valar_bench/turns{warm_turns}"
+    if not os.path.exists(warm_dir):
+        (synth_transcripts(spark, total_turns=warm_turns, seed=42)
+         .write.mode("overwrite").parquet(warm_dir))
+        (synth_registry(spark, total_turns=warm_turns, seed=42)
+         .write.mode("overwrite").parquet(f"{warm_dir}_registry"))
+    warm_stored = spark.read.parquet(warm_dir)
+    warm_registry = spark.read.parquet(f"{warm_dir}_registry")
+    run_w = validate(warm_stored, ruleset)
+    run_w.violations.count()
+    D.transcript_integrity_violations(warm_stored).count()
+    D.referential_violations(warm_stored, "conv_id", warm_registry,
+                             broadcast_parent=False).count()
     times = []
     n_viol = 0
     for _ in range(repeat):
