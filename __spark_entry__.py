@@ -417,6 +417,48 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 max_hamming=3)
 
 
+def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"))
+
+
+def _q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import ann
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ann.cosine_pairs_exact(emb, threshold=0.3).orderBy("id_a", "id_b")
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: RHP sketch has no SQL analogue; recall vs the exact pairs
+    # is pinned in tests/test_ann.py. Near-dups planted deterministically
+    # (one nudged coordinate => cosine ~0.999).
+    from valar_spark import ann
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    near = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.05)).cast("float")),
+            F.slice("embedding", 2, 100_000),
+        ).alias("embedding"))
+    return ann.embedding_near_dup_pairs(emb.unionByName(near),
+                                        threshold=0.95, max_hamming=6)
+
+
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the winnowing selection (rolling hash + window min) is not
+    # practically SQL-expressible; set behavior pinned in test_textops
+    from valar_spark import textops as X
+
+    return X.winnow_match_pairs(_docs_with_copies(spark, sf_dir),
+                                min_shared=5, max_df=10)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import ann
 
@@ -466,6 +508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_documents": _q_jaccard_pairs,
         "minhash_near_dup_pairs": _q_minhash_near_dups,
         "simhash_pairs_documents": _q_simhash_pairs,
+        "bpe_token_count_documents": _q_bpe_token_count,
+        "embedding_cosine_pairs": _q_embedding_cosine_pairs,
+        "embedding_near_dup_pairs": _q_embedding_near_dups,
+        "winnow_pairs_documents": _q_winnow_pairs,
         "ann_topk_embeddings": _q_ann_topk,
         "ann_ivf_topk_embeddings": _q_ann_ivf,
     }
@@ -700,6 +746,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "bpe_token_count_documents": r"""
+            SELECT doc_id,
+                   CAST(COALESCE(len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')),
+                       0) AS BIGINT) AS bpe_tokens
+            FROM documents
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.3
             ORDER BY id_a, id_b
         """,
         "ann_topk_embeddings": """

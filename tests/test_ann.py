@@ -94,3 +94,42 @@ def test_ivf_recall_nlist64_sf01(spark):
         ann.ivf_topk(assigned, centroids, queries, k=10, nprobe=16),
         exact, k=10)
     assert r16 >= 0.5, f"IVF recall@10 at nprobe=16/64: {r16}"
+
+
+def test_cosine_pairs_exact_matches_numpy(spark, emb):
+    import numpy as np
+
+    data = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    ids = sorted(data)
+    expected = {}
+    for i, a in enumerate(ids):
+        va = data[a] / np.linalg.norm(data[a])
+        for b in ids[i + 1:]:
+            vb = data[b] / np.linalg.norm(data[b])
+            c = float(va @ vb)
+            if c >= 0.3:
+                expected[(a, b)] = round(c, 6)
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in ann.cosine_pairs_exact(emb, threshold=0.3).collect()}
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 2e-6
+
+
+def test_embedding_near_dup_recall(spark, emb):
+    # plant near-duplicates: one coordinate nudged => cosine ~0.999
+    near = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.05)).cast("float")),
+            F.slice("embedding", 2, 10_000),
+        ).alias("embedding"))
+    u = emb.select("vec_id", "embedding").unionByName(near)
+    pairs = ann.embedding_near_dup_pairs(u, threshold=0.95, max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(i, i + 100_000) for i in range(30)}
+    found = len(planted & got)
+    assert found / len(planted) >= 0.8, f"near-dup recall {found}/30"
+    # and no flood of false positives (random vectors aren't near-dups)
+    assert len(got) <= len(planted) * 3

@@ -161,3 +161,35 @@ def test_shingles_short_doc(spark):
     got = df.select(X.shingles(F.col("text"), 3).alias("s")).collect()
     assert got[0]["s"] == ["a b"]  # shorter than n → whole text
     assert got[1]["s"] == []
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world, it's 42 tokens!"),
+         (2, None), (3, ""), (4, "a")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", X.bpe_token_count(F.col("text")).alias("n")).collect()}
+    # Hello | world | , | it | 's | 42 | tokens | !  => 8
+    assert got[1] == 8
+    assert got[2] == 0 and got[3] == 0 and got[4] == 1
+
+
+def test_winnow_fingerprints_match_and_locality(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " and then some extra tail here"),
+         (4, "completely different content with other words entirely"),
+         (5, None)],
+        "doc_id bigint, text string")
+    t = {r["_id"]: set(r["_fp"]) for r in
+         X.winnow_fingerprint_table(df).collect()}
+    assert t[1] == t[2]                      # identical text, identical set
+    shared13 = len(t[1] & t[3]) / len(t[1])
+    assert shared13 > 0.8                    # local overlap dominates
+    assert len(t[1] & t[4]) <= 1             # unrelated docs share ~nothing
+    assert t[5] == set()
+    pairs = {(r["id_a"], r["id_b"]): r["shared_fp"]
+             for r in X.winnow_match_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs

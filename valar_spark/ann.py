@@ -156,3 +156,164 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
         (F.coalesce(F.col("h"), F.lit(0)) / F.col("n")).alias("r"))
     row = per_q.agg(F.avg("r").alias("recall")).first()
     return float(row["recall"]) if row["recall"] is not None else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicate pairs — exact baseline + RHP-LSH scale path
+# ---------------------------------------------------------------------------
+
+
+def cosine_pairs_exact(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs ``(id_a, id_b, cosine)`` with ``cosine >= threshold`` and
+    ``id_a < id_b`` — EXACT O(N²) baseline, the recall oracle for
+    :func:`embedding_near_dup_pairs` (mirrors the brute-force/LSH split of
+    the text dedup ops).
+
+    Shape: the (normalized) corpus matrix is broadcast once; each scan
+    partition multiplies its Arrow batch against it (numpy matmul) and
+    emits only the passing pairs. No crossJoin row materialization, FLOPs
+    distribute over partitions — valid while N×dim fits a broadcast
+    (baseline use); beyond that, use the LSH path."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    m = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    bc = corpus.sparkSession.sparkContext.broadcast((ids, mn))
+
+    def gen(batches):
+        import pandas as pd
+
+        b_ids, b_mn = bc.value
+        for pdf in batches:
+            v = np.array([np.asarray(x, dtype=np.float64)
+                          for x in pdf[vec_col]])
+            vid = pdf[id_col].to_numpy(dtype=np.int64)
+            nv = np.linalg.norm(v, axis=1)
+            nv[nv == 0] = 1.0
+            sims = (v / nv[:, None]) @ b_mn.T  # (batch, N)
+            out_a, out_b, out_s = [], [], []
+            for i in range(len(vid)):
+                mask = (sims[i] >= threshold) & (b_ids > vid[i])
+                if mask.any():
+                    out_a.append(np.full(int(mask.sum()), vid[i]))
+                    out_b.append(b_ids[mask])
+                    out_s.append(sims[i][mask])
+            if out_a:
+                yield pd.DataFrame({
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cosine": np.round(np.concatenate(out_s), 6),
+                })
+            else:
+                yield pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                    "id_b": pd.Series([], dtype="int64"),
+                                    "cosine": pd.Series([], dtype="float64")})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema="id_a long, id_b long, cosine double")
+
+
+def rhp_sketch(vec_col: Column, bits: int = 64, seed: int = 7,
+               dim: int | None = None) -> Column:
+    """Random-hyperplane (sign-random-projection) 64-bit sketch of an
+    embedding: bit b = sign(v · h_b) with SplitMix64-seeded Gaussian-ish
+    hyperplanes. Hamming distance estimates the angle:
+    ``P(bit differs) = theta / pi`` — the embedding analogue of SimHash.
+    Arrow-batched numpy; hyperplanes regenerate deterministically per
+    worker from the seed (no broadcast needed)."""
+
+    @F.pandas_udf("long")
+    def sk(vs):  # pd.Series[np.ndarray] -> pd.Series[int64]
+        import numpy as np
+        import pandas as pd
+
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        v = np.array([np.asarray(x, dtype=np.float64) for x in vs])
+        d = v.shape[1]
+        rng = np.random.default_rng(seed)
+        h = rng.standard_normal((d, bits))
+        signs = (v @ h) > 0
+        weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+        packed = (signs.astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
+
+    return sk(vec_col)
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    max_hamming: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate embedding pairs at scale: RHP sketch → 16-bit chunk
+    blocking (pigeonhole: hamming ≤ 3 guarantees a shared chunk; wider
+    hamming trades recall) → exact cosine verification ONLY on candidates
+    (vectorized per Arrow batch). Same O(candidates)-never-O(N²) contract
+    as the MinHash text path; for cosine ≥ 0.95 the expected hamming is
+    ≈ 64·acos(0.95)/π ≈ 6.5 bits of 64."""
+    t = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                      rhp_sketch(F.col(vec_col), seed=seed).alias("_sk"))
+    from pyspark import StorageLevel
+
+    t = t.persist(StorageLevel.MEMORY_AND_DISK)
+    chunked = t.select(
+        "_id", "_sk",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("ci"),
+                     F.shiftright(F.col("_sk"), i * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("cv"))
+            for i in range(4)
+        ])).alias("c"),
+    ).select("_id", "_sk", "c.ci", "c.cv")
+    cand = (
+        chunked.alias("a").join(
+            chunked.alias("b"),
+            (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.bit_count(F.col("a._sk").bitwiseXOR(F.col("b._sk")))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    paired = (
+        cand.join(t.select(F.col("_id").alias("id_a"),
+                           F.col("_v").alias("_va")), "id_a")
+        .join(t.select(F.col("_id").alias("id_b"),
+                       F.col("_v").alias("_vb")), "id_b")
+    )
+
+    @F.pandas_udf("double")
+    def pair_cos(va, vb):
+        import numpy as np
+        import pandas as pd
+
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.array([np.asarray(x, dtype=np.float64) for x in va])
+        b = np.array([np.asarray(x, dtype=np.float64) for x in vb])
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        return pd.Series(np.round((a * b).sum(axis=1) / (na * nb), 6))
+
+    return (
+        paired.select("id_a", "id_b",
+                      pair_cos(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -602,3 +602,110 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting — subword-style segmentation count, pure regex
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer, restricted to the RE2∩Java-regex common subset
+# (no lookahead): contractions, space-prefixed letter runs, digit runs,
+# punctuation runs. Runs of extra whitespace are not counted — a documented
+# divergence from GPT-2's trailing-space tokens.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Approximate subword token count via the GPT-2-style pretokenizer
+    regex — the standard cheap 'how many LLM tokens is this' estimate for
+    pipeline budgeting. One JVM regexp pass, no shuffle; null ⇒ 0."""
+    return F.coalesce(F.regexp_count(col, F.lit(BPE_ISH_PATTERN)), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash) fingerprints — MOSS-style local document
+# fingerprinting over character k-grams
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprint set (array<bigint>): hash every character
+    k-gram (polynomial rolling hash over UTF-8 bytes), slide a window of
+    ``w`` hashes, keep each window's minimum — the classic MOSS guarantee:
+    any match of length ≥ k + w − 1 between two documents shares a selected
+    fingerprint. Arrow-batched numpy (stride-tricks k-gram view + sliding
+    window min); texts shorter than k get one whole-text hash."""
+
+    @F.pandas_udf("array<bigint>")
+    def fp(texts):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = 1
+        base = np.uint64(1099511628211)  # FNV prime as the rolling base
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * base
+        out = []
+        empty = np.empty(0, dtype=np.int64)
+        for t in texts:
+            if not isinstance(t, str) or not t.strip():
+                out.append(empty)
+                continue
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if len(b) < k:
+                h = (_splitmix64((b.astype(np.uint64) * powers[:len(b)])
+                                 .sum(dtype=np.uint64, keepdims=True)))
+                out.append(h.view(np.int64))
+                continue
+            grams = sliding_window_view(b, k).astype(np.uint64)  # (n-k+1, k)
+            hashes = _splitmix64(grams @ powers)
+            if len(hashes) <= w:
+                sel = hashes.min(keepdims=True)
+            else:
+                sel = sliding_window_view(hashes, w).min(axis=1)
+            out.append(np.unique(sel).view(np.int64))
+        return pd.Series(out)
+
+    return fp(col)
+
+
+def winnow_fingerprint_table(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", k: int = 8,
+                             w: int = 4) -> DataFrame:
+    """(_id, _fp: array<bigint>) — selected winnowing fingerprints per doc."""
+    return df.select(F.col(id_col).alias("_id"),
+                     winnow_fingerprints(F.col(text_col), k, w).alias("_fp"))
+
+
+def winnow_match_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 8, w: int = 4,
+                       min_shared: int = 2, max_df: int = 50) -> DataFrame:
+    """Local-similarity pairs ``(id_a, id_b, shared_fp)`` — docs sharing ≥
+    ``min_shared`` winnowing fingerprints, i.e. at least one common run of
+    ~k+w−1 characters per shared print (the MOSS plagiarism/contamination
+    detector). Candidates come from an equality join on the exploded
+    fingerprint (shuffle on a long key), never all-pairs — the same
+    blocking shape as MinHash LSH, but sensitive to LOCAL overlap
+    (quotes, boilerplate, contamination) rather than whole-document
+    similarity.
+
+    ``max_df`` drops fingerprints appearing in more than that many docs
+    before the self-join (standard MOSS stop-gram removal): corpus
+    boilerplate prints form quadratic join groups AND carry no similarity
+    signal — without this cap a hot 8-gram shared by 10^6 docs would
+    expand to 10^12 candidate rows at scale."""
+    t = winnow_fingerprint_table(df, text_col, id_col, k, w)
+    ex = t.select("_id", F.explode("_fp").alias("h"))
+    rare = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df).select("h"))
+    ex = ex.join(rare, "h", "left_semi")
+    return (
+        ex.alias("a").join(ex.alias("b"),
+                           (F.col("a.h") == F.col("b.h"))
+                           & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
