@@ -456,7 +456,7 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
     return X.winnow_match_pairs(_docs_with_copies(spark, sf_dir),
-                                min_shared=5, max_df=10)
+                                min_shared=5, max_df_frac=0.02)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -96,3 +96,45 @@ def test_streaming_violations(spark, tmp_path):
     codes = sorted(r["code"] for r in got)
     assert codes == ["validation.number.negative", "validation.string.empty"]
     assert all(r["rule_id"] for r in got)
+
+
+def test_streaming_stateful_integrity_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps (max_turn, max_ts) per conversation
+    ACROSS micro-batches: a duplicate turn or ts regression arriving in a
+    later batch is flagged — the stateless projection cannot do this."""
+    import time as _time
+
+    from valar_spark.streaming import stream_integrity_stateful
+
+    src = str(tmp_path / "src")
+    schema = "conv_id string, turn_idx int, ts timestamp"
+    batch1 = spark.createDataFrame(
+        [("A", 0, "2026-01-01 00:00:10"), ("A", 1, "2026-01-01 00:00:20"),
+         ("A", 2, "2026-01-01 00:00:30"), ("B", 0, "2026-01-01 00:00:05")],
+        "conv_id string, turn_idx int, ts string",
+    ).select("conv_id", "turn_idx", F.col("ts").cast("timestamp"))
+    batch2 = spark.createDataFrame(
+        [("A", 2, "2026-01-01 00:00:40"),   # duplicate turn, later batch
+         ("A", 3, "2026-01-01 00:00:01"),   # ts regression
+         ("A", 4, "2026-01-01 00:00:50")],  # clean
+        "conv_id string, turn_idx int, ts string",
+    ).select("conv_id", "turn_idx", F.col("ts").cast("timestamp"))
+    batch1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    _time.sleep(1.1)  # file-source orders by mtime
+    batch2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+
+    stream = (spark.readStream.schema(batch1.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{src}/b*"))
+    q = (stream_integrity_stateful(stream).writeStream
+         .format("memory").queryName("integrity_mem")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM integrity_mem").collect()
+    got = {(r["conv_id"], r["turn_idx"], r["rule_id"]) for r in rows}
+    assert ("A", 2, "dataset.uniqueness") in got     # cross-batch duplicate
+    assert ("A", 3, "dataset.ordering") in got       # cross-batch regression
+    assert not any(c == "B" for c, _, _ in got)
+    assert len(got) == 2

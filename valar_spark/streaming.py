@@ -76,3 +76,68 @@ def stream_verdict_counts(
                  F.col("_e")["rule_id"].alias("rule_id"))
         .agg(F.count(F.lit(1)).alias("violation_count"))
     )
+
+
+STATEFUL_OUTPUT_DDL = (
+    "conv_id string, turn_idx int, rule_id string, code string, "
+    "message string")
+_STATE_DDL = "max_turn int, max_ts_us long, rows_seen long"
+
+
+def stream_integrity_stateful(
+    stream_df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CROSS-micro-batch uniqueness + ordering monitor — the custom
+    stateful operator the stateless projection cannot express: a duplicate
+    turn_idx or a ts regression is flagged even when the offending turn
+    arrives BATCHES after the original (``applyInPandasWithState``; state =
+    (max_turn, max_ts, rows_seen) per conversation, ~20 bytes/conv in the
+    state store).
+
+    Semantics per conversation: rows of each micro-batch are processed in
+    (turn_idx, ts) order; a turn with ``turn_idx <= max_turn`` seen so far
+    is a duplicate/out-of-order violation (dataset.uniqueness), a turn
+    whose ts precedes the running max is an ordering violation
+    (dataset.ordering) — the incremental analogue of
+    ``dataset_rules.transcript_integrity_violations``, whose batch output
+    is the parity oracle for a single-batch stream."""
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            max_turn, max_ts_us, rows_seen = state.get
+        else:
+            max_turn, max_ts_us, rows_seen = -1, -(1 << 62), 0
+        conv = key[0]
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([order_col, ts_col])
+            for turn, ts in zip(pdf[order_col], pdf[ts_col]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if turn <= max_turn:
+                    out.append((conv, int(turn), "dataset.uniqueness",
+                                "validation.dataset.duplicate_key",
+                                f"turn_idx {turn} already seen "
+                                f"(max {max_turn})"))
+                else:
+                    max_turn = int(turn)
+                if ts_us < max_ts_us:
+                    out.append((conv, int(turn), "dataset.ordering",
+                                "validation.dataset.ordering",
+                                f"{ts_col} regressed within {conv}"))
+                else:
+                    max_ts_us = ts_us
+                rows_seen += 1
+        state.update((max_turn, max_ts_us, rows_seen))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["conv_id", "turn_idx", "rule_id", "code",
+                              "message"])
+
+    return stream_df.groupBy(conv_col).applyInPandasWithState(
+        fn, STATEFUL_OUTPUT_DDL, _STATE_DDL, "append",
+        "NoTimeout")

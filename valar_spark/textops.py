@@ -681,7 +681,8 @@ def winnow_fingerprint_table(df: DataFrame, text_col: str = "text",
 
 def winnow_match_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 8, w: int = 4,
-                       min_shared: int = 2, max_df: int = 50) -> DataFrame:
+                       min_shared: int = 2, max_df: int | None = 50,
+                       max_df_frac: float | None = None) -> DataFrame:
     """Local-similarity pairs ``(id_a, id_b, shared_fp)`` — docs sharing ≥
     ``min_shared`` winnowing fingerprints, i.e. at least one common run of
     ~k+w−1 characters per shared print (the MOSS plagiarism/contamination
@@ -695,7 +696,12 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
     before the self-join (standard MOSS stop-gram removal): corpus
     boilerplate prints form quadratic join groups AND carry no similarity
     signal — without this cap a hot 8-gram shared by 10^6 docs would
-    expand to 10^12 candidate rows at scale."""
+    expand to 10^12 candidate rows at scale. ``max_df_frac`` sets the cap
+    as a fraction of the corpus size instead (one cheap count; an absolute
+    cap over-prunes as the corpus — and every template print's df — grows
+    10×)."""
+    if max_df_frac is not None:
+        max_df = max(2, int(max_df_frac * df.count()))
     t = winnow_fingerprint_table(df, text_col, id_col, k, w)
     ex = t.select("_id", F.explode("_fp").alias("h"))
     rare = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
