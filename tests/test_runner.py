@@ -170,3 +170,19 @@ def test_crashed_bucket_rerun_is_idempotent(spark, small_df, tmp_path):
     second = run_checkpointed(small_df, rs, rc)
     assert second.buckets_processed == list(range(4))
     assert second.violations.count() == n  # replaced, not doubled
+
+
+def test_diff_runs(spark, small_df, tmp_path):
+    """exceptAll run-diff: a second run with an extra rule differs exactly
+    by that rule's violations, in both directions."""
+    from valar_spark.runner import diff_runs
+
+    cfg = ValidationConfig(num_buckets=4, salt=2)
+    base = validate(small_df, RULES, config=cfg).violations
+    wider = validate(small_df, {**RULES, "role": R.one_of(["user"])},
+                     config=cfg).violations
+    only_base, only_wider = diff_runs(base, wider)
+    assert only_base.count() == 0
+    extra = only_wider.select("rule_id").distinct().collect()
+    assert {r["rule_id"] for r in extra} == {"role.one_of"}
+    assert only_wider.count() == wider.count() - base.count()

@@ -260,3 +260,20 @@ def _empty_violations(spark: SparkSession, keys: Sequence[str]) -> DataFrame:
         "message string, code string, severity string, expected string, "
         f"actual string, run_id string, rule_set_hash string, {BUCKET_COL} int",
     )
+
+
+def diff_runs(a: DataFrame, b: DataFrame,
+              columns: Sequence[str] | None = None) -> tuple[DataFrame, DataFrame]:
+    """Set-difference two violation frames (e.g. two runs of different
+    rule sets or table snapshots): returns ``(only_in_a, only_in_b)`` via
+    ``exceptAll`` — multiset semantics, so duplicate violation rows diff
+    correctly. ``columns`` restricts the comparison (default: the shared
+    columns minus run bookkeeping), letting a run stamped with run_id /
+    rule_set_hash diff against an unstamped direct-validation frame."""
+    if columns is None:
+        bookkeeping = {"run_id", "rule_set_hash", "snapshot_id"}
+        columns = [c for c in a.columns
+                   if c in set(b.columns) and c not in bookkeeping]
+    pa = a.select(*columns)
+    pb = b.select(*columns)
+    return pa.exceptAll(pb), pb.exceptAll(pa)
