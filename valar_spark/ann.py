@@ -70,6 +70,7 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 20,
 ):
     """Train the coarse quantizer and assign every corpus vector to its
     nearest centroid. Returns ``(assigned_df, centroids)`` where
@@ -82,7 +83,7 @@ def ivf_build(
                          array_to_vector(F.col(vec_col).cast("array<double>"))
                          .alias("_features"))
     km = KMeans(k=nlist, seed=seed, featuresCol="_features",
-                predictionCol="_cell")
+                predictionCol="_cell", maxIter=max_iter)
     model = km.fit(vecs)
     assigned = model.transform(vecs).drop("_features")
     # centroids as a TABLE (cell, cvec) rather than literal expressions —
