@@ -410,6 +410,23 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.jaccard_pairs(u, threshold=0.8, candidates=cand, sets=sets)
 
 
+def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: exact-Jaccard pairs (same params as
+    jaccard_pairs_documents) → connected components → (doc_id, component
+    = min reachable doc_id). Oracle: DuckDB recursive CTE (transitive
+    closure is tiny at test scale; the Spark side is the iterative
+    min-label join that runs at corpus scale)."""
+    from valar_spark import textops as X
+
+    pairs = X.jaccard_pairs(_docs_with_copies(spark, sf_dir), shingle_n=3,
+                            threshold=0.5)
+    return (
+        X.connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
@@ -508,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": _q_quality,
         "en_marker_hits_documents": _q_en_marker_hits,
         "jaccard_pairs_documents": _q_jaccard_pairs,
+        "near_dup_components_documents": _q_near_dup_components,
         "minhash_near_dup_pairs": _q_minhash_near_dups,
         "simhash_pairs_documents": _q_simhash_pairs,
         "bpe_token_count_documents": _q_bpe_token_count,
@@ -749,6 +767,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "near_dup_components_documents": rf"""
+            WITH RECURSIVE u AS ({_DOCS_WITH_COPIES_SQL}),
+            toks AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
+                FROM u WHERE text IS NOT NULL AND TRIM(text) <> ''
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, GREATEST(len(t) - 2, 1)),
+                    i -> array_to_string(t[i:i+2], ' ')))) AS s
+                FROM toks
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(s, d) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+            )
+            SELECT s AS doc_id, LEAST(s, MIN(d)) AS component
+            FROM reach GROUP BY s ORDER BY doc_id
         """,
         "bpe_token_count_documents": r"""
             SELECT doc_id,

@@ -1,0 +1,33 @@
+"""spark-submit --py-files packaging: the zip must make valar_spark
+importable from a bare interpreter with only the artifact on sys.path
+(exactly what --py-files does on executors)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import zipfile
+
+from valar_spark.packaging import build_pyfiles_zip
+
+
+def test_build_pyfiles_zip_importable(tmp_path):
+    out = build_pyfiles_zip(str(tmp_path))
+    names = zipfile.ZipFile(out).namelist()
+    assert "valar_spark/__init__.py" in names
+    assert "valar_spark/rules.py" in names
+    assert all(n.startswith("valar_spark/") for n in names)
+    # import from the zip alone, cwd outside the repo
+    code = ("import sys; sys.path.insert(0, sys.argv[1]); "
+            "import valar_spark; from valar_spark.rules import non_empty; "
+            "print(valar_spark.__name__)")
+    res = subprocess.run([sys.executable, "-c", code, out],
+                         capture_output=True, text=True, cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr
+    assert res.stdout.strip() == "valar_spark"
+
+
+def test_build_is_deterministic(tmp_path):
+    a = build_pyfiles_zip(str(tmp_path / "a"))
+    b = build_pyfiles_zip(str(tmp_path / "b"))
+    assert open(a, "rb").read() == open(b, "rb").read()

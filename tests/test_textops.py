@@ -193,3 +193,38 @@ def test_winnow_fingerprints_match_and_locality(spark):
              for r in X.winnow_match_pairs(df, min_shared=2).collect()}
     assert (1, 2) in pairs and (1, 3) in pairs
     assert (1, 4) not in pairs
+
+
+def test_connected_components_transitive(spark):
+    # chain 1-2-3, isolated pair 10-11, and the greedy-over-keep shape
+    # (20,23),(21,23): 20 and 21 never appear as id_b but share a cluster
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 23), (21, 23)],
+        "id_a bigint, id_b bigint")
+    cc = {r["id"]: r["component"]
+          for r in X.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 23: 20}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert X.connected_components(pairs).count() == 0
+
+
+def test_dedup_components_vs_greedy(spark):
+    # doc5 = 100 distinct tokens; doc1/doc2 = two 85-token windows of it.
+    # j(1,5)=j(2,5)=0.85 >= 0.75, j(1,2)=70/100=0.70 < 0.75: pairs are
+    # (1,5),(2,5) only. Greedy keeps {1,2} (2 is the local min of its only
+    # pair); components resolves the transitive cluster {1,2,5} -> keeps 1.
+    words = [f"w{i:03d}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words[:85])),
+         (2, " ".join(words[15:])),
+         (5, " ".join(words))],
+        "doc_id bigint, text string")
+    kept_greedy = {r["doc_id"] for r in X.dedup_minhash(
+        df, threshold=0.75, shingle_n=1, strategy="greedy").collect()}
+    kept_cc = {r["doc_id"] for r in X.dedup_minhash(
+        df, threshold=0.75, shingle_n=1, strategy="components").collect()}
+    assert kept_greedy == {1, 2}
+    assert kept_cc == {1}

@@ -9,6 +9,8 @@ checkpoint/resume.
 """
 
 from .config import DEFAULT, PERMISSIVE, STRICT, ValidationConfig
+from .errors import pretty_print, show_error
+from .rules import recover_value
 from .validate import RuleSet, ValidationRun, validate
 
 __all__ = [
@@ -18,6 +20,9 @@ __all__ = [
     "RuleSet",
     "ValidationConfig",
     "ValidationRun",
+    "pretty_print",
+    "recover_value",
+    "show_error",
     "validate",
 ]
 

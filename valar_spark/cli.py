@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
         (res.verdicts.groupBy("rule_id")
          .agg({"violation_count": "sum", "rows_checked": "sum"})
          .orderBy("rule_id").show(100, truncate=False))
+        from valar_spark.errors import pretty_print
+
+        sample = pretty_print(res.violations, limit=20)
+        if sample:
+            print("sample violations (reference show/prettyPrint format):")
+            print(sample)
     spark.stop()
     return 0
 

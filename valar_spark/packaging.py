@@ -1,0 +1,58 @@
+"""Build the ``spark-submit --py-files`` artifact.
+
+The north rule (BASELINE.json:6) requires the engine to ship "as a
+spark-submit --py-files package": one zip whose root contains the
+``valar_spark`` package, importable by every executor Python worker.
+
+Usage::
+
+    python -m valar_spark.packaging /path/to/dist
+    spark-submit --py-files /path/to/dist/valar_spark.zip your_job.py
+
+The zip is deterministic (sorted entries, fixed timestamps) so repeated
+builds of the same source are byte-identical — convenient for
+content-addressed artifact caches on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+# fixed zip timestamp (zip format can't store pre-1980); makes builds
+# reproducible byte-for-byte for identical sources
+_EPOCH = (1980, 1, 1, 0, 0, 0)
+
+
+def build_pyfiles_zip(dest_dir: str, name: str = "valar_spark.zip") -> str:
+    """Zip the installed ``valar_spark`` package (``.py`` sources only) into
+    ``dest_dir`` and return the artifact path. The archive layout is
+    ``valar_spark/<module>.py`` — exactly what ``--py-files`` prepends to
+    ``sys.path`` on driver and executors."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(dest_dir, exist_ok=True)
+    out = os.path.join(dest_dir, name)
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                rel = os.path.join(
+                    "valar_spark", os.path.relpath(full, pkg_dir))
+                entries.append((rel, full))
+    entries.sort()
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for rel, full in entries:
+            info = zipfile.ZipInfo(rel, date_time=_EPOCH)
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0o644 << 16
+            with open(full, "rb") as fh:
+                zf.writestr(info, fh.read())
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+
+    dest = sys.argv[1] if len(sys.argv) > 1 else "dist"
+    print(build_pyfiles_zip(dest))

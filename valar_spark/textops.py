@@ -486,6 +486,63 @@ def jaccard_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list: returns one row
+    ``(id, component)`` per distinct id, where ``component`` is the minimum
+    id reachable from it (the canonical cluster label of duplicate-group
+    dedup).
+
+    Iterative min-label propagation: every node starts labelled with the
+    min of itself and its direct neighbors; each round takes the min label
+    over the neighborhood. One key-equality join + one groupBy per round —
+    a bounded number of ordinary shuffles, never an all-pairs product.
+    Converges in ≤ graph-diameter rounds; near-duplicate graphs are dense
+    cliques with short bridges (diameter 2-4 in practice), so 2-3 rounds
+    is typical. Lineage is truncated per round with an eager
+    ``localCheckpoint`` (iterative plans otherwise grow unboundedly), and
+    the only driver traffic is one changed-label count per round. For
+    adversarially long chains the large-star/small-star rounds of the
+    MapReduce-CC literature drop the bound to O(log n) — the hook is this
+    same function signature.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    convergence (returning a half-propagated labelling would silently
+    split clusters)."""
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+        .distinct()
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # round 0 folded in: label = min(self, direct neighbors)
+    labels = edges.groupBy("u").agg(F.min("v").alias("_m")).select(
+        "u", F.least(F.col("u"), F.col("_m")).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        lbl_of_v = labels.select(F.col("u").alias("v"),
+                                 F.col("label").alias("_vlabel"))
+        neigh = (edges.join(lbl_of_v, "v")
+                 .groupBy("u").agg(F.min("_vlabel").alias("_nlabel")))
+        new = (labels.withColumnRenamed("label", "_old")
+               .join(neigh, "u", "left")
+               .select("u", "_old",
+                       F.least("_old", F.coalesce("_nlabel", "_old"))
+                       .alias("label")))
+        new = new.localCheckpoint(eager=True)
+        # labels only ever decrease, so "changed" ⇔ strictly smaller
+        changed = new.filter(F.col("label") < F.col("_old")).count()
+        labels = new.select("u", "label")
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(F.col("u").alias("id"),
+                                 F.col("label").alias("component"))
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "raise max_iter (graph diameter exceeds it)")
+
+
 def dedup_minhash(
     df: DataFrame,
     text_col: str = "text",
@@ -494,18 +551,33 @@ def dedup_minhash(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    strategy: str = "greedy",
 ) -> DataFrame:
-    """Near-dup dedup: LSH candidates → exact-Jaccard verify → drop the
-    higher id of each ≥threshold pair (greedy, one pass — matches the
-    standard MinHash-dedup recipe; full connected components would need an
-    iterative join, deliberately out of the hot path). One cached
-    tokenize+hash pass feeds both the LSH banding and the verify joins."""
+    """Near-dup dedup: LSH candidates → exact-Jaccard verify → drop
+    duplicates. One cached tokenize+hash pass feeds both the LSH banding
+    and the verify joins.
+
+    ``strategy='greedy'`` (default) drops the higher id of each
+    ≥threshold pair in one pass — the standard MinHash-dedup recipe, zero
+    extra shuffles. It over-keeps nodes that are the local min of their
+    own pairs but not of their transitive cluster (a-5, 2-5 keeps both a
+    and 2). ``strategy='components'`` resolves full transitive clusters
+    via :func:`connected_components` and keeps exactly one doc (the min
+    id) per cluster — a few extra bounded shuffles over the (small) pair
+    list only, never over the corpus."""
     sets = shingle_hash_sets(df, text_col, id_col, shingle_n, persist=True)
     cand = minhash_candidates(df, text_col, id_col, num_hashes, bands,
                               shingle_n, sets=sets)
     dup_pairs = jaccard_pairs(df, text_col, id_col, shingle_n, threshold,
                               candidates=cand, sets=sets)
-    drop = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if strategy == "components":
+        cc = connected_components(dup_pairs)
+        drop = (cc.filter(F.col("id") != F.col("component"))
+                .select(F.col("id").alias(id_col)))
+    elif strategy == "greedy":
+        drop = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(f"unknown dedup strategy: {strategy!r}")
     return df.join(drop, id_col, "left_anti")
 
 
@@ -642,11 +714,11 @@ def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
         import pandas as pd
         from numpy.lib.stride_tricks import sliding_window_view
 
-        powers = np.empty(k, dtype=np.uint64)
-        powers[0] = 1
-        base = np.uint64(1099511628211)  # FNV prime as the rolling base
-        for i in range(1, k):
-            powers[i] = powers[i - 1] * base
+        # mod-2^64 wraparound is intentional (rolling-hash arithmetic);
+        # build via Python ints to avoid numpy's overflow RuntimeWarning
+        base = 1099511628211  # FNV prime as the rolling base
+        powers = np.array([pow(base, i, 1 << 64) for i in range(k)],
+                          dtype=np.uint64)
         out = []
         empty = np.empty(0, dtype=np.int64)
         for t in texts:
