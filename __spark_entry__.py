@@ -389,12 +389,32 @@ def _q_en_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SETS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _shared_sets(spark: SparkSession, sf_dir: str,
+                 shingle_n: int = 3) -> DataFrame:
+    """One persisted tokenize+hash pass per (session, table, shingle size),
+    shared by every near-dup query in the process — the production shape: a
+    100-TB pipeline tokenizes once and feeds MinHash banding, SimHash
+    signing, exact-Jaccard verify and component grouping from the same
+    cached pass instead of re-reading the corpus per operator."""
+    from valar_spark import textops as X
+
+    key = (spark.sparkContext.applicationId, sf_dir, shingle_n)
+    if key not in _SETS_CACHE:
+        _SETS_CACHE[key] = X.shingle_hash_sets(
+            _docs_with_copies(spark, sf_dir), shingle_n=shingle_n,
+            persist=True)
+    return _SETS_CACHE[key]
+
+
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
     return (
         X.jaccard_pairs(_docs_with_copies(spark, sf_dir), shingle_n=3,
-                        threshold=0.5)
+                        threshold=0.5, sets=_shared_sets(spark, sf_dir))
         .orderBy("id_a", "id_b")
     )
 
@@ -405,7 +425,7 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
     u = _docs_with_copies(spark, sf_dir)
-    sets = X.shingle_hash_sets(u, persist=True)
+    sets = _shared_sets(spark, sf_dir)
     cand = X.minhash_candidates(u, num_hashes=64, bands=16, sets=sets)
     return X.jaccard_pairs(u, threshold=0.8, candidates=cand, sets=sets)
 
@@ -419,7 +439,7 @@ def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
     pairs = X.jaccard_pairs(_docs_with_copies(spark, sf_dir), shingle_n=3,
-                            threshold=0.5)
+                            threshold=0.5, sets=_shared_sets(spark, sf_dir))
     return (
         X.connected_components(pairs)
         .select(F.col("id").alias("doc_id"), "component")
@@ -431,7 +451,63 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
     return X.simhash_near_pairs(_docs_with_copies(spark, sf_dir),
-                                max_hamming=3)
+                                max_hamming=3,
+                                sets=_shared_sets(spark, sf_dir, shingle_n=2))
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals. Every 5th doc gets its text doubled
+    across a newline (deterministic in both engines) so dup_line_frac has
+    non-trivial output on the clean driver data."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    inj = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat("text", F.lit("\n"), "text"))
+        .otherwise(F.col("text")).alias("text"))
+    return (
+        X.repetition_features(inj)
+        .select("doc_id", "dup_token_frac",
+                F.col("n_lines").cast("long").alias("n_lines"),
+                "dup_line_frac")
+        .orderBy("doc_id")
+    )
+
+
+def _q_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return X.top_ngram_stats(docs, n=2).orderBy("doc_id")
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction. Every 7th doc gets a deterministic
+    email/IP/phone suffix appended (reproducible in SQL) so the scrubber
+    has real matches; output carries per-category counts and the md5 of
+    the scrubbed text."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    inj = docs.select(
+        "doc_id",
+        F.when(d % 7 == 0, F.concat(
+            F.col("text"), F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com from 10.0."), (d % 256).cast("string"),
+            F.lit("."), (d % 200).cast("string"),
+            F.lit(" call +1 555 000 "), (d % 10000).cast("string")))
+        .otherwise(F.col("text")).alias("text"))
+    counts = X.pii_counts(F.col("text"))
+    return inj.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["ipv4"].cast("long").alias("n_ip"),
+        counts["phone"].cast("long").alias("n_phone"),
+        F.md5(X.scrub_pii(F.col("text"))).alias("scrub_md5"),
+    ).orderBy("doc_id")
 
 
 def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,6 +605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_pairs": _q_minhash_near_dups,
         "simhash_pairs_documents": _q_simhash_pairs,
         "bpe_token_count_documents": _q_bpe_token_count,
+        "repetition_documents": _q_repetition,
+        "top_bigram_documents": _q_top_bigram,
+        "pii_scrub_documents": _q_pii_scrub,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "embedding_near_dup_pairs": _q_embedding_near_dups,
         "winnow_pairs_documents": _q_winnow_pairs,
@@ -812,6 +891,84 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')),
                        0) AS BIGINT) AS bpe_tokens
             FROM documents
+        """,
+        "repetition_documents": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text
+                            ELSE text END AS text
+                FROM documents
+            ), feat AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR TRIM(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(TRIM(text), '\s+')
+                       END AS t,
+                       CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(text, chr(10))
+                       END AS l
+                FROM inj
+            )
+            SELECT doc_id,
+                   ROUND((len(t) - len(list_distinct(t))) * 1.0
+                         / GREATEST(len(t), 1), 6) AS dup_token_frac,
+                   CAST(len(l) AS BIGINT) AS n_lines,
+                   ROUND((len(l) - len(list_distinct(l))) * 1.0
+                         / GREATEST(len(l), 1), 6) AS dup_line_frac
+            FROM feat ORDER BY doc_id
+        """,
+        "top_bigram_documents": r"""
+            WITH toks AS (
+                SELECT doc_id, LENGTH(text) AS nc,
+                       regexp_split_to_array(TRIM(text), '\s+') AS t
+                FROM documents
+                WHERE text IS NOT NULL AND TRIM(text) <> ''
+            ), grams AS (
+                SELECT doc_id, nc,
+                       unnest(list_transform(
+                           generate_series(1, GREATEST(len(t) - 1, 1)),
+                           i -> array_to_string(t[i:i+1], ' '))) AS top_gram
+                FROM toks
+            ), counts AS (
+                SELECT doc_id, nc, top_gram, COUNT(*) AS c
+                FROM grams GROUP BY doc_id, nc, top_gram
+            ), ranked AS (
+                SELECT doc_id, nc, top_gram, c,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, top_gram) AS rn
+                FROM counts
+            )
+            SELECT doc_id, top_gram, CAST(c AS BIGINT) AS top_count,
+                   ROUND(c * LENGTH(top_gram) * 1.0 / GREATEST(nc, 1), 6)
+                     AS top_frac
+            FROM ranked WHERE rn = 1 ORDER BY doc_id
+        """,
+        "pii_scrub_documents": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN
+                            text || ' contact user' || doc_id
+                                 || '@example.com from 10.0.'
+                                 || (doc_id % 256) || '.' || (doc_id % 200)
+                                 || ' call +1 555 000 ' || (doc_id % 10000)
+                            ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(COALESCE(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')), 0)
+                     AS BIGINT) AS n_email,
+                   CAST(COALESCE(len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')), 0)
+                     AS BIGINT) AS n_ip,
+                   CAST(COALESCE(len(regexp_extract_all(text,
+                       '\+\d[\d\- ]{7,}\d')), 0) AS BIGINT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g')) AS scrub_md5
+            FROM inj ORDER BY doc_id
         """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -228,3 +228,49 @@ def test_dedup_components_vs_greedy(spark):
         df, threshold=0.75, shingle_n=1, strategy="components").collect()}
     assert kept_greedy == {1, 2}
     assert kept_cc == {1}
+
+
+def test_repetition_features(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"),            # 5 tokens, 3 distinct -> 0.4
+         (2, "x\ny\nx"),              # 3 lines, 2 distinct -> 1/3
+         (3, None), (4, "")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in X.repetition_features(df).collect()}
+    assert got[1]["dup_token_frac"] == 0.4
+    assert got[2]["n_lines"] == 3 and round(got[2]["dup_line_frac"], 6) == 0.333333
+    assert got[3]["dup_token_frac"] == 0.0 and got[3]["n_lines"] == 0
+    assert got[4]["dup_token_frac"] == 0.0
+
+
+def test_top_ngram_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),   # bigram "a b" x3, "b a" x2 -> top "a b"
+         (2, "solo"),          # 1 token -> whole-text gram
+         (3, None)],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in X.top_ngram_stats(df, n=2).collect()}
+    assert got[1]["top_gram"] == "a b" and got[1]["top_count"] == 3
+    # 3 occurrences x 3 chars / 11 chars
+    assert got[1]["top_frac"] == round(9 / 11, 6)
+    assert got[2]["top_gram"] == "solo" and got[2]["top_count"] == 1
+    assert 3 not in got
+
+
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@corp.example.org or call +1 555 123 4567 "
+             "from 192.168.0.1"),
+         (2, "no pii here"), (3, None)],
+        "doc_id bigint, text string")
+    out = df.select(
+        "doc_id", X.pii_counts(F.col("text")).alias("c"),
+        X.scrub_pii(F.col("text")).alias("s")).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert got[1]["c"]["email"] == 1
+    assert got[1]["c"]["ipv4"] == 1
+    assert got[1]["c"]["phone"] == 1
+    assert got[1]["s"] == ("mail me at <EMAIL> or call <PHONE> from <IP>")
+    assert got[2]["s"] == "no pii here"
+    assert got[2]["c"]["email"] == 0
+    assert got[3]["s"] is None

@@ -623,11 +623,16 @@ def simhash(col: Column, shingle_n: int = 2) -> Column:
 
 
 def simhash_table(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", shingle_n: int = 2) -> DataFrame:
+                  id_col: str = "doc_id", shingle_n: int = 2,
+                  sets: DataFrame | None = None) -> DataFrame:
     """(id, simhash) for non-empty docs — empties are never near-dup
-    candidates (and an all-zero fingerprint would pair every empty doc)."""
+    candidates (and an all-zero fingerprint would pair every empty doc).
+    ``sets`` (from :func:`shingle_hash_sets`, same ``shingle_n``) lets
+    callers share one cached tokenize+hash pass."""
+    if sets is None:
+        sets = shingle_hash_sets(df, text_col, id_col, shingle_n)
     return (
-        shingle_hash_sets(df, text_col, id_col, shingle_n)
+        sets
         .filter(F.col("n_sh") > 0)
         .select(F.col("_id").alias(id_col),
                 _simhash_udf()(F.col("_sh")).alias("simhash"))
@@ -640,7 +645,8 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       shingle_n: int = 2) -> DataFrame:
+                       shingle_n: int = 2,
+                       sets: DataFrame | None = None) -> DataFrame:
     """Near pairs by SimHash: block on 4 × 16-bit chunks (two fingerprints
     within Hamming ≤ 3 of 64 bits agree exactly on ≥ 1 of 4 chunks —
     pigeonhole), join per chunk, verify Hamming. Same
@@ -649,7 +655,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     per self-join side."""
     from pyspark import StorageLevel
 
-    t = simhash_table(df, text_col, id_col, shingle_n).persist(
+    t = simhash_table(df, text_col, id_col, shingle_n, sets=sets).persist(
         StorageLevel.MEMORY_AND_DISK)
     chunked = t.select(
         F.col(id_col).alias("_id"), "simhash",
@@ -674,6 +680,101 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters — Gopher/MassiveText-style quality signals
+# (Rae et al. 2021, "Scaling Language Models", App. A — public paper)
+# ---------------------------------------------------------------------------
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc repetition signals used as pretraining quality gates:
+    ``dup_line_frac`` (fraction of lines that are repeats of an earlier
+    line) and ``dup_token_frac`` (fraction of tokens that are repeats).
+    Pure projection — array_distinct per row, no shuffle, so it runs at
+    scan speed on any corpus size."""
+    c = F.col(text_col)
+    t = tokens(c)
+    n_tok = F.size(t)
+    lines = F.split(c, "\n")
+    n_lines = F.when(c.isNull(), F.lit(0)).otherwise(F.size(lines))
+    return df.select(
+        "*",
+        F.round((n_tok - F.size(F.array_distinct(t)))
+                / F.greatest(n_tok, F.lit(1)), 6).alias("dup_token_frac"),
+        n_lines.alias("n_lines"),
+        F.round(F.when(c.isNull(), F.lit(0.0)).otherwise(
+            (n_lines - F.size(F.array_distinct(lines)))
+            / F.greatest(n_lines, F.lit(1))), 6).alias("dup_line_frac"),
+    )
+
+
+def top_ngram_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Most frequent token n-gram per doc (Gopher's "top n-gram character
+    fraction" filter): ``(id, top_gram, top_count, top_frac)`` where
+    ``top_frac`` ≈ occurrences × gram length / text length (overlaps
+    ignored). Ties break to the lexicographically smallest gram so the
+    result is deterministic across engines.
+
+    Shape at scale: one explode + per-(doc, gram) hash aggregate + one
+    per-doc window — both shuffles are keyed by doc id, so they partition
+    evenly no matter how skewed gram frequencies are ACROSS docs."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    g = df.filter(c.isNotNull() & (F.trim(c) != "")).select(
+        F.col(id_col),
+        F.length(c).alias("_nc"),
+        F.explode(shingles(c, n)).alias("top_gram"),
+    )
+    counts = g.groupBy(id_col, "_nc", "top_gram").agg(
+        F.count(F.lit(1)).alias("top_count"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("top_count"), F.asc("top_gram"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "top_gram", F.col("top_count").cast("long")
+                .alias("top_count"),
+                F.round(F.col("top_count") * F.length("top_gram")
+                        / F.greatest(F.col("_nc"), F.lit(1)), 6)
+                .alias("top_frac"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — regex redaction (email / IPv4 / intl-phone), pure
+# projection; patterns restricted to the Java-regex ∩ RE2 common subset
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d\- ]{7,}\d",  # intl form only — deterministic
+}
+
+_PII_ORDER = ("email", "ipv4", "phone")  # emails before ips (dots overlap)
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-category PII match counts (email, ipv4, phone)."""
+    return F.struct(*[
+        F.coalesce(F.regexp_count(col, F.lit(PII_PATTERNS[k])), F.lit(0))
+        .alias(k) for k in _PII_ORDER
+    ])
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact PII in place: emails → ``<EMAIL>``, IPv4 → ``<IP>``,
+    international-format phones → ``<PHONE>``. Chained global
+    regexp_replace — one JVM projection pass, no Python, no shuffle."""
+    out = col
+    for k, token in (("email", "<EMAIL>"), ("ipv4", "<IP>"),
+                     ("phone", "<PHONE>")):
+        out = F.regexp_replace(out, PII_PATTERNS[k], token)
+    return out
 
 
 # ---------------------------------------------------------------------------
