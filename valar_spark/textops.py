@@ -710,6 +710,36 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _gram_strings_udf(n: int):
+    """Arrow-batched token n-gram strings (ALL occurrences, not distinct —
+    occurrence counts are the point). Same tokenization and short-doc
+    semantics as :func:`shingles`, but computed in one vectorized pass: the
+    equivalent HOF Column expression evaluates interpreted inside the
+    Generate and re-derives the token split per reference (measured ~10×
+    slower on 5k docs)."""
+
+    @F.pandas_udf("array<string>")
+    def g(texts):  # pd.Series[str] -> pd.Series[list[str]]
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\S+", re.ASCII)
+        out = []
+        for t in texts:
+            toks = ws.findall(t) if isinstance(t, str) else []
+            k = len(toks)
+            if k == 0:
+                out.append([])
+            elif k < n:
+                out.append([" ".join(toks)])
+            else:
+                out.append([" ".join(toks[i:i + n]) for i in range(k - n + 1)])
+        return pd.Series(out)
+
+    return g
+
+
 def top_ngram_stats(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", n: int = 2) -> DataFrame:
     """Most frequent token n-gram per doc (Gopher's "top n-gram character
@@ -727,7 +757,7 @@ def top_ngram_stats(df: DataFrame, text_col: str = "text",
     g = df.filter(c.isNotNull() & (F.trim(c) != "")).select(
         F.col(id_col),
         F.length(c).alias("_nc"),
-        F.explode(shingles(c, n)).alias("top_gram"),
+        F.explode(_gram_strings_udf(n)(c)).alias("top_gram"),
     )
     counts = g.groupBy(id_col, "_nc", "top_gram").agg(
         F.count(F.lit(1)).alias("top_count"))
