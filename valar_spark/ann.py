@@ -71,20 +71,28 @@ def ivf_build(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    train_fraction: float | None = None,
 ):
     """Train the coarse quantizer and assign every corpus vector to its
     nearest centroid. Returns ``(assigned_df, centroids)`` where
     ``assigned_df`` adds a ``_cell`` column — in production this is the
-    table's partition/bucket key, so a probe is partition pruning."""
+    table's partition/bucket key, so a probe is partition pruning.
+
+    ``train_fraction`` fits KMeans on a deterministic sample — the standard
+    IVF recipe (FAISS trains coarse quantizers on ~nlist×39..256 samples,
+    never the corpus): at 10^9+ vectors a full-corpus fit is pure waste,
+    and cell assignment still covers every vector via ``transform``."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vecs = corpus.select(id_col, vec_col,
                          array_to_vector(F.col(vec_col).cast("array<double>"))
                          .alias("_features"))
+    train = (vecs.sample(fraction=train_fraction, seed=seed)
+             if train_fraction else vecs)
     km = KMeans(k=nlist, seed=seed, featuresCol="_features",
                 predictionCol="_cell", maxIter=max_iter)
-    model = km.fit(vecs)
+    model = km.fit(train)
     assigned = model.transform(vecs).drop("_features")
     # centroids as a TABLE (cell, cvec) rather than literal expressions —
     # a broadcast-join side that scales to nlist of 10^3-10^4, where an

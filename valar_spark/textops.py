@@ -903,10 +903,15 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
     as a fraction of the corpus size instead (one cheap count; an absolute
     cap over-prunes as the corpus — and every template print's df — grows
     10×)."""
+    from pyspark import StorageLevel
+
     if max_df_frac is not None:
         max_df = max(2, int(max_df_frac * df.count()))
     t = winnow_fingerprint_table(df, text_col, id_col, k, w)
-    ex = t.select("_id", F.explode("_fp").alias("h"))
+    # the exploded print table feeds FOUR plan branches (df-count, semi-join
+    # probe, both self-join sides) — persist or the fingerprint UDF runs 4×
+    ex = t.select("_id", F.explode("_fp").alias("h")).persist(
+        StorageLevel.MEMORY_AND_DISK)
     rare = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_df).select("h"))
     ex = ex.join(rare, "h", "left_semi")
