@@ -138,3 +138,38 @@ def test_streaming_stateful_integrity_across_batches(spark, tmp_path):
     assert ("A", 3, "dataset.ordering") in got       # cross-batch regression
     assert not any(c == "B" for c, _, _ in got)
     assert len(got) == 2
+
+
+def test_streaming_drift_histogram_psi(spark, tmp_path):
+    """Streaming drift: windowed fixed-edge histogram over a stream reduces
+    to O(bins) counts; PSI vs a static baseline histogram over the SAME
+    edges flags a planted distribution shift."""
+    from valar_spark.drift import histogram, psi_from_counts
+    from valar_spark.streaming import stream_value_histogram
+
+    src = str(tmp_path / "drift_src")
+    baseline = spark.range(400).select(
+        (F.col("id") % 100).cast("double").alias("value"))
+    current = spark.range(400).select(
+        ((F.col("id") % 100) + 50).cast("double").alias("value"),
+        F.lit("2026-01-01 00:00:10").cast("timestamp").alias("ts"))
+    current.write.mode("overwrite").parquet(src)
+
+    edges = [25.0, 50.0, 75.0]
+    stream = spark.readStream.schema(current.schema).parquet(src)
+    hist = stream_value_histogram(stream, "value", edges, window="1 minute")
+    q = (hist.writeStream.format("memory").queryName("drift_mem")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT bucket, n FROM drift_mem").collect()
+    finally:
+        q.stop()
+    p_counts = [0] * (len(edges) + 1)
+    for r in rows:
+        p_counts[r["bucket"]] += r["n"]
+    assert sum(p_counts) == 400
+    q_counts = histogram(baseline, "value", edges)
+    assert psi_from_counts(p_counts, q_counts).drifted          # shift seen
+    assert not psi_from_counts(q_counts, q_counts).drifted      # self ~ 0
+    assert abs(psi_from_counts(q_counts, q_counts).statistic) < 1e-9

@@ -87,13 +87,27 @@ def psi(
     edges = quantile_edges(baseline, col, bins)
     q_counts = histogram(baseline, col, edges)
     p_counts = histogram(current, col, edges)
+    return psi_from_counts(p_counts, q_counts, threshold, eps)
+
+
+def psi_from_counts(
+    p_counts: list[int],
+    q_counts: list[int],
+    threshold: float = 0.2,
+    eps: float = 1e-6,
+) -> DriftResult:
+    """PSI from two pre-binned histograms (same edges). This is the merge
+    step drift monitoring needs at scale: histograms are tiny and additive,
+    so a streaming window (``streaming.stream_value_histogram``) or a
+    per-partition sketch reduces to bounded counts and the statistic is
+    computed driver-side from ≤bins numbers."""
     n_p, n_q = sum(p_counts), sum(q_counts)
     stat = 0.0
     for pc, qc in zip(p_counts, q_counts):
         p = max(pc / max(n_p, 1), eps)
         q = max(qc / max(n_q, 1), eps)
         stat += (p - q) * math.log(p / q)
-    return DriftResult(stat, threshold, len(edges) + 1, n_p, n_q)
+    return DriftResult(stat, threshold, len(p_counts), n_p, n_q)
 
 
 def ks_binned(

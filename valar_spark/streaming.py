@@ -78,6 +78,33 @@ def stream_verdict_counts(
     )
 
 
+def stream_value_histogram(
+    stream_df: DataFrame,
+    col: str,
+    edges: Sequence[float],
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed fixed-edge histogram of a numeric column — the streaming
+    half of drift detection. Emits ``(window, bucket, n)`` per closed
+    window (watermarked, append-safe); bucket = number of edges strictly
+    below the value, the same binning as ``drift.histogram``, so a static
+    baseline histogram over the SAME edges compares directly:
+    ``drift.psi_from_counts(window_counts, baseline_counts)``. State is
+    ≤len(edges)+1 counters per open window — O(bins), independent of
+    stream volume."""
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    v = F.col(col).cast("double")
+    bucket = F.size(F.filter(arr, lambda e: v > e))
+    return (
+        stream_df.filter(F.col(col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 STATEFUL_OUTPUT_DDL = (
     "conv_id string, turn_idx int, rule_id string, code string, "
     "message string")
