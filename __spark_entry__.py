@@ -606,11 +606,9 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import ann
 
     emb = _read(spark, sf_dir, "embeddings")
-    # maxIter=8 + 40%-sample fit: the coarse quantizer converges in a few
-    # iterations on a sample (the standard IVF training recipe);
-    # full-precision clustering isn't the operator under test
-    assigned, centroids = ann.ivf_build(emb, nlist=8, max_iter=8,
-                                        train_fraction=0.4)
+    # sampled numpy fit (FAISS recipe): quantizer training is fixed-cost,
+    # only the one-pass Arrow cell assignment scales with the corpus
+    assigned, centroids = ann.ivf_build_sampled(emb, nlist=8, max_iter=8)
     return ann.ivf_topk(assigned, centroids,
                         emb.filter(F.col("vec_id") < 5), k=5, nprobe=4)
 

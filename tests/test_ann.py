@@ -133,3 +133,25 @@ def test_embedding_near_dup_recall(spark, emb):
     assert found / len(planted) >= 0.8, f"near-dup recall {found}/30"
     # and no flood of false positives (random vectors aren't near-dups)
     assert len(got) <= len(planted) * 3
+
+
+def test_ivf_sampled_matches_contract(spark, emb):
+    """Sampled-numpy quantizer: same (assigned, centroids) contract as the
+    MLlib fit; full probe is exhaustive (recall 1.0), cells cover the
+    corpus, assignment is deterministic across calls."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = ann.brute_force_topk(emb, queries, k=10)
+    assigned, centroids = ann.ivf_build_sampled(emb, nlist=8, max_iter=8)
+    assert centroids.count() == 8
+    assert assigned.count() == emb.count()
+    full = ann.ivf_topk(assigned, centroids, queries, k=10, nprobe=8)
+    assert ann.recall_at_k(full, exact, k=10) == 1.0
+    r4 = ann.recall_at_k(
+        ann.ivf_topk(assigned, centroids, queries, k=10, nprobe=4),
+        exact, k=10)
+    assert r4 >= 0.5, f"sampled-IVF recall@10 too low: {r4}"
+    # determinism: the hash-sample + seeded init give identical cells
+    a2, _ = ann.ivf_build_sampled(emb, nlist=8, max_iter=8)
+    diff = (assigned.select("vec_id", "_cell").exceptAll(
+        a2.select("vec_id", "_cell"))).count()
+    assert diff == 0

@@ -103,6 +103,76 @@ def ivf_build(
     return assigned, centroids
 
 
+def ivf_build_sampled(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    train_limit: int = 25_000,
+):
+    """FAISS-style coarse quantizer: train k-means driver-side (numpy
+    Lloyd's) on a bounded DETERMINISTIC hash-sample of the corpus, then
+    assign every vector in one Arrow pass (argmin L2 against the broadcast
+    centroid matrix via the matmul expansion). Same ``(assigned,
+    centroids)`` contract as :func:`ivf_build`.
+
+    Why this beats a distributed fit: coarse-quantizer quality saturates at
+    ~39-256 training points per centroid (the FAISS guideline), so training
+    cost is FIXED no matter the corpus size — only the single assignment
+    pass scales with data, and that's a narrow map. The sample is selected
+    by ``xxhash64(id)`` so it is reproducible and needs no sort."""
+    import numpy as np
+
+    # deterministic bounded sample: keep ids whose hash falls under the cap
+    n = corpus.count()
+    frac = min(1.0, train_limit / max(n, 1))
+    cap = int(frac * 1_000_000)
+    train = corpus.select(vec_col).filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < cap)
+    m = np.array([r[vec_col] for r in train.collect()], dtype=np.float64)
+    if len(m) < nlist:
+        m = np.array([r[vec_col] for r in
+                      corpus.select(vec_col).limit(nlist * 4).collect()],
+                     dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    c = m[rng.choice(len(m), size=nlist, replace=False)]
+    for _ in range(max_iter):
+        d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None]
+        lab = d2.argmin(1)
+        new_c = c.copy()
+        for j in range(nlist):
+            sel = lab == j
+            if sel.any():
+                new_c[j] = m[sel].mean(0)
+            else:  # empty cell: reseed to the farthest point
+                new_c[j] = m[d2.min(1).argmax()]
+        if np.allclose(new_c, c):
+            c = new_c
+            break
+        c = new_c
+
+    cmat = c.copy()
+    c_sq = (cmat * cmat).sum(1)
+
+    @F.pandas_udf("int")
+    def cell_of(vs):
+        import pandas as pd
+
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.array([np.asarray(x, dtype=np.float64) for x in vs])
+        d2 = -2.0 * (v @ cmat.T) + c_sq[None]  # |v|^2 constant per row
+        return pd.Series(d2.argmin(1).astype("int32"))
+
+    assigned = corpus.withColumn("_cell", cell_of(F.col(vec_col)))
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cmat)],
+        "cell int, cvec array<double>")
+    return assigned, centroids
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame | list[list[float]],
