@@ -494,6 +494,21 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 sets=_shared_sets(spark, sf_dir, shingle_n=2))
 
 
+def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pretraining keep/drop gate with per-reason accounting —
+    the end-to-end curation decision (quality + repetition + language) as
+    one projection."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        X.corpus_filter(docs)
+        .select("doc_id", "keep",
+                F.array_join("drop_reasons", ",").alias("drop_reasons"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals. Every 5th doc gets its text doubled
     across a newline (deterministic in both engines) so dup_line_frac has
@@ -646,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_documents": _q_simhash_pairs,
         "bpe_token_count_documents": _q_bpe_token_count,
         "repetition_documents": _q_repetition,
+        "corpus_filter_documents": _q_corpus_filter,
         "top_bigram_documents": _q_top_bigram,
         "pii_scrub_documents": _q_pii_scrub,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
@@ -981,6 +997,54 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((len(l) - len(list_distinct(l))) * 1.0
                          / GREATEST(len(l), 1), 6) AS dup_line_frac
             FROM feat ORDER BY doc_id
+        """,
+        "corpus_filter_documents": r"""
+            WITH h AS (
+                SELECT doc_id, text,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(der|die|und|das|ist)\b')), 0) AS de,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(the|and|of|to|is)\b')), 0) AS en,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(el|la|los|que|es)\b')), 0) AS es,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(le|la|et|les|est)\b')), 0) AS fr,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(的|是|了|在|我)\b')), 0) AS zh
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text,
+                    CASE WHEN GREATEST(de, en, es, fr, zh) = 0 THEN 'und'
+                         WHEN de = GREATEST(de, en, es, fr, zh) THEN 'de'
+                         WHEN en = GREATEST(de, en, es, fr, zh) THEN 'en'
+                         WHEN es = GREATEST(de, en, es, fr, zh) THEN 'es'
+                         WHEN fr = GREATEST(de, en, es, fr, zh) THEN 'fr'
+                         ELSE 'zh' END AS lang_pred,
+                    CASE WHEN text IS NULL OR TRIM(text) = ''
+                         THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(TRIM(text), '\s+')
+                    END AS t,
+                    LENGTH(text) AS nc
+                FROM h
+            ), r AS (
+                SELECT doc_id,
+                    (CASE WHEN len(t) < 5
+                          THEN ',too_few_tokens' ELSE '' END)
+                    || (CASE WHEN nc * 1.0 / GREATEST(len(t), 1) > 12.0
+                             THEN ',long_tokens' ELSE '' END)
+                    || (CASE WHEN (nc - LENGTH(regexp_replace(text, '[0-9]',
+                             '', 'g'))) * 1.0 / GREATEST(nc, 1) > 0.3
+                             THEN ',digits' ELSE '' END)
+                    || (CASE WHEN (len(t) - len(list_distinct(t))) * 1.0
+                             / GREATEST(len(t), 1) > 0.9
+                             THEN ',repetition' ELSE '' END)
+                    || (CASE WHEN lang_pred NOT IN ('de','en','es','fr')
+                             THEN ',lang' ELSE '' END) AS raw
+                FROM s
+            )
+            SELECT doc_id, raw = '' AS keep,
+                   LTRIM(raw, ',') AS drop_reasons
+            FROM r ORDER BY doc_id
         """,
         "top_bigram_documents": r"""
             WITH toks AS (

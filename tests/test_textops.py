@@ -274,3 +274,24 @@ def test_pii_scrub_and_counts(spark):
     assert got[2]["s"] == "no pii here"
     assert got[2]["c"]["email"] == 0
     assert got[3]["s"] is None
+
+
+def test_corpus_filter_reasons(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog sat on the mat with the hat"),  # clean en
+         (2, "der hund und die katze das ist gut so ja"),         # clean de
+         (3, "的 是 了 在 我 都 很 好 啊 吧"),                      # zh -> lang
+         (4, "a b"),                                              # too few
+         (5, "the the the the the the the the the the"),          # repetition
+         (6, None)],                                              # null
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in X.corpus_filter(
+        df, max_dup_token_frac=0.8).collect()}
+    assert got[1]["keep"] and got[1]["drop_reasons"] == []
+    assert got[2]["keep"]
+    assert got[3]["drop_reasons"] == ["lang"]
+    assert "too_few_tokens" in got[4]["drop_reasons"]
+    assert "repetition" in got[5]["drop_reasons"]
+    assert not got[6]["keep"]
+    assert "too_few_tokens" in got[6]["drop_reasons"]
+    assert "lang" in got[6]["drop_reasons"]

@@ -133,6 +133,52 @@ def quality_score(df: DataFrame, text_col: str = "text",
         "keep", F.col("quality_score") >= 0.7)
 
 
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_chars_per_token: float = 12.0,
+    max_digit_ratio: float = 0.3,
+    max_dup_token_frac: float = 0.9,
+    allowed_langs: tuple[str, ...] = ("de", "en", "es", "fr"),
+) -> DataFrame:
+    """The composed pretraining keep/drop gate: token count, token length,
+    digit ratio, token repetition and language-ID evaluated in ONE narrow
+    projection, with every failed gate recorded in ``drop_reasons``
+    (canonical order) and ``keep = no reasons``. Per-reason accounting is
+    what a 100-TB curation run needs to audit its yield; dedup stages
+    (exact / MinHash) chain after this filter on the kept subset.
+
+    All signals are engine-portable Column expressions — no UDF, no
+    shuffle: the full gate runs at parquet-scan speed."""
+    base = language_id(df, text_col)
+    c = F.col(text_col)
+    t = tokens(c)
+    n_tok = F.size(t)
+    cpt = F.length(c).cast("double") / F.greatest(n_tok, F.lit(1))
+    digit_ratio = (
+        (F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", "")))
+        .cast("double") / F.greatest(F.length(c), F.lit(1)))
+    dup_tok = (n_tok - F.size(F.array_distinct(t))) \
+        / F.greatest(n_tok, F.lit(1))
+
+    def flag(cond: Column, name: str) -> Column:
+        return F.when(cond, F.array(F.lit(name))).otherwise(
+            F.array().cast("array<string>"))
+
+    reasons = F.concat(
+        flag(n_tok < min_tokens, "too_few_tokens"),
+        flag(cpt > max_chars_per_token, "long_tokens"),
+        flag(digit_ratio > max_digit_ratio, "digits"),
+        flag(dup_tok > max_dup_token_frac, "repetition"),
+        flag(~F.col("lang_pred").isin(*allowed_langs), "lang"),
+    )
+    return (
+        base.withColumn("drop_reasons", reasons)
+        .withColumn("keep", F.size("drop_reasons") == 0)
+    )
+
+
 # marker-word tables for the n-gram language heuristic; deterministic and
 # engine-portable (regexp counts)
 LANG_MARKERS: dict[str, list[str]] = {
