@@ -155,3 +155,15 @@ def test_ivf_sampled_matches_contract(spark, emb):
     diff = (assigned.select("vec_id", "_cell").exceptAll(
         a2.select("vec_id", "_cell"))).count()
     assert diff == 0
+
+
+def test_ivf_sampled_tiny_corpus_guard(spark):
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(6)],
+        "vec_id bigint, embedding array<float>")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="corpus has only 6"):
+        ann.ivf_build_sampled(tiny, nlist=16)
+    # nlist <= corpus works even when the hash-sample is short
+    a, c = ann.ivf_build_sampled(tiny, nlist=3)
+    assert c.count() == 3 and a.count() == 6

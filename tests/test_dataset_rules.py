@@ -128,3 +128,12 @@ def test_drift_violation_row(spark):
     ok = drift.DriftResult(statistic=0.01, threshold=0.2, bins=10,
                            n_current=100, n_baseline=100)
     assert drift.drift_violation_row(spark, ok, "text_len", "psi").count() == 0
+
+
+def test_psi_from_counts_length_guard():
+    import pytest as _pt
+
+    from valar_spark.drift import psi_from_counts
+    with _pt.raises(ValueError, match="histogram lengths differ"):
+        psi_from_counts([1, 2, 3], [1, 2])
+    assert psi_from_counts([5, 5], [5, 5]).statistic == 0.0

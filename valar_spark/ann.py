@@ -88,8 +88,13 @@ def ivf_build(
     vecs = corpus.select(id_col, vec_col,
                          array_to_vector(F.col(vec_col).cast("array<double>"))
                          .alias("_features"))
-    train = (vecs.sample(fraction=train_fraction, seed=seed)
-             if train_fraction else vecs)
+    train = vecs
+    if train_fraction:
+        sampled = vecs.sample(fraction=train_fraction, seed=seed)
+        # Bernoulli sampling has no size floor — fall back to the full
+        # corpus when the sample can't seed nlist centroids
+        if sampled.limit(nlist).count() >= nlist:
+            train = sampled
     km = KMeans(k=nlist, seed=seed, featuresCol="_features",
                 predictionCol="_cell", maxIter=max_iter)
     model = km.fit(train)
@@ -133,9 +138,19 @@ def ivf_build_sampled(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < cap)
     m = np.array([r[vec_col] for r in train.collect()], dtype=np.float64)
     if len(m) < nlist:
+        # tiny corpus: deterministic fallback ordered by id
         m = np.array([r[vec_col] for r in
-                      corpus.select(vec_col).limit(nlist * 4).collect()],
+                      corpus.select(id_col, vec_col).orderBy(id_col)
+                      .limit(nlist * 4).collect()],
                      dtype=np.float64)
+    if len(m) < nlist:
+        raise ValueError(
+            f"ivf_build_sampled: corpus has only {len(m)} vectors but "
+            f"nlist={nlist}; lower nlist to at most the corpus size")
+    # collect() order depends on the partition layout — sort the sample
+    # lexicographically so centroid init (and the empty-cell reseed) is
+    # deterministic across core counts / file splits, as documented
+    m = m[np.lexsort(m.T[::-1])]
     rng = np.random.default_rng(seed)
     c = m[rng.choice(len(m), size=nlist, replace=False)]
     for _ in range(max_iter):

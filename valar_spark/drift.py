@@ -101,6 +101,11 @@ def psi_from_counts(
     so a streaming window (``streaming.stream_value_histogram``) or a
     per-partition sketch reduces to bounded counts and the statistic is
     computed driver-side from ≤bins numbers."""
+    if len(p_counts) != len(q_counts):
+        raise ValueError(
+            f"psi_from_counts: histogram lengths differ "
+            f"({len(p_counts)} vs {len(q_counts)}) — both sides must be "
+            "binned over the SAME edges")
     n_p, n_q = sum(p_counts), sum(q_counts)
     stat = 0.0
     for pc, qc in zip(p_counts, q_counts):

@@ -38,6 +38,25 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# shared raw (unrounded) signal expressions — single source of truth for
+# quality_features / repetition_features / corpus_filter so a threshold
+# tweak or null-handling fix lands everywhere at once
+def _chars_per_token_raw(col: Column) -> Column:
+    return F.length(col).cast("double") / F.greatest(token_count(col),
+                                                     F.lit(1))
+
+
+def _digit_ratio_raw(col: Column) -> Column:
+    return (F.length(col) - F.length(F.regexp_replace(col, r"[0-9]", ""))) \
+        .cast("double") / F.greatest(F.length(col), F.lit(1))
+
+
+def _dup_token_frac_raw(col: Column) -> Column:
+    t = tokens(col)
+    return (F.size(t) - F.size(F.array_distinct(t))) \
+        / F.greatest(F.size(t), F.lit(1))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Token n-gram shingles (space-joined). Fewer than n tokens ⇒ one
     shingle of the whole text (standard MinHash practice so short docs
@@ -100,14 +119,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*",
         n_tok.alias("n_tokens"),
-        F.round(n_chars.cast("double") / F.greatest(n_tok, F.lit(1)), 6)
-        .alias("chars_per_token"),
+        F.round(_chars_per_token_raw(c), 6).alias("chars_per_token"),
         F.round(
             (n_chars - F.length(F.regexp_replace(c, r"[\p{Punct}]", "")))
             .cast("double") / safe, 6).alias("punct_ratio"),
-        F.round(
-            (n_chars - F.length(F.regexp_replace(c, r"[0-9]", "")))
-            .cast("double") / safe, 6).alias("digit_ratio"),
+        F.round(_digit_ratio_raw(c), 6).alias("digit_ratio"),
         F.round(
             (n_chars - F.length(F.regexp_replace(c, r"[A-Z]", "")))
             .cast("double") / safe, 6).alias("upper_ratio"),
@@ -153,14 +169,10 @@ def corpus_filter(
     shuffle: the full gate runs at parquet-scan speed."""
     base = language_id(df, text_col)
     c = F.col(text_col)
-    t = tokens(c)
-    n_tok = F.size(t)
-    cpt = F.length(c).cast("double") / F.greatest(n_tok, F.lit(1))
-    digit_ratio = (
-        (F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", "")))
-        .cast("double") / F.greatest(F.length(c), F.lit(1)))
-    dup_tok = (n_tok - F.size(F.array_distinct(t))) \
-        / F.greatest(n_tok, F.lit(1))
+    n_tok = token_count(c)
+    cpt = _chars_per_token_raw(c)
+    digit_ratio = _digit_ratio_raw(c)
+    dup_tok = _dup_token_frac_raw(c)
 
     def flag(cond: Column, name: str) -> Column:
         return F.when(cond, F.array(F.lit(name))).otherwise(
@@ -565,7 +577,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = edges.groupBy("u").agg(F.min("v").alias("_m")).select(
         "u", F.least(F.col("u"), F.col("_m")).alias("label"))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    # max_iter productive rounds + 1 verification round: a chain whose
+    # propagation needs exactly max_iter rounds still sees changed==0 on
+    # the extra pass instead of a spurious non-convergence error
+    for _ in range(max_iter + 1):
         lbl_of_v = labels.select(F.col("u").alias("v"),
                                  F.col("label").alias("_vlabel"))
         neigh = (edges.join(lbl_of_v, "v")
@@ -598,6 +613,7 @@ def dedup_minhash(
     bands: int = 16,
     shingle_n: int = 3,
     strategy: str = "greedy",
+    cc_max_iter: int = 25,
 ) -> DataFrame:
     """Near-dup dedup: LSH candidates → exact-Jaccard verify → drop
     duplicates. One cached tokenize+hash pass feeds both the LSH banding
@@ -610,20 +626,21 @@ def dedup_minhash(
     and 2). ``strategy='components'`` resolves full transitive clusters
     via :func:`connected_components` and keeps exactly one doc (the min
     id) per cluster — a few extra bounded shuffles over the (small) pair
-    list only, never over the corpus."""
+    list only, never over the corpus. ``cc_max_iter`` passes through to
+    :func:`connected_components`."""
+    if strategy not in ("greedy", "components"):
+        raise ValueError(f"unknown dedup strategy: {strategy!r}")
     sets = shingle_hash_sets(df, text_col, id_col, shingle_n, persist=True)
     cand = minhash_candidates(df, text_col, id_col, num_hashes, bands,
                               shingle_n, sets=sets)
     dup_pairs = jaccard_pairs(df, text_col, id_col, shingle_n, threshold,
                               candidates=cand, sets=sets)
     if strategy == "components":
-        cc = connected_components(dup_pairs)
+        cc = connected_components(dup_pairs, max_iter=cc_max_iter)
         drop = (cc.filter(F.col("id") != F.col("component"))
                 .select(F.col("id").alias(id_col)))
-    elif strategy == "greedy":
-        drop = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
     else:
-        raise ValueError(f"unknown dedup strategy: {strategy!r}")
+        drop = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
 
 
@@ -741,14 +758,11 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     Pure projection — array_distinct per row, no shuffle, so it runs at
     scan speed on any corpus size."""
     c = F.col(text_col)
-    t = tokens(c)
-    n_tok = F.size(t)
     lines = F.split(c, "\n")
     n_lines = F.when(c.isNull(), F.lit(0)).otherwise(F.size(lines))
     return df.select(
         "*",
-        F.round((n_tok - F.size(F.array_distinct(t)))
-                / F.greatest(n_tok, F.lit(1)), 6).alias("dup_token_frac"),
+        F.round(_dup_token_frac_raw(c), 6).alias("dup_token_frac"),
         n_lines.alias("n_lines"),
         F.round(F.when(c.isNull(), F.lit(0.0)).otherwise(
             (n_lines - F.size(F.array_distinct(lines)))
@@ -931,7 +945,8 @@ def winnow_fingerprint_table(df: DataFrame, text_col: str = "text",
 def winnow_match_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 8, w: int = 4,
                        min_shared: int = 2, max_df: int | None = 50,
-                       max_df_frac: float | None = None) -> DataFrame:
+                       max_df_frac: float | None = None,
+                       prints: DataFrame | None = None) -> DataFrame:
     """Local-similarity pairs ``(id_a, id_b, shared_fp)`` — docs sharing ≥
     ``min_shared`` winnowing fingerprints, i.e. at least one common run of
     ~k+w−1 characters per shared print (the MOSS plagiarism/contamination
@@ -953,9 +968,13 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
 
     if max_df_frac is not None:
         max_df = max(2, int(max_df_frac * df.count()))
-    t = winnow_fingerprint_table(df, text_col, id_col, k, w)
+    t = (prints if prints is not None
+         else winnow_fingerprint_table(df, text_col, id_col, k, w))
     # the exploded print table feeds FOUR plan branches (df-count, semi-join
-    # probe, both self-join sides) — persist or the fingerprint UDF runs 4×
+    # probe, both self-join sides) — persist or the fingerprint UDF runs 4×.
+    # The cached blocks stay registered for the session (memory side is
+    # LRU-evictable); callers invoking this per-corpus in one long session
+    # should pass a managed `prints` frame and unpersist it themselves.
     ex = t.select("_id", F.explode("_fp").alias("h")).persist(
         StorageLevel.MEMORY_AND_DISK)
     rare = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
