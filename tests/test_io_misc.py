@@ -173,3 +173,28 @@ def test_streaming_drift_histogram_psi(spark, tmp_path):
     assert psi_from_counts(p_counts, q_counts).drifted          # shift seen
     assert not psi_from_counts(q_counts, q_counts).drifted      # self ~ 0
     assert abs(psi_from_counts(q_counts, q_counts).statistic) < 1e-9
+
+
+def test_error_order_callable_accumulator(spark):
+    """Arbitrary pluggable accumulator (ErrorAccumulator.scala:50-63 is a
+    typeclass): a callable receives per-child error arrays and returns the
+    merged array; rule_set_hash keys on its __name__."""
+    from valar_spark.runner import rule_set_hash
+    from valar_spark.validate import RuleSet
+
+    def keep_first_only(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = F.when(F.size(out) > 0, out).otherwise(p)
+        return out
+
+    df = spark.createDataFrame([(1, "x")], "id bigint, s string")
+    rule = R.min_length(5) & R.matches("[0-9]+")
+    got = validate(df, {"s": rule}, keys=("id",),
+                   config=ValidationConfig(error_order=keep_first_only)
+                   ).violations.collect()
+    assert [r["code"] for r in got] == ["validation.string.too_short"]
+    h_def = rule_set_hash(RuleSet({"s": rule}, ValidationConfig()))
+    h_fn = rule_set_hash(RuleSet(
+        {"s": rule}, ValidationConfig(error_order=keep_first_only)))
+    assert h_def != h_fn

@@ -24,8 +24,11 @@ class ValidationConfig:
     # ValidationSpec.scala:258-268): "declaration" = ordered Vector concat
     # (ErrorAccumulator.scala:45-47, the default), "reversed" = e2 ++ e1,
     # "dedup" = Set-style accumulation (duplicate error structs dropped,
-    # first occurrence kept — ErrorAccumulator.scala:50-63).
-    error_order: str = "declaration"
+    # first occurrence kept — ErrorAccumulator.scala:50-63). An arbitrary
+    # strategy is a callable (list[Column] of per-child error arrays →
+    # merged error-array Column); give it a stable __name__ — the runner's
+    # rule_set_hash keys checkpoint invalidation on it.
+    error_order: object = "declaration"
 
     # --- engine knobs (BASELINE.json:14 — salted repartition, buckets) ---
     # Deterministic partition key: pmod(xxhash64(partition_col), num_buckets).

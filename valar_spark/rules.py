@@ -456,13 +456,17 @@ class AllOf(Rule):
 
     def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
         parts = [c.errors(col, rid_prefix, ctx, ann) for c in self.children]
-        if ctx.config.error_order == "reversed":
+        order = ctx.config.error_order
+        if callable(order):
+            # arbitrary pluggable accumulator (ErrorAccumulator.scala:50-63
+            # is a typeclass): receives the per-child error-array Columns,
+            # returns the merged error-array Column
+            return order(parts)
+        if order == "reversed":
             parts = list(reversed(parts))  # custom accumulator parity
         out = E.concat_errors(parts)
-        if ctx.config.error_order == "dedup":
-            # Set-accumulator parity (ErrorAccumulator.scala:50-63 allows
-            # arbitrary merge strategies incl. Set dedup): first occurrence
-            # kept, duplicates dropped
+        if order == "dedup":
+            # Set-accumulator parity: first occurrence kept, dups dropped
             out = F.array_distinct(out)
         return out
 

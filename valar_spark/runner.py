@@ -58,6 +58,10 @@ def rule_set_hash(ruleset: RuleSet) -> str:
             "rules": sorted(ruleset.rule_ids()),
             "max_collection_size": cfg.max_collection_size,
             "num_buckets": cfg.num_buckets,
+            # accumulator changes the violations output → must invalidate
+            # resume state; callables key on their __name__
+            "error_order": getattr(cfg.error_order, "__name__",
+                                   cfg.error_order),
         },
         sort_keys=True,
     )
