@@ -1,0 +1,93 @@
+"""Property-based invariants (hypothesis) over the rule algebra.
+
+The reference's suites are example-based (SURVEY.md §5); these properties
+pin the combinator ALGEBRA itself on random inputs — invariants that must
+hold for any leaf semantics:
+
+1. fail-fast reports a subset of accumulate (and ≤1 leaf per row),
+2. optional() passes nulls,
+3. recover() swallows everything,
+4. `rule | always_valid` never fires,
+5. verdict counts equal violation rows per rule (conservation),
+6. evaluation is deterministic.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from valar_spark import validate
+from valar_spark import rules as R
+
+_texts = st.one_of(
+    st.none(),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=12))
+_rows = st.lists(_texts, min_size=1, max_size=25)
+
+_LEAVES = R.non_empty() & R.min_length(3) & R.matches("[a-z]+")
+_FF = R.non_empty().then(R.min_length(3)).then(R.matches("[a-z]+"))
+
+
+def _viol(spark, rows, ruleset):
+    df = spark.createDataFrame(list(enumerate(rows)), "id bigint, s string")
+    return validate(df, ruleset, keys=("id",))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_rows)
+def test_rule_algebra_invariants(spark, rows):
+    acc = _viol(spark, rows, {"s": _LEAVES})
+    acc_rows = acc.violations.collect()
+    acc_by_id: dict[int, set[str]] = {}
+    for r in acc_rows:
+        acc_by_id.setdefault(r["id"], set()).add(r["rule_id"])
+
+    # 1. fail-fast ⊆ accumulate, at most one leaf fires per row
+    ff_rows = _viol(spark, rows, {"s": _FF}).violations.collect()
+    ff_by_id: dict[int, set[str]] = {}
+    for r in ff_rows:
+        ff_by_id.setdefault(r["id"], set()).add(r["rule_id"])
+    for i, rids in ff_by_id.items():
+        assert len(rids) == 1
+        assert rids <= acc_by_id.get(i, set())
+    # fail-fast fails exactly the rows accumulate fails
+    assert set(ff_by_id) == set(acc_by_id)
+
+    # 2. optional: null rows never produce violations
+    opt_rows = _viol(spark, rows, {"s": R.optional(_LEAVES)}) \
+        .violations.collect()
+    null_ids = {i for i, s in enumerate(rows) if s is None}
+    assert all(r["id"] not in null_ids for r in opt_rows)
+    # non-null rows behave exactly as without optional
+    opt_by_id = {}
+    for r in opt_rows:
+        opt_by_id.setdefault(r["id"], set()).add(r["rule_id"])
+    assert opt_by_id == {i: v for i, v in acc_by_id.items()
+                        if i not in null_ids}
+
+    # 3. recover swallows everything
+    assert _viol(spark, rows,
+                 {"s": R.Recover(_LEAVES)}).violations.count() == 0
+
+    # 4. or-with-always-valid never fires
+    assert _viol(spark, rows,
+                 {"s": _LEAVES | R.always_valid()}).violations.count() == 0
+
+    # 5. conservation: verdict counts == violation rows per rule
+    verd = {r["rule_id"]: r["violation_count"]
+            for r in acc.summary().collect()}
+    per_rule: dict[str, int] = {}
+    for r in acc_rows:
+        per_rule[r["rule_id"]] = per_rule.get(r["rule_id"], 0) + 1
+    for rid, n in verd.items():
+        assert per_rule.get(rid, 0) == n
+
+    # 6. determinism
+    again = sorted((r["id"], r["rule_id"], r["code"])
+                   for r in _viol(spark, rows, {"s": _LEAVES})
+                   .violations.collect())
+    assert again == sorted((r["id"], r["rule_id"], r["code"])
+                           for r in acc_rows)
