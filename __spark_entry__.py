@@ -329,6 +329,28 @@ def _q_text_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing over deterministic payloads (documents
+    text as opaque video bytes): mapInPandas fan-out to per-frame rows,
+    hash-verified — DuckDB reproduces the fake decoder's duration (hex of
+    the payload digest) and per-frame digests exactly."""
+    from valar_spark import multimodal as M
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/fake").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(F.lit("source"), F.lit("documents")).alias("meta"),
+    )
+    return (
+        M.frame_sample(media, every_ms=7000, max_frames=4)
+        .select("media_id", "frame_idx", "t_ms", "frame_sha")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 def _q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-rule violations over the synthetic transcript table — rows-only
     check (transcripts are not a registered DuckDB view)."""
@@ -648,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "language_id_documents": _q_language_id_documents,
         "media_features_documents": _q_media_features,
+        "frame_sample_documents": _q_frame_sample,
         "validate_transcripts": _q_validate_transcripts,
         "transcript_verdicts": _q_transcript_verdicts,
         "hll_cardinality_events": _q_hll_cardinality_events,
@@ -862,6 +885,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    LEFT(sha256(text), 16) AS sha
             FROM documents WHERE text IS NOT NULL
+        """,
+        "frame_sample_documents": """
+            WITH m AS (
+                SELECT doc_id AS media_id, text,
+                       ('0x' || LEFT(sha256(text), 8))::UBIGINT % 60000
+                         AS dur
+                FROM documents WHERE text IS NOT NULL
+            ), stamps AS (
+                SELECT media_id, text,
+                       unnest(generate_series(0,
+                           CAST(GREATEST(dur, 1) - 1 AS BIGINT),
+                           7000)) AS t_ms
+                FROM m
+            ), ranked AS (
+                SELECT media_id, text, t_ms,
+                       ROW_NUMBER() OVER (PARTITION BY media_id
+                                          ORDER BY t_ms) - 1 AS frame_idx
+                FROM stamps
+            )
+            SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(t_ms AS INT) AS t_ms,
+                   LEFT(sha256(text || CAST(t_ms AS VARCHAR)), 16)
+                     AS frame_sha
+            FROM ranked WHERE frame_idx < 4
+            ORDER BY media_id, frame_idx
         """,
         "dedup_exact_documents": f"""
             WITH u AS ({_DOCS_WITH_COPIES_SQL})

@@ -62,3 +62,39 @@ def test_resize_stub(spark):
     out = M.resize_stub(media, 224, 224)
     meta = out.select(F.map_values("meta").alias("v")).first()["v"]
     assert "224x224" in meta
+
+
+def test_frame_sample_fanout_and_determinism(spark):
+    media = M.synth_media(spark, n=40)
+    n_video = media.filter(F.col("kind") == "video").count()
+    assert n_video > 0
+    frames = M.frame_sample(media, every_ms=5000, max_frames=6)
+    rows = frames.collect()
+    # only video rows fan out; every id emitted is a video id
+    vid_ids = {r["media_id"] for r in
+               media.filter(F.col("kind") == "video").collect()}
+    assert {r["media_id"] for r in rows} <= vid_ids
+    assert len({r["media_id"] for r in rows}) == n_video
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for rs in by_id.values():
+        assert 1 <= len(rs) <= 6                       # max_frames cap
+        idxs = sorted(r["frame_idx"] for r in rs)
+        assert idxs == list(range(len(rs)))            # dense frame idx
+        assert all(r["t_ms"] == r["frame_idx"] * 5000 for r in rs)
+        assert len({bytes(r["frame"]) for r in rs}) == len(rs)  # distinct
+        assert all(len(bytes(r["frame"])) == 32 for r in rs)
+    # deterministic across runs
+    again = sorted((r["media_id"], r["frame_idx"], r["frame_sha"])
+                   for r in M.frame_sample(media, every_ms=5000,
+                                           max_frames=6).collect())
+    assert again == sorted((r["media_id"], r["frame_idx"], r["frame_sha"])
+                           for r in rows)
+
+
+def test_frame_sample_real_decoder_is_explicit_stub(spark):
+    import pytest as _pt
+    media = M.synth_media(spark, n=4)
+    with _pt.raises(NotImplementedError):
+        M.frame_sample(media, decoder="real")

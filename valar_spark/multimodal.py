@@ -138,6 +138,65 @@ def extract_features(df: DataFrame, decoder: str = "fake",
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = ("media_id long, frame_idx int, t_ms int, frame binary, "
+                "frame_sha string")
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000, max_frames: int = 32,
+                 decoder: str = "fake") -> DataFrame:
+    """Sample frames from video payloads: one output row per selected
+    frame ``(media_id, frame_idx, t_ms, frame, frame_sha)``.
+
+    The expansion happens INSIDE ``mapInPandas`` — a video fans out to its
+    frames within the Arrow batch, no shuffle, no exploded payload copy in
+    a shuffle file; downstream per-frame ops (embedding, dedup) start from
+    an already-distributed frame table. ``decoder='real'`` is the
+    integration point for av/ffmpeg; the fake decoder derives a
+    deterministic duration from the payload digest (same formula as
+    :func:`extract_features`) and emits 32-byte digest frames, so the
+    plumbing — schema, fan-out, batching, bounded ``max_frames`` — is real
+    and testable without codecs."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "real frame decoding requires av/ffmpeg, not available here; "
+            "plug the codec into the generator below — the fan-out contract "
+            "is production-shaped")
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, ts, frames, shas = [], [], [], [], []
+            for media_id, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "video" or payload is None:
+                    continue
+                sha = hashlib.sha256(payload).hexdigest()[:16]
+                dur = int(sha[:8], 16) % 60_000  # matches extract_features
+                stamps = list(range(0, max(dur, 1), every_ms))[:max_frames]
+                for i, t in enumerate(stamps):
+                    fr = hashlib.sha256(
+                        payload + str(t).encode("ascii")).digest()
+                    ids.append(media_id)
+                    idxs.append(i)
+                    ts.append(t)
+                    frames.append(fr)
+                    shas.append(fr.hex()[:16])
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "t_ms": pd.Series(ts, dtype="int32"),
+                "frame": pd.Series(frames, dtype="object"),
+                "frame_sha": pd.Series(shas, dtype="object"),
+            })
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize marker: real implementation decodes + resamples in the same
     mapInPandas shape as :func:`extract_features`. Here it only rewrites
