@@ -137,3 +137,23 @@ def test_psi_from_counts_length_guard():
     with _pt.raises(ValueError, match="histogram lengths differ"):
         psi_from_counts([1, 2, 3], [1, 2])
     assert psi_from_counts([5, 5], [5, 5]).statistic == 0.0
+
+
+def test_stats_profile_hll_on_all_types(spark):
+    """hll path must handle double/timestamp/boolean columns (sketched via
+    their string form) — the default transcript schema has ts timestamp."""
+    from valar_spark.dataset_rules import stats_profile
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "a", True, "2026-01-01 00:00:01"),
+         (2, 3.5, "b", False, "2026-01-01 00:00:02"),
+         (3, 2.5, "a", True, "2026-01-01 00:00:01")],
+        "i bigint, d double, s string, b boolean, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    prof = {r["column"]: r for r in
+            stats_profile(df, exact_distinct=False).collect()}
+    assert set(prof) == {"i", "d", "s", "b", "ts"}
+    assert prof["i"]["distinct_estimate"] == 3
+    assert prof["d"]["distinct_estimate"] == 2
+    assert prof["b"]["distinct_estimate"] == 2
+    assert prof["ts"]["distinct_estimate"] == 2

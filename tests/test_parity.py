@@ -490,3 +490,32 @@ def test_error_order_dedup(spark):
         config=ValidationConfig(error_order="dedup"),
     ).violations.count()
     assert base == 2 and deduped == 1
+
+
+def test_regex_java_dialect_checked(spark):
+    # rlike executes JAVA regex — the eager validity check must use the
+    # same dialect: Python-only syntax (?P<name>...) is invalid here and
+    # must yield per-row invalid_pattern results, not a runtime throw...
+    viol = _viol(spark, [(1, "abc")], "id bigint, s string",
+                 {"s": R.matches("(?P<name>[a-z]+)")})
+    got = assert_n_violations(viol, 1)
+    assert got[0]["code"] == "validation.regex.invalid_pattern"
+    # ...while Java-only possessive quantifiers are VALID and must run
+    viol2 = _viol(spark, [(1, "aaa"), (2, "b")], "id bigint, s string",
+                  {"s": R.matches("a*+")})
+    got2 = assert_n_violations(viol2, 1)
+    assert got2[0]["id"] == 2
+
+
+def test_duplicate_rule_ids_verdicts_not_doubled(spark):
+    # two same-named leaves on one column share a rule_id; verdicts must
+    # not cross-join it twice (double counts)
+    from valar_spark.validate import validate as _validate
+
+    df = spark.createDataFrame([(1, "x"), (2, "abc")], "id bigint, s string")
+    run = _validate(df, {"s": R.matches("[a-z]+") & R.matches("[a-z]{3}")},
+                    keys=("id",))
+    rows = run.summary().collect()
+    assert len(rows) == 1  # one rule_id row, not two
+    assert rows[0]["rows_checked"] == 2
+    assert rows[0]["violation_count"] == run.violations.count()

@@ -206,8 +206,16 @@ def stats_profile(
         if exact_distinct:
             aggs.append(F.count_distinct(col).alias(f"{c}__distinct"))
         else:
+            # hll_sketch_agg accepts only integral/string/binary input —
+            # double/timestamp/boolean/decimal columns sketch their string
+            # form (distinct values map 1:1), keeping the single mergeable
+            # pass for every column type
+            t = df.schema[c].dataType.typeName()
+            hll_in = col if t in ("byte", "short", "integer", "long",
+                                  "string", "binary") else col.cast("string")
             aggs.append(
-                F.hll_sketch_estimate(F.hll_sketch_agg(col, F.lit(hll_lg_k)))
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg(hll_in, F.lit(hll_lg_k)))
                 .alias(f"{c}__distinct"))
         if c in numeric:
             aggs.append(
@@ -286,8 +294,11 @@ def transcript_integrity_violations(
     rows the saved full-table shuffle is the dominant cost, and the two
     checks are defined over the same ordering anyway.
 
-    Duplicate semantics match :func:`duplicate_keys`: a key seen k times
-    yields k−1 duplicate violations (the extra rows). Ordering semantics
+    Duplicate detection flags the same KEYS as :func:`duplicate_keys`, but
+    at row granularity: a key seen k times yields k−1 violation rows (one
+    per extra row), whereas :func:`uniqueness_violations` emits one row
+    per duplicated key (with its dup_count) — don't compare raw counts
+    across the two, compare flagged keys. Ordering semantics
     match :func:`ordering_regressions`: a row whose ts precedes its
     predecessor under the stable (conv_id, turn_idx, ts) sort.
 
@@ -368,8 +379,12 @@ def ordering_regressions(
     """Rows whose ``ts`` moves backwards under the stable
     ``(conv_id, turn_idx)`` window ordering — the monotonicity invariant of
     the transcript model. One window shuffle on the partition key; skewed
-    conversations are bounded by conv length, not table size."""
-    w = Window.partitionBy(partition_by).orderBy(*[F.col(c) for c in order_by])
+    conversations are bounded by conv length, not table size. ``ts_col``
+    joins the sort as the final tie-breaker so duplicated ``order_by``
+    values cannot make the lag pairing (and thus the result)
+    partition-layout-dependent."""
+    w = Window.partitionBy(partition_by).orderBy(
+        *[F.col(c) for c in order_by], F.col(ts_col))
     return (
         df.withColumn("_prev_ts", F.lag(ts_col).over(w))
         .filter(F.col("_prev_ts").isNotNull() & (F.col(ts_col) < F.col("_prev_ts")))
@@ -403,14 +418,16 @@ def text_equality_mismatches(
     expected: DataFrame,
     keys: Sequence[str] = ("conv_id", "turn_idx"),
     text_col: str = "text",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Per-turn text equality vs a reference run under the stable
     window-ordered sort (BASELINE.json:15 per-row invariant). Dedupes both
-    sides on the key via ``row_number`` over ``(keys, ts)`` so planted
-    duplicates can't produce spurious diffs, then joins on the key —
-    a co-partitioned sort-merge join (both sides shuffle once on the same
-    key) — and keeps rows whose text differs (null-safe)."""
-    w = Window.partitionBy(*keys).orderBy(F.col("ts"))
+    sides on the key via ``row_number`` over ``(keys, ts, text)`` — the
+    text tie-breaker keeps the pick deterministic even when duplicate keys
+    share a timestamp — then joins on the key (co-partitioned sort-merge,
+    both sides shuffle once on the same key) and keeps rows whose text
+    differs (null-safe)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(text_col))
 
     def stable(d: DataFrame) -> DataFrame:
         return (

@@ -49,7 +49,7 @@ import re as _re
 from collections.abc import Callable, Iterable, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import Column
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
 from . import errors as E
@@ -246,13 +246,26 @@ def matches(pattern: str, message: str | None = None) -> LeafRule:
     eagerly at rule-build time; a bad pattern yields a rule that reports
     ``validation.regex.invalid_pattern`` on every row instead of raising,
     mirroring the string-overload's exception capture
-    (ValidationHelpers.scala:314-331).
+    (ValidationHelpers.scala:314-331). The check runs against the JAVA
+    regex dialect when a session is active — ``rlike`` executes Java
+    regex, and the dialects disagree (Java rejects ``(?P<name>…)``,
+    accepts possessive ``a*+``; Python the reverse) — falling back to
+    Python ``re`` only when no JVM is reachable at rule-build time.
     """
-    try:
-        _re.compile(pattern)
-        bad: str | None = None
-    except _re.error as exc:  # keep message shape of the reference
-        bad = f"Invalid regex pattern: {exc}"
+    bad: str | None = None
+    _sess = SparkSession.getActiveSession()
+    if _sess is not None:
+        try:
+            _sess._jvm.java.util.regex.Pattern.compile(pattern)
+        except Exception as exc:  # Py4JJavaError — take the Java message
+            jexc = getattr(exc, "java_exception", None)
+            detail = jexc.getMessage() if jexc is not None else str(exc)
+            bad = f"Invalid regex pattern: {detail}"
+    else:
+        try:
+            _re.compile(pattern)
+        except _re.error as exc:  # keep message shape of the reference
+            bad = f"Invalid regex pattern: {exc}"
 
     anchored = f"^(?:{pattern})$"
 

@@ -62,6 +62,9 @@ def rule_set_hash(ruleset: RuleSet) -> str:
             # resume state; callables key on their __name__
             "error_order": getattr(cfg.error_order, "__name__",
                                    cfg.error_order),
+            # the cap changes sink content — a resumed run with a different
+            # cap must not mix capped and uncapped buckets under one stamp
+            "max_violations_per_rule": cfg.max_violations_per_rule,
         },
         sort_keys=True,
     )
@@ -93,8 +96,25 @@ class RunResult:
     rows_checked: int
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through Spark's Hadoop FileSystem — works for any
+    work_dir scheme (local, HDFS, s3a, abfss), unlike ``os.path``."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem (no-op if absent)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def _completed_buckets(spark: SparkSession, cfg: RunnerConfig, rsh: str) -> set[int]:
-    if not os.path.exists(cfg.state_path):
+    if not _fs_exists(spark, cfg.state_path):
         return set()
     st = spark.read.parquet(cfg.state_path)
     rows = (
@@ -131,68 +151,77 @@ def run_checkpointed(
     errors_col = ruleset.errors_column(df)
     total_rows = 0
 
-    for i in range(0, len(pending), cfg.buckets_per_job):
-        batch = pending[i:i + cfg.buckets_per_job]
-        sub = base.filter(F.col(BUCKET_COL).isin(batch))
-        # salted repartition: hot conv_ids spread over `salt` tasks while the
-        # logical bucket stays the verdict/lineage key
-        salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(vcfg.salt))
-        sub = sub.repartition(len(batch) * vcfg.salt, F.col(BUCKET_COL), salt)
+    # dynamic partition overwrite is needed for idempotent bucket re-writes;
+    # save the session's prior setting and restore it when the run ends so
+    # unrelated writes in the same session keep their overwrite semantics
+    _POM = "spark.sql.sources.partitionOverwriteMode"
+    prior_pom = spark.conf.get(_POM, "static")
 
-        errs = sub.select(*keys, BUCKET_COL, errors_col.alias("_errors"))
-        errs = errs.persist()
-        try:
-            viol = _explode_violations(errs, keys).withColumns({
-                "run_id": F.lit(cfg.run_id),
-                "rule_set_hash": F.lit(rsh),
-            })
-            if vcfg.max_violations_per_rule is not None:
-                from pyspark.sql.window import Window
+    try:
+        for i in range(0, len(pending), cfg.buckets_per_job):
+            batch = pending[i:i + cfg.buckets_per_job]
+            sub = base.filter(F.col(BUCKET_COL).isin(batch))
+            # salted repartition: hot conv_ids spread over `salt` tasks while the
+            # logical bucket stays the verdict/lineage key
+            salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(vcfg.salt))
+            sub = sub.repartition(len(batch) * vcfg.salt, F.col(BUCKET_COL), salt)
 
-                w = (Window.partitionBy(BUCKET_COL, "rule_id")
-                     .orderBy(*[F.col(k) for k in keys]))
-                viol = (viol.withColumn("_rn", F.row_number().over(w))
-                        .filter(F.col("_rn") <= vcfg.max_violations_per_rule)
-                        .drop("_rn"))
-            # idempotent: re-running a crashed bucket replaces its partition.
-            # Clear the batch's partition dirs first — a re-run that now
-            # yields ZERO violations for a bucket writes no partition, and
-            # dynamic overwrite alone would leave the crashed attempt's rows.
-            _clear_bucket_partitions(cfg, rsh, batch)
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            (viol.write.mode("overwrite")
-             .partitionBy("run_id", "rule_set_hash", BUCKET_COL)
-             .parquet(cfg.violations_path))
+            errs = sub.select(*keys, BUCKET_COL, errors_col.alias("_errors"))
+            errs = errs.persist()
+            try:
+                viol = _explode_violations(errs, keys).withColumns({
+                    "run_id": F.lit(cfg.run_id),
+                    "rule_set_hash": F.lit(rsh),
+                })
+                if vcfg.max_violations_per_rule is not None:
+                    from pyspark.sql.window import Window
 
-            verd = verdicts_from(errs, rule_ids).collect()
-        finally:
-            errs.unpersist()
+                    w = (Window.partitionBy(BUCKET_COL, "rule_id")
+                         .orderBy(*[F.col(k) for k in keys]))
+                    viol = (viol.withColumn("_rn", F.row_number().over(w))
+                            .filter(F.col("_rn") <= vcfg.max_violations_per_rule)
+                            .drop("_rn"))
+                # idempotent: re-running a crashed bucket replaces its partition.
+                # Clear the batch's partition dirs first — a re-run that now
+                # yields ZERO violations for a bucket writes no partition, and
+                # dynamic overwrite alone would leave the crashed attempt's rows.
+                _clear_bucket_partitions(spark, cfg, rsh, batch)
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                (viol.write.mode("overwrite")
+                 .partitionBy("run_id", "rule_set_hash", BUCKET_COL)
+                 .parquet(cfg.violations_path))
 
-        seen = {r[BUCKET_COL] for r in verd}
-        state_rows = [
-            (cfg.run_id, rsh, int(r[BUCKET_COL]), "done", r["rule_id"],
-             int(r["violation_count"]), int(r["rows_checked"]),
-             cfg.snapshot_id, time.time())
-            for r in verd
-        ]
-        # buckets with zero rows in this batch are still complete
-        for b in batch:
-            if b not in seen:
-                for rid in rule_ids:
-                    state_rows.append((cfg.run_id, rsh, b, "done", rid,
-                                       0, 0, cfg.snapshot_id, time.time()))
-        total_rows += sum(int(r["rows_checked"]) for r in verd) // max(len(rule_ids), 1)
-        (spark.createDataFrame(state_rows, STATE_SCHEMA)
-         .coalesce(1).write.mode("append").parquet(cfg.state_path))
-        if observer is not None:
-            from .observer import VerdictEvent
+                verd = verdicts_from(errs, rule_ids).collect()
+            finally:
+                errs.unpersist()
 
-            observer([
-                VerdictEvent(run_id=cfg.run_id, partition_id=r[2],
-                             rule_id=r[4], passed=r[5] == 0,
-                             violation_count=r[5], rows_checked=r[6])
-                for r in state_rows
-            ])
+            seen = {r[BUCKET_COL] for r in verd}
+            state_rows = [
+                (cfg.run_id, rsh, int(r[BUCKET_COL]), "done", r["rule_id"],
+                 int(r["violation_count"]), int(r["rows_checked"]),
+                 cfg.snapshot_id, time.time())
+                for r in verd
+            ]
+            # buckets with zero rows in this batch are still complete
+            for b in batch:
+                if b not in seen:
+                    for rid in rule_ids:
+                        state_rows.append((cfg.run_id, rsh, b, "done", rid,
+                                           0, 0, cfg.snapshot_id, time.time()))
+            total_rows += sum(int(r["rows_checked"]) for r in verd) // max(len(rule_ids), 1)
+            (spark.createDataFrame(state_rows, STATE_SCHEMA)
+             .coalesce(1).write.mode("append").parquet(cfg.state_path))
+            if observer is not None:
+                from .observer import VerdictEvent
+
+                observer([
+                    VerdictEvent(run_id=cfg.run_id, partition_id=r[2],
+                                 rule_id=r[4], passed=r[5] == 0,
+                                 violation_count=r[5], rows_checked=r[6])
+                    for r in state_rows
+                ])
+    finally:
+        spark.conf.set(_POM, prior_pom)
 
     try:
         violations = (
@@ -203,7 +232,7 @@ def run_checkpointed(
     except Exception:
         # sink absent or holds no data files (a run with zero violations
         # writes only _SUCCESS) — same contract, empty frame
-        violations = _empty_violations(spark, keys)
+        violations = _empty_violations(df, keys)
     verdicts = (
         spark.read.parquet(cfg.state_path)
         .filter((F.col("run_id") == cfg.run_id) & (F.col("rule_set_hash") == rsh))
@@ -241,24 +270,27 @@ def _explode_violations(errs: DataFrame, keys: Sequence[str]) -> DataFrame:
     )
 
 
-def _clear_bucket_partitions(cfg: RunnerConfig, rsh: str,
-                             buckets: Sequence[int]) -> None:
+def _clear_bucket_partitions(spark: SparkSession, cfg: RunnerConfig,
+                             rsh: str, buckets: Sequence[int]) -> None:
     """Remove the sink partition dirs about to be (re)written — the
     parquet-directory analogue of Iceberg's ``overwritePartitions`` for the
-    zero-violation re-run case."""
-    import shutil
-
+    zero-violation re-run case. Deletes via the Hadoop FileSystem so any
+    work_dir scheme (local, HDFS, s3a) behaves identically."""
     for b in buckets:
         p = os.path.join(
             cfg.violations_path,
             f"run_id={cfg.run_id}", f"rule_set_hash={rsh}",
             f"{BUCKET_COL}={b}")
-        shutil.rmtree(p, ignore_errors=True)
+        _fs_delete(spark, p)
 
 
-def _empty_violations(spark: SparkSession, keys: Sequence[str]) -> DataFrame:
-    key_ddl = ", ".join(f"{k} string" for k in keys)
-    return spark.createDataFrame(
+def _empty_violations(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Zero-violation result frame with the SAME schema a non-empty run
+    reads back from the sink — key columns keep the input table's dtypes so
+    diff_runs/unions across runs never hit type mismatches."""
+    key_ddl = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys)
+    return df.sparkSession.createDataFrame(
         [],
         f"rule_id string, {key_ddl}, field_path array<string>, "
         "message string, code string, severity string, expected string, "

@@ -225,7 +225,10 @@ def verdicts_from(errs: DataFrame, rule_ids: Sequence[str], bucket_col: str = BU
         F.sum("_first_rows").alias("rows_checked"))
     viol = g.filter(F.col("rule_id") != "\u0000").select(
         bucket_col, "rule_id", "violation_count")
-    rules_df = spark.createDataFrame([(r,) for r in rule_ids], "rule_id string")
+    # rule_ids may repeat (two same-named leaves on one column report under
+    # one id) — dedupe so the cross join can't double verdict rows/counts
+    rules_df = spark.createDataFrame(
+        [(r,) for r in dict.fromkeys(rule_ids)], "rule_id string")
     return (
         per_bucket.crossJoin(F.broadcast(rules_df))
         .join(viol, [bucket_col, "rule_id"], "left")
