@@ -29,6 +29,14 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _prune_dead_sessions(cache: dict, app_id: str) -> None:
+    """Drop cache entries from previous SparkSessions (key[0] = appId) so a
+    long-lived process that restarts sessions doesn't accumulate dead
+    persisted-DataFrame references."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+
+
 _TRANSCRIPTS_CACHE: dict[tuple[str, int], DataFrame] = {}
 
 
@@ -39,6 +47,7 @@ def _transcripts(spark: SparkSession, total_turns: int = 60_000) -> DataFrame:
     Catalyst inlines it into every rule reference in the validation
     projection (measured 11s for 60k turns vs ~350k turns/s from storage).
     Production validates stored tables — the barrier reproduces that."""
+    _prune_dead_sessions(_TRANSCRIPTS_CACHE, spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, total_turns)
     if key not in _TRANSCRIPTS_CACHE:
         from pyspark import StorageLevel
@@ -462,6 +471,7 @@ def _shared_sets(spark: SparkSession, sf_dir: str,
     cached pass instead of re-reading the corpus per operator."""
     from valar_spark import textops as X
 
+    _prune_dead_sessions(_SETS_CACHE, spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, sf_dir, shingle_n)
     if key not in _SETS_CACHE:
         _SETS_CACHE[key] = X.shingle_hash_sets(
@@ -768,7 +778,8 @@ def oracle_sql() -> dict[str, str]:
         "ordering_events": """
             SELECT user_id, event_id FROM (
                 SELECT user_id, event_id,
-                       ts < LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                       ts < LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY event_id, ts)
                          AS bad
                 FROM events
             ) WHERE bad
@@ -777,7 +788,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id FROM (
                 SELECT user_id, event_id,
                        ts < LAG(ts) OVER (PARTITION BY user_id
-                                          ORDER BY value, event_id) AS bad
+                                          ORDER BY value, event_id, ts)
+                         AS bad
                 FROM events
             ) WHERE bad
             ORDER BY user_id, event_id
@@ -792,13 +804,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, event_id, event_type FROM (
                     SELECT user_id, event_id, event_type,
                            ROW_NUMBER() OVER (PARTITION BY user_id, event_id
-                                              ORDER BY ts) AS rn
+                                              ORDER BY ts, event_type) AS rn
                     FROM mut) WHERE rn = 1
             ), r AS (
                 SELECT user_id, event_id, event_type FROM (
                     SELECT user_id, event_id, event_type,
                            ROW_NUMBER() OVER (PARTITION BY user_id, event_id
-                                              ORDER BY ts) AS rn
+                                              ORDER BY ts, event_type) AS rn
                     FROM events) WHERE rn = 1
             )
             SELECT user_id, event_id, l.event_type AS got,
@@ -1181,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # validate_transcripts / transcript_verdicts / hll_cardinality_events
         # / minhash_near_dup_pairs / simhash_pairs_documents /
+        # embedding_near_dup_pairs / winnow_pairs_documents /
         # ann_ivf_topk_embeddings: intentionally omitted → rows-only checks
         # (non-registered input / engine-specific hash or sketch / KMeans)
     }

@@ -35,7 +35,7 @@ def _viol(spark, rows, ruleset):
     return validate(df, ruleset, keys=("id",))
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=4, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(rows=_rows)
 def test_rule_algebra_invariants(spark, rows):

@@ -78,11 +78,25 @@ class TableProvider:
         if self.fmt == "iceberg":
             df.writeTo(self._ident(name)).overwritePartitions()
         else:
-            (df.sparkSession.conf
-             .set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
-            (df.write.mode("overwrite").partitionBy(*partition_cols)
-             .parquet(self._path_for_write(name)))
+            conf = df.sparkSession.conf
+            key = "spark.sql.sources.partitionOverwriteMode"
+            prior = conf.get(key, "static")
+            conf.set(key, "dynamic")
+            try:
+                (df.write.mode("overwrite").partitionBy(*partition_cols)
+                 .parquet(self._path_for_write(name)))
+            finally:
+                conf.set(key, prior)
 
     def _path_for_write(self, name: str) -> str:
         assert self.base_path is not None
+        file_form = os.path.join(self.base_path, f"{name}.parquet")
+        if os.path.exists(file_form):
+            # reads prefer the single-file layout when it exists — a write
+            # to the directory layout would be silently invisible to them
+            raise ValueError(
+                f"table '{name}' exists in single-file layout "
+                f"({file_form}); writes target the directory layout and "
+                "readers would never see them — migrate the table to a "
+                "directory first")
         return os.path.join(self.base_path, name)

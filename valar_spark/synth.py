@@ -65,7 +65,13 @@ def _conversations(spark: SparkSession, total_turns: int, seed: int) -> DataFram
     )
     base_len = (F.lit(2) + F.pmod(F.xxhash64(F.lit(seed), F.lit(1), "conv_num"),
                                   F.lit(39)).cast("int"))
-    heavy = F.pmod(F.col("conv_num"), F.lit(10_000)) == F.lit(9_999)
+    # heavy-conversation skew must fire at EVERY generation size, not only
+    # above 210k turns (a fixed mod-10000 rule yields zero heavy convs for
+    # smaller tables and silently un-exercises the salting/AQE path): the
+    # stride shrinks with the table, min 2 heavy convs once n_convs >= 4,
+    # and is unchanged (10,000) for every large stored bench table
+    stride = min(10_000, max(n_convs // 2, 1))
+    heavy = F.pmod(F.col("conv_num"), F.lit(stride)) == F.lit(stride - 1)
     return conv.withColumn("conv_len",
                            F.when(heavy, F.lit(2_000)).otherwise(base_len))
 
