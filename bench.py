@@ -26,7 +26,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     total_turns = int(os.environ.get("VALAR_BENCH_TURNS", "2000000"))
     repeat = int(os.environ.get("VALAR_BENCH_REPEAT", "1"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    import re as _re
+    _m = _re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
+    sf = float(_m.group(1)) if _m else 0.1
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod

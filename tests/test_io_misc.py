@@ -165,9 +165,9 @@ def test_streaming_drift_histogram_psi(spark, tmp_path):
         rows = spark.sql("SELECT bucket, n FROM drift_mem").collect()
     finally:
         q.stop()
-    p_counts = [0] * (len(edges) + 1)
-    for r in rows:
-        p_counts[r["bucket"]] += r["n"]
+    from valar_spark.drift import counts_from_pairs
+    p_counts = counts_from_pairs(
+        [(r["bucket"], r["n"]) for r in rows], len(edges) + 1)
     assert sum(p_counts) == 400
     q_counts = histogram(baseline, "value", edges)
     assert psi_from_counts(p_counts, q_counts).drifted          # shift seen

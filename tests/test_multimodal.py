@@ -55,6 +55,8 @@ def test_real_decoder_is_explicit_stub(spark):
 def test_batch_sizing():
     assert M.media_batch_rows(1 << 20) == 64
     assert M.media_batch_rows(0) >= 16
+    # payloads above the target cap at ONE row per batch, never 16
+    assert M.media_batch_rows(100 << 20) == 1
 
 
 def test_resize_stub(spark):

@@ -21,8 +21,9 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="valar_spark")
-    p.add_argument("--input", help="transcript table path (parquet) or "
-                                   "'synth:<turns>' for the generator")
+    p.add_argument("--input", required=True,
+                   help="transcript table path (parquet) or "
+                        "'synth:<turns>' for the generator")
     p.add_argument("--registry", help="conversation registry path (parquet); "
                                       "enables the referential check")
     p.add_argument("--work-dir", required=True)
@@ -59,11 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     res = run_checkpointed(df, rs, rc)
     n_viol = res.violations.count()
-    dataset_viol = D.uniqueness_violations(df, ["conv_id", "turn_idx"]).count()
+    # uniqueness + ordering fused into ONE window pass (same operator the
+    # bench measures; two separate checks would pay a second full shuffle)
+    dataset_viol = D.transcript_integrity_violations(df).count()
     if args.registry:
         reg = spark.read.parquet(args.registry)
         dataset_viol += D.referential_violations(df, "conv_id", reg).count()
-    dataset_viol += D.ordering_violations(df).count()
     dt = time.perf_counter() - t0
 
     print(json.dumps({

@@ -90,6 +90,17 @@ def psi(
     return psi_from_counts(p_counts, q_counts, threshold, eps)
 
 
+def counts_from_pairs(pairs, bins: int) -> list[int]:
+    """Zero-filled histogram list from sparse ``(bucket, n)`` pairs — the
+    densify step between ``streaming.stream_value_histogram`` output
+    (which emits only NON-EMPTY buckets) and :func:`psi_from_counts`
+    (which requires equal-length lists over the same edges)."""
+    out = [0] * bins
+    for b, n in pairs:
+        out[int(b)] += int(n)
+    return out
+
+
 def psi_from_counts(
     p_counts: list[int],
     q_counts: list[int],

@@ -71,8 +71,10 @@ def synth_media(spark, n: int = 1_000, seed: int = 42,
 def media_batch_rows(avg_payload_bytes: int, target_batch_bytes: int = 64 << 20) -> int:
     """Rows per Arrow batch so a batch stays ~target bytes — set
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` to this before a
-    mapInPandas pass over heavy media."""
-    return max(target_batch_bytes // max(avg_payload_bytes, 1), 16)
+    mapInPandas pass over heavy media. Floor is 1 row: for payloads larger
+    than the target (long videos) a single row per batch IS the byte cap —
+    a higher floor would recreate the memory spike this helper prevents."""
+    return max(target_batch_bytes // max(avg_payload_bytes, 1), 1)
 
 
 def extract_features(df: DataFrame, decoder: str = "fake",
@@ -117,21 +119,23 @@ def extract_features(df: DataFrame, decoder: str = "fake",
                  .astype(np.float32).tolist())
                 for s in seeds
             ]
+            # dims/duration only for kinds that HAVE them AND rows that
+            # actually decoded (sha present) — a null payload must not get
+            # fabricated 16x16 dimensions
+            decoded = sha.notna()
+            visual = pdf["kind"].isin(("image", "video")) & decoded
+            timed = pdf["kind"].isin(("audio", "video")) & decoded
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": n_bytes.astype("int64"),
                 "sha": sha,
-                "width": pdf["kind"].map(
-                    lambda k: True if k in ("image", "video") else None
-                ).where(lambda m: m.notna(), None).combine(
+                "width": visual.combine(
                     width, lambda m, w: int(w) if m else None),
-                "height": pdf["kind"].map(
-                    lambda k: True if k in ("image", "video") else None
-                ).combine(height, lambda m, h: int(h) if m else None),
-                "duration_ms": pdf["kind"].map(
-                    lambda k: True if k in ("audio", "video") else None
-                ).combine(dur, lambda m, d: int(d) if m else None),
+                "height": visual.combine(
+                    height, lambda m, h: int(h) if m else None),
+                "duration_ms": timed.combine(
+                    dur, lambda m, d: int(d) if m else None),
                 "feature": feats,
             })
 

@@ -90,8 +90,10 @@ def stream_value_histogram(
     half of drift detection. Emits ``(window, bucket, n)`` per closed
     window (watermarked, append-safe); bucket = number of edges strictly
     below the value, the same binning as ``drift.histogram``, so a static
-    baseline histogram over the SAME edges compares directly:
-    ``drift.psi_from_counts(window_counts, baseline_counts)``. State is
+    baseline histogram over the SAME edges compares directly. Only
+    NON-EMPTY buckets are emitted — zero-fill with
+    ``drift.counts_from_pairs(rows, len(edges) + 1)`` before handing the
+    window to ``drift.psi_from_counts``. State is
     ≤len(edges)+1 counters per open window — O(bins), independent of
     stream volume."""
     arr = F.array(*[F.lit(float(e)) for e in edges])
@@ -105,10 +107,8 @@ def stream_value_histogram(
     )
 
 
-STATEFUL_OUTPUT_DDL = (
-    "conv_id string, turn_idx int, rule_id string, code string, "
-    "message string")
-_STATE_DDL = "max_turn int, max_ts_us long, rows_seen long"
+_STATE_DDL = "max_turn int, last_ts_us long, rows_seen long"
+_NO_TS = -(1 << 62)  # sentinel: no comparable predecessor (start / null ts)
 
 
 def stream_integrity_stateful(
@@ -121,50 +121,59 @@ def stream_integrity_stateful(
     stateful operator the stateless projection cannot express: a duplicate
     turn_idx or a ts regression is flagged even when the offending turn
     arrives BATCHES after the original (``applyInPandasWithState``; state =
-    (max_turn, max_ts, rows_seen) per conversation, ~20 bytes/conv in the
+    (max_turn, last_ts, rows_seen) per conversation, ~20 bytes/conv in the
     state store).
 
-    Semantics per conversation: rows of each micro-batch are processed in
-    (turn_idx, ts) order; a turn with ``turn_idx <= max_turn`` seen so far
-    is a duplicate/out-of-order violation (dataset.uniqueness), a turn
-    whose ts precedes the running max is an ordering violation
-    (dataset.ordering) — the incremental analogue of
-    ``dataset_rules.transcript_integrity_violations``, whose batch output
-    is the parity oracle for a single-batch stream."""
+    Semantics per conversation: the micro-batch's rows are concatenated
+    and sorted ONCE in (turn_idx, ts) order (Arrow hands large groups to
+    the function as multiple chunks — per-chunk sorting would flag false
+    violations whenever a group spans chunks). A turn with ``turn_idx <=
+    max_turn`` seen so far is a duplicate/out-of-order violation
+    (dataset.uniqueness); a turn whose ts precedes its PREDECESSOR's ts is
+    an ordering violation (dataset.ordering) — adjacent-lag semantics,
+    exactly matching ``dataset_rules.transcript_integrity_violations``,
+    whose batch output is the parity oracle for a single-batch stream
+    (null ts neither flags nor serves as a comparison point, as with a
+    null lag in the batch window)."""
+    out_cols = [conv_col, order_col, "rule_id", "code", "message"]
+    conv_t = stream_df.schema[conv_col].dataType.simpleString()
+    order_t = stream_df.schema[order_col].dataType.simpleString()
+    out_ddl = (f"{conv_col} {conv_t}, {order_col} {order_t}, "
+               "rule_id string, code string, message string")
 
     def fn(key, pdf_iter, state):
         import pandas as pd
 
         if state.exists:
-            max_turn, max_ts_us, rows_seen = state.get
+            max_turn, last_ts_us, rows_seen = state.get
         else:
-            max_turn, max_ts_us, rows_seen = -1, -(1 << 62), 0
+            max_turn, last_ts_us, rows_seen = -1, _NO_TS, 0
         conv = key[0]
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values([order_col, ts_col])
-            for turn, ts in zip(pdf[order_col], pdf[ts_col]):
-                ts_us = int(pd.Timestamp(ts).value // 1000)
-                if turn <= max_turn:
-                    out.append((conv, int(turn), "dataset.uniqueness",
-                                "validation.dataset.duplicate_key",
-                                f"turn_idx {turn} already seen "
-                                f"(max {max_turn})"))
-                else:
-                    max_turn = int(turn)
-                if ts_us < max_ts_us:
-                    out.append((conv, int(turn), "dataset.ordering",
-                                "validation.dataset.ordering",
-                                f"{ts_col} regressed within {conv}"))
-                else:
-                    max_ts_us = ts_us
-                rows_seen += 1
-        state.update((max_turn, max_ts_us, rows_seen))
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+            .sort_values([order_col, ts_col])
+        for turn, ts in zip(pdf[order_col], pdf[ts_col]):
+            is_nat = pd.isna(ts)
+            ts_us = _NO_TS if is_nat else int(pd.Timestamp(ts).value // 1000)
+            if turn <= max_turn:
+                out.append((conv, turn, "dataset.uniqueness",
+                            "validation.dataset.duplicate_key",
+                            f"{order_col} {turn} already seen "
+                            f"(max {max_turn})"))
+            else:
+                max_turn = int(turn)
+            if (not is_nat and last_ts_us != _NO_TS
+                    and ts_us < last_ts_us):
+                out.append((conv, turn, "dataset.ordering",
+                            "validation.dataset.ordering",
+                            f"{ts_col} regressed within {conv}"))
+            last_ts_us = ts_us
+            rows_seen += 1
+        state.update((max_turn, last_ts_us, rows_seen))
         if out:
-            yield pd.DataFrame(
-                out, columns=["conv_id", "turn_idx", "rule_id", "code",
-                              "message"])
+            yield pd.DataFrame(out, columns=out_cols)
 
     return stream_df.groupBy(conv_col).applyInPandasWithState(
-        fn, STATEFUL_OUTPUT_DDL, _STATE_DDL, "append",
+        fn, out_ddl, _STATE_DDL, "append",
         "NoTimeout")
