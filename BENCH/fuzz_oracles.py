@@ -1,0 +1,130 @@
+"""Differential fuzzing of the oracle pairs: generate adversarial
+documents tables (unicode, exotic whitespace, nulls, empty/huge tokens),
+run the Spark query AND its DuckDB oracle on the SAME parquet, and compare
+row-for-row. The driver's clean testdata can't expose tokenization/regex
+dialect drift — this can.
+
+Usage: python BENCH/fuzz_oracles.py [rounds] [seed]
+Exit code != 0 on any divergence; prints the first differing rows.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import sys
+
+# oracle pairs over the documents table that are pure text semantics —
+# the surface where engine dialects can drift
+FUZZ_QUERIES = [
+    "token_count_documents",
+    "nonempty_documents",
+    "fingerprint_documents",
+    "language_id_documents",
+    "en_marker_hits_documents",
+    "quality_documents",
+    "repetition_documents",
+    "bpe_token_count_documents",
+    "pii_scrub_documents",
+    "corpus_filter_documents",
+    "top_bigram_documents",
+    "frame_sample_documents",
+    "media_features_documents",
+]
+
+_WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",
+          "lorem", "ipsum", "Data", "spark", "a", "I", "42", "3.14",
+          "café", "naïve", "ümlaut", "ŻÓŁĆ", "x" * 50, "@user",
+          "a.b@c.de", "+1 555 000 1234", "10.0.0.1", "don't", "it's"]
+_SEPS = [" ", "  ", "\t", "\n", " \n ", "\r\n", " "]  # NBSP is NOT \s
+
+
+def random_text(rng: random.Random) -> str | None:
+    roll = rng.random()
+    if roll < 0.08:
+        return None
+    if roll < 0.14:
+        return rng.choice(["", " ", "   ", "\t", "\n\n"])
+    n = rng.randint(1, 30)
+    parts = []
+    for _ in range(n):
+        parts.append(rng.choice(_WORDS))
+        parts.append(rng.choice(_SEPS))
+    return "".join(parts).strip() if rng.random() < 0.5 else "".join(parts)
+
+
+def make_table(rng: random.Random, n_docs: int = 120) -> list[tuple]:
+    rows = []
+    for i in range(n_docs):
+        t = random_text(rng)
+        rows.append((i, t, rng.choice(["en", "de", "fr", "es", "zh"]),
+                     f"src{i % 7}", len(t) if t is not None else None))
+    return rows
+
+
+def run_round(spark, rng: random.Random, work: str) -> list[str]:
+    import duckdb
+    import __spark_entry__ as e
+
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    rows = make_table(rng)
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    df.coalesce(2).write.parquet(f"{work}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{work}/documents.parquet/*.parquet')")
+
+    failures = []
+    for name in FUZZ_QUERIES:
+        sdf = e.queries()[name](spark, work).toPandas()
+        odf = con.execute(e.oracle_sql()[name]).fetchdf()
+        s = (sdf.reindex(sorted(sdf.columns), axis=1)
+             .sort_values(sorted(sdf.columns), kind="mergesort")
+             .reset_index(drop=True).astype(str))
+        o = (odf.reindex(sorted(odf.columns), axis=1)
+             .sort_values(sorted(odf.columns), kind="mergesort")
+             .reset_index(drop=True).astype(str))
+        if len(s) != len(o) or not s.equals(o):
+            failures.append(name)
+            print(f"DIVERGENCE {name}: spark={len(s)} rows, "
+                  f"duckdb={len(o)} rows")
+            if len(s) == len(o):
+                neq = (s != o).any(axis=1)
+                print("spark:", s[neq].head(3).to_dict("records"))
+                print("duck :", o[neq].head(3).to_dict("records"))
+        else:
+            print(f"ok {name} ({len(s)} rows)")
+    con.close()
+    return failures
+
+
+def main() -> int:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from valar_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8,
+                      app_name="valar_fuzz")
+    rng = random.Random(seed)
+    bad: list[str] = []
+    for r in range(rounds):
+        print(f"--- round {r} ---")
+        bad += run_round(spark, rng, f"/tmp/valar_fuzz_{seed}_{r}")
+    spark.stop()
+    if bad:
+        print("FAILURES:", sorted(set(bad)))
+        return 1
+    print(f"all {rounds} rounds clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

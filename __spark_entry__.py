@@ -194,8 +194,11 @@ def _q_nchars_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_nonempty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
+    # blankness per the non_empty RULE: Java String.trim semantics (every
+    # char <= U+0020 is trimmable) — see rules.non_empty
     return docs.filter(
-        F.col("text").isNull() | (F.trim("text") == "")
+        F.col("text").isNull()
+        | (F.regexp_replace("text", r"[\x00-\x20]", "") == "")
     ).select("doc_id")
 
 
@@ -771,9 +774,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE n_chars IS DISTINCT FROM LENGTH(text)
         """,
-        "nonempty_documents": """
+        "nonempty_documents": r"""
             SELECT doc_id FROM documents
-            WHERE text IS NULL OR TRIM(text) = ''
+            WHERE text IS NULL
+               OR regexp_replace(text, '[\x00-\x20]', '', 'g') = ''
         """,
         "ordering_events": """
             SELECT user_id, event_id FROM (
@@ -861,9 +865,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_documents": r"""
             SELECT doc_id,
-                   md5(CASE WHEN text IS NULL OR TRIM(text) = '' THEN ''
+                   md5(CASE WHEN text IS NULL OR regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = '' THEN ''
                         ELSE array_to_string(list_sort(list_distinct(
-                            regexp_split_to_array(TRIM(text), '\s+'))), ' ')
+                            regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+'))), ' ')
                         END) AS fingerprint
             FROM documents
         """,
@@ -879,7 +883,7 @@ def oracle_sql() -> dict[str, str]:
                     COALESCE(len(regexp_extract_all(LOWER(text),
                         '\b(le|la|et|les|est)\b')), 0) AS fr,
                     COALESCE(len(regexp_extract_all(LOWER(text),
-                        '\b(的|是|了|在|我)\b')), 0) AS zh
+                        '(的|是|了|在|我)')), 0) AS zh
                 FROM documents
             )
             SELECT doc_id,
@@ -934,24 +938,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_documents": r"""
             SELECT doc_id,
-                   CAST(CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+                   CAST(CASE WHEN text IS NULL OR regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = '' THEN 0
+                        ELSE len(regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+'))
                         END AS BIGINT) AS n_tokens
             FROM documents
         """,
         "quality_documents": r"""
             SELECT doc_id,
-                   CAST(CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+                   CAST(CASE WHEN text IS NULL OR regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = '' THEN 0
+                        ELSE len(regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+'))
                         END AS BIGINT) AS n_tokens,
                    ROUND(LENGTH(text) * 1.0 / GREATEST(
-                       CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+                       CASE WHEN text IS NULL OR regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = '' THEN 0
+                            ELSE len(regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+'))
                        END, 1), 6) AS chars_per_token,
                    ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]',
                        '', 'g'))) * 1.0 / GREATEST(LENGTH(text), 1), 6)
                      AS digit_ratio,
-                   ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '\s',
+                   ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[ \t\n\f\r\x0B]',
                        '', 'g'))) * 1.0 / GREATEST(LENGTH(text), 1), 6)
                      AS space_ratio
             FROM documents
@@ -965,8 +969,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs_documents": rf"""
             WITH u AS ({_DOCS_WITH_COPIES_SQL}),
             toks AS (
-                SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
-                FROM u WHERE text IS NOT NULL AND TRIM(text) <> ''
+                SELECT doc_id, regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+                FROM u WHERE text IS NOT NULL AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
             ),
             sh AS (
                 SELECT doc_id, unnest(list_distinct(list_transform(
@@ -991,8 +995,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_components_documents": rf"""
             WITH RECURSIVE u AS ({_DOCS_WITH_COPIES_SQL}),
             toks AS (
-                SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
-                FROM u WHERE text IS NOT NULL AND TRIM(text) <> ''
+                SELECT doc_id, regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+                FROM u WHERE text IS NOT NULL AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
             ),
             sh AS (
                 SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1029,7 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count_documents": r"""
             SELECT doc_id,
                    CAST(COALESCE(len(regexp_extract_all(text,
-                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')),
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r\x0B'']+')),
                        0) AS BIGINT) AS bpe_tokens
             FROM documents
         """,
@@ -1041,9 +1045,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), feat AS (
                 SELECT doc_id,
-                       CASE WHEN text IS NULL OR TRIM(text) = ''
+                       CASE WHEN text IS NULL OR regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = ''
                             THEN CAST([] AS VARCHAR[])
-                            ELSE regexp_split_to_array(TRIM(text), '\s+')
+                            ELSE regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+')
                        END AS t,
                        CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
                             ELSE string_split(text, chr(10))
@@ -1070,7 +1074,7 @@ def oracle_sql() -> dict[str, str]:
                     COALESCE(len(regexp_extract_all(LOWER(text),
                         '\b(le|la|et|les|est)\b')), 0) AS fr,
                     COALESCE(len(regexp_extract_all(LOWER(text),
-                        '\b(的|是|了|在|我)\b')), 0) AS zh
+                        '(的|是|了|在|我)')), 0) AS zh
                 FROM documents
             ), s AS (
                 SELECT doc_id, text,
@@ -1080,9 +1084,9 @@ def oracle_sql() -> dict[str, str]:
                          WHEN es = GREATEST(de, en, es, fr, zh) THEN 'es'
                          WHEN fr = GREATEST(de, en, es, fr, zh) THEN 'fr'
                          ELSE 'zh' END AS lang_pred,
-                    CASE WHEN text IS NULL OR TRIM(text) = ''
+                    CASE WHEN text IS NULL OR regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = ''
                          THEN CAST([] AS VARCHAR[])
-                         ELSE regexp_split_to_array(TRIM(text), '\s+')
+                         ELSE regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+')
                     END AS t,
                     LENGTH(text) AS nc
                 FROM h
@@ -1109,9 +1113,9 @@ def oracle_sql() -> dict[str, str]:
         "top_bigram_documents": r"""
             WITH toks AS (
                 SELECT doc_id, LENGTH(text) AS nc,
-                       regexp_split_to_array(TRIM(text), '\s+') AS t
+                       regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
                 FROM documents
-                WHERE text IS NOT NULL AND TRIM(text) <> ''
+                WHERE text IS NOT NULL AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
             ), grams AS (
                 SELECT doc_id, nc,
                        unnest(list_transform(

@@ -1,0 +1,17 @@
+"""Differential fuzz smoke: adversarial documents (unicode, NBSP, exotic
+whitespace, nulls) through every text-query oracle pair — Spark and DuckDB
+must agree row-for-row. Full harness: BENCH/fuzz_oracles.py."""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo/BENCH")
+
+
+def test_fuzz_oracles_one_round(spark, tmp_path):
+    from fuzz_oracles import run_round
+
+    failures = run_round(spark, random.Random(1234), str(tmp_path / "fuzz"))
+    assert failures == []

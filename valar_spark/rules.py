@@ -127,15 +127,19 @@ def _leaf(name: str, build) -> LeafRule:
 
 def non_empty(message: str | None = None) -> LeafRule:
     """Trimmed non-emptiness; null is a distinct error
-    (ValidationHelpers.scala:74-99)."""
+    (ValidationHelpers.scala:74-99). Blankness uses JAVA String.trim
+    semantics — every char <= U+0020 is trimmable (tab/newline/control-only
+    strings are empty) — because the reference tests ``str.trim.nonEmpty``;
+    Spark's ``trim()`` strips only ' ' and would pass "\\t" as non-empty."""
 
     def build(col, rid, ctx, ann):
         msg = message or "String must not be empty"
+        blank = F.regexp_replace(col, r"[\x00-\x20]", "") == F.lit("")
         return E.cond_errors(
             (col.isNull(),
              E.error_struct(rid, msg, E.CODE_STRING_NULL, ann=ann,
                             expected="non-empty string", actual="null")),
-            (col.isNotNull() & (F.trim(col) == F.lit("")),
+            (col.isNotNull() & blank,
              E.error_struct(rid, msg, E.CODE_STRING_EMPTY, ann=ann,
                             expected="non-empty string", actual=col)),
         )

@@ -27,11 +27,23 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+# Explicit ASCII whitespace class == Java's \s == Python's re.ASCII \s.
+# Every tokenizer in the engine (this Column path, the Arrow UDFs, and the
+# DuckDB oracle SQL) uses THIS class: `\s` differs across dialects (RE2
+# lacks \x0B) and built-in trim()s differ even more (Spark strips only
+# ' ', DuckDB also strips unicode spaces like NBSP) — a differential
+# fuzzer caught both (BENCH/fuzz_oracles.py).
+WS_CLASS = r"[ \t\n\f\r\x0B]"
+WS_STRIP = rf"(^{WS_CLASS}+)|({WS_CLASS}+$)"
+
+
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of trimmed text; empty/null text ⇒ empty array."""
+    """Maximal non-whitespace runs (never empty-string tokens);
+    empty/null/whitespace-only text ⇒ empty array."""
+    stripped = F.regexp_replace(col, WS_STRIP, "")
     return F.when(
-        col.isNull() | (F.trim(col) == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(col), r"\s+"))
+        col.isNull() | (stripped == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(stripped, WS_CLASS + "+"))
 
 
 def token_count(col: Column) -> Column:
@@ -128,7 +140,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             (n_chars - F.length(F.regexp_replace(c, r"[A-Z]", "")))
             .cast("double") / safe, 6).alias("upper_ratio"),
         F.round(
-            (n_chars - F.length(F.regexp_replace(c, r"\s", "")))
+            (n_chars - F.length(F.regexp_replace(c, WS_CLASS, "")))
             .cast("double") / safe, 6).alias("space_ratio"),
     )
 
@@ -210,7 +222,14 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.lower(F.col(text_col))
     scores = []
     for lang, words in sorted(LANG_MARKERS.items()):
-        pat = r"\b(" + "|".join(words) + r")\b"
+        # CJK: no \b — the script has no word boundaries, and Java's \b is
+        # Unicode-aware while RE2's is ASCII (they disagree around CJK
+        # chars; caught by BENCH/fuzz_oracles.py) — raw occurrence count is
+        # both linguistically right and engine-portable
+        if lang == "zh":
+            pat = "(" + "|".join(words) + ")"
+        else:
+            pat = r"\b(" + "|".join(words) + r")\b"
         scores.append(F.struct(
             F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)).alias("hits"),
             F.lit(lang).alias("lang"),
@@ -814,7 +833,8 @@ def top_ngram_stats(df: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
 
     c = F.col(text_col)
-    g = df.filter(c.isNotNull() & (F.trim(c) != "")).select(
+    g = df.filter(c.isNotNull()
+                  & (F.regexp_replace(c, WS_STRIP, "") != "")).select(
         F.col(id_col),
         F.length(c).alias("_nc"),
         F.explode(_gram_strings_udf(n)(c)).alias("top_gram"),
@@ -875,7 +895,8 @@ def scrub_pii(col: Column) -> Column:
 # (no lookahead): contractions, space-prefixed letter runs, digit runs,
 # punctuation runs. Runs of extra whitespace are not counted — a documented
 # divergence from GPT-2's trailing-space tokens.
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+BPE_ISH_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                   r"| ?[^A-Za-z0-9 \t\n\f\r\x0B']+")
 
 
 def bpe_token_count(col: Column) -> Column:
@@ -913,7 +934,7 @@ def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
         out = []
         empty = np.empty(0, dtype=np.int64)
         for t in texts:
-            if not isinstance(t, str) or not t.strip():
+            if not isinstance(t, str) or not t.strip(" \t\n\f\r\x0b"):
                 out.append(empty)
                 continue
             b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
