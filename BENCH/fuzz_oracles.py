@@ -63,6 +63,82 @@ def make_table(rng: random.Random, n_docs: int = 120) -> list[tuple]:
     return rows
 
 
+# events-table oracle pairs — exercised with planted duplicate keys, equal
+# ts ties, nulls, negative/zero values (NaN/Inf excluded: engines define
+# aggregate NaN semantics differently and the clean data never has them)
+EVENTS_QUERIES = [
+    "uniqueness_user_events",
+    "uniqueness_events_key",
+    "domain_event_type",
+    "stats_events_value",
+    "quantiles_events_value",
+    "ordering_events",
+    "ordering_events_by_value",
+    "psi_events_value_halves",
+    "ks_events_value_halves",
+    "text_equality_events",
+]
+
+_ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]
+
+
+def make_events(rng: random.Random, n: int = 300) -> list[tuple]:
+    rows = []
+    base_ts = 1_700_000_000
+    for i in range(n):
+        user = rng.randint(0, 12)
+        eid = rng.randint(0, 80)          # small ranges → real duplicates
+        ts = base_ts + rng.choice([0, 0, 60, 3600, rng.randint(0, 86400)])
+        val = rng.choice([None, 0.0, -5.25, 499.999,
+                          round(rng.uniform(0, 500), 3)])
+        rows.append((user, eid, rng.choice(_ETYPES), val, ts))
+    return rows
+
+
+def run_events_round(spark, rng: random.Random, work: str) -> list[str]:
+    import duckdb
+    import pandas as pd
+    import __spark_entry__ as e
+
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    rows = make_events(rng)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, "
+              "value double, ts_epoch bigint"
+    ).select("user_id", "event_id", "event_type", "value",
+             F.timestamp_seconds("ts_epoch").alias("ts"))
+    df.coalesce(2).write.parquet(f"{work}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{work}/events.parquet/*.parquet')")
+    failures = []
+    for name in EVENTS_QUERIES:
+        sdf = e.queries()[name](spark, work).toPandas()
+        odf = con.execute(e.oracle_sql()[name]).fetchdf()
+        s = (sdf.reindex(sorted(sdf.columns), axis=1)
+             .sort_values(sorted(sdf.columns), kind="mergesort")
+             .reset_index(drop=True).astype(str))
+        o = (odf.reindex(sorted(odf.columns), axis=1)
+             .sort_values(sorted(odf.columns), kind="mergesort")
+             .reset_index(drop=True).astype(str))
+        if len(s) != len(o) or not s.equals(o):
+            failures.append(name)
+            print(f"DIVERGENCE {name}: spark={len(s)} duckdb={len(o)}")
+            if len(s) == len(o):
+                neq = (s != o).any(axis=1)
+                print("spark:", s[neq].head(3).to_dict("records"))
+                print("duck :", o[neq].head(3).to_dict("records"))
+        else:
+            print(f"ok {name} ({len(s)} rows)")
+    con.close()
+    return failures
+
+
 def run_round(spark, rng: random.Random, work: str) -> list[str]:
     import duckdb
     import __spark_entry__ as e
@@ -116,8 +192,10 @@ def main() -> int:
     rng = random.Random(seed)
     bad: list[str] = []
     for r in range(rounds):
-        print(f"--- round {r} ---")
+        print(f"--- round {r} (documents) ---")
         bad += run_round(spark, rng, f"/tmp/valar_fuzz_{seed}_{r}")
+        print(f"--- round {r} (events) ---")
+        bad += run_events_round(spark, rng, f"/tmp/valar_fuzz_ev_{seed}_{r}")
     spark.stop()
     if bad:
         print("FAILURES:", sorted(set(bad)))

@@ -792,7 +792,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id FROM (
                 SELECT user_id, event_id,
                        ts < LAG(ts) OVER (PARTITION BY user_id
-                                          ORDER BY value, event_id, ts)
+                                          ORDER BY value NULLS FIRST,
+                                                   event_id, ts)
                          AS bad
                 FROM events
             ) WHERE bad

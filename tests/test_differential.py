@@ -11,7 +11,9 @@ sys.path.insert(0, "/root/repo/BENCH")
 
 
 def test_fuzz_oracles_one_round(spark, tmp_path):
-    from fuzz_oracles import run_round
+    from fuzz_oracles import run_events_round, run_round
 
-    failures = run_round(spark, random.Random(1234), str(tmp_path / "fuzz"))
+    rng = random.Random(1234)
+    failures = run_round(spark, rng, str(tmp_path / "fuzz"))
+    failures += run_events_round(spark, rng, str(tmp_path / "fuzz_ev"))
     assert failures == []

@@ -382,9 +382,12 @@ def ordering_regressions(
     conversations are bounded by conv length, not table size. ``ts_col``
     joins the sort as the final tie-breaker so duplicated ``order_by``
     values cannot make the lag pairing (and thus the result)
-    partition-layout-dependent."""
+    partition-layout-dependent; NULLS FIRST is explicit because engines
+    disagree on the default (Spark first, DuckDB/ANSI last — caught by
+    BENCH/fuzz_oracles.py on a nullable order column)."""
     w = Window.partitionBy(partition_by).orderBy(
-        *[F.col(c) for c in order_by], F.col(ts_col))
+        *[F.col(c).asc_nulls_first() for c in order_by],
+        F.col(ts_col).asc_nulls_first())
     return (
         df.withColumn("_prev_ts", F.lag(ts_col).over(w))
         .filter(F.col("_prev_ts").isNotNull() & (F.col(ts_col) < F.col("_prev_ts")))
