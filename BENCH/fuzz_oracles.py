@@ -36,7 +36,11 @@ FUZZ_QUERIES = [
 _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",
           "lorem", "ipsum", "Data", "spark", "a", "I", "42", "3.14",
           "café", "naïve", "ümlaut", "ŻÓŁĆ", "x" * 50, "@user",
-          "a.b@c.de", "+1 555 000 1234", "10.0.0.1", "don't", "it's"]
+          "a.b@c.de", "+1 555 000 1234", "10.0.0.1", "don't", "it's",
+          # astral + high-BMP in one corpus: UTF-16 code-unit order (Java
+          # string compare) vs UTF-8 byte order (DuckDB) diverge exactly
+          # when both classes are sorted together
+          "😀ok", "＄x", "y", "𝔘𝔫𝔦"]
 _SEPS = [" ", "  ", "\t", "\n", " \n ", "\r\n", " "]  # NBSP is NOT \s
 
 
