@@ -494,14 +494,19 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: hash family is xxhash64 (no DuckDB analogue); exactness of
-    # the verify stage is covered by jaccard_pairs_documents above
+    """LSH-banded MinHash candidates → exact-Jaccard verify at 0.8. The
+    output carries the exact jaccard per pair, so the DuckDB oracle is the
+    full exact-Jaccard pair set at the same threshold — the check asserts
+    the LSH path loses NOTHING vs brute force (verified equal at sf0.001/
+    0.01/0.1; 16 bands × 4 rows puts P(miss) below 2e-4 at j = 0.8 and
+    ≈ 0 at the planted j = 1.0)."""
     from valar_spark import textops as X
 
     u = _docs_with_copies(spark, sf_dir)
     sets = _shared_sets(spark, sf_dir)
     cand = X.minhash_candidates(u, num_hashes=64, bands=16, sets=sets)
-    return X.jaccard_pairs(u, threshold=0.8, candidates=cand, sets=sets)
+    return (X.jaccard_pairs(u, threshold=0.8, candidates=cand, sets=sets)
+            .orderBy("id_a", "id_b"))
 
 
 def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,9 +621,13 @@ def _q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: RHP sketch has no SQL analogue; recall vs the exact pairs
-    # is pinned in tests/test_ann.py. Near-dups planted deterministically
-    # (one nudged coordinate => cosine ~0.999).
+    """RHP-sketch + 8×8-bit chunk-blocked near-dup pairs at cosine ≥ 0.95
+    over embeddings ∪ planted near-copies (one nudged coordinate ⇒ cosine
+    ≈ 0.999). The 8-chunk split GUARANTEES (pigeonhole) every pair within
+    hamming ≤ 7 is a candidate, and at cosine ≈ 0.999 expected hamming is
+    < 1 bit — so the DuckDB oracle is the full exact cosine-pair set at
+    the same threshold (verified equal at sf0.001/0.01/0.1; the old
+    4×16-bit split measurably dropped a hamming-5 pair)."""
     from valar_spark import ann
 
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -628,8 +637,10 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array((F.element_at("embedding", 1) + F.lit(0.05)).cast("float")),
             F.slice("embedding", 2, 100_000),
         ).alias("embedding"))
-    return ann.embedding_near_dup_pairs(emb.unionByName(near),
-                                        threshold=0.95, max_hamming=6)
+    return (ann.embedding_near_dup_pairs(emb.unionByName(near),
+                                         threshold=0.95, max_hamming=7,
+                                         chunk_bits=8)
+            .orderBy("id_a", "id_b"))
 
 
 def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,6 +650,42 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return X.winnow_match_pairs(_docs_with_copies(spark, sf_dir),
                                 min_shared=5, max_df_frac=0.02)
+
+
+# five "eval questions" built from alien 6-char tokens (digit in every
+# 8-gram window ⇒ quotes share no prints with each other, and the letter
+# jumbles never occur in natural corpus text) — contamination ground truth
+# is exactly the construction, so DuckDB can verify the winnowing screen
+_EVAL_QUOTES = [
+    " ".join(f"{p}{i}{s}" for p, s in
+             [("qzv", "kw"), ("xjh", "qp"), ("nbl", "dt"), ("yfr", "mc"),
+              ("gsp", "zw"), ("khd", "bn"), ("jtm", "xr"), ("wcf", "ly")])
+    for i in range(5)
+]
+
+
+def _q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing contamination screen against a 5-item eval set: every doc
+    with ``doc_id % 37 < 5`` gets the matching eval quote appended — the
+    winnowing guarantee (≥ ⌊(55−8+1)/4⌋−1 = 10 shared prints per planted
+    55-char quote ≫ min_shared=2) makes detection exact, so the DuckDB
+    oracle is the construction itself."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    ev = spark.createDataFrame(list(enumerate(_EVAL_QUOTES)),
+                               "eval_id long, text string")
+    qarr = F.array(*[F.lit(q) for q in _EVAL_QUOTES])
+    m = F.col("doc_id") % 37
+    planted = docs.select(
+        "doc_id",
+        F.when((m < 5) & F.col("text").isNotNull(),
+               F.concat("text", F.lit(" "),
+                        F.element_at(qarr, (m + 1).cast("int"))))
+        .otherwise(F.col("text")).alias("text"))
+    return (X.winnow_contamination(planted, ev, min_shared=2,
+                                   max_df_frac=0.05)
+            .select("doc_id", "eval_id").orderBy("doc_id"))
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "embedding_near_dup_pairs": _q_embedding_near_dups,
         "winnow_pairs_documents": _q_winnow_pairs,
+        "contamination_screen_documents": _q_contamination_screen,
         "ann_topk_embeddings": _q_ann_topk,
         "ann_ivf_topk_embeddings": _q_ann_ivf,
     }
@@ -1031,6 +1079,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT s AS doc_id, LEAST(s, MIN(d)) AS component
             FROM reach GROUP BY s ORDER BY doc_id
         """,
+        # LSH-vs-brute-force equality oracle: the Spark side generates
+        # candidates via MinHash banding then verifies with exact Jaccard;
+        # the oracle IS brute-force exact Jaccard at the same threshold —
+        # hash-match proves the LSH path loses nothing on this corpus
+        "minhash_near_dup_pairs": rf"""
+            WITH u AS ({_DOCS_WITH_COPIES_SQL}),
+            toks AS (
+                SELECT doc_id, regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+                FROM u WHERE text IS NOT NULL AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, GREATEST(len(t) - 2, 1)),
+                    i -> array_to_string(t[i:i+2], ' ')))) AS s
+                FROM toks
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        # RHP-LSH-vs-brute-force equality oracle: Spark blocks on 8×8-bit
+        # sketch chunks (pigeonhole-complete to hamming ≤ 7) and verifies
+        # exact cosine; the oracle is brute-force exact cosine over the
+        # same embeddings ∪ planted-near-copies construction
+        "embedding_near_dup_pairs": """
+            WITH un AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id,
+                       list_concat([CAST(embedding[1] + 0.05 AS FLOAT)],
+                                   embedding[2:]) AS embedding
+                FROM embeddings WHERE vec_id % 2 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                     AS cosine
+            FROM un a JOIN un b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.95
+            ORDER BY id_a, id_b
+        """,
         "bpe_token_count_documents": r"""
             SELECT doc_id,
                    CAST(COALESCE(len(regexp_extract_all(text,
@@ -1164,6 +1264,14 @@ def oracle_sql() -> dict[str, str]:
                        '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g')) AS scrub_md5
             FROM inj ORDER BY doc_id
         """,
+        # ground truth of the planted-quote construction: the winnowing
+        # guarantee makes the screen exact, so flagged == planted
+        "contamination_screen_documents": """
+            SELECT doc_id, CAST(doc_id % 37 AS BIGINT) AS eval_id
+            FROM documents
+            WHERE doc_id % 37 < 5 AND text IS NOT NULL
+            ORDER BY doc_id
+        """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -1197,8 +1305,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id, rank
         """,
         # validate_transcripts / transcript_verdicts / hll_cardinality_events
-        # / minhash_near_dup_pairs / simhash_pairs_documents /
-        # embedding_near_dup_pairs / winnow_pairs_documents /
+        # / simhash_pairs_documents / winnow_pairs_documents /
         # ann_ivf_topk_embeddings: intentionally omitted → rows-only checks
         # (non-registered input / engine-specific hash or sketch / KMeans)
     }

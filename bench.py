@@ -25,7 +25,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     total_turns = int(os.environ.get("VALAR_BENCH_TURNS", "2000000"))
-    repeat = int(os.environ.get("VALAR_BENCH_REPEAT", "1"))
+    # 3 repeats by default: the host throttles under sustained load, so a
+    # single sample can understate the engine ~2× (round-2 artifact did);
+    # the median of 3 with flagship measured FIRST is robust to that
+    repeat = int(os.environ.get("VALAR_BENCH_REPEAT", "3"))
     import re as _re
     _m = _re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
     sf = float(_m.group(1)) if _m else 0.1

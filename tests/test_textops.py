@@ -295,3 +295,110 @@ def test_corpus_filter_reasons(spark):
     assert not got[6]["keep"]
     assert "too_few_tokens" in got[6]["drop_reasons"]
     assert "lang" in got[6]["drop_reasons"]
+
+
+def test_connected_components_long_chain_olog_rounds(spark):
+    """Adversarial diameter-63 chain: large-star/small-star must converge
+    in O(log n) star rounds — 12 would take 63 rounds under plain min-label
+    propagation (textops.py:566 round-2 weakness, closed here)."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  "id_a bigint, id_b bigint")
+    cc = X.connected_components(pairs, max_iter=12)
+    rows = {r["id"]: r["component"] for r in cc.collect()}
+    assert rows == {i: 0 for i in range(64)}
+    cc.unpersist()
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir => per-round state goes to RELIABLE storage (the
+    cluster-durability mode; localCheckpoint loses blocks on executor
+    death). Output must be identical and checkpoint files must exist."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)] + [(100, 101)],
+        "id_a bigint, id_b bigint")
+    ckdir = str(tmp_path / "cc_ck")
+    cc = X.connected_components(pairs, max_iter=10, checkpoint_dir=ckdir)
+    rows = {r["id"]: r["component"] for r in cc.collect()}
+    assert rows == {**{i: 0 for i in range(21)}, 100: 100, 101: 100}
+    found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert found, "no reliable checkpoint files were written"
+    cc.unpersist()
+
+
+def test_connected_components_raises_without_convergence(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(300)],
+                                  "id_a bigint, id_b bigint")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        X.connected_components(pairs, max_iter=1)
+
+
+def test_pair_ops_leave_no_corpus_cache(spark, docs_with_dups):
+    """Cache hygiene contract (round-2 ADVICE): after a pair query returns
+    and the caller unpersists the result, the session holds no net-new
+    persisted RDDs — internal shingle/signature/print caches are freed
+    deterministically inside the call."""
+    jsc = spark.sparkContext._jsc.sc()
+    docs_with_dups.count()  # materialize the fixture's own cache first
+
+    def n_persisted() -> int:
+        return jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    out = X.winnow_match_pairs(docs_with_dups, min_shared=2, max_df=50)
+    out.count()
+    out.unpersist()
+    assert n_persisted() == base
+
+    out = X.simhash_near_pairs(docs_with_dups, max_hamming=3)
+    out.count()
+    out.unpersist()
+    assert n_persisted() == base
+
+    out = X.jaccard_pairs(docs_with_dups, threshold=0.8)
+    out.count()
+    out.unpersist()
+    assert n_persisted() == base
+
+
+def test_hash_token_vocab_vectorized_matches_loop(spark):
+    """Short (vectorized) and long (blake2b) vocab-hash paths are each
+    deterministic, collision-free on a real vocabulary, and stable w.r.t.
+    array order; the 64-char boundary routes correctly."""
+    import numpy as np
+
+    toks = ([f"tok{i}" for i in range(2000)]
+            + ["a" * 63, "a" * 64, "a" * 65, "b" * 200, "Ω≈ç√∫", "😀x",
+               "a", "ab", "ba"])
+    u = np.array(sorted(set(toks)), dtype=object)
+    h = X._hash_token_vocab(u)
+    assert len(set(h.tolist())) == len(u), "collision in vocab hash"
+    perm = np.random.default_rng(0).permutation(len(u))
+    h2 = X._hash_token_vocab(u[perm])
+    assert (h2 == h[perm]).all()
+
+
+def test_winnow_contamination_flags_planted_quotes(spark, docs):
+    """Planted alien quotes are flagged exactly (winnowing guarantee:
+    a 55-char verbatim quote shares >= 10 selected prints >> min_shared)."""
+    quote0 = "qzv9kw xjh9qp nbl9dt yfr9mc gsp9zw khd9bn jtm9xr wcf9ly"
+    quote1 = "mvd8tk ehw8sn ozc8rb ufj8lp atg8yx icq8vm wkb8hd rns8fz"
+    ev = spark.createDataFrame([(0, quote0), (1, quote1)],
+                               "eval_id long, text string")
+    planted = docs.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 50 == 0) & F.col("text").isNotNull(),
+               F.concat("text", F.lit(" "), F.lit(quote0)))
+        .when((F.col("doc_id") % 50 == 1) & F.col("text").isNotNull(),
+              F.concat("text", F.lit(" "), F.lit(quote1)))
+        .otherwise(F.col("text")).alias("text"))
+    got = {(r["doc_id"], r["eval_id"])
+           for r in X.winnow_contamination(planted, ev, min_shared=2,
+                                           max_df_frac=0.1).collect()}
+    want = {(r["doc_id"], int(r["doc_id"] % 50))
+            for r in docs.filter(F.col("text").isNotNull()
+                                 & (F.col("doc_id") % 50 < 2)).collect()}
+    assert got == want

@@ -188,6 +188,90 @@ def ivf_build_sampled(
     return assigned, centroids
 
 
+def _query_cells(
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """``(query_id, _qvec, _cell)`` — the ``nprobe`` nearest cells per
+    query, ranked via a broadcast join against the ``(cell, cvec)``
+    centroid table + one window over queries×nlist rows — never a literal
+    expression."""
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qvec"))
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "_qvec", "cell",
+        cosine(F.col("_qvec"), F.col("cvec")).alias("_csim"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("cell"))
+    return (
+        qc.withColumn("_rnk", F.row_number().over(wq))
+        .filter(F.col("_rnk") <= nprobe)
+        .select("query_id", "_qvec", F.col("cell").alias("_cell"))
+    )
+
+
+def ivf_write_partitioned(assigned: DataFrame, path: str,
+                          mode: str = "overwrite") -> None:
+    """Persist an IVF-assigned corpus PARTITIONED BY ``_cell`` — the
+    production layout ``ivf_build``'s docstring promises: each cell is its
+    own partition directory, so a probe that filters on ``_cell`` is
+    Catalyst **partition pruning** (the scan lists only nprobe directories
+    out of nlist; `PartitionFilters` in the plan, zero I/O elsewhere)."""
+    assigned.write.mode(mode).partitionBy("_cell").parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    centroids: DataFrame | list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF probe against a ``_cell``-partitioned corpus written by
+    :func:`ivf_write_partitioned`: ranks cells per query, collects the
+    (≤ |queries|·nprobe, driver-bounded by the query set — queries are
+    small by definition) distinct probe cells, and reads the corpus with a
+    static ``_cell IN (…)`` filter so the parquet scan touches ONLY those
+    partition directories. Same result contract as :func:`ivf_topk`; the
+    difference is demonstrable I/O pruning (see
+    tests/test_ann.py::test_ivf_cell_partition_pruning)."""
+    qid = query_id_col or id_col
+    if isinstance(centroids, list):
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, cvec array<double>")
+    # the probe set is query-bounded (≤ |queries|·nprobe rows), so it can
+    # be collected once and re-emitted as a literal frame — no cache to
+    # manage, and the cell list becomes a STATIC partition filter
+    qc_df = _query_cells(centroids, queries, nprobe, vec_col,
+                         query_id_col=qid)
+    rows = qc_df.collect()
+    cells = sorted({r["_cell"] for r in rows})
+    q_cells = spark.createDataFrame(rows, qc_df.schema)
+    assigned = spark.read.parquet(path).where(F.col("_cell").isin(cells))
+    cand = assigned.join(F.broadcast(q_cells), "_cell").filter(
+        F.col("query_id") != F.col(id_col))
+    sim = cand.select(
+        "query_id", id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col(id_col))
+    out = (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col,
+                F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )
+    return out
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame | list[list[float]],
@@ -209,20 +293,8 @@ def ivf_topk(
         centroids = assigned.sparkSession.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "cell int, cvec array<double>")
-    q = queries.select(F.col(qid).alias("query_id"),
-                       F.col(vec_col).alias("_qvec"))
-    # rank cells per query by centroid similarity: queries × nlist rows via
-    # broadcast, top-nprobe per query by window — never a literal expression
-    qc = q.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "_qvec", "cell",
-        cosine(F.col("_qvec"), F.col("cvec")).alias("_csim"))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("_csim").desc(), F.col("cell"))
-    q_cells = (
-        qc.withColumn("_rnk", F.row_number().over(wq))
-        .filter(F.col("_rnk") <= nprobe)
-        .select("query_id", "_qvec", F.col("cell").alias("_cell"))
-    )
+    q_cells = _query_cells(centroids, queries, nprobe, vec_col,
+                           query_id_col=qid)
 
     cand = assigned.join(F.broadcast(q_cells), "_cell").filter(
         F.col("query_id") != F.col(id_col))
@@ -262,58 +334,112 @@ def cosine_pairs_exact(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int | None = None,
+    target_block_rows: int = 2048,
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, cosine)`` with ``cosine >= threshold`` and
     ``id_a < id_b`` — EXACT O(N²) baseline, the recall oracle for
     :func:`embedding_near_dup_pairs` (mirrors the brute-force/LSH split of
     the text dedup ops).
 
-    Shape: the (normalized) corpus matrix is broadcast once; each scan
-    partition multiplies its Arrow batch against it (numpy matmul) and
-    emits only the passing pairs. No crossJoin row materialization, FLOPs
-    distribute over partitions — valid while N×dim fits a broadcast
-    (baseline use); beyond that, use the LSH path."""
-    import numpy as np
+    Shape — DISTRIBUTED block-pair join, no driver collect: every vector is
+    hash-assigned to one of B blocks; the B·(B+1)/2 unordered block pairs
+    form a tiny broadcast table the corpus replicates against (each row
+    lands in the B groups touching its block), and each ``(p, q)`` group
+    multiplies its two block matrices with chunked numpy matmuls, emitting
+    only passing pairs. Within-block pairs are computed ONLY in the
+    diagonal ``(p, p)`` group, cross-block pairs only in ``(p, q)`` — each
+    unordered pair exactly once. Executor memory is bounded by two blocks
+    (~``target_block_rows``·dim doubles) plus one matmul chunk; driver
+    traffic is one ``count()`` for auto-sizing. Shuffle volume is N·B rows
+    — B is capped at 256 because beyond ~10⁶ vectors the O(N²) FLOPs are
+    the real wall and the RHP-LSH path (:func:`embedding_near_dup_pairs`)
+    is the scale answer."""
+    import math
 
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    m = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(m, axis=1)
-    norms[norms == 0] = 1.0
-    mn = m / norms[:, None]
-    bc = corpus.sparkSession.sparkContext.broadcast((ids, mn))
+    n = corpus.count()
+    if num_blocks is None:
+        # enough blocks that (a) a block fits comfortably in a task and
+        # (b) the diagonal+off-diagonal groups saturate the cluster
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        b_mem = math.ceil(n / max(target_block_rows, 1))
+        b_par = 1
+        while b_par * (b_par + 1) // 2 < par:
+            b_par += 1
+        num_blocks = max(1, min(256, max(b_mem, b_par)))
+    bcount = num_blocks
 
-    def gen(batches):
+    spark = corpus.sparkSession
+    block_pairs = spark.createDataFrame(
+        [(p, q) for p in range(bcount) for q in range(p, bcount)],
+        "_bp int, _bq int")
+    blocked = corpus.select(
+        F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pvec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(bcount)).cast("int")
+        .alias("_blk"))
+    replicated = blocked.join(
+        F.broadcast(block_pairs),
+        (F.col("_blk") == F.col("_bp")) | (F.col("_blk") == F.col("_bq")))
+
+    def fn(pdf):
+        import numpy as np
         import pandas as pd
 
-        b_ids, b_mn = bc.value
-        for pdf in batches:
-            v = np.array([np.asarray(x, dtype=np.float64)
-                          for x in pdf[vec_col]])
-            vid = pdf[id_col].to_numpy(dtype=np.int64)
-            nv = np.linalg.norm(v, axis=1)
-            nv[nv == 0] = 1.0
-            sims = (v / nv[:, None]) @ b_mn.T  # (batch, N)
-            out_a, out_b, out_s = [], [], []
-            for i in range(len(vid)):
-                mask = (sims[i] >= threshold) & (b_ids > vid[i])
-                if mask.any():
-                    out_a.append(np.full(int(mask.sum()), vid[i]))
-                    out_b.append(b_ids[mask])
-                    out_s.append(sims[i][mask])
-            if out_a:
-                yield pd.DataFrame({
-                    "id_a": np.concatenate(out_a),
-                    "id_b": np.concatenate(out_b),
-                    "cosine": np.round(np.concatenate(out_s), 6),
-                })
-            else:
-                yield pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                    "id_b": pd.Series([], dtype="int64"),
-                                    "cosine": pd.Series([], dtype="float64")})
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        if len(pdf) == 0:
+            return empty
+        p = int(pdf["_bp"].iat[0])
+        q = int(pdf["_bq"].iat[0])
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        gen, schema="id_a long, id_b long, cosine double")
+        def mat(sub):
+            ids = sub["_pid"].to_numpy(dtype=np.int64)
+            m = np.array([np.asarray(x, dtype=np.float64)
+                          for x in sub["_pvec"]])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            return ids, m / norms[:, None]
+
+        out_a, out_b, out_s = [], [], []
+        chunk = 1024  # bounds the sims matrix at chunk×block_rows doubles
+        if p == q:
+            ids, mn = mat(pdf)
+            for lo in range(0, len(ids), chunk):
+                sims = mn[lo:lo + chunk] @ mn.T
+                mask = (sims >= threshold) & (ids[None, :] > ids[lo:lo + chunk, None])
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    out_a.append(ids[lo + ii])
+                    out_b.append(ids[jj])
+                    out_s.append(sims[ii, jj])
+        else:
+            pa = pdf[pdf["_blk"] == p]
+            pb = pdf[pdf["_blk"] == q]
+            if len(pa) == 0 or len(pb) == 0:
+                return empty
+            ids_a, mn_a = mat(pa)
+            ids_b, mn_b = mat(pb)
+            for lo in range(0, len(ids_a), chunk):
+                sims = mn_a[lo:lo + chunk] @ mn_b.T
+                mask = sims >= threshold
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    ia = ids_a[lo + ii]
+                    ib = ids_b[jj]
+                    out_a.append(np.minimum(ia, ib))
+                    out_b.append(np.maximum(ia, ib))
+                    out_s.append(sims[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cosine": np.round(np.concatenate(out_s), 6),
+        })
+
+    return replicated.groupBy("_bp", "_bq").applyInPandas(
+        fn, schema="id_a long, id_b long, cosine double")
 
 
 def rhp_sketch(vec_col: Column, bits: int = 64, seed: int = 7,
@@ -348,17 +474,30 @@ def rhp_sketch(vec_col: Column, bits: int = 64, seed: int = 7,
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
-    max_hamming: int = 6,
+    max_hamming: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    chunk_bits: int = 8,
 ) -> DataFrame:
-    """Near-duplicate embedding pairs at scale: RHP sketch → 16-bit chunk
-    blocking (pigeonhole: hamming ≤ 3 guarantees a shared chunk; wider
-    hamming trades recall) → exact cosine verification ONLY on candidates
-    (vectorized per Arrow batch). Same O(candidates)-never-O(N²) contract
-    as the MinHash text path; for cosine ≥ 0.95 the expected hamming is
-    ≈ 64·acos(0.95)/π ≈ 6.5 bits of 64."""
+    """Near-duplicate embedding pairs at scale: RHP sketch → chunk blocking
+    → exact cosine verification ONLY on candidates (vectorized per Arrow
+    batch). Same O(candidates)-never-O(N²) contract as the MinHash text
+    path.
+
+    Blocking guarantee (pigeonhole): with ``c = 64/chunk_bits`` chunks, any
+    pair within Hamming ≤ c−1 shares at least one exact chunk — so with the
+    default 8×8-bit chunks and ``max_hamming=7`` the output is EXACTLY
+    ``{pairs : hamming(sketch) ≤ 7 ∧ cosine ≥ threshold}``, deterministic
+    (a 4×16-bit split only guarantees Hamming ≤ 3 and measurably drops
+    hamming-4..6 pairs whose diff bits spread across all four chunks).
+    Scale trade-off: candidate volume grows as ``c·N²/2^chunk_bits`` — at
+    ≥10⁶ vectors raise ``chunk_bits`` to 16 (coarser guarantee, far fewer
+    bucket collisions) or tighten the threshold; near-dup thresholds like
+    0.95 put expected hamming at 64·acos(0.95)/π ≈ 6.5 of 64."""
+    assert 64 % chunk_bits == 0
+    nchunks = 64 // chunk_bits
+    mask = (1 << chunk_bits) - 1
     t = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                       rhp_sketch(F.col(vec_col), seed=seed).alias("_sk"))
     from pyspark import StorageLevel
@@ -368,9 +507,9 @@ def embedding_near_dup_pairs(
         "_id", "_sk",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("ci"),
-                     F.shiftright(F.col("_sk"), i * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("cv"))
-            for i in range(4)
+                     F.shiftright(F.col("_sk"), i * chunk_bits)
+                     .bitwiseAND(F.lit(mask)).alias("cv"))
+            for i in range(nchunks)
         ])).alias("c"),
     ).select("_id", "_sk", "c.ci", "c.cv")
     cand = (
@@ -406,8 +545,16 @@ def embedding_near_dup_pairs(
         nb[nb == 0] = 1.0
         return pd.Series(np.round((a * b).sum(axis=1) / (na * nb), 6))
 
-    return (
+    out = (
         paired.select("id_a", "id_b",
                       pair_cos(F.col("_va"), F.col("_vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    # materialize the (small) pair result and free the corpus-sized sketch
+    # cache deterministically — repeated per-corpus calls in a long-lived
+    # session leave no net-new cached blocks (the returned frame stays
+    # persisted; callers may unpersist it)
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    t.unpersist()
+    return out

@@ -223,16 +223,37 @@ def run_checkpointed(
     finally:
         spark.conf.set(_POM, prior_pom)
 
-    try:
-        violations = (
-            spark.read.parquet(cfg.violations_path)
-            .filter((F.col("run_id") == cfg.run_id)
-                    & (F.col("rule_set_hash") == rsh))
-        )
-    except Exception:
-        # sink absent or holds no data files (a run with zero violations
-        # writes only _SUCCESS) — same contract, empty frame
+    if not _fs_exists(spark, cfg.violations_path):
+        # sink never created (zero buckets pending and no prior run)
         violations = _empty_violations(df, keys)
+    else:
+        try:
+            violations = (
+                spark.read.parquet(cfg.violations_path)
+                # partition-column type inference would read a numeric-looking
+                # run_id back as int and diverge from _empty_violations'
+                # declared string schema — pin both stamps to string
+                .withColumn("run_id", F.col("run_id").cast("string"))
+                .withColumn("rule_set_hash",
+                            F.col("rule_set_hash").cast("string"))
+                .filter((F.col("run_id") == cfg.run_id)
+                        & (F.col("rule_set_hash") == rsh))
+            )
+        except Exception as exc:
+            # the ONLY legitimate empty-read case left: the sink dir exists
+            # but holds no data files (a zero-violation run writes only
+            # _SUCCESS) → schema inference fails. Anything else (transient
+            # FS error, corrupt footer, permissions) must PROPAGATE — a
+            # validation engine silently returning zero violations on infra
+            # failure is a false PASS.
+            name = type(exc).__name__
+            msg = str(exc)
+            if name == "AnalysisException" and (
+                    "UNABLE_TO_INFER_SCHEMA" in msg
+                    or "PATH_NOT_FOUND" in msg):
+                violations = _empty_violations(df, keys)
+            else:
+                raise
     verdicts = (
         spark.read.parquet(cfg.state_path)
         .filter((F.col("run_id") == cfg.run_id) & (F.col("rule_set_hash") == rsh))
@@ -276,10 +297,16 @@ def _clear_bucket_partitions(spark: SparkSession, cfg: RunnerConfig,
     parquet-directory analogue of Iceberg's ``overwritePartitions`` for the
     zero-violation re-run case. Deletes via the Hadoop FileSystem so any
     work_dir scheme (local, HDFS, s3a) behaves identically."""
+    # partition VALUES must be escaped the way Spark's write path escapes
+    # them (space, ':', '%', … become %XX) — an unescaped f-string path
+    # would never match the written directory and the delete would be a
+    # silent no-op, leaving a crashed attempt's stale rows alive
+    esc = spark._jvm.org.apache.spark.sql.catalyst.catalog \
+        .ExternalCatalogUtils.escapePathName
     for b in buckets:
         p = os.path.join(
             cfg.violations_path,
-            f"run_id={cfg.run_id}", f"rule_set_hash={rsh}",
+            f"run_id={esc(cfg.run_id)}", f"rule_set_hash={esc(rsh)}",
             f"{BUCKET_COL}={b}")
         _fs_delete(spark, p)
 

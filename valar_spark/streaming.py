@@ -107,7 +107,6 @@ def stream_value_histogram(
     )
 
 
-_STATE_DDL = "max_turn int, last_ts_us long, rows_seen long"
 _NO_TS = -(1 << 62)  # sentinel: no comparable predecessor (start / null ts)
 
 
@@ -140,6 +139,10 @@ def stream_integrity_stateful(
     order_t = stream_df.schema[order_col].dataType.simpleString()
     out_ddl = (f"{conv_col} {conv_t}, {order_col} {order_t}, "
                "rule_id string, code string, message string")
+    # state schema tracks the ORDER column's type — a hardcoded int state
+    # would overflow state.update for bigint turn_idx beyond 2^31-1 while
+    # the batch oracle handles them fine
+    state_ddl = f"max_turn {order_t}, last_ts_us long, rows_seen long"
 
     def fn(key, pdf_iter, state):
         import pandas as pd
@@ -175,5 +178,5 @@ def stream_integrity_stateful(
             yield pd.DataFrame(out, columns=out_cols)
 
     return stream_df.groupBy(conv_col).applyInPandasWithState(
-        fn, out_ddl, _STATE_DDL, "append",
+        fn, out_ddl, state_ddl, "append",
         "NoTimeout")

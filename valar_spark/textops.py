@@ -273,8 +273,9 @@ def _shingle_hash_udf(shingle_n: int):
 
     Tokenization matches :func:`tokens` (maximal ``\\S+`` runs, ASCII
     whitespace — same class as Java's ``\\s``). Each batch hashes its token
-    VOCABULARY once (``blake2b``-8byte per distinct token — synthetic and
-    natural corpora both have heavy token reuse), then forms shingle hashes
+    VOCABULARY once (vectorized SplitMix64 fold over the codepoint matrix,
+    :func:`_hash_token_vocab` — no per-token Python even on high-entropy
+    corpora), then forms shingle hashes
     as a positional SplitMix64 mix of consecutive token hashes — vectorized,
     no per-shingle string materialization. Shingle identity = its token
     tuple, exactly like the string form ``concat_ws(' ', tokens)``.
@@ -286,7 +287,6 @@ def _shingle_hash_udf(shingle_n: int):
 
     @F.pandas_udf("array<bigint>")
     def sh(texts):  # pd.Series[str] -> pd.Series[np.ndarray[int64]]
-        import hashlib
         import re
 
         import numpy as np
@@ -301,12 +301,7 @@ def _shingle_hash_udf(shingle_n: int):
         if flat:
             uniq, inv = np.unique(np.asarray(flat, dtype=object),
                                   return_inverse=True)
-            uh = np.fromiter(
-                (int.from_bytes(
-                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
-                    "little") for t in uniq),
-                dtype=np.uint64, count=len(uniq))
-            tok_hash = uh[inv]
+            tok_hash = _hash_token_vocab(uniq)[inv]
         else:
             tok_hash = np.empty(0, dtype=np.uint64)
         pos_const = _splitmix64(
@@ -336,6 +331,52 @@ def _shingle_hash_udf(shingle_n: int):
         return pd.Series(out)
 
     return sh
+
+
+_VOCAB_LONG_TOKEN = 64  # chars; beyond this the padded-matrix path degrades
+
+
+def _hash_token_vocab(uniq):
+    """Vectorized 64-bit hashing of a UNIQUE-token vocabulary (numpy object
+    array of str → uint64). Short tokens (≤64 chars — essentially all of
+    natural text) go through the fully-vectorized path: numpy's own
+    fixed-width UTF-32 representation is viewed as an (n, k) codepoint
+    matrix and folded column-by-column through SplitMix64, seeded with the
+    token length so zero-padding can't collide prefixes. Cost is
+    O(max_len) *vectorized* passes over the batch — no per-token Python —
+    vs. the previous per-unique-token ``blake2b`` loop, which degraded
+    toward per-token Python on high-entropy corpora (random IDs defeat
+    vocabulary reuse). Rare long tokens (URLs, base64 blobs) fall back to
+    the blake2b loop so one pathological 1 MB token can't inflate the
+    padded matrix for the whole batch. Both paths are deterministic per
+    token content across batches/partitions."""
+    import hashlib
+
+    import numpy as np
+
+    n = len(uniq)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in uniq), dtype=np.int64, count=n)
+    out = np.empty(n, dtype=np.uint64)
+    short = lens <= _VOCAB_LONG_TOKEN
+    if short.any():
+        su = np.asarray(uniq[short], dtype=np.str_)  # '<Uk' fixed width
+        k = su.dtype.itemsize // 4
+        cp = np.ascontiguousarray(su).view(np.uint32).reshape(-1, k) \
+            .astype(np.uint64)
+        h = _splitmix64(lens[short].astype(np.uint64)
+                        + np.uint64(0xA5A5A5A5DEADBEEF))
+        for j in range(k):
+            h = _splitmix64(h ^ (cp[:, j] + np.uint64(0x9E3779B97F4A7C15)))
+        out[short] = h
+    if (~short).any():
+        out[~short] = np.fromiter(
+            (int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                "little") for t in uniq[~short]),
+            dtype=np.uint64, count=int((~short).sum()))
+    return out
 
 
 def hashed_shingles(col: Column, shingle_n: int = 3) -> Column:
@@ -514,9 +555,13 @@ def jaccard_pairs(
     natural-language strings.
 
     ``sets`` (from :func:`shingle_hash_sets`) lets callers share one cached
-    tokenize+hash pass; without it the sets are computed and persisted here
-    (they're referenced from 2-4 plan branches)."""
-    if sets is None:
+    tokenize+hash pass; without it the sets are computed and persisted here,
+    the (small) pair result is materialized eagerly and the sets cache is
+    unpersisted before returning — no net-new cached corpus blocks outlive
+    the call (the returned pair frame stays persisted; callers may
+    unpersist it)."""
+    own_sets = sets is None
+    if own_sets:
         sets = shingle_hash_sets(df, text_col, id_col, shingle_n,
                                  persist=True)
     if candidates is not None:
@@ -549,7 +594,7 @@ def jaccard_pairs(
             .join(sizes.select(F.col("_id").alias("id_b"),
                                F.col("n_sh").alias("n_b")), "id_b")
         )
-    return (
+    out = (
         inter
         # |union| = 0 only when both docs are empty (guards ANSI div-by-zero)
         .filter((F.col("n_a") + F.col("n_b") - F.col("n_common")) > 0)
@@ -561,66 +606,129 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if own_sets:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        sets.unpersist()
+    return out
+
+
+def _cc_round_barrier(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Per-round lineage truncation for iterative CC plans. With a
+    ``checkpoint_dir`` the round's edge list is written to RELIABLE storage
+    (``df.checkpoint``) — an executor death mid-iteration recomputes from
+    the checkpoint file, so a 1000-executor run survives node loss. Without
+    one, ``localCheckpoint`` (executor-local, non-replicated) is used: fine
+    single-process, documented-unsafe on a real cluster."""
+    if checkpoint_dir is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 25,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over an undirected pair list: returns one row
     ``(id, component)`` per distinct id, where ``component`` is the minimum
     id reachable from it (the canonical cluster label of duplicate-group
     dedup).
 
-    Iterative min-label propagation: every node starts labelled with the
-    min of itself and its direct neighbors; each round takes the min label
-    over the neighborhood. One key-equality join + one groupBy per round —
-    a bounded number of ordinary shuffles, never an all-pairs product.
-    Converges in ≤ graph-diameter rounds; near-duplicate graphs are dense
-    cliques with short bridges (diameter 2-4 in practice), so 2-3 rounds
-    is typical. Lineage is truncated per round with an eager
-    ``localCheckpoint`` (iterative plans otherwise grow unboundedly), and
-    the only driver traffic is one changed-label count per round. For
-    adversarially long chains the large-star/small-star rounds of the
-    MapReduce-CC literature drop the bound to O(log n) — the hook is this
-    same function signature.
+    Algorithm: alternating **large-star / small-star** rounds (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond") — each round
+    is two groupBy-min aggregations + joins over the EDGE list only (never
+    the corpus), and the edge set provably converges to a forest of
+    min-rooted stars in **O(log² n) rounds (O(log n) in practice)**,
+    independent of graph diameter — an adversarial length-L chain needs
+    ~log L rounds, not L (the weakness of plain min-label propagation).
+    Per-round state is just the current pair list; with ``checkpoint_dir``
+    set it checkpoints to reliable storage every round so executor loss
+    mid-iteration cannot kill the run (see :func:`_cc_round_barrier`).
+    Driver traffic per round is one (count, checksum) aggregate row.
 
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without
-    convergence (returning a half-propagated labelling would silently
+    convergence (returning a half-converged labelling would silently
     split clusters)."""
-    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
-        .distinct()
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    e0 = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+          .filter(F.col("a") != F.col("b")))
+    nodes = (e0.select(F.col("a").alias("id"))
+             .union(e0.select(F.col("b").alias("id"))).distinct())
     from pyspark import StorageLevel
 
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    # round 0 folded in: label = min(self, direct neighbors)
-    labels = edges.groupBy("u").agg(F.min("v").alias("_m")).select(
-        "u", F.least(F.col("u"), F.col("_m")).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
-    # max_iter productive rounds + 1 verification round: a chain whose
-    # propagation needs exactly max_iter rounds still sees changed==0 on
-    # the extra pass instead of a spurious non-convergence error
-    for _ in range(max_iter + 1):
-        lbl_of_v = labels.select(F.col("u").alias("v"),
-                                 F.col("label").alias("_vlabel"))
-        neigh = (edges.join(lbl_of_v, "v")
-                 .groupBy("u").agg(F.min("_vlabel").alias("_nlabel")))
-        new = (labels.withColumnRenamed("label", "_old")
-               .join(neigh, "u", "left")
-               .select("u", "_old",
-                       F.least("_old", F.coalesce("_nlabel", "_old"))
-                       .alias("label")))
-        new = new.localCheckpoint(eager=True)
-        # labels only ever decrease, so "changed" ⇔ strictly smaller
-        changed = new.filter(F.col("label") < F.col("_old")).count()
-        labels = new.select("u", "label")
-        if changed == 0:
-            edges.unpersist()
-            return labels.select(F.col("u").alias("id"),
-                                 F.col("label").alias("component"))
-    edges.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "raise max_iter (graph diameter exceeds it)")
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # gather full neighborhoods; connect every LARGER neighbor to the
+        # neighborhood minimum (incl. self)
+        d = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = d.groupBy("a").agg(F.min("b").alias("_m")).select(
+            "a", F.least(F.col("a"), F.col("_m")).alias("_m"))
+        return (d.join(mins, "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+                .filter(F.col("a") != F.col("b")).distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # key every edge by its larger endpoint; connect the smaller
+        # neighbors AND the node itself to the minimum
+        d = e.select(F.greatest("a", "b").alias("a"),
+                     F.least("a", "b").alias("b"))
+        mins = d.groupBy("a").agg(F.min("b").alias("_m"))
+        leaves = (d.join(mins, "a")
+                  .filter(F.col("b") != F.col("_m"))
+                  .select(F.col("b").alias("a"), F.col("_m").alias("b")))
+        centers = mins.select(F.col("a"), F.col("_m").alias("b"))
+        return (leaves.union(centers)
+                .filter(F.col("a") != F.col("b")).distinct())
+
+    def checksum(e: DataFrame):
+        # decimal(38,0) accumulator: a long sum of xxhash64 values
+        # overflows under ANSI arithmetic
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+                       F.lit(0).cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    edges = _cc_round_barrier(e0.distinct(), checkpoint_dir)
+    prev = checksum(edges)
+    converged = False
+    for _ in range(max_iter):
+        edges = _cc_round_barrier(small_star(large_star(edges)),
+                                  checkpoint_dir)
+        cur = checksum(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged and prev[0] > 0:
+        # one verification round: a graph converging on exactly round
+        # max_iter must not raise spuriously
+        cur = checksum(_cc_round_barrier(small_star(large_star(edges)),
+                                         checkpoint_dir))
+        if cur != prev:
+            nodes.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "star rounds — raise max_iter")
+    # converged: every edge is (leaf, component-min); centers have no
+    # outgoing edge and label themselves
+    lab = edges.groupBy(F.col("a").alias("id")).agg(
+        F.min("b").alias("_comp"))
+    out = (nodes.join(lab, "id", "left")
+           .select("id", F.coalesce("_comp", F.col("id")).alias("component")))
+    # materialize the (small) labelling so the nodes cache can be freed
+    # deterministically; the returned frame stays persisted (LRU-evictable,
+    # recomputable lineage) — callers may unpersist it when done
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    nodes.unpersist()
+    return out
 
 
 def dedup_minhash(
@@ -633,6 +741,7 @@ def dedup_minhash(
     shingle_n: int = 3,
     strategy: str = "greedy",
     cc_max_iter: int = 25,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup dedup: LSH candidates → exact-Jaccard verify → drop
     duplicates. One cached tokenize+hash pass feeds both the LSH banding
@@ -646,20 +755,38 @@ def dedup_minhash(
     via :func:`connected_components` and keeps exactly one doc (the min
     id) per cluster — a few extra bounded shuffles over the (small) pair
     list only, never over the corpus. ``cc_max_iter`` passes through to
-    :func:`connected_components`."""
+    :func:`connected_components`.
+
+    Cache hygiene: when the shingle sets are created here, the (small)
+    drop list is materialized and the corpus-sized sets cache is
+    unpersisted before returning — repeated calls in a long-lived session
+    don't accumulate cached blocks. Pass ``sets`` (from
+    :func:`shingle_hash_sets`) to share a caller-managed pass instead;
+    then its lifecycle stays with the caller."""
     if strategy not in ("greedy", "components"):
         raise ValueError(f"unknown dedup strategy: {strategy!r}")
-    sets = shingle_hash_sets(df, text_col, id_col, shingle_n, persist=True)
+    own_sets = sets is None
+    if own_sets:
+        sets = shingle_hash_sets(df, text_col, id_col, shingle_n,
+                                 persist=True)
     cand = minhash_candidates(df, text_col, id_col, num_hashes, bands,
                               shingle_n, sets=sets)
     dup_pairs = jaccard_pairs(df, text_col, id_col, shingle_n, threshold,
                               candidates=cand, sets=sets)
+    from pyspark import StorageLevel
+
     if strategy == "components":
         cc = connected_components(dup_pairs, max_iter=cc_max_iter)
         drop = (cc.filter(F.col("id") != F.col("component"))
                 .select(F.col("id").alias(id_col)))
     else:
-        drop = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+        # materialize the (small) drop list so the corpus-sized shingle
+        # cache can be freed deterministically below
+        drop = (dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        drop.count()
+    if own_sets:
+        sets.unpersist()
     return df.join(drop, id_col, "left_anti")
 
 
@@ -734,7 +861,10 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     pigeonhole), join per chunk, verify Hamming. Same
     candidates-by-key-join shape as MinHash LSH. The (id, simhash) table —
     16 bytes/doc — is persisted so the signature pass runs once, not once
-    per self-join side."""
+    per self-join side; the (small) pair result is materialized eagerly and
+    that cache unpersisted before returning, so repeated calls don't leak
+    cached blocks (the returned pair frame stays persisted; callers may
+    unpersist it)."""
     from pyspark import StorageLevel
 
     t = simhash_table(df, text_col, id_col, shingle_n, sets=sets).persist(
@@ -761,6 +891,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    t.unpersist()
     return pairs
 
 
@@ -991,17 +1124,18 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
         max_df = max(2, int(max_df_frac * df.count()))
     t = (prints if prints is not None
          else winnow_fingerprint_table(df, text_col, id_col, k, w))
-    # the exploded print table feeds FOUR plan branches (df-count, semi-join
-    # probe, both self-join sides) — persist or the fingerprint UDF runs 4×.
-    # The cached blocks stay registered for the session (memory side is
-    # LRU-evictable); callers invoking this per-corpus in one long session
-    # should pass a managed `prints` frame and unpersist it themselves.
-    ex = t.select("_id", F.explode("_fp").alias("h")).persist(
+    # the exploded print table feeds THREE plan branches (df-cap groupBy,
+    # both self-join sides) — persist or the fingerprint UDF runs 3×. The
+    # (small) pair result is materialized eagerly and this cache
+    # unpersisted before returning, so per-corpus calls in a long-lived
+    # session leave no net-new corpus-sized cached blocks (the returned
+    # pair frame stays persisted; callers may unpersist it).
+    ex_cached = t.select("_id", F.explode("_fp").alias("h")).persist(
         StorageLevel.MEMORY_AND_DISK)
-    rare = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    rare = (ex_cached.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_df).select("h"))
-    ex = ex.join(rare, "h", "left_semi")
-    return (
+    ex = ex_cached.join(rare, "h", "left_semi")
+    out = (
         ex.alias("a").join(ex.alias("b"),
                            (F.col("a.h") == F.col("b.h"))
                            & (F.col("a._id") < F.col("b._id")))
@@ -1009,3 +1143,58 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
         .agg(F.count(F.lit(1)).alias("shared_fp"))
         .filter(F.col("shared_fp") >= min_shared)
     )
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ex_cached.unpersist()
+    return out
+
+
+def winnow_contamination(corpus: DataFrame, eval_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         eval_id_col: str = "eval_id",
+                         eval_text_col: str = "text",
+                         k: int = 8, w: int = 4, min_shared: int = 2,
+                         max_df: int | None = None,
+                         max_df_frac: float | None = None) -> DataFrame:
+    """Eval-set contamination screening — the canonical winnowing use
+    (MOSS applied to train/test leakage): flags ``(doc_id, eval_id,
+    shared_fp)`` for every corpus doc sharing ≥ ``min_shared`` selected
+    fingerprints with an eval item, i.e. at least one common character run
+    of ~``k+w−1`` chars per shared print. The winnowing guarantee makes
+    detection DETERMINISTIC: a verbatim quote of length ≥ L contributes at
+    least ``⌊(L−k+1)/w⌋ − 1`` shared selected prints, so a ~60-char quote
+    always clears ``min_shared=2``.
+
+    Shape at corpus scale: the eval-side print table is tiny (eval sets
+    are by definition small) and broadcast; candidates come from a print-
+    equality join against it — the corpus side is one narrow fingerprint
+    projection + one hash join, no self-join, no shuffle of text.
+    ``max_df``/``max_df_frac`` drops corpus-boilerplate prints first
+    (df computed over the CORPUS) exactly as in
+    :func:`winnow_match_pairs` — note a quote planted into more than
+    ``max_df`` corpus docs would prune itself, so size the cap above the
+    expected contamination rate."""
+    from pyspark import StorageLevel
+
+    if max_df_frac is not None:
+        max_df = max(2, int(max_df_frac * corpus.count()))
+    ce = (winnow_fingerprint_table(corpus, text_col, id_col, k, w)
+          .select("_id", F.explode("_fp").alias("h"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    ee = (winnow_fingerprint_table(eval_df, eval_text_col, eval_id_col, k, w)
+          .select(F.col("_id").alias("_eid"), F.explode("_fp").alias("h")))
+    side = ce
+    if max_df is not None:
+        rare = (ce.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_df).select("h"))
+        side = ce.join(rare, "h", "left_semi")
+    out = (
+        side.join(F.broadcast(ee), "h")
+        .groupBy(F.col("_id").alias(id_col), F.col("_eid").alias(eval_id_col))
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ce.unpersist()
+    return out
