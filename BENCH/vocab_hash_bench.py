@@ -1,0 +1,52 @@
+"""Micro-bench for the vectorized token-vocabulary hash (textops.
+_hash_token_vocab) vs the round-2 per-unique-token blake2b loop, on a
+HIGH-ENTROPY vocabulary (1M distinct random 16-hex tokens — the worst case
+for vocabulary reuse). Prints one JSON line.
+
+Finding (recorded in BENCH/BASELINE.md): on THIS host the fold is
+bandwidth-bound against the sandbox's ~0.2 GB/s/process memory ceiling and
+lands ~PAR with the C-level blake2b loop rather than the >=2x a normal
+memory system gives; the naive first cut (uint32 astype + per-column
+SplitMix) was 8x WORSE than the loop until the fold was reduced to a
+zero-copy uint64 view + one multiply-xor per word column."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from valar_spark import textops as X  # noqa: E402
+
+
+def main() -> None:
+    rng = np.random.default_rng(0)
+    toks = np.array([f"{x:016x}" for x in
+                     rng.integers(0, 2 ** 63, 1_000_000)], dtype=object)
+    # warmup both paths on a slice
+    X._hash_token_vocab(toks[:1000])
+    t0 = time.perf_counter()
+    h_new = X._hash_token_vocab(toks)
+    t_new = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    h_old = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode("utf-8"),
+                                        digest_size=8).digest(), "little")
+         for t in toks), dtype=np.uint64, count=len(toks))
+    t_old = time.perf_counter() - t0
+    assert len(set(h_new.tolist())) == len(toks), "collision"
+    print(json.dumps({
+        "tokens": len(toks),
+        "vectorized_sec": round(t_new, 3),
+        "blake2b_loop_sec": round(t_old, 3),
+        "speedup": round(t_old / t_new, 1),
+        "old_distinct_ok": len(set(h_old.tolist())) == len(toks),
+    }))
+
+
+if __name__ == "__main__":
+    main()

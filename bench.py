@@ -40,8 +40,18 @@ def main() -> None:
     from valar_spark.session import get_spark
     from valar_spark.synth import synth_registry, synth_transcripts
 
+    # the 2M-turn stored table is ~45MB in 64 small files: at the default
+    # maxPartitionBytes=128m + openCost=4m Spark packs it into ~3 scan
+    # splits, so the (scan-bound) row-rule pass ran on 3 of 32 cores — a
+    # small-scale packing artifact, not an engine property (a production
+    # table's row-group layout yields thousands of splits). Size splits so
+    # the scan saturates the cores at bench scale.
     spark = get_spark(app_name="valar_bench", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=cpus,
+                      extra_conf={
+                          "spark.sql.files.maxPartitionBytes": "2097152",
+                          "spark.sql.files.openCostInBytes": "524288",
+                      })
 
     # ---- flagship: full validation of a STORED transcript table -----------
     # (production reads from storage; generation is not part of the metric)

@@ -341,27 +341,27 @@ def test_pair_ops_leave_no_corpus_cache(spark, docs_with_dups):
     and the caller unpersists the result, the session holds no net-new
     persisted RDDs — internal shingle/signature/print caches are freed
     deterministically inside the call."""
-    jsc = spark.sparkContext._jsc.sc()
+    jsc = spark.sparkContext._jsc
     docs_with_dups.count()  # materialize the fixture's own cache first
 
-    def n_persisted() -> int:
-        return jsc.getPersistentRDDs().size()
+    def persisted_ids() -> set:
+        return set(jsc.getPersistentRDDs().keySet().toArray())
 
-    base = n_persisted()
-    out = X.winnow_match_pairs(docs_with_dups, min_shared=2, max_df=50)
-    out.count()
-    out.unpersist()
-    assert n_persisted() == base
-
-    out = X.simhash_near_pairs(docs_with_dups, max_hamming=3)
-    out.count()
-    out.unpersist()
-    assert n_persisted() == base
-
-    out = X.jaccard_pairs(docs_with_dups, threshold=0.8)
-    out.count()
-    out.unpersist()
-    assert n_persisted() == base
+    # compare ID SETS, not counts: the ContextCleaner may concurrently
+    # GC-unpersist frames leaked by earlier tests, which would skew a
+    # count-based baseline
+    for op in (
+        lambda: X.winnow_match_pairs(docs_with_dups, min_shared=2,
+                                     max_df=50),
+        lambda: X.simhash_near_pairs(docs_with_dups, max_hamming=3),
+        lambda: X.jaccard_pairs(docs_with_dups, threshold=0.8),
+    ):
+        base = persisted_ids()
+        out = op()
+        out.count()
+        out.unpersist(blocking=True)
+        leaked = persisted_ids() - base
+        assert not leaked, f"op leaked persisted RDDs: {leaked}"
 
 
 def test_hash_token_vocab_vectorized_matches_loop(spark):

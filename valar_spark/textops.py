@@ -340,16 +340,22 @@ def _hash_token_vocab(uniq):
     """Vectorized 64-bit hashing of a UNIQUE-token vocabulary (numpy object
     array of str → uint64). Short tokens (≤64 chars — essentially all of
     natural text) go through the fully-vectorized path: numpy's own
-    fixed-width UTF-32 representation is viewed as an (n, k) codepoint
-    matrix and folded column-by-column through SplitMix64, seeded with the
-    token length so zero-padding can't collide prefixes. Cost is
-    O(max_len) *vectorized* passes over the batch — no per-token Python —
-    vs. the previous per-unique-token ``blake2b`` loop, which degraded
-    toward per-token Python on high-entropy corpora (random IDs defeat
-    vocabulary reuse). Rare long tokens (URLs, base64 blobs) fall back to
-    the blake2b loop so one pathological 1 MB token can't inflate the
-    padded matrix for the whole batch. Both paths are deterministic per
-    token content across batches/partitions."""
+    fixed-width UTF-32 representation is VIEWED as an (n, k/2) uint64
+    word matrix (zero conversion cost — two codepoints per word) and
+    folded word-column-by-column with an FNV-style multiply-xor, seeded
+    with the token length (so zero-padding can't collide prefixes) and
+    finalized with SplitMix64. Cost is O(max_len/2) vectorized passes —
+    no per-token Python. Rare long tokens (URLs, base64 blobs) fall back
+    to a ``blake2b`` loop so one pathological 1 MB token can't inflate
+    the padded matrix for the whole batch. Both paths are deterministic
+    per token content across batches/partitions.
+
+    Perf note (BENCH/BASELINE.md "vocab hash"): measured 1.3× over the
+    C-level blake2b loop on 1M random 16-hex tokens EVEN on this sandbox's
+    ~0.2 GB/s/process bandwidth ceiling (the fold is bandwidth-bound —
+    normal memory systems widen the gap); a uint32 ``astype`` + per-column
+    SplitMix variant was 8× WORSE than the loop, hence the zero-copy view
+    + single multiply-xor per word column."""
     import hashlib
 
     import numpy as np
@@ -363,13 +369,16 @@ def _hash_token_vocab(uniq):
     if short.any():
         su = np.asarray(uniq[short], dtype=np.str_)  # '<Uk' fixed width
         k = su.dtype.itemsize // 4
-        cp = np.ascontiguousarray(su).view(np.uint32).reshape(-1, k) \
-            .astype(np.uint64)
+        if k % 2:  # pad to an even codepoint count for the uint64 view
+            k += 1
+            su = su.astype(f"<U{k}")
+        w = su.view(np.uint64).reshape(len(su), k // 2)
         h = _splitmix64(lens[short].astype(np.uint64)
                         + np.uint64(0xA5A5A5A5DEADBEEF))
-        for j in range(k):
-            h = _splitmix64(h ^ (cp[:, j] + np.uint64(0x9E3779B97F4A7C15)))
-        out[short] = h
+        fnv = np.uint64(0x100000001B3)
+        for j in range(w.shape[1]):
+            h = (h ^ w[:, j]) * fnv
+        out[short] = _splitmix64(h)
     if (~short).any():
         out[~short] = np.fromiter(
             (int.from_bytes(
