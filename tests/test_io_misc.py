@@ -198,3 +198,44 @@ def test_error_order_callable_accumulator(spark):
     h_fn = rule_set_hash(RuleSet(
         {"s": rule}, ValidationConfig(error_order=keep_first_only)))
     assert h_def != h_fn
+
+
+def test_streaming_dedup_exact_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keyed by content md5: an exact copy
+    arriving in a LATER micro-batch (same event-time window) is dropped;
+    distinct texts and null-text rows pass through."""
+    import time as _time
+
+    from valar_spark.streaming import stream_dedup_exact
+
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta", "2026-01-01 00:00:10"),
+         (2, "gamma delta", "2026-01-01 00:00:11"),
+         (3, None, "2026-01-01 00:00:12")],
+        "doc_id long, text string, ts string",
+    ).select("doc_id", "text", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta", "2026-01-01 00:00:20"),   # cross-batch dup
+         (11, "epsilon", "2026-01-01 00:00:21"),
+         (12, None, "2026-01-01 00:00:22")],          # null: not collapsed
+        "doc_id long, text string, ts string",
+    ).select("doc_id", "text", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{src}/b*"))
+    out = stream_dedup_exact(stream, watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_mem")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in
+               spark.sql("SELECT doc_id FROM dedup_mem").collect()}
+    finally:
+        q.stop()
+    assert got == {1, 2, 3, 11, 12}, got

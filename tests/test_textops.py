@@ -402,3 +402,35 @@ def test_winnow_contamination_flags_planted_quotes(spark, docs):
             for r in docs.filter(F.col("text").isNotNull()
                                  & (F.col("doc_id") % 50 < 2)).collect()}
     assert got == want
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Seeded random graphs: the star-rounds labelling must equal a
+    driver-side union-find ground truth (root = component min by
+    construction of union-by-min)."""
+    import random
+
+    for seed in (0, 1, 2):
+        rnd = random.Random(seed)
+        n = 150
+        edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(160)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for e in edges for x in e}
+        expected = {x: find(x) for x in nodes}
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        cc = X.connected_components(df)
+        got = {r["id"]: r["component"] for r in cc.collect()}
+        cc.unpersist()
+        assert got == expected, f"seed {seed}"

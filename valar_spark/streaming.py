@@ -107,6 +107,34 @@ def stream_value_histogram(
     )
 
 
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming half of
+    ``textops.dedup_exact``: drops any row whose text content (md5, JVM
+    projection) was already seen within the event-time watermark, ACROSS
+    micro-batches. ``dropDuplicatesWithinWatermark`` keys state by the
+    16-byte hash only — never the payload — and expires entries as the
+    watermark advances, so state is bounded by the distinct-content rate ×
+    window, not the stream's lifetime (plain ``dropDuplicates`` on a
+    stream grows state forever — the 100-TB-pipeline failure mode this
+    exists to avoid). Null-text rows are keyed by their id so they pass
+    through instead of collapsing onto one null hash."""
+    key = F.when(F.col(text_col).isNull(),
+                 F.concat(F.lit("null:"), F.col(id_col).cast("string"))) \
+        .otherwise(F.md5(F.col(text_col)))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .withColumn("_content_key", key)
+        .dropDuplicatesWithinWatermark(["_content_key"])
+        .drop("_content_key")
+    )
+
+
 _NO_TS = -(1 << 62)  # sentinel: no comparable predecessor (start / null ts)
 
 
