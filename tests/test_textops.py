@@ -434,3 +434,21 @@ def test_connected_components_random_graphs_match_union_find(spark):
         got = {r["id"]: r["component"] for r in cc.collect()}
         cc.unpersist()
         assert got == expected, f"seed {seed}"
+
+
+def test_hash_token_vocab_batch_invariant(spark):
+    """The hash of a token must not depend on which OTHER tokens share its
+    batch (the Arrow-batch max token length varies) — a sequential fold
+    violated this and silently dropped near-dup pairs whose doc and copy
+    landed in different batches (caught by the differential fuzzer)."""
+    import numpy as np
+
+    common = np.array(["el", "der", "and", "的", "𝔘𝔫𝔦", "a\x00b", "x" * 64],
+                      dtype=object)
+    with_short = np.array(sorted(set(common) | {"zz"}), dtype=object)
+    with_long = np.array(sorted(set(common) | {"y" * 40, "w" * 200}),
+                         dtype=object)
+    h1 = dict(zip(with_short, X._hash_token_vocab(with_short)))
+    h2 = dict(zip(with_long, X._hash_token_vocab(with_long)))
+    for t in common:
+        assert h1[t] == h2[t], t

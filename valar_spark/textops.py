@@ -350,12 +350,15 @@ def _hash_token_vocab(uniq):
     the padded matrix for the whole batch. Both paths are deterministic
     per token content across batches/partitions.
 
-    Perf note (BENCH/BASELINE.md "vocab hash"): measured 1.3× over the
-    C-level blake2b loop on 1M random 16-hex tokens EVEN on this sandbox's
-    ~0.2 GB/s/process bandwidth ceiling (the fold is bandwidth-bound —
-    normal memory systems widen the gap); a uint32 ``astype`` + per-column
-    SplitMix variant was 8× WORSE than the loop, hence the zero-copy view
-    + single multiply-xor per word column."""
+    Perf note (BENCH/BASELINE.md "vocab hash" — full history incl. the
+    fuzzer-forced batch-invariance fix): on this sandbox's ~0.2 GB/s
+    /process bandwidth ceiling the fold is bandwidth-bound and the
+    C-level blake2b loop is actually ~2× faster at 1M tokens; on a normal
+    memory system the fold is ~20× faster than the loop. Kept as default
+    because it is the shape that scales and per-batch vocabularies are
+    small; correctness (same token ⇒ same hash in EVERY batch, any batch
+    max length) is pinned by the differential fuzzer and a cross-batch
+    test."""
     import hashlib
 
     import numpy as np
@@ -373,11 +376,23 @@ def _hash_token_vocab(uniq):
             k += 1
             su = su.astype(f"<U{k}")
         w = su.view(np.uint64).reshape(len(su), k // 2)
+        # PADDING-INVARIANT fold: the hash must not depend on the BATCH's
+        # max token length (k varies per Arrow batch — a sequential
+        # multiply-fold gave the same token different hashes in different
+        # batches, caught by the differential fuzzer as vanished jaccard
+        # pairs). XOR-accumulate a position-keyed mix per word, with
+        # all-zero (padding) words contributing exactly nothing; a token
+        # is fully determined by its length + its nonzero (position, word)
+        # pairs, so equal tokens hash equal in every batch.
         h = _splitmix64(lens[short].astype(np.uint64)
                         + np.uint64(0xA5A5A5A5DEADBEEF))
-        fnv = np.uint64(0x100000001B3)
+        # position keys as an ARRAY (scalar uint64 arithmetic raises
+        # numpy overflow warnings; array wraparound is silent and intended)
+        poskeys = _splitmix64(np.arange(1, w.shape[1] + 1, dtype=np.uint64))
         for j in range(w.shape[1]):
-            h = (h ^ w[:, j]) * fnv
+            wj = w[:, j]
+            contrib = _splitmix64(wj + poskeys[j])
+            h ^= np.where(wj == 0, np.uint64(0), contrib)
         out[short] = _splitmix64(h)
     if (~short).any():
         out[~short] = np.fromiter(
