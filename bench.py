@@ -51,6 +51,12 @@ def main() -> None:
                       extra_conf={
                           "spark.sql.files.maxPartitionBytes": "2097152",
                           "spark.sql.files.openCostInBytes": "524288",
+                          # the 3 flagship actions are independent reads —
+                          # submitted from 3 threads they interleave stages
+                          # (FAIR pools) and fill each other's shuffle/tail
+                          # idle cores: measured 5.3-5.7s -> 3.0-3.6s, and
+                          # 18.4s -> 5.5s in a throttled window
+                          "spark.scheduler.mode": "FAIR",
                       })
 
     # ---- flagship: full validation of a STORED transcript table -----------
@@ -68,15 +74,21 @@ def main() -> None:
     n_rows = stored.count()
 
     def flagship() -> tuple[float, int]:
-        # 3 jobs: row rules (scan, no shuffle) + combined
+        # 3 independent jobs submitted CONCURRENTLY (same work, overlapped
+        # scheduling): row rules (scan, no shuffle) + combined
         # uniqueness/ordering (ONE window shuffle) + referential integrity
-        # (distinct + broadcast anti-join)
+        # (distinct + shuffled anti-join)
+        from concurrent.futures import ThreadPoolExecutor
+
         t0 = time.perf_counter()
-        run = validate(stored, ruleset)
-        n_viol = run.violations.count()
-        n_viol += D.transcript_integrity_violations(stored).count()
-        n_viol += D.referential_violations(stored, "conv_id", registry,
-                                          broadcast_parent=False).count()
+        jobs = [
+            lambda: validate(stored, ruleset).violations.count(),
+            lambda: D.transcript_integrity_violations(stored).count(),
+            lambda: D.referential_violations(stored, "conv_id", registry,
+                                             broadcast_parent=False).count(),
+        ]
+        with ThreadPoolExecutor(3) as ex:
+            n_viol = sum(f.result() for f in [ex.submit(j) for j in jobs])
         dt = time.perf_counter() - t0
         return dt, n_viol
 
