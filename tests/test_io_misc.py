@@ -239,3 +239,39 @@ def test_streaming_dedup_exact_across_batches(spark, tmp_path):
     finally:
         q.stop()
     assert got == {1, 2, 3, 11, 12}, got
+
+
+def test_stream_near_dup_flags_against_static_index(spark, tmp_path):
+    """Stream-static LSH join: an incoming exact copy of an indexed corpus
+    doc collides on every band; a novel doc collides on none."""
+    from valar_spark import textops as X
+    from valar_spark.streaming import stream_near_dup_flags
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely different indexed content with many other words")],
+        "doc_id bigint, text string")
+    index = X.minhash_band_table(corpus, num_hashes=64, bands=16)
+
+    src = str(tmp_path / "src")
+    incoming = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again and again"),
+         (101, "novel text that matches nothing in the existing corpus set")],
+        "doc_id bigint, text string")
+    incoming.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(incoming.schema).parquet(src)
+
+    out = stream_near_dup_flags(stream, index, num_hashes=64, bands=16)
+    q = (out.writeStream.format("memory").queryName("flags_mem")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM flags_mem").collect()
+    finally:
+        q.stop()
+    pairs = {(r["doc_id"], r["index_id"]) for r in rows}
+    assert (100, 1) in pairs          # exact copy collides (all 16 bands)
+    assert all(d != 101 for d, _ in pairs), pairs
+    n_bands_100 = sum(1 for r in rows
+                      if r["doc_id"] == 100 and r["index_id"] == 1)
+    assert n_bands_100 == 16

@@ -135,6 +135,42 @@ def stream_dedup_exact(
     )
 
 
+def stream_near_dup_flags(
+    stream_df: DataFrame,
+    index_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-duplicate screening — flag incoming documents that
+    LSH-collide with an EXISTING corpus: ``index_bands`` is the corpus's
+    static band table (``textops.minhash_band_table``, typically
+    parquet-backed and refreshed by the batch pipeline); the stream side
+    computes the SAME banding per micro-batch (signature UDF + explode,
+    stateless) and equi-joins on ``(band_idx, band_hash)`` — a
+    stream-static inner join, no streaming state at all.
+
+    Output: one row ``(doc_id, index_id, band_idx)`` per colliding band —
+    append-mode safe. Consumers dedup/count downstream (a distinct or
+    count here would force stateful aggregation; candidates are tiny —
+    P(collision) ≈ 1−(1−j^r)^b per pair — so that belongs to the consumer
+    or the exact-verify batch join). This is the standard shape for "is
+    this incoming training document a near-copy of anything we already
+    have" at ingest time."""
+    from . import textops as X
+
+    stream_bands = X.minhash_band_table(
+        stream_df, text_col, id_col, num_hashes, bands, shingle_n)
+    idx = index_bands.select(F.col("_id").alias("index_id"),
+                             "band_idx", "band_hash")
+    return (
+        stream_bands.join(idx, ["band_idx", "band_hash"])
+        .select(F.col("_id").alias(id_col), "index_id", "band_idx")
+    )
+
+
 _NO_TS = -(1 << 62)  # sentinel: no comparable predecessor (start / null ts)
 
 

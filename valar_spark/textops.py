@@ -503,6 +503,46 @@ def minhash_signature(col: Column, num_hashes: int = 64,
     return _minhash_udf(num_hashes)(hashed_shingles(col, shingle_n))
 
 
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """``(_id, band_idx, band_hash)`` — the LSH banding of every non-empty
+    doc: signature split into ``bands`` bands of ``num_hashes/bands``
+    rows, each hashed to one long. This is both the self-join key table of
+    :func:`minhash_candidates` and the *static index* side of
+    streaming incremental dedup (``streaming.stream_near_dup_flags``).
+    Works unchanged on a streaming DataFrame (projection + explode only).
+    Empty docs (no shingles) are filtered — sentinel signatures must not
+    band together."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    if sets is None:
+        sets = shingle_hash_sets(df, text_col, id_col, shingle_n)
+    sig_df = sets.filter(F.col("n_sh") > 0).select(
+        "_id", _minhash_udf(num_hashes)(F.col("_sh")).alias("_sig"))
+    return sig_df.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(F.concat_ws(
+                        ",", F.slice("_sig", b * rows_per_band + 1,
+                                     rows_per_band))).alias("band_hash"),
+                ),
+            )
+        ).alias("b"),
+    ).select("_id", F.col("b.band_idx").alias("band_idx"),
+             F.col("b.band_hash").alias("band_hash"))
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -520,29 +560,8 @@ def minhash_candidates(
     candidate generation is a key-equality join (shuffle on band hash),
     never a cross product. With r rows/band, P(candidate) ≈ 1-(1-j^r)^b —
     steep S-curve around j ≈ (1/b)^(1/r)."""
-    rows_per_band = num_hashes // bands
-    assert rows_per_band * bands == num_hashes
-    if sets is None:
-        sets = shingle_hash_sets(df, text_col, id_col, shingle_n)
-    # empty docs (no shingles) are never near-dup candidates — filtering
-    # them here keeps the sentinel signatures from banding together
-    sig_df = sets.filter(F.col("n_sh") > 0).select(
-        "_id", _minhash_udf(num_hashes)(F.col("_sh")).alias("_sig"))
-    band = sig_df.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(F.concat_ws(
-                        ",", F.slice("_sig", b * rows_per_band + 1,
-                                     rows_per_band))).alias("band_hash"),
-                ),
-            )
-        ).alias("b"),
-    ).select("_id", F.col("b.band_idx").alias("band_idx"),
-             F.col("b.band_hash").alias("band_hash"))
+    band = minhash_band_table(df, text_col, id_col, num_hashes, bands,
+                              shingle_n, sets=sets)
     left = band.alias("l")
     right = band.alias("r")
     return (
