@@ -688,6 +688,16 @@ def _q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "eval_id").orderBy("doc_id"))
 
 
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test assignment — content-stable
+    and engine-portable, so the oracle recomputes it bit-for-bit."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return (X.hash_split(docs)
+            .select("doc_id", "split").orderBy("doc_id"))
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import ann
 
@@ -751,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": _q_embedding_near_dups,
         "winnow_pairs_documents": _q_winnow_pairs,
         "contamination_screen_documents": _q_contamination_screen,
+        "hash_split_documents": _q_hash_split,
         "ann_topk_embeddings": _q_ann_topk,
         "ann_ivf_topk_embeddings": _q_ann_ivf,
     }
@@ -1263,6 +1274,19 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                        '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g')) AS scrub_md5
             FROM inj ORDER BY doc_id
+        """,
+        "hash_split_documents": """
+            SELECT doc_id,
+                   CASE WHEN b < 9800 THEN 'train'
+                        WHEN b < 9900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || ':valar'), 1, 8))::UBIGINT
+                         % 10000 AS b
+                FROM documents
+            ) ORDER BY doc_id
         """,
         # ground truth of the planted-quote construction: the winnowing
         # guarantee makes the screen exact, so flagged == planted

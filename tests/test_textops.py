@@ -452,3 +452,37 @@ def test_hash_token_vocab_batch_invariant(spark):
     h2 = dict(zip(with_long, X._hash_token_vocab(with_long)))
     for t in common:
         assert h1[t] == h2[t], t
+
+
+def test_hash_split_deterministic_and_proportional(spark, docs):
+    out1 = {r["doc_id"]: r["split"] for r in X.hash_split(docs).collect()}
+    out2 = {r["doc_id"]: r["split"] for r in X.hash_split(docs).collect()}
+    assert out1 == out2
+    n = len(out1)
+    frac_train = sum(1 for v in out1.values() if v == "train") / n
+    assert 0.9 <= frac_train <= 1.0
+    assert set(out1.values()) <= {"train", "val", "test"}
+    # content-stable: a subset gets the identical assignment
+    sub = {r["doc_id"]: r["split"] for r in
+           X.hash_split(docs.filter(F.col("doc_id") % 3 == 0)).collect()}
+    assert all(out1[k] == v for k, v in sub.items())
+    # custom weights route through in dict order
+    halves = {r["doc_id"]: r["split"] for r in
+              X.hash_split(docs, {"a": 0.5, "b": 0.5}).collect()}
+    fa = sum(1 for v in halves.values() if v == "a") / n
+    assert 0.4 <= fa <= 0.6
+
+
+def test_dedup_minhash_by_priority_keeps_best(spark):
+    # cluster {1,2,5} via doc5 bridging; doc2 has the best score and must
+    # be the survivor (id-keep would have kept doc1)
+    words = [f"w{i:03d}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words[:85]), 0.2),
+         (2, " ".join(words[15:]), 0.9),
+         (5, " ".join(words), 0.5),
+         (9, "totally unrelated content here", 0.1)],
+        "doc_id bigint, text string, quality double")
+    kept = {r["doc_id"] for r in X.dedup_minhash_by_priority(
+        df, "quality", threshold=0.75, shingle_n=1).collect()}
+    assert kept == {2, 9}

@@ -670,6 +670,87 @@ def _cc_round_barrier(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "valar",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment: adds a
+    ``split`` column from ``md5(id || ':' || salt)`` bucketed into
+    ``buckets`` and cut at the cumulative weight thresholds. Content-
+    stable (same id ⇒ same split on every run, engine, cluster size, and
+    as the corpus grows — the property random `rand()` splits lack),
+    shuffle-free (pure projection), and reproducible in ANY engine with
+    md5 — the DuckDB oracle recomputes it bit-for-bit. Weights are
+    normalized; assignment order follows the dict order."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cut = int(round(acc * buckets))
+        branch = bucket < cut
+        expr = F.when(branch, F.lit(name)) if expr is None \
+            else expr.when(branch, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def dedup_minhash_by_priority(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    cc_max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup dedup keeping the BEST doc per duplicate cluster instead
+    of the lowest id — the production keep-rule (a curation pipeline keeps
+    the highest-quality copy, not an arbitrary one). Resolves full
+    transitive clusters via :func:`connected_components`, then keeps the
+    argmax of ``score_col`` per cluster (ties → lowest id, so the result
+    is deterministic). Cluster resolution is required for a priority rule:
+    greedy pairwise keep-best is not transitively consistent (A beats B,
+    B beats C, but A and C never met). Extra cost over id-keep is one
+    window over the (small) labelled-cluster table only."""
+    from pyspark.sql.window import Window
+
+    sets = shingle_hash_sets(df, text_col, id_col, shingle_n, persist=True)
+    cand = minhash_candidates(df, text_col, id_col, num_hashes, bands,
+                              shingle_n, sets=sets)
+    dup_pairs = jaccard_pairs(df, text_col, id_col, shingle_n, threshold,
+                              candidates=cand, sets=sets)
+    cc = connected_components(dup_pairs, max_iter=cc_max_iter)
+    scored = cc.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")),
+        "id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("_score"), F.asc("id"))
+    drop = (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select(F.col("id").alias(id_col)))
+    from pyspark import StorageLevel
+
+    drop = drop.persist(StorageLevel.MEMORY_AND_DISK)
+    drop.count()
+    sets.unpersist()
+    cc.unpersist()
+    return df.join(drop, id_col, "left_anti")
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 25,
                          checkpoint_dir: str | None = None) -> DataFrame:
