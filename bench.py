@@ -87,8 +87,22 @@ def main() -> None:
             lambda: D.referential_violations(stored, "conv_id", registry,
                                              broadcast_parent=False).count(),
         ]
+
+        def submit(idx_job):
+            # a DISTINCT pool per thread — FAIR mode only arbitrates
+            # BETWEEN pools; three jobs in the one default pool would
+            # still schedule FIFO
+            idx, job = idx_job
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"flagship{idx}")
+            try:
+                return job()
+            finally:
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", None)
+
         with ThreadPoolExecutor(3) as ex:
-            n_viol = sum(f.result() for f in [ex.submit(j) for j in jobs])
+            n_viol = sum(ex.map(submit, enumerate(jobs)))
         dt = time.perf_counter() - t0
         return dt, n_viol
 

@@ -186,3 +186,23 @@ def test_diff_runs(spark, small_df, tmp_path):
     extra = only_wider.select("rule_id").distinct().collect()
     assert {r["rule_id"] for r in extra} == {"role.one_of"}
     assert only_wider.count() == wider.count() - base.count()
+
+
+def test_numeric_looking_run_id_roundtrips(spark, small_df, tmp_path):
+    """A zero-padded all-digit run_id must survive the partition-column
+    round trip: type inference would parse run_id=0042 as int 42 and a
+    post-hoc string cast gives "42" != "0042" — the stamp filter would
+    silently return an empty violations frame (false PASS). The read now
+    declares an explicit schema, pinning partition values to their
+    written string form."""
+    cfg = ValidationConfig(num_buckets=4, salt=2)
+    rs = RuleSet(RULES, cfg)
+    rc = RunnerConfig(work_dir=str(tmp_path / "w"), run_id="0042",
+                      buckets_per_job=4)
+    res = run_checkpointed(small_df, rs, rc)
+    n = res.violations.count()
+    assert n > 0, "stamp filter dropped all violations for run_id='0042'"
+    assert res.violations.schema["run_id"].dataType.simpleString() == "string"
+    got = {r["run_id"] for r in
+           res.violations.select("run_id").distinct().collect()}
+    assert got == {"0042"}

@@ -213,6 +213,24 @@ def _query_cells(
     )
 
 
+def _rank_candidates(cand: DataFrame, k: int, id_col: str,
+                     vec_col: str) -> DataFrame:
+    """Shared probe tail of :func:`ivf_topk` / :func:`ivf_topk_pruned`:
+    exact cosine on the candidate rows, per-query window top-k with the
+    (sim desc, id) tie-break, rounded output."""
+    sim = cand.select(
+        "query_id", id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col(id_col))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col,
+                F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
 def ivf_write_partitioned(assigned: DataFrame, path: str,
                           mode: str = "overwrite") -> None:
     """Persist an IVF-assigned corpus PARTITIONED BY ``_cell`` — the
@@ -258,18 +276,7 @@ def ivf_topk_pruned(
     assigned = spark.read.parquet(path).where(F.col("_cell").isin(cells))
     cand = assigned.join(F.broadcast(q_cells), "_cell").filter(
         F.col("query_id") != F.col(id_col))
-    sim = cand.select(
-        "query_id", id_col,
-        cosine(F.col(vec_col), F.col("_qvec")).alias("_sim"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_sim").desc(), F.col(id_col))
-    out = (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col,
-                F.round("_sim", 6).alias("cosine_sim"), "rank")
-    )
-    return out
+    return _rank_candidates(cand, k, id_col, vec_col)
 
 
 def ivf_topk(
@@ -298,17 +305,7 @@ def ivf_topk(
 
     cand = assigned.join(F.broadcast(q_cells), "_cell").filter(
         F.col("query_id") != F.col(id_col))
-    sim = cand.select(
-        "query_id", id_col,
-        cosine(F.col(vec_col), F.col("_qvec")).alias("_sim"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_sim").desc(), F.col(id_col))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col,
-                F.round("_sim", 6).alias("cosine_sim"), "rank")
-    )
+    return _rank_candidates(cand, k, id_col, vec_col)
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
@@ -342,10 +339,10 @@ def cosine_pairs_exact(
     :func:`embedding_near_dup_pairs` (mirrors the brute-force/LSH split of
     the text dedup ops).
 
-    Shape — DISTRIBUTED block-pair join, no driver collect: every vector is
-    hash-assigned to one of B blocks; the B·(B+1)/2 unordered block pairs
-    form a tiny broadcast table the corpus replicates against (each row
-    lands in the B groups touching its block), and each ``(p, q)`` group
+    Shape — DISTRIBUTED block-pair grouping, no driver collect: every
+    vector is hash-assigned to one of B blocks and replicated (one explode
+    projection, no join) into the B groups touching its block, and each
+    ``(p, q)`` group
     multiplies its two block matrices with chunked numpy matmuls, emitting
     only passing pairs. Within-block pairs are computed ONLY in the
     diagonal ``(p, p)`` group, cross-block pairs only in ``(p, q)`` — each
@@ -369,17 +366,23 @@ def cosine_pairs_exact(
         num_blocks = max(1, min(256, max(b_mem, b_par)))
     bcount = num_blocks
 
-    spark = corpus.sparkSession
-    block_pairs = spark.createDataFrame(
-        [(p, q) for p in range(bcount) for q in range(p, bcount)],
-        "_bp int, _bq int")
     blocked = corpus.select(
         F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pvec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(bcount)).cast("int")
         .alias("_blk"))
-    replicated = blocked.join(
-        F.broadcast(block_pairs),
-        (F.col("_blk") == F.col("_bp")) | (F.col("_blk") == F.col("_bq")))
+    # replicate each row into exactly the B groups touching its block via
+    # a projection — enumerating i=0..B-1 and emitting the unordered pair
+    # (min(i, blk), max(i, blk)) hits every group containing blk exactly
+    # once (i == blk is the diagonal). An OR-predicate broadcast join
+    # would plan as BroadcastNestedLoopJoin evaluating N·B(B+1)/2
+    # predicates — O(B) worse than this O(N·B) explode.
+    groups = F.transform(
+        F.sequence(F.lit(0), F.lit(bcount - 1)),
+        lambda i: F.struct(F.least(i, F.col("_blk")).alias("_bp"),
+                           F.greatest(i, F.col("_blk")).alias("_bq")))
+    replicated = blocked.select(
+        "_pid", "_pvec", "_blk", F.explode(groups).alias("_g")
+    ).select("_pid", "_pvec", "_blk", "_g._bp", "_g._bq")
 
     def fn(pdf):
         import numpy as np
@@ -543,12 +546,16 @@ def embedding_near_dup_pairs(
         nb = np.linalg.norm(b, axis=1)
         na[na == 0] = 1.0
         nb[nb == 0] = 1.0
-        return pd.Series(np.round((a * b).sum(axis=1) / (na * nb), 6))
+        return pd.Series((a * b).sum(axis=1) / (na * nb))
 
+    # threshold on the UNROUNDED cosine (matching cosine_pairs_exact and
+    # the DuckDB oracle), round only for output — filtering post-round
+    # would admit boundary pairs in [threshold−5e-7, threshold)
     out = (
         paired.select("id_a", "id_b",
-                      pair_cos(F.col("_va"), F.col("_vb")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+                      pair_cos(F.col("_va"), F.col("_vb")).alias("_raw"))
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("cosine"))
     )
     # materialize the (small) pair result and free the corpus-sized sketch
     # cache deterministically — repeated per-corpus calls in a long-lived

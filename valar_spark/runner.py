@@ -229,13 +229,16 @@ def run_checkpointed(
     else:
         try:
             violations = (
-                spark.read.parquet(cfg.violations_path)
-                # partition-column type inference would read a numeric-looking
-                # run_id back as int and diverge from _empty_violations'
-                # declared string schema — pin both stamps to string
-                .withColumn("run_id", F.col("run_id").cast("string"))
-                .withColumn("rule_set_hash",
-                            F.col("rule_set_hash").cast("string"))
+                # EXPLICIT schema: partition-column type inference would
+                # parse a numeric-looking run_id ("0042") as int, and a
+                # post-hoc cast back to string does NOT round-trip ("42"
+                # != "0042") — the filter would silently return empty, a
+                # false PASS. Declaring the schema keeps partition values
+                # in their written string form AND leaves the filter a
+                # plain attribute predicate, so partition pruning on
+                # run_id/rule_set_hash still applies.
+                spark.read.schema(_empty_violations(df, keys).schema)
+                .parquet(cfg.violations_path)
                 .filter((F.col("run_id") == cfg.run_id)
                         & (F.col("rule_set_hash") == rsh))
             )

@@ -123,10 +123,15 @@ def stream_dedup_exact(
     window, not the stream's lifetime (plain ``dropDuplicates`` on a
     stream grows state forever — the 100-TB-pipeline failure mode this
     exists to avoid). Null-text rows are keyed by their id so they pass
-    through instead of collapsing onto one null hash."""
-    key = F.when(F.col(text_col).isNull(),
-                 F.concat(F.lit("null:"), F.col(id_col).cast("string"))) \
-        .otherwise(F.md5(F.col(text_col)))
+    through instead of collapsing onto one null hash; a row with BOTH
+    text and id null has no identity at all and gets a unique uuid key
+    (always passes — dedup of the identityless is undefined)."""
+    key = F.when(
+        F.col(text_col).isNull() & F.col(id_col).isNull(), F.expr("uuid()")
+    ).when(
+        F.col(text_col).isNull(),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    ).otherwise(F.md5(F.col(text_col)))
     return (
         stream_df.withWatermark(ts_col, watermark)
         .withColumn("_content_key", key)

@@ -775,11 +775,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     convergence (returning a half-converged labelling would silently
     split clusters)."""
     if checkpoint_dir is not None:
+        # NOTE: setCheckpointDir is SESSION-GLOBAL — callers opting into
+        # reliable checkpoints redirect every checkpoint in the session,
+        # and the per-round edge-list files are NOT auto-deleted unless
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true (or the
+        # caller clears the directory after the run).
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    e0 = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-          .filter(F.col("a") != F.col("b")))
-    nodes = (e0.select(F.col("a").alias("id"))
-             .union(e0.select(F.col("b").alias("id"))).distinct())
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # nodes from the UNfiltered pair list: an id appearing only in
+    # self-pairs (u, u) must still get its (u, u) labelling row
+    nodes = (raw.select(F.col("a").alias("id"))
+             .union(raw.select(F.col("b").alias("id"))).distinct())
+    e0 = raw.filter(F.col("a") != F.col("b"))
     from pyspark import StorageLevel
 
     nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
@@ -882,11 +889,13 @@ def dedup_minhash(
     :func:`connected_components`.
 
     Cache hygiene: when the shingle sets are created here, the (small)
-    drop list is materialized and the corpus-sized sets cache is
-    unpersisted before returning — repeated calls in a long-lived session
-    don't accumulate cached blocks. Pass ``sets`` (from
-    :func:`shingle_hash_sets`) to share a caller-managed pass instead;
-    then its lifecycle stays with the caller."""
+    drop list is materialized and the corpus-sized caches (sets, cluster
+    labelling) are unpersisted before returning — repeated calls in a
+    long-lived session accumulate no corpus-sized blocks; only the small
+    drop list backing the returned anti-join stays cached (LRU-evictable,
+    freed by the ContextCleaner when the result is collected). Pass
+    ``sets`` (from :func:`shingle_hash_sets`) to share a caller-managed
+    pass instead; then its lifecycle stays with the caller."""
     if strategy not in ("greedy", "components"):
         raise ValueError(f"unknown dedup strategy: {strategy!r}")
     own_sets = sets is None
@@ -902,7 +911,10 @@ def dedup_minhash(
     if strategy == "components":
         cc = connected_components(dup_pairs, max_iter=cc_max_iter)
         drop = (cc.filter(F.col("id") != F.col("component"))
-                .select(F.col("id").alias(id_col)))
+                .select(F.col("id").alias(id_col))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        drop.count()
+        cc.unpersist()
     else:
         # materialize the (small) drop list so the corpus-sized shingle
         # cache can be freed deterministically below
@@ -911,6 +923,9 @@ def dedup_minhash(
         drop.count()
     if own_sets:
         sets.unpersist()
+    # the one frame left cached is the duplicate-id drop list backing the
+    # returned anti-join — small by construction, LRU-evictable, and freed
+    # by the ContextCleaner when the returned frame is garbage-collected
     return df.join(drop, id_col, "left_anti")
 
 
