@@ -253,6 +253,68 @@ def _q_psi_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_js_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between even/odd event_id halves on the
+    same fixed bins as the PSI query (drift.js_divergence_from_counts is
+    the mergeable library form; this is its oracle-checkable fixed-bin
+    projection). Symmetric and bounded by ln 2 — the alert statistic that
+    stays finite on empty bins where PSI needs an epsilon floor."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.least(F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)),
+                     F.lit(9)).cast("int")
+    side = (F.pmod(F.col("event_id"), F.lit(2)) == 0).cast("int")
+    hist = (
+        ev.select(bucket.alias("bucket"), side.alias("side"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("side")).cast("double").alias("p_n"),
+            F.sum(1 - F.col("side")).cast("double").alias("q_n"),
+        )
+    )
+    tot = hist.agg(F.sum("p_n").alias("pt"), F.sum("q_n").alias("qt"))
+    pq = hist.crossJoin(tot).select(
+        (F.col("p_n") / F.col("pt")).alias("p"),
+        (F.col("q_n") / F.col("qt")).alias("q"),
+    ).select(
+        "p", "q", ((F.col("p") + F.col("q")) / 2.0).alias("m"))
+    term = (
+        F.when(F.col("p") > 0,
+               0.5 * F.col("p") * F.log(F.col("p") / F.col("m")))
+        .otherwise(0.0)
+        + F.when(F.col("q") > 0,
+                 0.5 * F.col("q") * F.log(F.col("q") / F.col("m")))
+        .otherwise(0.0)
+    )
+    return pq.agg(F.round(F.sum(term), 9).alias("js"))
+
+
+def _q_chi2_events_type_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-squared over the CATEGORICAL event_type distribution
+    (even vs odd event_id halves) — the categorical companion to the
+    numeric PSI/KS/JS checks; one hash aggregate over ≤|domain| rows
+    (drift.chi2_from_counts is the mergeable form)."""
+    ev = _read(spark, sf_dir, "events")
+    side = (F.pmod(F.col("event_id"), F.lit(2)) == 0).cast("int")
+    cont = (
+        ev.select(F.col("event_type").alias("cat"), side.alias("side"))
+        .groupBy("cat")
+        .agg(F.sum(F.col("side")).cast("double").alias("p_n"),
+             F.sum(1 - F.col("side")).cast("double").alias("q_n"))
+    )
+    tot = cont.agg(F.sum("p_n").alias("pt"), F.sum("q_n").alias("qt"))
+    cell = cont.crossJoin(tot).select(
+        "p_n", "q_n", "pt", "qt",
+        (F.col("p_n") + F.col("q_n")).alias("rowt"),
+        (F.col("pt") + F.col("qt")).alias("grand"))
+    stat = (
+        F.pow(F.col("p_n") - F.col("rowt") * F.col("pt") / F.col("grand"), 2)
+        / (F.col("rowt") * F.col("pt") / F.col("grand"))
+        + F.pow(F.col("q_n") - F.col("rowt") * F.col("qt") / F.col("grand"), 2)
+        / (F.col("rowt") * F.col("qt") / F.col("grand"))
+    )
+    return cell.agg(F.round(F.sum(stat), 9).alias("chi2"))
+
+
 def _q_ks_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned two-sample KS between even/odd event_id halves on the same
     fixed-width bins as the PSI query: D = max |ECDF_p - ECDF_q| at bin
@@ -735,6 +797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordering_events": _q_ordering_events,
         "ordering_events_by_value": _q_ordering_events_by_value,
         "psi_events_value_halves": _q_psi_events_value_halves,
+        "js_events_value_halves": _q_js_events_value_halves,
+        "chi2_events_type_halves": _q_chi2_events_type_halves,
         "text_equality_events": _q_text_equality,
         "ks_events_value_halves": _q_ks_events_value_halves,
         "fingerprint_documents": _q_fingerprint_documents,
@@ -901,6 +965,49 @@ def oracle_sql() -> dict[str, str]:
                        * LN(GREATEST(p_n/pt, 1e-6) / GREATEST(q_n/qt, 1e-6))), 9)
                      AS psi
             FROM hist, tot
+        """,
+        "js_events_value_halves": """
+            WITH binned AS (
+                SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9)
+                         AS bucket,
+                       CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS side
+                FROM events WHERE value IS NOT NULL
+            ), hist AS (
+                SELECT bucket,
+                       CAST(SUM(side) AS DOUBLE) AS p_n,
+                       CAST(SUM(1 - side) AS DOUBLE) AS q_n
+                FROM binned GROUP BY bucket
+            ), tot AS (
+                SELECT SUM(p_n) AS pt, SUM(q_n) AS qt FROM hist
+            ), pq AS (
+                SELECT p_n / pt AS p, q_n / qt AS q,
+                       (p_n / pt + q_n / qt) / 2 AS m
+                FROM hist, tot
+            )
+            SELECT ROUND(SUM(
+                (CASE WHEN p > 0 THEN 0.5 * p * LN(p / m) ELSE 0 END)
+                + (CASE WHEN q > 0 THEN 0.5 * q * LN(q / m) ELSE 0 END)
+            ), 9) AS js
+            FROM pq
+        """,
+        "chi2_events_type_halves": """
+            WITH cont AS (
+                SELECT event_type AS cat,
+                       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS p_n,
+                       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END)
+                            AS DOUBLE) AS q_n
+                FROM events GROUP BY event_type
+            ), tot AS (
+                SELECT SUM(p_n) AS pt, SUM(q_n) AS qt FROM cont
+            )
+            SELECT ROUND(SUM(
+                POW(p_n - (p_n + q_n) * pt / (pt + qt), 2)
+                  / ((p_n + q_n) * pt / (pt + qt))
+                + POW(q_n - (p_n + q_n) * qt / (pt + qt), 2)
+                  / ((p_n + q_n) * qt / (pt + qt))
+            ), 9) AS chi2
+            FROM cont, tot
         """,
         "ks_events_value_halves": """
             WITH binned AS (

@@ -157,3 +157,38 @@ def test_stats_profile_hll_on_all_types(spark):
     assert prof["d"]["distinct_estimate"] == 2
     assert prof["b"]["distinct_estimate"] == 2
     assert prof["ts"]["distinct_estimate"] == 2
+
+
+def test_js_divergence_from_counts():
+    import math
+
+    import pytest as _pytest
+
+    from valar_spark.drift import js_divergence_from_counts as js
+
+    assert js([5, 5], [5, 5]).statistic == 0.0
+    # disjoint supports -> maximum ln(2)
+    assert abs(js([10, 0], [0, 10]).statistic - math.log(2)) < 1e-12
+    # symmetric
+    a, b = [8, 2, 0], [3, 3, 4]
+    assert abs(js(a, b).statistic - js(b, a).statistic) < 1e-15
+    # finite on empty bins (where PSI needs the epsilon floor)
+    assert js([1, 0, 9], [0, 5, 5]).statistic < math.log(2)
+    with _pytest.raises(ValueError):
+        js([1, 2], [1, 2, 3])
+
+
+def test_chi2_from_counts():
+    import pytest as _pytest
+
+    from valar_spark.drift import chi2_from_counts as chi2
+
+    assert chi2([5, 5], [5, 5]).statistic == 0.0
+    # hand-computed 2x2: p=[30,10], q=[10,30] -> chi2 = 20.0
+    # (e = 20 per cell; sum (10^2)/20 * 4 = 20)
+    assert abs(chi2([30, 10], [10, 30]).statistic - 20.0) < 1e-12
+    # both-empty bins contribute nothing and don't divide by zero
+    r = chi2([30, 10, 0], [10, 30, 0])
+    assert abs(r.statistic - 20.0) < 1e-12 and r.bins == 2
+    with _pytest.raises(ValueError):
+        chi2([1], [1, 2])

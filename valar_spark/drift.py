@@ -126,6 +126,67 @@ def psi_from_counts(
     return DriftResult(stat, threshold, len(p_counts), n_p, n_q)
 
 
+def js_divergence_from_counts(
+    p_counts: list[int],
+    q_counts: list[int],
+    threshold: float = 0.1,
+    eps: float = 1e-12,
+) -> DriftResult:
+    """Jensen–Shannon divergence (natural log, so the range is [0, ln 2])
+    from two pre-binned histograms over the SAME edges — the symmetric,
+    bounded companion to PSI (PSI blows up on empty bins; JS does not, so
+    it is the better alert statistic for sparse/spiky histograms). Same
+    merge-at-scale shape as :func:`psi_from_counts`: the cluster reduces
+    to ≤bins counts, the statistic is driver-side arithmetic."""
+    if len(p_counts) != len(q_counts):
+        raise ValueError(
+            f"js_divergence_from_counts: histogram lengths differ "
+            f"({len(p_counts)} vs {len(q_counts)})")
+    n_p, n_q = max(sum(p_counts), 1), max(sum(q_counts), 1)
+    stat = 0.0
+    for pc, qc in zip(p_counts, q_counts):
+        p = pc / n_p
+        q = qc / n_q
+        m = (p + q) / 2.0
+        if p > 0:
+            stat += 0.5 * p * math.log(max(p, eps) / max(m, eps))
+        if q > 0:
+            stat += 0.5 * q * math.log(max(q, eps) / max(m, eps))
+    return DriftResult(stat, threshold, len(p_counts), sum(p_counts),
+                       sum(q_counts))
+
+
+def chi2_from_counts(
+    p_counts: list[int],
+    q_counts: list[int],
+    threshold: float = 0.0,
+) -> DriftResult:
+    """Two-sample chi-squared statistic from pre-binned histograms —
+    ``Σ (o_ij − e_ij)² / e_ij`` over the 2×bins contingency table (bins
+    empty on BOTH sides contribute nothing). ``threshold`` is the critical
+    value the caller looks up for df = nonzero_bins − 1; the default 0
+    makes ``passed`` meaningless-but-harmless for callers that only want
+    the statistic."""
+    if len(p_counts) != len(q_counts):
+        raise ValueError(
+            f"chi2_from_counts: histogram lengths differ "
+            f"({len(p_counts)} vs {len(q_counts)})")
+    n_p, n_q = sum(p_counts), sum(q_counts)
+    total = n_p + n_q
+    stat = 0.0
+    used_bins = 0
+    for pc, qc in zip(p_counts, q_counts):
+        col = pc + qc
+        if col == 0 or total == 0:
+            continue
+        used_bins += 1
+        for obs, n_side in ((pc, n_p), (qc, n_q)):
+            exp = col * n_side / total
+            if exp > 0:
+                stat += (obs - exp) ** 2 / exp
+    return DriftResult(stat, threshold, used_bins, n_p, n_q)
+
+
 def ks_binned(
     current: DataFrame,
     baseline: DataFrame,
