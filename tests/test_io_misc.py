@@ -275,3 +275,46 @@ def test_stream_near_dup_flags_against_static_index(spark, tmp_path):
     n_bands_100 = sum(1 for r in rows
                       if r["doc_id"] == 100 and r["index_id"] == 1)
     assert n_bands_100 == 16
+
+
+def test_bucketed_tables_eliminate_flagship_shuffles(spark, tmp_path):
+    """write_bucketed lays transcripts + registry out hash-clustered by
+    conv_id: the RI anti-join AND the (conv_id, turn_idx) integrity window
+    then plan with ZERO Exchange (vs 4 for the unbucketed join) — the
+    dominant 10^12-row byte movers disappear at the storage layout level."""
+    from valar_spark.io import write_bucketed
+    from valar_spark.synth import synth_registry, synth_transcripts
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION "
+              f"'{tmp_path / 'wh'}'")
+    t = synth_transcripts(spark, total_turns=20_000, seed=42)
+    r = synth_registry(spark, total_turns=20_000, seed=42)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(t, "bdemo.transcripts_b", ["conv_id"], 8,
+                       sort_cols=["conv_id", "turn_idx"])
+        write_bucketed(r, "bdemo.registry_b", ["conv_id"], 8)
+        tb = spark.table("bdemo.transcripts_b")
+        rb = spark.table("bdemo.registry_b")
+        # forbid broadcast so the join must prove co-location, not dodge it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ri = tb.join(rb, "conv_id", "left_anti")
+        assert ri._jdf.queryExecution().executedPlan().toString() \
+            .count("Exchange") == 0
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        wq = tb.withColumn("rn", F.row_number().over(w))
+        assert wq._jdf.queryExecution().executedPlan().toString() \
+            .count("Exchange") == 0
+        # and the unbucketed equivalent DOES shuffle
+        un = t.join(r, "conv_id", "left_anti")
+        assert un._jdf.queryExecution().executedPlan().toString() \
+            .count("Exchange") > 0
+        # results identical to the unbucketed computation
+        assert ri.count() == un.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS bdemo.transcripts_b")
+        spark.sql("DROP TABLE IF EXISTS bdemo.registry_b")
+        spark.sql("DROP DATABASE IF EXISTS bdemo")
