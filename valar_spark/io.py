@@ -119,7 +119,11 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     buckets (``(conv_id, turn_idx)`` makes the window's sort a no-op per
     file). The Iceberg-catalog equivalent is a bucket partition transform
     (``bucket(N, conv_id)``) on the table definition."""
-    w = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
+    # cluster writer tasks to the bucket layout first: without this, EVERY
+    # write task emits its own file per bucket (input_partitions ×
+    # num_buckets small files) and bucket scans pay the open/seek cost
+    out = df.repartition(num_buckets, *[df[c] for c in bucket_cols])
+    w = out.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
