@@ -76,13 +76,24 @@ def main() -> None:
         # hash-clustered by conv_id => the integrity window and RI
         # anti-join plan with ZERO Exchange. Opt-in so the default
         # flagship number stays comparable across rounds.
+        import shutil
+
         from valar_spark.io import write_bucketed
 
-        spark.sql("CREATE DATABASE IF NOT EXISTS valar_bench "
-                  "LOCATION '/tmp/valar_bench/warehouse'")
+        wh = "/tmp/valar_bench/warehouse"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS valar_bench "
+                  f"LOCATION '{wh}'")
         tname = f"valar_bench.turns{total_turns}_b"
         rname = f"valar_bench.registry{total_turns}_b"
-        if not spark.catalog.tableExists(tname):
+        # the in-memory catalog forgets tables between processes while the
+        # warehouse dir persists — a stale location would fail the CTAS
+        # with LOCATION_ALREADY_EXISTS, so clear BOTH table dirs and
+        # rewrite whenever either table is unknown to this session
+        if not (spark.catalog.tableExists(tname)
+                and spark.catalog.tableExists(rname)):
+            for t in (tname, rname):
+                shutil.rmtree(os.path.join(wh, t.split(".")[1]),
+                              ignore_errors=True)
             write_bucketed(stored, tname, ["conv_id"], cpus,
                            sort_cols=["conv_id", "turn_idx"])
             write_bucketed(registry, rname, ["conv_id"], cpus)

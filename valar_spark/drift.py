@@ -130,14 +130,16 @@ def js_divergence_from_counts(
     p_counts: list[int],
     q_counts: list[int],
     threshold: float = 0.1,
-    eps: float = 1e-12,
 ) -> DriftResult:
     """Jensen–Shannon divergence (natural log, so the range is [0, ln 2])
     from two pre-binned histograms over the SAME edges — the symmetric,
     bounded companion to PSI (PSI blows up on empty bins; JS does not, so
     it is the better alert statistic for sparse/spiky histograms). Same
     merge-at-scale shape as :func:`psi_from_counts`: the cluster reduces
-    to ≤bins counts, the statistic is driver-side arithmetic."""
+    to ≤bins counts, the statistic is driver-side arithmetic. No epsilon
+    floor anywhere: the ``p>0``/``q>0`` guards already keep every log
+    argument positive (``m ≥ p/2 > 0``), and a floor would silently
+    diverge from the eps-free oracle projection on extreme-ratio bins."""
     if len(p_counts) != len(q_counts):
         raise ValueError(
             f"js_divergence_from_counts: histogram lengths differ "
@@ -149,9 +151,9 @@ def js_divergence_from_counts(
         q = qc / n_q
         m = (p + q) / 2.0
         if p > 0:
-            stat += 0.5 * p * math.log(max(p, eps) / max(m, eps))
+            stat += 0.5 * p * math.log(p / m)
         if q > 0:
-            stat += 0.5 * q * math.log(max(q, eps) / max(m, eps))
+            stat += 0.5 * q * math.log(q / m)
     return DriftResult(stat, threshold, len(p_counts), sum(p_counts),
                        sum(q_counts))
 
@@ -163,10 +165,12 @@ def chi2_from_counts(
 ) -> DriftResult:
     """Two-sample chi-squared statistic from pre-binned histograms —
     ``Σ (o_ij − e_ij)² / e_ij`` over the 2×bins contingency table (bins
-    empty on BOTH sides contribute nothing). ``threshold`` is the critical
-    value the caller looks up for df = nonzero_bins − 1; the default 0
-    makes ``passed`` meaningless-but-harmless for callers that only want
-    the statistic."""
+    empty on BOTH sides contribute nothing). ``threshold`` is the
+    chi-squared CRITICAL VALUE the caller looks up for
+    df = nonzero_bins − 1 at their alpha; with the statistic-only default
+    of 0 the ``drifted`` property is True for ANY nonzero statistic
+    (i.e. meaningless) — callers alerting on this check must pass a real
+    critical value."""
     if len(p_counts) != len(q_counts):
         raise ValueError(
             f"chi2_from_counts: histogram lengths differ "

@@ -227,36 +227,23 @@ def run_checkpointed(
         # sink never created (zero buckets pending and no prior run)
         violations = _empty_violations(df, keys)
     else:
-        try:
-            violations = (
-                # EXPLICIT schema: partition-column type inference would
-                # parse a numeric-looking run_id ("0042") as int, and a
-                # post-hoc cast back to string does NOT round-trip ("42"
-                # != "0042") — the filter would silently return empty, a
-                # false PASS. Declaring the schema keeps partition values
-                # in their written string form AND leaves the filter a
-                # plain attribute predicate, so partition pruning on
-                # run_id/rule_set_hash still applies.
-                spark.read.schema(_empty_violations(df, keys).schema)
-                .parquet(cfg.violations_path)
-                .filter((F.col("run_id") == cfg.run_id)
-                        & (F.col("rule_set_hash") == rsh))
-            )
-        except Exception as exc:
-            # the ONLY legitimate empty-read case left: the sink dir exists
-            # but holds no data files (a zero-violation run writes only
-            # _SUCCESS) → schema inference fails. Anything else (transient
-            # FS error, corrupt footer, permissions) must PROPAGATE — a
-            # validation engine silently returning zero violations on infra
-            # failure is a false PASS.
-            name = type(exc).__name__
-            msg = str(exc)
-            if name == "AnalysisException" and (
-                    "UNABLE_TO_INFER_SCHEMA" in msg
-                    or "PATH_NOT_FOUND" in msg):
-                violations = _empty_violations(df, keys)
-            else:
-                raise
+        # EXPLICIT schema: partition-column type inference would parse a
+        # numeric-looking run_id ("0042") as int, and a post-hoc cast back
+        # to string does NOT round-trip ("42" != "0042") — the filter
+        # would silently return empty, a false PASS. Declaring the schema
+        # keeps partition values in their written string form, leaves the
+        # filter a plain attribute predicate (partition pruning intact),
+        # and removes schema inference entirely — a sink dir holding only
+        # _SUCCESS (zero-violation run) reads as an empty frame instead of
+        # an UNABLE_TO_INFER_SCHEMA error, so there is deliberately NO
+        # except here: any read exception is real infra failure and must
+        # propagate rather than become a silent zero-violation PASS.
+        violations = (
+            spark.read.schema(_empty_violations(df, keys).schema)
+            .parquet(cfg.violations_path)
+            .filter((F.col("run_id") == cfg.run_id)
+                    & (F.col("rule_set_hash") == rsh))
+        )
     verdicts = (
         spark.read.parquet(cfg.state_path)
         .filter((F.col("run_id") == cfg.run_id) & (F.col("rule_set_hash") == rsh))

@@ -783,9 +783,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # nodes from the UNfiltered pair list: an id appearing only in
-    # self-pairs (u, u) must still get its (u, u) labelling row
+    # self-pairs (u, u) must still get its (u, u) labelling row. Null ids
+    # are excluded — they can never join an edge (null equality) and a
+    # (null, null) labelling row is meaningless
     nodes = (raw.select(F.col("a").alias("id"))
-             .union(raw.select(F.col("b").alias("id"))).distinct())
+             .union(raw.select(F.col("b").alias("id")))
+             .filter(F.col("id").isNotNull()).distinct())
     e0 = raw.filter(F.col("a") != F.col("b"))
     from pyspark import StorageLevel
 
