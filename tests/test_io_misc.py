@@ -318,3 +318,51 @@ def test_bucketed_tables_eliminate_flagship_shuffles(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bdemo.transcripts_b")
         spark.sql("DROP TABLE IF EXISTS bdemo.registry_b")
         spark.sql("DROP DATABASE IF EXISTS bdemo")
+
+
+def test_stream_session_stats_gap_sessionization(spark, tmp_path):
+    """session_window splits a conversation's turns at >gap silences:
+    two bursts 2h apart with a 30min gap yield two sessions with the
+    right turn counts; a single-turn conversation yields one session."""
+    from valar_spark.streaming import stream_session_stats
+
+    src = str(tmp_path / "sess_src")
+    rows = [
+        ("A", 0, "2026-01-01 00:00:00"), ("A", 1, "2026-01-01 00:05:00"),
+        ("A", 2, "2026-01-01 02:00:00"), ("A", 3, "2026-01-01 02:01:00"),
+        ("B", 0, "2026-01-01 00:30:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string"
+    ).select("conv_id", "turn_idx", F.col("ts").cast("timestamp"))
+    import time as _time
+
+    df.coalesce(1).write.parquet(f"{src}/b1")
+    _time.sleep(1.1)
+    # watermark flush: session windows only emit in APPEND mode once the
+    # watermark passes their close — a far-future heartbeat advances it
+    flush = spark.createDataFrame(
+        [("Z", 0, "2026-01-02 12:00:00")],
+        "conv_id string, turn_idx int, ts string"
+    ).select("conv_id", "turn_idx", F.col("ts").cast("timestamp"))
+    flush.coalesce(1).write.parquet(f"{src}/b2")
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{src}/b*"))
+    q = (stream_session_stats(stream, gap="30 minutes",
+                              watermark="1 hour")
+         .writeStream.format("memory").queryName("sess_mem")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["conv_id"], str(r["session_start"]), r["n_turns"],
+                r["min_turn_idx"], r["max_turn_idx"])
+               for r in spark.sql("SELECT * FROM sess_mem").collect()}
+    finally:
+        q.stop()
+    assert got == {
+        ("A", "2026-01-01 00:00:00", 2, 0, 1),
+        ("A", "2026-01-01 02:00:00", 2, 2, 3),
+        ("B", "2026-01-01 00:30:00", 1, 0, 0),
+    }, got

@@ -140,6 +140,35 @@ def stream_dedup_exact(
     )
 
 
+def stream_session_stats(
+    stream_df: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based conversation sessionization — Spark's built-in
+    ``session_window`` groups a conversation's turns into activity
+    sessions (a new session opens after ``gap`` of silence) and emits
+    per-session stats: ``(conv_id, session_start, session_end, n_turns,
+    min_turn_idx, max_turn_idx)``. Sessions merge as late turns bridge
+    gaps; state holds only OPEN sessions and evicts closed ones past the
+    watermark — the canonical "how long do agent conversations actually
+    run" metric over a live transcript stream, O(open sessions) state."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(conv_col),
+                 F.session_window(F.col(ts_col), gap).alias("session"))
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             F.min("turn_idx").alias("min_turn_idx"),
+             F.max("turn_idx").alias("max_turn_idx"))
+        .select(conv_col,
+                F.col("session.start").alias("session_start"),
+                F.col("session.end").alias("session_end"),
+                "n_turns", "min_turn_idx", "max_turn_idx")
+    )
+
+
 def stream_near_dup_flags(
     stream_df: DataFrame,
     index_bands: DataFrame,
