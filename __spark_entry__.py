@@ -253,6 +253,23 @@ def _q_psi_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier rows over a deterministically spiked value
+    column (every 499th event ×25 — both engines reproduce it, so the
+    fences flag a real, checkable outlier set)."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        (F.col("value")
+         * F.when(F.col("event_id") % 499 == 0, F.lit(25.0)).otherwise(1.0))
+        .alias("value"))
+    return (D.iqr_outliers(ev, "value")
+            .select("user_id", "event_id",
+                    F.round("value", 6).alias("value"))
+            .orderBy("user_id", "event_id"))
+
+
 def _q_js_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen–Shannon divergence between even/odd event_id halves on the
     same fixed bins as the PSI query (drift.js_divergence_from_counts is
@@ -797,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordering_events": _q_ordering_events,
         "ordering_events_by_value": _q_ordering_events_by_value,
         "psi_events_value_halves": _q_psi_events_value_halves,
+        "iqr_outliers_events": _q_iqr_outliers_events,
         "js_events_value_halves": _q_js_events_value_halves,
         "chi2_events_type_halves": _q_chi2_events_type_halves,
         "text_equality_events": _q_text_equality,
@@ -965,6 +983,24 @@ def oracle_sql() -> dict[str, str]:
                        * LN(GREATEST(p_n/pt, 1e-6) / GREATEST(q_n/qt, 1e-6))), 9)
                      AS psi
             FROM hist, tot
+        """,
+        "iqr_outliers_events": """
+            WITH inj AS (
+                SELECT user_id, event_id,
+                       value * CASE WHEN event_id % 499 = 0 THEN 25.0
+                                    ELSE 1.0 END AS value
+                FROM events
+            ), b AS (
+                SELECT quantile_cont(value, 0.25) AS q1,
+                       quantile_cont(value, 0.75) AS q3
+                FROM inj
+            )
+            SELECT user_id, event_id, ROUND(value, 6) AS value
+            FROM inj, b
+            WHERE value IS NOT NULL
+              AND (value < q1 - 1.5 * (q3 - q1)
+                   OR value > q3 + 1.5 * (q3 - q1))
+            ORDER BY user_id, event_id
         """,
         "js_events_value_halves": """
             WITH binned AS (

@@ -192,3 +192,18 @@ def test_chi2_from_counts():
     assert abs(r.statistic - 20.0) < 1e-12 and r.bins == 2
     with _pytest.raises(ValueError):
         chi2([1], [1, 2])
+
+
+def test_iqr_outliers(spark):
+    from valar_spark.dataset_rules import iqr_outliers
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(
+            [10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 500, -400, None]
+            ) if v is not None] + [(12, None)],
+        "id bigint, v double")
+    got = {r["id"] for r in iqr_outliers(df, "v").collect()}
+    assert got == {10, 11}  # the planted 500 and -400; null never flags
+    # approx sketch path returns the same rows on this tiny input
+    approx = {r["id"] for r in iqr_outliers(df, "v", approx=True).collect()}
+    assert approx == got

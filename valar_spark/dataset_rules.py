@@ -163,6 +163,31 @@ def domain_breakdown(df: DataFrame, col: str, allowed: Sequence[str]) -> DataFra
     )
 
 
+def iqr_outliers(df: DataFrame, col: str, k: float = 1.5,
+                 approx: bool = False) -> DataFrame:
+    """Rows whose ``col`` falls outside the Tukey fences
+    ``[q1 − k·IQR, q3 + k·IQR]`` — the classic numeric-outlier dataset
+    rule. One quantile aggregate (exact ``percentile`` for
+    oracle-checkable runs; ``approx=True`` switches to the mergeable
+    ``percentile_approx`` sketch for 10^12-row tables) broadcast against
+    the scan — no shuffle of the data rows themselves. Nulls are never
+    outliers (they're the null-rate rule's business)."""
+    qfn = F.percentile_approx if approx else F.percentile
+    bounds = df.agg(
+        qfn(col, F.lit(0.25)).alias("_q1"),
+        qfn(col, F.lit(0.75)).alias("_q3"),
+    ).select(
+        (F.col("_q1") - k * (F.col("_q3") - F.col("_q1"))).alias("_lo"),
+        (F.col("_q3") + k * (F.col("_q3") - F.col("_q1"))).alias("_hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .filter(F.col(col).isNotNull()
+                & ((F.col(col) < F.col("_lo")) | (F.col(col) > F.col("_hi"))))
+        .drop("_lo", "_hi")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-column stats profile (BASELINE.json:6: null rate, min/max, HLL
 # cardinality, quantile sketches)
