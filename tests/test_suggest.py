@@ -1,0 +1,50 @@
+"""Constraint suggestion (suggest.py): proposed rules pass the profiled
+data and flag drifted data; report carries auditable evidence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from valar_spark import validate
+from valar_spark.suggest import suggest_rules
+
+
+def test_suggest_rules_pass_current_and_flag_drift(spark):
+    df = spark.createDataFrame(
+        [("u1", 0, "user", "hello", 1.5),
+         ("u1", 1, "assistant", "world", 2.0),
+         ("u2", 0, "user", "again", 0.0),
+         ("u2", 1, "assistant", None, 3.25)],
+        "conv_id string, turn_idx int, role string, text string, score double")
+    rules, report = suggest_rules(df)
+
+    # the suggested set accepts the data it was derived from
+    run = validate(df, rules)
+    assert run.violations.count() == 0
+
+    # evidence rows exist for the key suggestions
+    rep = {(r["column"], r["rule"]) for r in report.collect()}
+    assert ("role", "one_of") in rep
+    assert ("turn_idx", "in_range") in rep
+    assert ("turn_idx", "non_negative") in rep
+    assert ("text", "optional") in rep          # one null text observed
+    assert ("conv_id", "non_empty") in rep
+
+    # drifted data trips the suggested rules
+    bad = spark.createDataFrame(
+        [("u3", 99, "narrator", "x", -5.0)],   # role out of domain,
+        df.schema)                             # turn_idx/score out of range
+    flags = validate(bad, rules).violations
+    codes = {r["code"] for r in flags.collect()}
+    assert "validation.value.not_in_set" in codes
+    assert "validation.number.out_of_range" in codes
+
+
+def test_suggest_rules_skips_high_cardinality_domain(spark):
+    df = spark.createDataFrame(
+        [(f"id{i}", i) for i in range(500)], "key string, n int")
+    rules, report = suggest_rules(df, max_domain=20)
+    assert not any(r["rule"] == "one_of" and r["column"] == "key"
+                   for r in report.collect())
+    run = validate(df, rules, keys=("key",), partition_cols=("key",))
+    assert run.violations.count() == 0

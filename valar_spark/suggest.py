@@ -1,0 +1,130 @@
+"""Constraint suggestion — propose a rule set from observed data.
+
+The public analogue is AWS Deequ's ConstraintSuggestion: profile the
+table once, then propose per-column constraints the data currently
+satisfies. Suggested rules are a STARTING POINT for review, not intent —
+they codify today's data (the same caveat Deequ documents), so the
+output is both a ready-to-run ``rules`` dict and an evidence ``report``
+DataFrame a reviewer can audit.
+
+Cost model at scale: ONE ``stats_profile`` aggregation pass over the
+table (mergeable sketches), plus one extra aggregate for string-blank
+counts, plus one bounded ``distinct().limit(max_domain+1)`` per
+low-cardinality candidate column (candidates pre-filtered by the HLL
+estimate, so the number of extra jobs is data-independent). Driver
+traffic is O(columns · max_domain) values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import rules as R
+from .dataset_rules import stats_profile
+
+_NUMERIC = ("integer", "long", "short", "byte", "float", "double", "decimal")
+
+REPORT_SCHEMA = ("column string, rule string, params string, "
+                 "reason string")
+
+
+def suggest_rules(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_domain: int = 20,
+    range_slack: float = 0.0,
+) -> tuple[dict, DataFrame]:
+    """Returns ``(rules, report)``: ``rules`` maps column → a composed
+    :mod:`valar_spark.rules` tree the CURRENT data passes; ``report`` has
+    one row per suggested leaf with its evidence. Suggestions per column:
+
+    - ``required`` when the observed null rate is exactly 0; otherwise
+      value rules are wrapped in ``optional`` (nulls keep passing).
+    - strings: ``non_empty`` when no blank/whitespace-only value exists;
+      ``one_of(values)`` when the HLL distinct estimate is ≤ ``max_domain``
+      (verified with a bounded exact distinct fetch).
+    - numerics: ``in_range(min, max)`` widened by ``range_slack`` ×
+      (max − min) per side (0 ⇒ exactly today's envelope); plus
+      ``non_negative`` when min ≥ 0 (reported separately — it encodes a
+      *semantic* guess worth a human look).
+    """
+    spark: SparkSession = df.sparkSession
+    if columns is None:
+        columns = [f.name for f in df.schema.fields]
+    dtypes = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    prof = {r["column"]: r for r in
+            stats_profile(df, columns).collect()}
+
+    string_cols = [c for c in columns if dtypes[c] == "string"]
+    blanks: dict[str, int] = {}
+    if string_cols:
+        row = df.agg(*[
+            F.sum((F.col(c).isNotNull()
+                   & (F.regexp_replace(F.col(c), r"[\x00-\x20]", "") == ""))
+                  .cast("long")).alias(c)
+            for c in string_cols
+        ]).first()
+        blanks = {c: int(row[c] or 0) for c in string_cols}
+
+    rules: dict = {}
+    report_rows: list[tuple] = []
+
+    def add(col: str, rule, name: str, params: str, reason: str) -> None:
+        rules[col] = (rules[col] & rule) if col in rules else rule
+        report_rows.append((col, name, params, reason))
+
+    for c in columns:
+        p = prof[c]
+        nullable = (p["null_count"] or 0) > 0
+        core = None
+
+        if dtypes[c] == "string":
+            leaves = []
+            if blanks.get(c, 0) == 0:
+                leaves.append((R.non_empty(), "non_empty", "",
+                               "no blank/whitespace-only value observed"))
+            est = p["distinct_estimate"]
+            if est is not None and est <= max_domain * 1.2:
+                vals = [r[0] for r in
+                        df.select(c).filter(F.col(c).isNotNull())
+                        .distinct().limit(max_domain + 1).collect()]
+                if 0 < len(vals) <= max_domain:
+                    leaves.append((
+                        R.one_of(sorted(vals)), "one_of",
+                        repr(sorted(vals)),
+                        f"{len(vals)} distinct values observed "
+                        f"(HLL estimate {est})"))
+            for rule, name, params, reason in leaves:
+                core = (core & rule) if core is not None else rule
+                report_rows.append((c, name, params, reason))
+        elif dtypes[c] in _NUMERIC:
+            lo, hi = p["min"], p["max"]
+            if lo is not None and hi is not None:
+                span = float(hi) - float(lo)
+                lo_s = float(lo) - range_slack * span
+                hi_s = float(hi) + range_slack * span
+                core = R.in_range(lo_s, hi_s)
+                report_rows.append((
+                    c, "in_range", f"[{lo_s}, {hi_s}]",
+                    f"observed envelope [{lo}, {hi}], slack {range_slack}"))
+                if float(lo) >= 0:
+                    report_rows.append((
+                        c, "non_negative", "",
+                        "observed min >= 0 — semantic guess, review"))
+
+        if core is None:
+            if not nullable:
+                add(c, R.required(), "required", "",
+                    "0 nulls observed; no value rule derivable")
+            continue
+        if nullable:
+            add(c, R.optional(core), "optional", "",
+                f"{p['null_count']} nulls observed — value rules "
+                "null-pass wrapped")
+        else:
+            add(c, R.required() & core, "required", "",
+                "0 nulls observed")
+
+    report = spark.createDataFrame(report_rows, REPORT_SCHEMA)
+    return rules, report
