@@ -206,3 +206,23 @@ def test_numeric_looking_run_id_roundtrips(spark, small_df, tmp_path):
     got = {r["run_id"] for r in
            res.violations.select("run_id").distinct().collect()}
     assert got == {"0042"}
+
+
+def test_history_anomalies_flags_spiked_run(spark):
+    """Stable violation rates across runs never flag; a 10x spike with
+    >= min_history predecessors does; early runs lack a basis."""
+    from valar_spark.runner import STATE_SCHEMA, history_anomalies
+
+    rows = []
+    for i, rate in enumerate([0.010, 0.011, 0.009, 0.010, 0.10]):
+        rows.append(("r%d" % i, "h", 0, "done", "text.non_empty",
+                     int(rate * 10_000), 10_000, None, float(i)))
+        rows.append(("r%d" % i, "h", 0, "done", "turn_idx.non_negative",
+                     100, 10_000, None, float(i)))
+    st = spark.createDataFrame(rows, STATE_SCHEMA)
+    got = {(r["rule_id"], r["run_id"]): r["anomalous"]
+           for r in history_anomalies(st, k_sigma=3.0).collect()}
+    assert got[("text.non_empty", "r4")] is True          # the spike
+    assert got[("text.non_empty", "r3")] is False         # stable
+    assert got[("text.non_empty", "r0")] is False         # no history
+    assert got[("turn_idx.non_negative", "r4")] is False  # flat series

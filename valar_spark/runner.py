@@ -315,6 +315,45 @@ def _empty_violations(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     )
 
 
+def history_anomalies(state: DataFrame, k_sigma: float = 3.0,
+                      min_history: int = 3) -> DataFrame:
+    """Anomaly detection over the verdict HISTORY (public analogue: Deequ's
+    anomaly detection on metric series): for every ``(rule_id, run_id)``,
+    compare the run's violation RATE (violations / rows checked, summed
+    over buckets) against the mean ± ``k_sigma``·stddev of all PRIOR runs
+    of the same rule (ordered by the run's first ``finished_at``). Runs
+    with fewer than ``min_history`` predecessors are never flagged (no
+    basis), and a zero-variance history flags any deviation. Output:
+    ``(rule_id, run_id, rate, prior_mean, prior_std, n_prior,
+    anomalous)`` — O(runs × rules) rows from one aggregate + one window,
+    regardless of table size, so nightly-run monitoring is free."""
+    from pyspark.sql.window import Window
+
+    per_run = (
+        state.filter(F.col("status") == "done")
+        .groupBy("rule_id", "run_id")
+        .agg((F.sum("violation_count")
+              / F.greatest(F.sum("rows_checked"), F.lit(1))).alias("rate"),
+             F.min("finished_at").alias("_t"))
+    )
+    w = (Window.partitionBy("rule_id").orderBy("_t")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    hist = per_run.select(
+        "rule_id", "run_id", "rate",
+        F.avg("rate").over(w).alias("prior_mean"),
+        F.stddev_pop("rate").over(w).alias("prior_std"),
+        F.count("rate").over(w).alias("n_prior"),
+    )
+    dev = F.abs(F.col("rate") - F.col("prior_mean"))
+    return hist.withColumn(
+        "anomalous",
+        (F.col("n_prior") >= min_history)
+        & F.when(F.coalesce(F.col("prior_std"), F.lit(0.0)) > 0,
+                 dev > k_sigma * F.col("prior_std"))
+        .otherwise(dev > 0),
+    )
+
+
 def diff_runs(a: DataFrame, b: DataFrame,
               columns: Sequence[str] | None = None) -> tuple[DataFrame, DataFrame]:
     """Set-difference two violation frames (e.g. two runs of different
