@@ -34,6 +34,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None)
     p.add_argument("--report", action="store_true",
                    help="print the per-rule summary table")
+    p.add_argument("--suggest", action="store_true",
+                   help="profile the input and print a suggested rule set "
+                        "(evidence report) instead of validating")
+    p.add_argument("--history-anomalies", action="store_true",
+                   help="after the run, flag rules whose violation rate "
+                        "deviates >3 sigma from prior runs in this work-dir")
     args = p.parse_args(argv)
 
     from valar_spark import ValidationConfig
@@ -52,6 +58,14 @@ def main(argv: list[str] | None = None) -> int:
         df = synth_transcripts(spark, total_turns=int(args.input[6:]), seed=42)
     else:
         df = spark.read.parquet(args.input)
+
+    if args.suggest:
+        from valar_spark.suggest import suggest_rules
+
+        _, report = suggest_rules(df)
+        report.orderBy("column", "rule").show(200, truncate=False)
+        spark.stop()
+        return 0
 
     cfg = ValidationConfig(num_buckets=args.buckets, salt=args.salt)
     rs = RuleSet(transcript_ruleset(), cfg)
@@ -86,6 +100,12 @@ def main(argv: list[str] | None = None) -> int:
         if sample:
             print("sample violations (reference show/prettyPrint format):")
             print(sample)
+    if args.history_anomalies:
+        from valar_spark.runner import history_anomalies
+
+        state = spark.read.parquet(rc.state_path)
+        (history_anomalies(state).filter("anomalous")
+         .orderBy("rule_id", "run_id").show(100, truncate=False))
     spark.stop()
     return 0
 
