@@ -80,6 +80,7 @@ def make_table(rng: random.Random, n_docs: int = 120) -> list[tuple]:
 # ts ties, nulls, negative/zero values (NaN/Inf excluded: engines define
 # aggregate NaN semantics differently and the clean data never has them)
 EVENTS_QUERIES = [
+    "iqr_outliers_events",
     "uniqueness_user_events",
     "uniqueness_events_key",
     "domain_event_type",

@@ -48,9 +48,6 @@ def main(argv: list[str] | None = None) -> int:
     from valar_spark.session import get_spark
     from valar_spark.validate import RuleSet
 
-    sys.path.insert(0, ".")
-    from __spark_entry__ import transcript_ruleset
-
     spark = get_spark(app_name=f"valar:{args.run_id}", master=args.master)
     if args.input and args.input.startswith("synth:"):
         from valar_spark.synth import synth_transcripts
@@ -66,6 +63,12 @@ def main(argv: list[str] | None = None) -> int:
         report.orderBy("column", "rule").show(200, truncate=False)
         spark.stop()
         return 0
+
+    # the default transcript rule set lives in the driver-contract module;
+    # imported only past the --suggest branch so suggestion-only runs work
+    # without __spark_entry__.py on the path
+    sys.path.insert(0, ".")
+    from __spark_entry__ import transcript_ruleset
 
     cfg = ValidationConfig(num_buckets=args.buckets, salt=args.salt)
     rs = RuleSet(transcript_ruleset(), cfg)

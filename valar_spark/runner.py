@@ -323,23 +323,26 @@ def history_anomalies(state: DataFrame, k_sigma: float = 3.0,
     over buckets) against the mean ± ``k_sigma``·stddev of all PRIOR runs
     of the same rule (ordered by the run's first ``finished_at``). Runs
     with fewer than ``min_history`` predecessors are never flagged (no
-    basis), and a zero-variance history flags any deviation. Output:
-    ``(rule_id, run_id, rate, prior_mean, prior_std, n_prior,
-    anomalous)`` — O(runs × rules) rows from one aggregate + one window,
+    basis), and a zero-variance history flags any deviation. The series
+    is keyed by ``(rule_id, rule_set_hash)``: a rule-set change starts a
+    FRESH history — rates across rule generations aren't comparable, and
+    a same-run_id re-run under a new hash must not blend both generations
+    into one rate. Output: ``(rule_id, rule_set_hash, run_id, rate,
+    prior_mean, prior_std, n_prior, anomalous)`` — O(runs × rules) rows from one aggregate + one window,
     regardless of table size, so nightly-run monitoring is free."""
     from pyspark.sql.window import Window
 
     per_run = (
         state.filter(F.col("status") == "done")
-        .groupBy("rule_id", "run_id")
+        .groupBy("rule_id", "rule_set_hash", "run_id")
         .agg((F.sum("violation_count")
               / F.greatest(F.sum("rows_checked"), F.lit(1))).alias("rate"),
              F.min("finished_at").alias("_t"))
     )
-    w = (Window.partitionBy("rule_id").orderBy("_t")
+    w = (Window.partitionBy("rule_id", "rule_set_hash").orderBy("_t")
          .rowsBetween(Window.unboundedPreceding, -1))
     hist = per_run.select(
-        "rule_id", "run_id", "rate",
+        "rule_id", "rule_set_hash", "run_id", "rate",
         F.avg("rate").over(w).alias("prior_mean"),
         F.stddev_pop("rate").over(w).alias("prior_std"),
         F.count("rate").over(w).alias("n_prior"),

@@ -146,26 +146,33 @@ def stream_session_stats(
     ts_col: str = "ts",
     gap: str = "30 minutes",
     watermark: str = "2 hours",
+    order_col: str | None = "turn_idx",
 ) -> DataFrame:
     """Gap-based conversation sessionization — Spark's built-in
     ``session_window`` groups a conversation's turns into activity
     sessions (a new session opens after ``gap`` of silence) and emits
-    per-session stats: ``(conv_id, session_start, session_end, n_turns,
-    min_turn_idx, max_turn_idx)``. Sessions merge as late turns bridge
-    gaps; state holds only OPEN sessions and evicts closed ones past the
-    watermark — the canonical "how long do agent conversations actually
-    run" metric over a live transcript stream, O(open sessions) state."""
+    per-session stats: ``(conv_id, session_start, session_end, n_turns[,
+    min_<order_col>, max_<order_col>])``. Sessions merge as late turns
+    bridge gaps; state holds only OPEN sessions and evicts closed ones
+    past the watermark — the canonical "how long do agent conversations
+    actually run" metric over a live transcript stream, O(open sessions)
+    state. ``order_col=None`` (or a column absent from the stream) drops
+    the min/max aggregates so the op works on any keyed event stream."""
+    aggs = [F.count(F.lit(1)).alias("n_turns")]
+    extra_cols = []
+    if order_col is not None and order_col in stream_df.columns:
+        aggs += [F.min(order_col).alias(f"min_{order_col}"),
+                 F.max(order_col).alias(f"max_{order_col}")]
+        extra_cols = [f"min_{order_col}", f"max_{order_col}"]
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.col(conv_col),
                  F.session_window(F.col(ts_col), gap).alias("session"))
-        .agg(F.count(F.lit(1)).alias("n_turns"),
-             F.min("turn_idx").alias("min_turn_idx"),
-             F.max("turn_idx").alias("max_turn_idx"))
+        .agg(*aggs)
         .select(conv_col,
                 F.col("session.start").alias("session_start"),
                 F.col("session.end").alias("session_end"),
-                "n_turns", "min_turn_idx", "max_turn_idx")
+                "n_turns", *extra_cols)
     )
 
 

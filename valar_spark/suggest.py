@@ -71,7 +71,8 @@ def suggest_rules(
     report_rows: list[tuple] = []
 
     def add(col: str, rule, name: str, params: str, reason: str) -> None:
-        rules[col] = (rules[col] & rule) if col in rules else rule
+        # called exactly once per column (the optional/required tail wrap)
+        rules[col] = rule
         report_rows.append((col, name, params, reason))
 
     for c in columns:
@@ -99,8 +100,13 @@ def suggest_rules(
                 core = (core & rule) if core is not None else rule
                 report_rows.append((c, name, params, reason))
         elif dtypes[c] in _NUMERIC:
+            import math
+
             lo, hi = p["min"], p["max"]
-            if lo is not None and hi is not None:
+            finite = (lo is not None and hi is not None
+                      and math.isfinite(float(lo))
+                      and math.isfinite(float(hi)))
+            if finite:
                 span = float(hi) - float(lo)
                 lo_s = float(lo) - range_slack * span
                 hi_s = float(hi) + range_slack * span
@@ -112,6 +118,14 @@ def suggest_rules(
                     report_rows.append((
                         c, "non_negative", "",
                         "observed min >= 0 — semantic guess, review"))
+            elif lo is not None or hi is not None:
+                # NaN/±Inf envelope: in_range(nan, nan) would flag EVERY
+                # row and break the passes-the-profiled-data contract —
+                # report the skip instead of proposing a broken rule
+                report_rows.append((
+                    c, "skipped_in_range", f"[{lo}, {hi}]",
+                    "non-finite observed envelope (NaN/Inf present) — "
+                    "no range rule derivable"))
 
         if core is None:
             if not nullable:
