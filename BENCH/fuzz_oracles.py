@@ -40,6 +40,9 @@ FUZZ_QUERIES = [
     # random text should be expected to satisfy on every draw.
     "jaccard_pairs_documents",
     "contamination_screen_documents",
+    # NFC + lowercase + ws-collapse across engines (unicodedata vs DuckDB
+    # nfc_normalize/ICU lower) — prime dialect-drift territory
+    "normalized_documents",
 ]
 
 _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",

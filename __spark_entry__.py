@@ -364,6 +364,22 @@ def _q_ks_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (NFC + lowercase + whitespace-run
+    collapse) hashed per doc — DuckDB's ``nfc_normalize`` reproduces the
+    Arrow-batched ``unicodedata`` path exactly. The oracle replicates
+    Spark's SPACE-ONLY trim with a regexp (DuckDB TRIM also strips
+    unicode spaces — the dialect gap the differential fuzzer caught in
+    round 2)."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id",
+        F.md5(X.normalize_text(F.col("text"))).alias("norm_md5"),
+    ).orderBy("doc_id")
+
+
 def _q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
@@ -837,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_equality_events": _q_text_equality,
         "ks_events_value_halves": _q_ks_events_value_halves,
         "fingerprint_documents": _q_fingerprint_documents,
+        "normalized_documents": _q_normalized_documents,
         "language_id_documents": _q_language_id_documents,
         "media_features_documents": _q_media_features,
         "frame_sample_documents": _q_frame_sample,
@@ -1079,6 +1096,15 @@ def oracle_sql() -> dict[str, str]:
                             regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+'))), ' ')
                         END) AS fingerprint
             FROM documents
+        """,
+        "normalized_documents": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(regexp_replace(
+                       LOWER(nfc_normalize(text)),
+                       '[ \t\n\f\r\x0B]+', ' ', 'g'),
+                       '(^ +)|( +$)', '', 'g')) AS norm_md5
+            FROM documents WHERE text IS NOT NULL
+            ORDER BY doc_id
         """,
         "language_id_documents": r"""
             WITH h AS (

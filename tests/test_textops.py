@@ -486,3 +486,18 @@ def test_dedup_minhash_by_priority_keeps_best(spark):
     kept = {r["doc_id"] for r in X.dedup_minhash_by_priority(
         df, "quality", threshold=0.75, shingle_n=1).collect()}
     assert kept == {2, 9}
+
+
+def test_normalize_text_canonicalizes(spark):
+    composed = "café"                 # é as one codepoint
+    decomposed = "café"              # e + combining acute
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, "  CAFÉ\t\nx  "),
+         (4, None), (5, "plain")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", X.normalize_text(F.col("text")).alias("n")).collect()}
+    assert got[1] == got[2] == "café"      # NFC unifies the two forms
+    assert got[3] == "café x"              # lowercase + ws collapse + trim
+    assert got[4] is None
+    assert got[5] == "plain"

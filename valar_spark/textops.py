@@ -251,6 +251,33 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalize_text(col: Column, form: str = "NFC", lowercase: bool = True,
+                   collapse_ws: bool = True) -> Column:
+    """Canonical text normalization — the standard pre-dedup step (two
+    docs differing only in composed-vs-decomposed accents, case, or
+    whitespace runs should hash equal): Unicode normalization (``form`` ∈
+    NFC/NFKC/NFD/NFKD, Arrow-batched ``unicodedata`` — Spark has no
+    built-in normalizer), optional lowercase + whitespace-run collapse
+    (native Column ops, same ``WS_CLASS`` as the tokenizers). Null ⇒
+    null. Chain before :func:`dedup_exact` / :func:`minhash_signature`
+    when the corpus mixes encodings."""
+    assert form in ("NFC", "NFKC", "NFD", "NFKD")
+
+    @F.pandas_udf("string")
+    def norm(s):  # pd.Series[str] -> pd.Series[str]
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize(form, t)
+                     if isinstance(t, str) else t)
+
+    out = norm(col)
+    if lowercase:
+        out = F.lower(out)
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, WS_CLASS + "+", " "))
+    return out
+
+
 def content_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set — catches shuffled/reordered copies that exact-hash misses.
