@@ -265,10 +265,9 @@ def normalize_text(col: Column, form: str = "NFC", lowercase: bool = True,
 
     @F.pandas_udf("string")
     def norm(s):  # pd.Series[str] -> pd.Series[str]
-        import unicodedata
-
-        return s.map(lambda t: unicodedata.normalize(form, t)
-                     if isinstance(t, str) else t)
+        # pandas' vectorized unicodedata wrapper; missing values pass
+        # through as missing
+        return s.str.normalize(form)
 
     out = norm(col)
     if lowercase:
