@@ -1456,9 +1456,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 9900 THEN 'val'
                         ELSE 'test' END AS split
             FROM (
+                -- Spark's concat_ws SKIPS nulls (null doc_id hashes the
+                -- bare salt, separator and all); replicate with a CASE so
+                -- the two engines agree even on null ids
                 SELECT doc_id,
-                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                                           || ':valar'), 1, 8))::UBIGINT
+                       ('0x' || substr(md5(
+                           CASE WHEN doc_id IS NULL THEN 'valar'
+                                ELSE CAST(doc_id AS VARCHAR) || ':valar'
+                           END), 1, 8))::UBIGINT
                          % 10000 AS b
                 FROM documents
             ) ORDER BY doc_id
