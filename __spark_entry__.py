@@ -478,6 +478,79 @@ def _q_transcript_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(df, transcript_ruleset()).verdicts
 
 
+def _mutated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with deterministic planted violations (reproducible in SQL)
+    so every rule of :func:`events_ruleset` fires: every 613th event loses
+    its user_id, every 499th/887th value is scaled/negated out of range,
+    every 751st value_str is uncastable, every 911th props goes blank."""
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    v1 = F.when(eid % 499 == 0, F.col("value") * 25.0).otherwise(F.col("value"))
+    v2 = F.when(eid % 887 == 0, -v1).otherwise(v1)
+    return ev.select(
+        F.when(eid % 613 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id")).alias("user_id"),
+        "event_id",
+        "event_type",
+        v2.alias("value"),
+        F.when(eid % 751 == 0, F.lit("not_a_number"))
+        .otherwise(eid.cast("string")).alias("value_str"),
+        F.when(eid % 911 == 0, F.lit(" ")).otherwise(F.col("props"))
+        .alias("props"),
+    )
+
+
+def events_ruleset():
+    """All-SQL-expressible leaves over the driver's events table — the
+    ruleset that puts the COMPILED validate() path (RuleSet compile →
+    single wide projection → explode → violations, validate.py:73-179)
+    under the full hash oracle, not just its leaf rules piecewise."""
+    from valar_spark import rules as R
+
+    return {
+        "user_id": R.required(),
+        "event_type": R.one_of(EVENT_DOMAIN),
+        "value": R.in_range(0.0, 450.0),
+        "value_str": R.castable("double"),
+        "props": R.non_empty(),
+    }
+
+
+def _events_run(spark: SparkSession, sf_dir: str):
+    from valar_spark import validate
+
+    return validate(_mutated_events(spark, sf_dir), events_ruleset(),
+                    keys=("user_id", "event_id"),
+                    partition_cols=("user_id",))
+
+
+def _q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship engine path under the hash oracle: the composed
+    projection+explode violations frame itself (not its leaves). ``actual``
+    is split into a portable pair — numeric actuals round-trip through
+    try_cast(double) (engine double→string formatting differs), string
+    actuals pass through verbatim."""
+    a = F.col("actual")
+    num = a.try_cast("double")
+    return (
+        _events_run(spark, sf_dir).violations
+        .select("rule_id", "user_id", "event_id", "code",
+                F.when(num.isNull(), a).alias("actual_str"),
+                F.round(num, 6).alias("actual_num"))
+        .orderBy("rule_id", "event_id")
+    )
+
+
+def _q_events_verdict_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verdict machinery (posexplode_outer single-scan counting + static
+    rule_id cross, validate.py:200-243) under the hash oracle: the
+    table-level per-rule rollup."""
+    return _events_run(spark, sf_dir).summary().select(
+        "rule_id", "pass",
+        F.col("violation_count").cast("long").alias("violation_count"),
+        F.col("rows_checked").cast("long").alias("rows_checked"))
+
+
 def _q_hll_cardinality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch cardinality (mergeable across partitions) — rows-only:
     DuckDB's approx sketch differs; exactness is covered by
@@ -859,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_documents": _q_frame_sample,
         "validate_transcripts": _q_validate_transcripts,
         "transcript_verdicts": _q_transcript_verdicts,
+        "validate_events": _q_validate_events,
+        "events_verdict_summary": _q_events_verdict_summary,
         "hll_cardinality_events": _q_hll_cardinality_events,
         "dedup_exact_documents": _q_dedup_exact,
         "token_count_documents": _q_token_count,
@@ -1475,6 +1550,111 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 37 < 5 AND text IS NOT NULL
             ORDER BY doc_id
+        """,
+        # the flagship validate() engine path: oracle = UNION ALL of the
+        # five rule predicates over the same deterministic mutation
+        "validate_events": r"""
+            WITH m0 AS (
+                SELECT event_id, user_id, event_type, props,
+                       CASE WHEN event_id % 499 = 0 THEN value * 25.0
+                            ELSE value END AS v1
+                FROM events
+            ), mut AS (
+                SELECT CASE WHEN event_id % 613 = 0 THEN NULL
+                            ELSE user_id END AS user_id,
+                       event_id, event_type,
+                       CASE WHEN event_id % 887 = 0 THEN -v1 ELSE v1 END
+                         AS value,
+                       CASE WHEN event_id % 751 = 0 THEN 'not_a_number'
+                            ELSE CAST(event_id AS VARCHAR) END AS value_str,
+                       CASE WHEN event_id % 911 = 0 THEN ' '
+                            ELSE props END AS props
+                FROM m0
+            )
+            SELECT * FROM (
+                SELECT 'user_id.required' AS rule_id, user_id, event_id,
+                       'validation.required' AS code,
+                       'None' AS actual_str,
+                       CAST(NULL AS DOUBLE) AS actual_num
+                FROM mut WHERE user_id IS NULL
+                UNION ALL
+                SELECT 'event_type.one_of', user_id, event_id,
+                       'validation.value.not_in_set',
+                       COALESCE(event_type, 'null'), NULL
+                FROM mut
+                WHERE event_type IS NULL
+                   OR event_type NOT IN ('click','view','purchase','signup')
+                UNION ALL
+                SELECT 'value.in_range', user_id, event_id,
+                       'validation.number.out_of_range',
+                       NULL, ROUND(value, 6)
+                FROM mut
+                WHERE value IS NOT NULL
+                  AND NOT (value BETWEEN 0.0 AND 450.0)
+                UNION ALL
+                SELECT 'value_str.castable_double', user_id, event_id,
+                       'validation.type.mismatch', value_str, NULL
+                FROM mut
+                WHERE value_str IS NOT NULL
+                  AND TRY_CAST(value_str AS DOUBLE) IS NULL
+                UNION ALL
+                SELECT 'props.non_empty', user_id, event_id,
+                       CASE WHEN props IS NULL THEN 'validation.string.null'
+                            ELSE 'validation.string.empty' END,
+                       CASE WHEN props IS NULL THEN 'null' ELSE props END,
+                       NULL
+                FROM mut
+                WHERE props IS NULL
+                   OR regexp_replace(props, '[\x00-\x20]', '', 'g') = ''
+            ) ORDER BY rule_id, event_id
+        """,
+        "events_verdict_summary": r"""
+            WITH m0 AS (
+                SELECT event_id, user_id, event_type, props,
+                       CASE WHEN event_id % 499 = 0 THEN value * 25.0
+                            ELSE value END AS v1
+                FROM events
+            ), mut AS (
+                SELECT CASE WHEN event_id % 613 = 0 THEN NULL
+                            ELSE user_id END AS user_id,
+                       event_id, event_type,
+                       CASE WHEN event_id % 887 = 0 THEN -v1 ELSE v1 END
+                         AS value,
+                       CASE WHEN event_id % 751 = 0 THEN 'not_a_number'
+                            ELSE CAST(event_id AS VARCHAR) END AS value_str,
+                       CASE WHEN event_id % 911 = 0 THEN ' '
+                            ELSE props END AS props
+                FROM m0
+            ), c AS (
+                SELECT 'user_id.required' AS rule_id,
+                       COUNT(*) FILTER (WHERE user_id IS NULL) AS cnt,
+                       COUNT(*) AS total FROM mut
+                UNION ALL
+                SELECT 'event_type.one_of',
+                       COUNT(*) FILTER (WHERE event_type IS NULL
+                           OR event_type NOT IN
+                              ('click','view','purchase','signup')),
+                       COUNT(*) FROM mut
+                UNION ALL
+                SELECT 'value.in_range',
+                       COUNT(*) FILTER (WHERE value IS NOT NULL
+                           AND NOT (value BETWEEN 0.0 AND 450.0)),
+                       COUNT(*) FROM mut
+                UNION ALL
+                SELECT 'value_str.castable_double',
+                       COUNT(*) FILTER (WHERE value_str IS NOT NULL
+                           AND TRY_CAST(value_str AS DOUBLE) IS NULL),
+                       COUNT(*) FROM mut
+                UNION ALL
+                SELECT 'props.non_empty',
+                       COUNT(*) FILTER (WHERE props IS NULL OR
+                           regexp_replace(props, '[\x00-\x20]', '', 'g') = ''),
+                       COUNT(*) FROM mut
+            )
+            SELECT rule_id, cnt = 0 AS pass,
+                   CAST(cnt AS BIGINT) AS violation_count,
+                   CAST(total AS BIGINT) AS rows_checked
+            FROM c ORDER BY rule_id
         """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,58 @@
+"""The flagship validate() engine path over the driver's events table —
+the gate-query construction (`__spark_entry__._q_validate_events`) pinned
+in pytest: planted mutations fire every rule, counts reconcile between the
+violations frame and the verdict rollup, and specific planted rows carry
+the reference error codes (ValidationHelpers.scala:74-120,358-390)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_validate_events_all_rules_fire(spark):
+    e = _entry()
+    viol = e._q_validate_events(spark, SF).collect()
+    by_rule = {}
+    for r in viol:
+        by_rule.setdefault(r["rule_id"], []).append(r)
+    assert set(by_rule) == {
+        "user_id.required", "event_type.one_of", "value.in_range",
+        "value_str.castable_double", "props.non_empty",
+    }
+    # planted row spot checks (event_id 0 is % every modulus)
+    zero = [r for r in viol if r["event_id"] == 0]
+    codes = {r["rule_id"]: r["code"] for r in zero}
+    assert codes["user_id.required"] == "validation.required"
+    assert codes["value_str.castable_double"] == "validation.type.mismatch"
+    assert codes["props.non_empty"] == "validation.string.empty"
+    req = [r for r in by_rule["user_id.required"]]
+    assert all(r["user_id"] is None and r["actual_str"] == "None" for r in req)
+    assert all(r["actual_str"] == "error"
+               for r in by_rule["event_type.one_of"])
+    assert all(r["actual_num"] is not None and
+               (r["actual_num"] < 0 or r["actual_num"] > 450)
+               for r in by_rule["value.in_range"])
+
+
+def test_events_verdict_summary_reconciles(spark):
+    e = _entry()
+    viol = e._q_validate_events(spark, SF)
+    counts = {r["rule_id"]: r["n"] for r in
+              viol.groupBy("rule_id").agg(F.count("*").alias("n")).collect()}
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    summary = e._q_events_verdict_summary(spark, SF).collect()
+    assert len(summary) == 5
+    for r in summary:
+        assert r["rows_checked"] == total
+        assert r["violation_count"] == counts.get(r["rule_id"], 0)
+        assert r["pass"] == (r["violation_count"] == 0)
+    # every rule has planted violations => nothing passes
+    assert all(not r["pass"] for r in summary)
