@@ -228,8 +228,10 @@ def _q_ordering_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_psi_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI between even/odd event_id halves on fixed-width bins [0,50) x10 —
-    fixed edges so Spark and DuckDB bin identically."""
-    ev = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    fixed edges so Spark and DuckDB bin identically. Null event_ids are
+    filtered on both engines (see _q_js_events_value_halves)."""
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull())
     bucket = F.least(F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)),
                      F.lit(9)).cast("int")
     side = (F.pmod(F.col("event_id"), F.lit(2)) == 0).cast("int")
@@ -275,8 +277,14 @@ def _q_js_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixed bins as the PSI query (drift.js_divergence_from_counts is
     the mergeable library form; this is its oracle-checkable fixed-bin
     projection). Symmetric and bounded by ln 2 — the alert statistic that
-    stays finite on empty bins where PSI needs an epsilon floor."""
-    ev = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stays finite on empty bins where PSI needs an epsilon floor.
+
+    ``event_id IS NOT NULL`` is filtered on BOTH engines: Spark's side
+    expression nulls out (SUM skips the row on both halves) while a SQL
+    CASE would route a null id to the ELSE half — the filter makes the
+    oracle pair robust to nullable ids, not just to the current data."""
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull())
     bucket = F.least(F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)),
                      F.lit(9)).cast("int")
     side = (F.pmod(F.col("event_id"), F.lit(2)) == 0).cast("int")
@@ -309,8 +317,11 @@ def _q_chi2_events_type_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample chi-squared over the CATEGORICAL event_type distribution
     (even vs odd event_id halves) — the categorical companion to the
     numeric PSI/KS/JS checks; one hash aggregate over ≤|domain| rows
-    (drift.chi2_from_counts is the mergeable form)."""
-    ev = _read(spark, sf_dir, "events")
+    (drift.chi2_from_counts is the mergeable form). Null event_ids are
+    filtered on both engines (see _q_js_events_value_halves), and each
+    cell division carries the same expected>0 guard as chi2_from_counts
+    (a degenerate all-one-half split yields 0 contribution, not NaN)."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
     side = (F.pmod(F.col("event_id"), F.lit(2)) == 0).cast("int")
     cont = (
         ev.select(F.col("event_type").alias("cat"), side.alias("side"))
@@ -323,11 +334,11 @@ def _q_chi2_events_type_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_n", "q_n", "pt", "qt",
         (F.col("p_n") + F.col("q_n")).alias("rowt"),
         (F.col("pt") + F.col("qt")).alias("grand"))
+    e_p = F.col("rowt") * F.col("pt") / F.col("grand")
+    e_q = F.col("rowt") * F.col("qt") / F.col("grand")
     stat = (
-        F.pow(F.col("p_n") - F.col("rowt") * F.col("pt") / F.col("grand"), 2)
-        / (F.col("rowt") * F.col("pt") / F.col("grand"))
-        + F.pow(F.col("q_n") - F.col("rowt") * F.col("qt") / F.col("grand"), 2)
-        / (F.col("rowt") * F.col("qt") / F.col("grand"))
+        F.when(e_p > 0, F.pow(F.col("p_n") - e_p, 2) / e_p).otherwise(0.0)
+        + F.when(e_q > 0, F.pow(F.col("q_n") - e_q, 2) / e_q).otherwise(0.0)
     )
     return cell.agg(F.round(F.sum(stat), 9).alias("chi2"))
 
@@ -337,10 +348,13 @@ def _q_ks_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width bins as the PSI query: D = max |ECDF_p - ECDF_q| at bin
     edges. The cumulative window runs over ≤10 post-aggregation rows —
     fixed-size regardless of input scale (drift.py:99 ks_binned is the
-    library form; this is its oracle-checkable fixed-bin projection)."""
+    library form; this is its oracle-checkable fixed-bin projection).
+    Null event_ids are filtered on both engines (see
+    _q_js_events_value_halves)."""
     from pyspark.sql.window import Window
 
-    ev = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull())
     bucket = F.least(F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)),
                      F.lit(9)).cast("int")
     side = (F.pmod(F.col("event_id"), F.lit(2)) == 0).cast("int")
@@ -656,7 +670,8 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         X.jaccard_pairs(_docs_with_copies(spark, sf_dir), shingle_n=3,
-                        threshold=0.5, sets=_shared_sets(spark, sf_dir))
+                        threshold=0.5, sets=_shared_sets(spark, sf_dir),
+                        allow_all_pairs=True)
         .orderBy("id_a", "id_b")
     )
 
@@ -666,13 +681,15 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     output carries the exact jaccard per pair, so the DuckDB oracle is the
     full exact-Jaccard pair set at the same threshold — the check asserts
     the LSH path loses NOTHING vs brute force (verified equal at sf0.001/
-    0.01/0.1; 16 bands × 4 rows puts P(miss) below 2e-4 at j = 0.8 and
-    ≈ 0 at the planted j = 1.0)."""
+    0.01/0.1). 32 bands × 2 rows: P(miss) = (1−0.8²)³² ≈ 6e-15 even for a
+    borderline j = 0.8 pair, so the equality gate is robust to the driver
+    regenerating/growing the corpus, not just to the planted j = 1.0
+    copies (16×4 banding's 2e-4 left a lottery-ticket flake)."""
     from valar_spark import textops as X
 
     u = _docs_with_copies(spark, sf_dir)
     sets = _shared_sets(spark, sf_dir)
-    cand = X.minhash_candidates(u, num_hashes=64, bands=16, sets=sets)
+    cand = X.minhash_candidates(u, num_hashes=64, bands=32, sets=sets)
     return (X.jaccard_pairs(u, threshold=0.8, candidates=cand, sets=sets)
             .orderBy("id_a", "id_b"))
 
@@ -686,7 +703,8 @@ def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
     pairs = X.jaccard_pairs(_docs_with_copies(spark, sf_dir), shingle_n=3,
-                            threshold=0.5, sets=_shared_sets(spark, sf_dir))
+                            threshold=0.5, sets=_shared_sets(spark, sf_dir),
+                            allow_all_pairs=True)
     return (
         X.connected_components(pairs)
         .select(F.col("id").alias("doc_id"), "component")
@@ -805,9 +823,10 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array((F.element_at("embedding", 1) + F.lit(0.05)).cast("float")),
             F.slice("embedding", 2, 100_000),
         ).alias("embedding"))
+    # chunk_bits auto-resolves to 8 below CHUNK_BITS_CROSSOVER (hamming ≤ 7
+    # guarantee) — exercising the auto path keeps the oracle hash unchanged
     return (ann.embedding_near_dup_pairs(emb.unionByName(near),
-                                         threshold=0.95, max_hamming=7,
-                                         chunk_bits=8)
+                                         threshold=0.95, max_hamming=7)
             .orderBy("id_a", "id_b"))
 
 
@@ -1068,7 +1087,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9)
                          AS bucket,
                        CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS side
-                FROM events WHERE value IS NOT NULL
+                FROM events
+                WHERE value IS NOT NULL AND event_id IS NOT NULL
             ), hist AS (
                 SELECT bucket,
                        CAST(SUM(side) AS DOUBLE) AS p_n,
@@ -1105,7 +1125,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9)
                          AS bucket,
                        CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS side
-                FROM events WHERE value IS NOT NULL
+                FROM events
+                WHERE value IS NOT NULL AND event_id IS NOT NULL
             ), hist AS (
                 SELECT bucket,
                        CAST(SUM(side) AS DOUBLE) AS p_n,
@@ -1131,15 +1152,20 @@ def oracle_sql() -> dict[str, str]:
                             AS DOUBLE) AS p_n,
                        CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END)
                             AS DOUBLE) AS q_n
-                FROM events GROUP BY event_type
+                FROM events WHERE event_id IS NOT NULL
+                GROUP BY event_type
             ), tot AS (
                 SELECT SUM(p_n) AS pt, SUM(q_n) AS qt FROM cont
             )
             SELECT ROUND(SUM(
-                POW(p_n - (p_n + q_n) * pt / (pt + qt), 2)
-                  / ((p_n + q_n) * pt / (pt + qt))
-                + POW(q_n - (p_n + q_n) * qt / (pt + qt), 2)
-                  / ((p_n + q_n) * qt / (pt + qt))
+                CASE WHEN (p_n + q_n) * pt / (pt + qt) > 0
+                     THEN POW(p_n - (p_n + q_n) * pt / (pt + qt), 2)
+                          / ((p_n + q_n) * pt / (pt + qt))
+                     ELSE 0 END
+                + CASE WHEN (p_n + q_n) * qt / (pt + qt) > 0
+                       THEN POW(q_n - (p_n + q_n) * qt / (pt + qt), 2)
+                            / ((p_n + q_n) * qt / (pt + qt))
+                       ELSE 0 END
             ), 9) AS chi2
             FROM cont, tot
         """,
@@ -1148,7 +1174,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9)
                          AS bucket,
                        CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS side
-                FROM events WHERE value IS NOT NULL
+                FROM events
+                WHERE value IS NOT NULL AND event_id IS NOT NULL
             ), hist AS (
                 SELECT bucket,
                        CAST(SUM(side) AS DOUBLE) AS p_n,

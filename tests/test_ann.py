@@ -242,3 +242,38 @@ def test_embedding_near_dup_chunk_guarantee(spark, emb):
     assert exact, "construction should plant >= one 0.95-pair"
     assert got == exact, (f"missed: {exact - got}, spurious: {got - exact}")
     pairs.unpersist()
+
+
+def test_embedding_near_dup_auto_chunk_bits(spark, emb, monkeypatch):
+    """chunk_bits=None auto-scales on corpus count: 8-bit chunks (hamming
+    <= 7 contract) below CHUNK_BITS_CROSSOVER, 16-bit above it with
+    max_hamming clamped to the pigeonhole bound (3) so the output contract
+    stays exact rather than silently incomplete."""
+    near = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.05)).cast("float")),
+            F.slice("embedding", 2, 10_000),
+        ).alias("embedding"))
+    u = emb.select("vec_id", "embedding").unionByName(near)
+
+    # small regime: auto == explicit chunk_bits=8
+    auto = ann.embedding_near_dup_pairs(u, threshold=0.95, max_hamming=7)
+    pinned8 = ann.embedding_near_dup_pairs(u, threshold=0.95, max_hamming=7,
+                                           chunk_bits=8)
+    a = {(r["id_a"], r["id_b"]) for r in auto.collect()}
+    p8 = {(r["id_a"], r["id_b"]) for r in pinned8.collect()}
+    assert a == p8
+
+    # large regime (forced): auto == explicit chunk_bits=16, whose output
+    # is the hamming<=3 subset of the 8-bit hamming<=7 output
+    monkeypatch.setattr(ann, "CHUNK_BITS_CROSSOVER", 1)
+    auto16 = ann.embedding_near_dup_pairs(u, threshold=0.95, max_hamming=7)
+    pinned16 = ann.embedding_near_dup_pairs(u, threshold=0.95, max_hamming=7,
+                                            chunk_bits=16)
+    a16 = {(r["id_a"], r["id_b"]) for r in auto16.collect()}
+    p16 = {(r["id_a"], r["id_b"]) for r in pinned16.collect()}
+    assert a16 == p16
+    assert a16 <= p8
+    for df in (auto, pinned8, auto16, pinned16):
+        df.unpersist()

@@ -309,11 +309,16 @@ def test_connected_components_long_chain_olog_rounds(spark):
     cc.unpersist()
 
 
-def test_connected_components_reliable_checkpoint(spark, tmp_path):
-    """checkpoint_dir => per-round state goes to RELIABLE storage (the
-    cluster-durability mode; localCheckpoint loses blocks on executor
-    death). Output must be identical and checkpoint files must exist."""
+def test_connected_components_reliable_checkpoint_scoped(spark, tmp_path):
+    """checkpoint_dir is a SCOPED lifecycle: per-round state goes to
+    reliable storage during the run, a converged run deletes its round
+    files (the returned labelling is local-checkpointed first so it stays
+    valid), and the session's previous checkpoint dir is restored exactly."""
     import os
+
+    prior = str(tmp_path / "prior_ck")
+    spark.sparkContext.setCheckpointDir(prior)
+    prior_scoped = spark.sparkContext.getCheckpointDir()
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(20)] + [(100, 101)],
@@ -322,9 +327,29 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     cc = X.connected_components(pairs, max_iter=10, checkpoint_dir=ckdir)
     rows = {r["id"]: r["component"] for r in cc.collect()}
     assert rows == {**{i: 0 for i in range(21)}, 100: 100, 101: 100}
+    # converged => this run's UUID-scoped files are gone...
     found = [f for _, _, fs in os.walk(ckdir) for f in fs]
-    assert found, "no reliable checkpoint files were written"
-    cc.unpersist()
+    assert not found, f"converged run left checkpoint files: {found}"
+    # ...and the session checkpoint dir is back to EXACTLY the prior value
+    assert spark.sparkContext.getCheckpointDir() == prior_scoped
+
+
+def test_connected_components_failed_run_keeps_checkpoints(spark, tmp_path):
+    """Non-convergence keeps the round files for post-mortem (and still
+    restores the session checkpoint dir)."""
+    import os
+
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(300)],
+                                  "id_a bigint, id_b bigint")
+    ckdir = str(tmp_path / "cc_ck_fail")
+    before = spark.sparkContext.getCheckpointDir()
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        X.connected_components(pairs, max_iter=1, checkpoint_dir=ckdir)
+    found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert found, "failed run should keep round files for post-mortem"
+    assert spark.sparkContext.getCheckpointDir() == before
 
 
 def test_connected_components_raises_without_convergence(spark):
@@ -334,6 +359,23 @@ def test_connected_components_raises_without_convergence(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         X.connected_components(pairs, max_iter=1)
+
+
+def test_jaccard_all_pairs_guard(spark, docs_with_dups, monkeypatch):
+    """The ungated all-pairs path refuses large corpora: O(sum df^2) would
+    not survive scale, so above ALL_PAIRS_MAX_DOCS it raises with a pointer
+    to the LSH path unless allow_all_pairs=True (oracle/recall use)."""
+    import pytest as _pytest
+
+    monkeypatch.setattr(X, "ALL_PAIRS_MAX_DOCS", 5)
+    with _pytest.raises(ValueError, match="minhash_candidates"):
+        X.jaccard_pairs(docs_with_dups, threshold=0.8)
+    # explicit escape hatch still works, and candidate-gated never guards
+    assert X.jaccard_pairs(docs_with_dups, threshold=0.8,
+                           allow_all_pairs=True).count() >= 0
+    cand = X.minhash_candidates(docs_with_dups, num_hashes=64, bands=16)
+    assert X.jaccard_pairs(docs_with_dups, threshold=0.8,
+                           candidates=cand).count() >= 0
 
 
 def test_pair_ops_leave_no_corpus_cache(spark, docs_with_dups):

@@ -474,6 +474,12 @@ def rhp_sketch(vec_col: Column, bits: int = 64, seed: int = 7,
     return sk(vec_col)
 
 
+#: corpus size at which auto chunk_bits switches 8 → 16 (candidate volume
+#: c·N²/2^chunk_bits: at 10⁶ vectors 8-bit buckets average ~4k collisions
+#: each — the hamming-≤7 guarantee stops being worth the candidate blowup)
+CHUNK_BITS_CROSSOVER = 1_000_000
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -481,7 +487,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
-    chunk_bits: int = 8,
+    chunk_bits: int | None = None,
 ) -> DataFrame:
     """Near-duplicate embedding pairs at scale: RHP sketch → chunk blocking
     → exact cosine verification ONLY on candidates (vectorized per Arrow
@@ -495,11 +501,25 @@ def embedding_near_dup_pairs(
     (a 4×16-bit split only guarantees Hamming ≤ 3 and measurably drops
     hamming-4..6 pairs whose diff bits spread across all four chunks).
     Scale trade-off: candidate volume grows as ``c·N²/2^chunk_bits`` — at
-    ≥10⁶ vectors raise ``chunk_bits`` to 16 (coarser guarantee, far fewer
-    bucket collisions) or tighten the threshold; near-dup thresholds like
-    0.95 put expected hamming at 64·acos(0.95)/π ≈ 6.5 of 64."""
+    ≥10⁶ vectors 16-bit chunks (coarser guarantee, far fewer bucket
+    collisions) win; near-dup thresholds like 0.95 put expected hamming at
+    64·acos(0.95)/π ≈ 6.5 of 64.
+
+    ``chunk_bits=None`` (default) AUTO-SCALES on a corpus count: 8-bit
+    chunks below :data:`CHUNK_BITS_CROSSOVER` vectors (full hamming ≤ 7
+    guarantee), 16-bit above it (hamming ≤ 3 guarantee — ``max_hamming``
+    is clamped to the pigeonhole bound so the output contract
+    ``{pairs : hamming ≤ min(max_hamming, 64/chunk_bits − 1) ∧ cosine ≥
+    threshold}`` stays exact and explicit, never silently incomplete).
+    Pass 8 or 16 explicitly to pin the regime."""
+    if chunk_bits is None:
+        n_vecs = corpus.count()
+        chunk_bits = 8 if n_vecs < CHUNK_BITS_CROSSOVER else 16
     assert 64 % chunk_bits == 0
     nchunks = 64 // chunk_bits
+    # the blocking only guarantees hamming <= nchunks-1: clamp so the
+    # emitted contract is exactly what the chunking can deliver
+    max_hamming = min(max_hamming, nchunks - 1)
     mask = (1 << chunk_bits) - 1
     t = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                       rhp_sketch(F.col(vec_col), seed=seed).alias("_sk"))

@@ -600,6 +600,11 @@ def minhash_candidates(
     )
 
 
+#: ungated all-pairs exact Jaccard refuses corpora larger than this
+#: (override with allow_all_pairs=True — oracle/recall harnesses only)
+ALL_PAIRS_MAX_DOCS = 20_000
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -608,6 +613,7 @@ def jaccard_pairs(
     threshold: float = 0.7,
     candidates: DataFrame | None = None,
     sets: DataFrame | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard similarity pairs ``(id_a, id_b, jaccard)``.
 
@@ -619,7 +625,12 @@ def jaccard_pairs(
 
     Without ``candidates`` it generates pairs by the hashed-shingle-equality
     self-join (exact, but O(Σ docs_per_shingle²) on hot shingles —
-    small-scale / oracle / recall-measurement use only). Shingles are
+    small-scale / oracle / recall-measurement use only). Because that cost
+    would not survive a large corpus, the ungated path is SIZE-GUARDED: it
+    raises above :data:`ALL_PAIRS_MAX_DOCS` documents unless the caller
+    passes ``allow_all_pairs=True`` (the oracle/recall harnesses do; a
+    production near-dup pass should gate through
+    :func:`minhash_candidates` instead). Shingles are
     hashed to int64 before the join so the shuffle carries longs, not
     natural-language strings.
 
@@ -647,6 +658,19 @@ def jaccard_pairs(
                     .alias("n_common"), "n_a", "n_b")
         )
     else:
+        if not allow_all_pairs:
+            n_docs = sets.count()
+            if n_docs > ALL_PAIRS_MAX_DOCS:
+                if own_sets:
+                    sets.unpersist()
+                raise ValueError(
+                    f"jaccard_pairs without candidates is the ungated "
+                    f"all-pairs shingle self-join — O(sum df^2) on hot "
+                    f"shingles — and the corpus has {n_docs} documents "
+                    f"(> ALL_PAIRS_MAX_DOCS={ALL_PAIRS_MAX_DOCS}). Gate it "
+                    "with candidates=minhash_candidates(...) for the "
+                    "O(candidates) scale path, or pass "
+                    "allow_all_pairs=True for oracle/recall use.")
         ex = sets.select("_id", F.explode("_sh").alias("s"))
         pair_counts = (
             ex.alias("a").join(ex.alias("b"),
@@ -694,6 +718,38 @@ def _cc_round_barrier(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     if checkpoint_dir is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+class _ScopedCheckpointDir:
+    """Scoped reliable-checkpoint lifecycle: sets the SESSION-GLOBAL
+    checkpoint dir on entry, restores the previous setting on exit (exactly,
+    via the SparkContext's internal ``Option[String]`` var — the public
+    ``setCheckpointDir`` would append a fresh UUID under the old path), and
+    can delete the UUID-scoped subdirectory this run created.
+    ``cleanup()`` is called by the owner ONLY on success — on failure the
+    round files are kept for post-mortem."""
+
+    def __init__(self, spark, checkpoint_dir: str):
+        self._sc = spark.sparkContext
+        self._prev = self._sc.getCheckpointDir()
+        self._sc.setCheckpointDir(checkpoint_dir)
+        #: the <dir>/<uuid> subdir private to this run
+        self.scoped_dir = self._sc.getCheckpointDir()
+
+    def restore(self) -> None:
+        jsc = self._sc._jsc.sc()
+        opt = self._sc._jvm.scala.Option.apply(self._prev)
+        getattr(jsc, "checkpointDir_$eq")(opt)
+
+    def cleanup(self) -> None:
+        """Delete this run's UUID-scoped checkpoint files (Hadoop FS API, so
+        hdfs:///s3a:// dirs clean up the same as local paths)."""
+        if not self.scoped_dir:
+            return
+        jvm = self._sc._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.scoped_dir)
+        fs = path.getFileSystem(self._sc._jsc.hadoopConfiguration())
+        fs.delete(path, True)
 
 
 def hash_split(
@@ -797,16 +853,39 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     mid-iteration cannot kill the run (see :func:`_cc_round_barrier`).
     Driver traffic per round is one (count, checksum) aggregate row.
 
+    ``checkpoint_dir`` is a SCOPED lifecycle (:class:`_ScopedCheckpointDir`):
+    the session's previous checkpoint dir is restored on exit (success or
+    failure), and on successful convergence this run's UUID-scoped round
+    files are deleted — the returned labelling is local-checkpointed first,
+    so it stays valid after the files are gone (persist the sink write for
+    durability). On non-convergence the files are KEPT for post-mortem.
+
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without
     convergence (returning a half-converged labelling would silently
     split clusters)."""
+    scope: _ScopedCheckpointDir | None = None
     if checkpoint_dir is not None:
-        # NOTE: setCheckpointDir is SESSION-GLOBAL — callers opting into
-        # reliable checkpoints redirect every checkpoint in the session,
-        # and the per-round edge-list files are NOT auto-deleted unless
-        # spark.cleaner.referenceTracking.cleanCheckpoints=true (or the
-        # caller clears the directory after the run).
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        scope = _ScopedCheckpointDir(pairs.sparkSession, checkpoint_dir)
+    try:
+        out = _connected_components_body(pairs, id_a, id_b, max_iter,
+                                         checkpoint_dir)
+    finally:
+        if scope is not None:
+            scope.restore()
+    if scope is not None:
+        # sever the labelling's lineage from the reliable round files
+        # before deleting them (cache eviction could otherwise trigger a
+        # recompute into missing checkpoints)
+        cp = out.localCheckpoint(eager=True)
+        out.unpersist()
+        out = cp
+        scope.cleanup()
+    return out
+
+
+def _connected_components_body(pairs: DataFrame, id_a: str, id_b: str,
+                               max_iter: int,
+                               checkpoint_dir: str | None) -> DataFrame:
     raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # nodes from the UNfiltered pair list: an id appearing only in
     # self-pairs (u, u) must still get its (u, u) labelling row. Null ids
