@@ -720,6 +720,62 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 sets=_shared_sets(spark, sf_dir, shingle_n=2))
 
 
+def _q_simhash_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construction oracle for the SimHash screen: exact copies have
+    identical shingle sets ⇒ identical 64-bit signatures ⇒ hamming 0, and
+    the 4×16-bit chunk blocking is pigeonhole-complete to hamming 3 — so
+    the planted (d, d+100000) pairs MUST all be flagged. The query is the
+    screen's output ∩ planted; the oracle enumerates the construction
+    (every even doc with ≥1 token). A missed planted pair drops a row ⇒
+    hash mismatch. (The full pair set stays the rows-only
+    simhash_pairs_documents — its extras are genuinely un-oracle-able.)"""
+    from valar_spark import textops as X
+
+    pairs = X.simhash_near_pairs(_docs_with_copies(spark, sf_dir),
+                                 max_hamming=3,
+                                 sets=_shared_sets(spark, sf_dir, shingle_n=2))
+    docs = _read(spark, sf_dir, "documents")
+    trimmed = F.regexp_replace("text", r"(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)", "")
+    planted = docs.filter(
+        (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
+        & (trimmed != "")).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100_000).alias("id_b"))
+    return (planted.join(pairs, ["id_a", "id_b"])
+            .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("id_a"))
+
+
+def _q_winnow_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construction oracle for the winnowing matcher: every even doc gets a
+    deterministic alien suffix `` qq<doc_id>zz`` before copying, so each
+    planted pair shares suffix prints with df exactly 2 — guaranteed to
+    survive ANY df cap (stop-gram removal can otherwise legitimately eat
+    every print of a short generic doc, which is why the raw construction
+    isn't an exact oracle). The screen still runs over the whole corpus
+    with the production df cap; output = flagged ∩ planted; oracle = the
+    construction (every even non-null-text doc)."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    even = (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
+    suffixed = docs.select(
+        "doc_id",
+        F.when(even, F.concat(F.col("text"), F.lit(" qq"),
+                              F.col("doc_id").cast("string"), F.lit("zz")))
+        .otherwise(F.col("text")).alias("text"))
+    u = suffixed.unionByName(
+        suffixed.filter(even).select(
+            (F.col("doc_id") + 100_000).alias("doc_id"), "text")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    pairs = X.winnow_match_pairs(u, min_shared=1, max_df_frac=0.02)
+    planted = docs.filter(even).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100_000).alias("id_b"))
+    return (planted.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"])
+            .orderBy("id_a"))
+
+
 def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed pretraining keep/drop gate with per-reason accounting —
     the end-to-end curation decision (quality + repetition + language) as
@@ -919,7 +975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_pairs": _q_minhash_near_dups,
         "near_dup_components_documents": _q_near_dup_components,
         "simhash_pairs_documents": _q_simhash_pairs,
+        "simhash_planted_recall_documents": _q_simhash_planted_recall,
         "winnow_pairs_documents": _q_winnow_pairs,
+        "winnow_planted_recall_documents": _q_winnow_planted_recall,
         "contamination_screen_documents": _q_contamination_screen,
         "top_bigram_documents": _q_top_bigram,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
@@ -1570,6 +1628,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) ORDER BY doc_id
         """,
+        # planted-copy constructions: the screens MUST flag every exact
+        # copy pair (identical signature / df=2 suffix prints), so the
+        # oracle is the construction itself
+        "simhash_planted_recall_documents": r"""
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+                   CAST(0 AS INTEGER) AS hamming
+            FROM documents
+            WHERE doc_id % 2 = 0 AND text IS NOT NULL
+              AND regexp_replace(text,
+                  '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+            ORDER BY id_a
+        """,
+        "winnow_planted_recall_documents": """
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+            FROM documents
+            WHERE doc_id % 2 = 0 AND text IS NOT NULL
+            ORDER BY id_a
+        """,
         # ground truth of the planted-quote construction: the winnowing
         # guarantee makes the screen exact, so flagged == planted
         "contamination_screen_documents": """
@@ -1718,5 +1794,11 @@ def oracle_sql() -> dict[str, str]:
         # validate_transcripts / transcript_verdicts / hll_cardinality_events
         # / simhash_pairs_documents / winnow_pairs_documents /
         # ann_ivf_topk_embeddings: intentionally omitted → rows-only checks
-        # (non-registered input / engine-specific hash or sketch / KMeans)
+        # (non-registered input / engine-specific hash or sketch / KMeans).
+        # The ORACLE-EXPRESSIBLE part of the simhash/winnow screens — every
+        # planted exact-copy pair must be flagged — IS hash-gated via the
+        # *_planted_recall_documents companions above; what stays rows-only
+        # is just the screens' extra (near-miss) pairs, whose ground truth
+        # has no SQL form. validate()/verdicts() machinery is hash-gated
+        # via validate_events / events_verdict_summary.
     }

@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--history-anomalies", action="store_true",
                    help="after the run, flag rules whose violation rate "
                         "deviates >3 sigma from prior runs in this work-dir")
+    p.add_argument("--auto", action="store_true",
+                   help="end-to-end pipeline: profile the input and PROPOSE "
+                        "a rule set (Deequ-style suggestion), validate with "
+                        "it (checkpointed/resumable), then anomaly-check "
+                        "this run's violation rates against the work-dir's "
+                        "run history — the whole engine in one invocation")
     args = p.parse_args(argv)
 
     from valar_spark import ValidationConfig
@@ -64,14 +70,26 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
 
-    # the default transcript rule set lives in the driver-contract module;
-    # imported only past the --suggest branch so suggestion-only runs work
-    # without __spark_entry__.py on the path
-    sys.path.insert(0, ".")
-    from __spark_entry__ import transcript_ruleset
+    if args.auto:
+        # stage 1: profile → proposed rule set (with printed evidence)
+        from valar_spark.suggest import suggest_rules
+
+        rules, sreport = suggest_rules(df)
+        print("suggested rule set (profile evidence):")
+        sreport.orderBy("column", "rule").show(200, truncate=False)
+        args.report = True
+        args.history_anomalies = True
+    else:
+        # the default transcript rule set lives in the driver-contract
+        # module; imported only past the --suggest/--auto branches so those
+        # runs work without __spark_entry__.py on the path
+        sys.path.insert(0, ".")
+        from __spark_entry__ import transcript_ruleset
+
+        rules = transcript_ruleset()
 
     cfg = ValidationConfig(num_buckets=args.buckets, salt=args.salt)
-    rs = RuleSet(transcript_ruleset(), cfg)
+    rs = RuleSet(rules, cfg)
     rc = RunnerConfig(work_dir=args.work_dir, run_id=args.run_id,
                       buckets_per_job=args.buckets_per_job)
     t0 = time.perf_counter()
