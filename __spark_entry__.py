@@ -712,12 +712,27 @@ def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SIMHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted simhash pair pass per (session, table) — shared by the
+    full-pair query and the planted-recall gate (the production shape: sign
+    once, feed every consumer)."""
     from valar_spark import textops as X
 
-    return X.simhash_near_pairs(_docs_with_copies(spark, sf_dir),
-                                max_hamming=3,
-                                sets=_shared_sets(spark, sf_dir, shingle_n=2))
+    _prune_dead_sessions(_SIMHASH_PAIRS_CACHE,
+                         spark.sparkContext.applicationId)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIMHASH_PAIRS_CACHE:
+        _SIMHASH_PAIRS_CACHE[key] = X.simhash_near_pairs(
+            _docs_with_copies(spark, sf_dir), max_hamming=3,
+            sets=_shared_sets(spark, sf_dir, shingle_n=2))
+    return _SIMHASH_PAIRS_CACHE[key]
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_pairs_cached(spark, sf_dir)
 
 
 def _q_simhash_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,11 +744,7 @@ def _q_simhash_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every even doc with ≥1 token). A missed planted pair drops a row ⇒
     hash mismatch. (The full pair set stays the rows-only
     simhash_pairs_documents — its extras are genuinely un-oracle-able.)"""
-    from valar_spark import textops as X
-
-    pairs = X.simhash_near_pairs(_docs_with_copies(spark, sf_dir),
-                                 max_hamming=3,
-                                 sets=_shared_sets(spark, sf_dir, shingle_n=2))
+    pairs = _simhash_pairs_cached(spark, sf_dir)
     docs = _read(spark, sf_dir, "documents")
     trimmed = F.regexp_replace("text", r"(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)", "")
     planted = docs.filter(
