@@ -40,6 +40,11 @@ FUZZ_QUERIES = [
     # random text should be expected to satisfy on every draw.
     "jaccard_pairs_documents",
     "contamination_screen_documents",
+    # planted-copy construction oracles (round 4): hold for ANY table —
+    # exact copies share signatures/prints by construction
+    "simhash_planted_recall_documents",
+    "winnow_planted_recall_documents",
+    "hash_split_documents",
     # NFC + lowercase + ws-collapse across engines (unicodedata vs DuckDB
     # nfc_normalize/ICU lower) — prime dialect-drift territory
     "normalized_documents",
@@ -93,7 +98,14 @@ EVENTS_QUERIES = [
     "ordering_events_by_value",
     "psi_events_value_halves",
     "ks_events_value_halves",
+    "js_events_value_halves",
+    "chi2_events_type_halves",
     "text_equality_events",
+    # the flagship validate() machinery (round 4): planted mutations +
+    # adversarial natural data (null/empty/case-shifted event_type, null
+    # values, duplicate keys) through the compiled projection + verdicts
+    "validate_events",
+    "events_verdict_summary",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]
@@ -108,7 +120,8 @@ def make_events(rng: random.Random, n: int = 300) -> list[tuple]:
         ts = base_ts + rng.choice([0, 0, 60, 3600, rng.randint(0, 86400)])
         val = rng.choice([None, 0.0, -5.25, 499.999,
                           round(rng.uniform(0, 500), 3)])
-        rows.append((user, eid, rng.choice(_ETYPES), val, ts))
+        props = rng.choice([None, "", " ", "\t", '{"k": 1}', "{}"])
+        rows.append((user, eid, rng.choice(_ETYPES), val, ts, props))
     return rows
 
 
@@ -124,9 +137,9 @@ def run_events_round(spark, rng: random.Random, work: str) -> list[str]:
 
     df = spark.createDataFrame(
         rows, "user_id bigint, event_id bigint, event_type string, "
-              "value double, ts_epoch bigint"
+              "value double, ts_epoch bigint, props string"
     ).select("user_id", "event_id", "event_type", "value",
-             F.timestamp_seconds("ts_epoch").alias("ts"))
+             F.timestamp_seconds("ts_epoch").alias("ts"), "props")
     df.coalesce(2).write.parquet(f"{work}/events.parquet")
 
     con = duckdb.connect()
