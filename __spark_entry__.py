@@ -272,6 +272,29 @@ def _q_iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "event_id"))
 
 
+def _q_bucket_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition stats outliers (corrupted-shard detector): every
+    event of users in bucket 3 (user_id % 16) gets value×9 — that
+    bucket's mean lands ~7.5σ out while the other 15 stay ~0.5σ, so the
+    flag set is deterministic with a wide margin (no boundary-rounding
+    risk in the k·σ threshold). Production buckets by
+    pmod(xxhash64(key), B); the gate passes a plain modulus both engines
+    compute identically."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    skew = ev.select(
+        "user_id", "event_id",
+        F.when(F.col("user_id") % 16 == 3, F.col("value") * 9.0)
+        .otherwise(F.col("value")).alias("value"))
+    return (
+        D.bucket_stats_outliers(skew, "value", F.col("user_id") % 16, k=3.0)
+        .select("bucket", F.col("n").cast("long").alias("n"),
+                F.round("bucket_mean", 6).alias("bucket_mean"))
+        .orderBy("bucket")
+    )
+
+
 def _q_js_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen–Shannon divergence between even/odd event_id halves on the
     same fixed bins as the PSI query (drift.js_divergence_from_counts is
@@ -766,20 +789,9 @@ def _q_winnow_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     isn't an exact oracle). The screen still runs over the whole corpus
     with the production df cap; output = flagged ∩ planted; oracle = the
     construction (every even non-null-text doc)."""
-    from valar_spark import textops as X
-
     docs = _read(spark, sf_dir, "documents")
     even = (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
-    suffixed = docs.select(
-        "doc_id",
-        F.when(even, F.concat(F.col("text"), F.lit(" qq"),
-                              F.col("doc_id").cast("string"), F.lit("zz")))
-        .otherwise(F.col("text")).alias("text"))
-    u = suffixed.unionByName(
-        suffixed.filter(even).select(
-            (F.col("doc_id") + 100_000).alias("doc_id"), "text")
-    ).repartition(spark.sparkContext.defaultParallelism)
-    pairs = X.winnow_match_pairs(u, min_shared=1, max_df_frac=0.02)
+    pairs = _winnow_pairs_cached(spark, sf_dir)
     planted = docs.filter(even).select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + 100_000).alias("id_b"))
@@ -897,13 +909,45 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: the winnowing selection (rolling hash + window min) is not
-    # practically SQL-expressible; set behavior pinned in test_textops
+_WINNOW_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _winnow_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One winnow print/pair pass per (session, table) over the
+    alien-suffixed copy corpus at min_shared=1 — the full-pair query
+    derives its min_shared=5 view by filtering shared_fp, the planted
+    recall gate by joining to the construction: fingerprint once, feed
+    every consumer (the production shape)."""
     from valar_spark import textops as X
 
-    return X.winnow_match_pairs(_docs_with_copies(spark, sf_dir),
-                                min_shared=5, max_df_frac=0.02)
+    _prune_dead_sessions(_WINNOW_PAIRS_CACHE,
+                         spark.sparkContext.applicationId)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WINNOW_PAIRS_CACHE:
+        docs = _read(spark, sf_dir, "documents")
+        even = (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
+        suffixed = docs.select(
+            "doc_id",
+            F.when(even, F.concat(F.col("text"), F.lit(" qq"),
+                                  F.col("doc_id").cast("string"), F.lit("zz")))
+            .otherwise(F.col("text")).alias("text"))
+        u = suffixed.unionByName(
+            suffixed.filter(even).select(
+                (F.col("doc_id") + 100_000).alias("doc_id"), "text")
+        ).repartition(spark.sparkContext.defaultParallelism)
+        _WINNOW_PAIRS_CACHE[key] = X.winnow_match_pairs(
+            u, min_shared=1, max_df_frac=0.02)
+    return _WINNOW_PAIRS_CACHE[key]
+
+
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the winnowing selection (rolling hash + window min) is not
+    # practically SQL-expressible; set behavior pinned in test_textops.
+    # Corpus = documents ∪ copies with the per-doc alien suffix (shared
+    # with the planted-recall gate); min_shared=5 is a filter over the
+    # cached min_shared=1 pass.
+    return (_winnow_pairs_cached(spark, sf_dir)
+            .filter(F.col("shared_fp") >= 5))
 
 
 # five "eval questions" built from alien 6-char tokens (digit in every
@@ -1009,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordering_events_by_value": _q_ordering_events_by_value,
         "psi_events_value_halves": _q_psi_events_value_halves,
         "iqr_outliers_events": _q_iqr_outliers_events,
+        "bucket_outliers_events": _q_bucket_outliers_events,
         "js_events_value_halves": _q_js_events_value_halves,
         "chi2_events_type_halves": _q_chi2_events_type_halves,
         "text_equality_events": _q_text_equality,
@@ -1188,6 +1233,29 @@ def oracle_sql() -> dict[str, str]:
               AND (value < q1 - 1.5 * (q3 - q1)
                    OR value > q3 + 1.5 * (q3 - q1))
             ORDER BY user_id, event_id
+        """,
+        "bucket_outliers_events": """
+            WITH skew AS (
+                SELECT user_id,
+                       CASE WHEN user_id % 16 = 3 THEN value * 9.0
+                            ELSE value END AS value
+                FROM events
+            ), per AS (
+                SELECT user_id % 16 AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       AVG(value) AS bucket_mean
+                FROM skew WHERE value IS NOT NULL
+                GROUP BY user_id % 16
+            ), g AS (
+                SELECT AVG(bucket_mean) AS mu,
+                       stddev_pop(bucket_mean) AS sigma,
+                       COUNT(*) AS nb
+                FROM per
+            )
+            SELECT bucket, n, ROUND(bucket_mean, 6) AS bucket_mean
+            FROM per, g
+            WHERE nb >= 2 AND ABS(bucket_mean - mu) > 3.0 * sigma
+            ORDER BY bucket
         """,
         "js_events_value_halves": """
             WITH binned AS (

@@ -194,6 +194,29 @@ def test_chi2_from_counts():
         chi2([1], [1, 2])
 
 
+def test_bucket_stats_outliers(spark):
+    """Per-partition stats outliers: the corrupted-shard bucket (values
+    x100) is flagged; healthy buckets are not; nulls don't count; a
+    single-bucket frame can never flag (sigma undefined/0)."""
+    # >= 11 buckets needed for k=3: a single outlier bucket can reach at
+    # most z = sqrt(nb - 1) (it inflates sigma itself — masking)
+    rows = []
+    for b in range(16):
+        for i in range(20):
+            v = 10.0 + (i % 5)
+            if b == 5:
+                v *= 100.0  # corrupted shard
+            rows.append((b * 1000 + i, b, v))
+    rows.append((9999, 2, None))
+    df = spark.createDataFrame(rows, "id bigint, shard int, v double")
+    got = D.bucket_stats_outliers(df, "v", F.col("shard"), k=3.0).collect()
+    assert {r["bucket"] for r in got} == {5}
+    assert got[0]["n"] == 20 and abs(got[0]["bucket_mean"] - 1200.0) < 1e-6
+    # one bucket only => nothing to compare against
+    one = df.filter(F.col("shard") == 5)
+    assert D.bucket_stats_outliers(one, "v", F.col("shard")).count() == 0
+
+
 def test_iqr_outliers(spark):
     from valar_spark.dataset_rules import iqr_outliers
 

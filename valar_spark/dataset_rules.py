@@ -188,6 +188,52 @@ def iqr_outliers(df: DataFrame, col: str, k: float = 1.5,
     )
 
 
+def bucket_stats_outliers(
+    df: DataFrame,
+    value_col: str,
+    bucket: Column | str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-partition distribution outliers: buckets whose MEAN of
+    ``value_col`` deviates more than ``k``·σ from the cross-bucket mean —
+    the per-partition companion to :func:`stats_violations` (a corrupted
+    ingest shard / bad producer shows up as one bucket's statistics
+    drifting while the global profile still passes). Deequ analogue:
+    per-partition metric anomaly.
+
+    Returns ``(bucket, n, bucket_mean)`` for flagged buckets. Cost: one
+    groupBy over ``(bucket)`` carrying count+sum (map-side combined), a
+    ≤|buckets|-row second aggregate, one broadcast — the data rows
+    themselves never shuffle twice, and at 10^12 rows the reduced state
+    is |buckets| rows. ``bucket`` is any Column (production:
+    ``pmod(xxhash64(conv_id), B)``; engine-portable oracles can pass a
+    plain modulus). σ is the POPULATION std of the bucket means (buckets
+    are the full population, not a sample); with < 2 buckets nothing can
+    be an outlier. Masking bound: a single bad bucket inflates σ itself,
+    capping its own z-score at ``sqrt(num_buckets − 1)`` — so ``k=3``
+    needs ≥ 11 buckets to be able to flag anything (production bucket
+    counts are thousands; at toy bucket counts lower ``k``)."""
+    b = F.col(bucket) if isinstance(bucket, str) else bucket
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.avg(value_col).alias("bucket_mean"))
+    )
+    glob = per.agg(
+        F.avg("bucket_mean").alias("_mu"),
+        F.stddev_pop("bucket_mean").alias("_sigma"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .filter((F.col("_nb") >= 2)
+                & (F.abs(F.col("bucket_mean") - F.col("_mu"))
+                   > k * F.col("_sigma")))
+        .select("bucket", "n", "bucket_mean")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-column stats profile (BASELINE.json:6: null rate, min/max, HLL
 # cardinality, quantile sketches)
