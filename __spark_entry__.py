@@ -272,6 +272,25 @@ def _q_iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "event_id"))
 
 
+def _q_completeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot row-count reconciliation: 'current' is events with every
+    101st row dropped and user 7's rows double-ingested — both engines
+    reproduce the construction, so per-user deltas are deterministic."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    current = ev.filter(F.col("event_id") % 101 != 0).unionByName(
+        ev.filter(F.col("user_id") == 7))
+    return (
+        D.snapshot_count_drift(current, ev, ["user_id"])
+        .select("user_id",
+                F.col("n_current").cast("long").alias("n_current"),
+                F.col("n_baseline").cast("long").alias("n_baseline"),
+                F.col("delta").cast("long").alias("delta"))
+        .orderBy("user_id")
+    )
+
+
 def _q_bucket_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition stats outliers (corrupted-shard detector): every
     event of users in bucket 3 (user_id % 16) gets value×9 — that
@@ -1054,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_events_value_halves": _q_psi_events_value_halves,
         "iqr_outliers_events": _q_iqr_outliers_events,
         "bucket_outliers_events": _q_bucket_outliers_events,
+        "completeness_events": _q_completeness_events,
         "js_events_value_halves": _q_js_events_value_halves,
         "chi2_events_type_halves": _q_chi2_events_type_halves,
         "text_equality_events": _q_text_equality,
@@ -1233,6 +1253,27 @@ def oracle_sql() -> dict[str, str]:
               AND (value < q1 - 1.5 * (q3 - q1)
                    OR value > q3 + 1.5 * (q3 - q1))
             ORDER BY user_id, event_id
+        """,
+        "completeness_events": """
+            WITH cur AS (
+                SELECT user_id FROM events WHERE event_id % 101 <> 0
+                UNION ALL
+                SELECT user_id FROM events WHERE user_id = 7
+            ), c AS (
+                SELECT user_id, COUNT(*) AS n_current
+                FROM cur GROUP BY user_id
+            ), b AS (
+                SELECT user_id, COUNT(*) AS n_baseline
+                FROM events GROUP BY user_id
+            )
+            SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+                   CAST(COALESCE(n_current, 0) AS BIGINT) AS n_current,
+                   CAST(COALESCE(n_baseline, 0) AS BIGINT) AS n_baseline,
+                   CAST(COALESCE(n_current, 0) - COALESCE(n_baseline, 0)
+                        AS BIGINT) AS delta
+            FROM c FULL OUTER JOIN b ON c.user_id = b.user_id
+            WHERE COALESCE(n_current, 0) <> COALESCE(n_baseline, 0)
+            ORDER BY user_id
         """,
         "bucket_outliers_events": """
             WITH skew AS (

@@ -194,6 +194,23 @@ def test_chi2_from_counts():
         chi2([1], [1, 2])
 
 
+def test_snapshot_count_drift(spark):
+    """Per-key count reconciliation: dropped and duplicated keys show with
+    signed deltas, keys missing entirely from one side count as 0, and
+    unchanged keys are filtered out."""
+    base = spark.createDataFrame(
+        [(k, i) for k in ("a", "b", "c") for i in range(3)],
+        "k string, i int")
+    cur = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a", 2),          # unchanged
+         ("b", 0),                              # lost 2
+         ("d", 0), ("d", 1)],                   # new key
+        "k string, i int")
+    got = {r["k"]: (r["n_current"], r["n_baseline"], r["delta"])
+           for r in D.snapshot_count_drift(cur, base, ["k"]).collect()}
+    assert got == {"b": (1, 3, -2), "c": (0, 3, -3), "d": (2, 0, 2)}
+
+
 def test_bucket_stats_outliers(spark):
     """Per-partition stats outliers: the corrupted-shard bucket (values
     x100) is flagged; healthy buckets are not; nulls don't count; a

@@ -188,6 +188,36 @@ def iqr_outliers(df: DataFrame, col: str, k: float = 1.5,
     )
 
 
+def snapshot_count_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Per-key row-count reconciliation between two snapshots of the same
+    table — the completeness check of an incremental ingest ("did every
+    conversation keep all its turns after the backfill?"). Returns one row
+    per key whose count changed: ``(*keys, n_current, n_baseline, delta)``
+    (missing on either side counts as 0).
+
+    Cost: two map-side-combined count aggregates + one full-outer join on
+    the (already aggregated, one-row-per-key) counts — the data rows
+    shuffle once each, the join moves only |keys| rows. Equal counts are
+    filtered before the result leaves the reducers."""
+    kc = [F.col(k) for k in keys]
+    cur = current.groupBy(*kc).agg(F.count(F.lit(1)).alias("n_current"))
+    base = baseline.groupBy(*kc).agg(F.count(F.lit(1)).alias("n_baseline"))
+    j = cur.join(base, list(keys), "full_outer")
+    n_c = F.coalesce("n_current", F.lit(0))
+    n_b = F.coalesce("n_baseline", F.lit(0))
+    return (
+        j.select(*keys,
+                 n_c.alias("n_current"),
+                 n_b.alias("n_baseline"),
+                 (n_c - n_b).alias("delta"))
+        .filter(F.col("delta") != 0)
+    )
+
+
 def bucket_stats_outliers(
     df: DataFrame,
     value_col: str,
