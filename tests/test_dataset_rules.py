@@ -194,6 +194,18 @@ def test_chi2_from_counts():
         chi2([1], [1, 2])
 
 
+def test_snapshot_count_drift_identity_and_conservation(spark):
+    """Invariants: a table reconciled against itself reports nothing, and
+    the signed deltas always sum to the total row-count difference."""
+    ev = spark.range(0, 500).select(
+        (F.col("id") % 37).alias("k"), F.col("id").alias("i"))
+    assert D.snapshot_count_drift(ev, ev, ["k"]).count() == 0
+    cur = ev.filter(F.col("i") % 3 != 0)
+    drift = D.snapshot_count_drift(cur, ev, ["k"])
+    total_delta = drift.agg(F.sum("delta")).first()[0]
+    assert total_delta == cur.count() - ev.count()
+
+
 def test_snapshot_count_drift(spark):
     """Per-key count reconciliation: dropped and duplicated keys show with
     signed deltas, keys missing entirely from one side count as 0, and
