@@ -817,10 +817,11 @@ def _q_simhash_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_winnow_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Construction oracle for the winnowing matcher: every even doc gets a
-    deterministic alien suffix `` qq<doc_id>zz`` before copying, so each
-    planted pair shares suffix prints with df exactly 2 — guaranteed to
-    survive ANY df cap (stop-gram removal can otherwise legitimately eat
+    """Construction oracle for the winnowing matcher: every even doc gets
+    the deterministic alien suffix `` qq<md5(doc_id)>zz`` before copying,
+    so each planted pair shares ~10 suffix-region prints that are
+    pseudo-unique to the pair (df 2 — see _winnow_pairs_cached) and
+    survive the df cap (stop-gram removal can otherwise legitimately eat
     every print of a short generic doc, which is why the raw construction
     isn't an exact oracle). The screen still runs over the whole corpus
     with the production df cap; output = flagged ∩ planted; oracle = the
@@ -953,7 +954,19 @@ def _winnow_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     alien-suffixed copy corpus at min_shared=1 — the full-pair query
     derives its min_shared=5 view by filtering shared_fp, the planted
     recall gate by joining to the construction: fingerprint once, feed
-    every consumer (the production shape)."""
+    every consumer (the production shape).
+
+    The suffix embeds md5(doc_id) — 32 hex chars: the suffix region spans
+    ~30 k=8-grams / ~7 winnowing windows, so every doc selects SEVERAL
+    prints whose grams are aligned 8-substrings of its own md5. Two
+    distinct ids colliding on any one of them is ~16⁻⁸; for a planted
+    pair to be missed, EVERY one of its ~10 suffix prints would need ≥2
+    coincidental other-doc collisions to exceed the df cap — not a
+    pigeonhole proof, but cryptographically negligible at any corpus
+    size. (Round-4 review + fuzzer killed two weaker suffixes: a raw id
+    let duplicate SHORT texts lose their one boundary print to the cap,
+    and zero-padded digits still shared aligned runs between consecutive
+    ids, e.g. 420-429 all contain 00000042.)"""
     from valar_spark import textops as X
 
     _prune_dead_sessions(_WINNOW_PAIRS_CACHE,
@@ -964,8 +977,10 @@ def _winnow_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         even = (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
         suffixed = docs.select(
             "doc_id",
-            F.when(even, F.concat(F.col("text"), F.lit(" qq"),
-                                  F.col("doc_id").cast("string"), F.lit("zz")))
+            F.when(even, F.concat(
+                F.col("text"), F.lit(" qq"),
+                F.md5(F.col("doc_id").cast("string")),
+                F.lit("zz")))
             .otherwise(F.col("text")).alias("text"))
         u = suffixed.unionByName(
             suffixed.filter(even).select(
@@ -1125,6 +1140,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_documents": _q_pii_scrub,
         "hash_split_documents": _q_hash_split,
     }
+
+
+# the planted-mutation spec of _mutated_events as SQL — ONE definition
+# shared by both flagship-path oracles (the moduli live in exactly two
+# places: the Python mutation and this CTE)
+_MUTATED_EVENTS_SQL = """WITH m0 AS (
+                SELECT event_id, user_id, event_type, props,
+                       CASE WHEN event_id % 499 = 0 THEN value * 25.0
+                            ELSE value END AS v1
+                FROM events
+            ), mut AS (
+                SELECT CASE WHEN event_id % 613 = 0 THEN NULL
+                            ELSE user_id END AS user_id,
+                       event_id, event_type,
+                       CASE WHEN event_id % 887 = 0 THEN -v1 ELSE v1 END
+                         AS value,
+                       CASE WHEN event_id % 751 = 0 THEN 'not_a_number'
+                            ELSE CAST(event_id AS VARCHAR) END AS value_str,
+                       CASE WHEN event_id % 911 = 0 THEN ' '
+                            ELSE props END AS props
+                FROM m0
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1803,24 +1840,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the flagship validate() engine path: oracle = UNION ALL of the
         # five rule predicates over the same deterministic mutation
-        "validate_events": r"""
-            WITH m0 AS (
-                SELECT event_id, user_id, event_type, props,
-                       CASE WHEN event_id % 499 = 0 THEN value * 25.0
-                            ELSE value END AS v1
-                FROM events
-            ), mut AS (
-                SELECT CASE WHEN event_id % 613 = 0 THEN NULL
-                            ELSE user_id END AS user_id,
-                       event_id, event_type,
-                       CASE WHEN event_id % 887 = 0 THEN -v1 ELSE v1 END
-                         AS value,
-                       CASE WHEN event_id % 751 = 0 THEN 'not_a_number'
-                            ELSE CAST(event_id AS VARCHAR) END AS value_str,
-                       CASE WHEN event_id % 911 = 0 THEN ' '
-                            ELSE props END AS props
-                FROM m0
-            )
+        "validate_events": rf"""
+            {_MUTATED_EVENTS_SQL}
             SELECT * FROM (
                 SELECT 'user_id.required' AS rule_id, user_id, event_id,
                        'validation.required' AS code,
@@ -1858,24 +1879,8 @@ def oracle_sql() -> dict[str, str]:
                    OR regexp_replace(props, '[\x00-\x20]', '', 'g') = ''
             ) ORDER BY rule_id, event_id
         """,
-        "events_verdict_summary": r"""
-            WITH m0 AS (
-                SELECT event_id, user_id, event_type, props,
-                       CASE WHEN event_id % 499 = 0 THEN value * 25.0
-                            ELSE value END AS v1
-                FROM events
-            ), mut AS (
-                SELECT CASE WHEN event_id % 613 = 0 THEN NULL
-                            ELSE user_id END AS user_id,
-                       event_id, event_type,
-                       CASE WHEN event_id % 887 = 0 THEN -v1 ELSE v1 END
-                         AS value,
-                       CASE WHEN event_id % 751 = 0 THEN 'not_a_number'
-                            ELSE CAST(event_id AS VARCHAR) END AS value_str,
-                       CASE WHEN event_id % 911 = 0 THEN ' '
-                            ELSE props END AS props
-                FROM m0
-            ), c AS (
+        "events_verdict_summary": rf"""
+            {_MUTATED_EVENTS_SQL}, c AS (
                 SELECT 'user_id.required' AS rule_id,
                        COUNT(*) FILTER (WHERE user_id IS NULL) AS cnt,
                        COUNT(*) AS total FROM mut

@@ -185,6 +185,8 @@ def main() -> None:
                              broadcast_parent=False).count()
     cooldown = float(os.environ.get("VALAR_BENCH_COOLDOWN", "15"))
     times = []
+    throttle_probe()  # unrecorded warm-up: the first call pays one-time
+    # page-fault/alloc/freq-ramp costs that would read as fake throttle
     probes = []
     n_viol = 0
     for i in range(repeat):

@@ -53,3 +53,21 @@ def test_cli_auto_pipeline(spark, tmp_path, monkeypatch, capsys):
     assert res2["run_id"] == "r1"
     # identical input + identical suggested rules => no anomalous rules
     assert "anomalous" in out2  # the anomaly stage ran and printed
+
+
+def test_cli_auto_on_non_transcript_table(spark, tmp_path, monkeypatch,
+                                          capsys):
+    """--auto proposes rules for ARBITRARY schemas — on a table without
+    conv_id/turn_idx it must fall back to first-column keying and skip
+    the transcript-specific dataset checks instead of crashing
+    (round-4 review finding)."""
+    work = str(tmp_path / "auto_events")
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "/root/testdata/sf0.001/events.parquet",
+        "--work-dir", work, "--run-id", "e0", "--auto",
+        "--buckets", "4", "--buckets-per-job", "4",
+    ])
+    assert rc == 0
+    res = _json_line(out)
+    assert res["dataset_violations"] == 0  # transcript checks skipped
+    assert res["buckets_processed"] == list(range(4))

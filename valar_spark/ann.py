@@ -512,20 +512,22 @@ def embedding_near_dup_pairs(
     ``{pairs : hamming ≤ min(max_hamming, 64/chunk_bits − 1) ∧ cosine ≥
     threshold}`` stays exact and explicit, never silently incomplete).
     Pass 8 or 16 explicitly to pin the regime."""
+    t = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                      rhp_sketch(F.col(vec_col), seed=seed).alias("_sk"))
+    from pyspark import StorageLevel
+
+    t = t.persist(StorageLevel.MEMORY_AND_DISK)
     if chunk_bits is None:
-        n_vecs = corpus.count()
-        chunk_bits = 8 if n_vecs < CHUNK_BITS_CROSSOVER else 16
+        # count the PERSISTED sketch table (needed by the joins below
+        # anyway) — counting the raw corpus would execute its upstream
+        # plan one extra time just to pick the regime
+        chunk_bits = 8 if t.count() < CHUNK_BITS_CROSSOVER else 16
     assert 64 % chunk_bits == 0
     nchunks = 64 // chunk_bits
     # the blocking only guarantees hamming <= nchunks-1: clamp so the
     # emitted contract is exactly what the chunking can deliver
     max_hamming = min(max_hamming, nchunks - 1)
     mask = (1 << chunk_bits) - 1
-    t = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-                      rhp_sketch(F.col(vec_col), seed=seed).alias("_sk"))
-    from pyspark import StorageLevel
-
-    t = t.persist(StorageLevel.MEMORY_AND_DISK)
     chunked = t.select(
         "_id", "_sk",
         F.explode(F.array(*[

@@ -92,15 +92,31 @@ def main(argv: list[str] | None = None) -> int:
     rs = RuleSet(rules, cfg)
     rc = RunnerConfig(work_dir=args.work_dir, run_id=args.run_id,
                       buckets_per_job=args.buckets_per_job)
+    # keys/partitioning: transcript-shaped tables use the standard
+    # (conv_id, turn_idx); any other table (reachable via --auto, which
+    # proposes rules for ARBITRARY schemas) falls back to its first
+    # column as row key + partition key, and the transcript-specific
+    # dataset checks are skipped
+    cols = set(df.columns)
+    transcript_shaped = {"conv_id", "turn_idx"} <= cols
+    if transcript_shaped:
+        keys: tuple[str, ...] = ("conv_id", "turn_idx")
+    else:
+        keys = (df.columns[0],)
     t0 = time.perf_counter()
-    res = run_checkpointed(df, rs, rc)
+    res = run_checkpointed(df, rs, rc, keys=keys,
+                           partition_cols=(keys[0],))
     n_viol = res.violations.count()
-    # uniqueness + ordering fused into ONE window pass (same operator the
-    # bench measures; two separate checks would pay a second full shuffle)
-    dataset_viol = D.transcript_integrity_violations(df).count()
-    if args.registry:
-        reg = spark.read.parquet(args.registry)
-        dataset_viol += D.referential_violations(df, "conv_id", reg).count()
+    dataset_viol = 0
+    if transcript_shaped:
+        # uniqueness + ordering fused into ONE window pass (same operator
+        # the bench measures; two separate checks would pay a second full
+        # shuffle)
+        dataset_viol = D.transcript_integrity_violations(df).count()
+        if args.registry:
+            reg = spark.read.parquet(args.registry)
+            dataset_viol += D.referential_violations(df, "conv_id",
+                                                     reg).count()
     dt = time.perf_counter() - t0
 
     print(json.dumps({
