@@ -607,6 +607,98 @@ def _q_events_verdict_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rows_checked").cast("long").alias("rows_checked"))
 
 
+def crossfield_ruleset():
+    """Cross-field + conditional rules (RowRule / When, rules.py) — the
+    whole-record custom ``Validator[A]`` analogue (Validator.scala:31: a
+    hand-written instance sees every field and can compare them) under
+    the hash oracle, running through the SAME compiled projection as the
+    per-column rules."""
+    from valar_spark import rules as R
+
+    return {
+        # cross-field: a row's value must respect its user's cap
+        "consistency": R.row_rule(
+            "value_le_user_cap",
+            F.col("value") <= F.col("user_id") * 10 + 50,
+            fields=("value", "user_id"),
+            expected="value <= user_id*10 + 50",
+            actual=F.col("value")),
+        # conditional: range-check value ONLY on error events
+        "value": R.when_then(F.col("event_type") == "error",
+                             R.in_range(0.0, 100.0)),
+    }
+
+
+def _q_cross_field_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import validate
+
+    ev = _read(spark, sf_dir, "events")
+    run = validate(ev, crossfield_ruleset(), keys=("user_id", "event_id"),
+                   partition_cols=("user_id",))
+    num = F.col("actual").try_cast("double")
+    return (
+        run.violations
+        .select("rule_id", "user_id", "event_id", "code",
+                F.round(num, 6).alias("actual_num"))
+        .orderBy("rule_id", "event_id")
+    )
+
+
+def _q_entropy_events_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style Entropy analyzer (dataset_rules.entropy) — counts-only
+    groupBy formulation, exactly reproducible in SQL."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return D.entropy(ev, "event_type").select(
+        F.round("entropy", 6).alias("entropy"),
+        F.col("n").cast("long").alias("n"))
+
+
+def _q_corr_events_value_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation analyzer over pairwise-complete rows — single
+    co-moment aggregate both engines implement identically."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return D.correlation(ev, "value", "user_id").select(
+        F.round("corr", 6).alias("corr"),
+        F.col("n").cast("long").alias("n"))
+
+
+def _q_fd_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violations user_id → event_type: groups with
+    >1 distinct dependent value (every active user here — the point is
+    the exact per-group counts match)."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return (
+        D.fd_violations(ev, ["user_id"], "event_type")
+        .select("user_id", F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_dependent").cast("long").alias("n_dependent"))
+        .orderBy("user_id")
+    )
+
+
+#: reproducible "now" for the freshness gate query (events data ends
+#: 2024-01-30; 30-day budget ⇒ fresh=true with a two-week lag)
+_FRESHNESS_AS_OF = "2024-02-15 00:00:00"
+
+
+def _q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness analyzer — lag is wall-clock-frame arithmetic
+    (timestamp_diff on the column's own type), so NTZ parquet hashes
+    identically to DuckDB's naive epoch math in any session timezone."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return (
+        D.freshness_violation(ev, "ts", _FRESHNESS_AS_OF, 30 * 86400)
+        .select(F.round("lag_seconds", 6).alias("lag_seconds"), "fresh")
+    )
+
+
 def _q_hll_cardinality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch cardinality (mergeable across partitions) — rows-only:
     DuckDB's approx sketch differs; exactness is covered by
@@ -1129,6 +1221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_verdicts": _q_transcript_verdicts,
         "validate_events": _q_validate_events,
         "events_verdict_summary": _q_events_verdict_summary,
+        "cross_field_events": _q_cross_field_events,
+        "entropy_events_type": _q_entropy_events_type,
+        "corr_events_value_user": _q_corr_events_value_user,
+        "fd_user_event_type": _q_fd_user_event_type,
+        "freshness_events": _q_freshness_events,
         "hll_cardinality_events": _q_hll_cardinality_events,
         "dedup_exact_documents": _q_dedup_exact,
         "token_count_documents": _q_token_count,
@@ -1942,6 +2039,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rnk AS INT) AS rank
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
+        """,
+        # RowRule + When through the compiled validate() projection: the
+        # oracle is the union of the two predicates' failure sets with the
+        # library's null semantics (NULL cross-field predicate fails; NULL
+        # condition or NULL value skips the conditional range rule)
+        "cross_field_events": """
+            SELECT * FROM (
+                SELECT 'consistency.value_le_user_cap' AS rule_id, user_id,
+                       event_id, 'validation.cross_field' AS code,
+                       ROUND(value, 6) AS actual_num
+                FROM events
+                WHERE NOT COALESCE(value <= user_id * 10 + 50, FALSE)
+                UNION ALL
+                SELECT 'value.in_range', user_id, event_id,
+                       'validation.number.out_of_range', ROUND(value, 6)
+                FROM events
+                WHERE COALESCE(event_type = 'error', FALSE)
+                  AND value IS NOT NULL
+                  AND NOT (value BETWEEN 0.0 AND 100.0)
+            ) ORDER BY rule_id, event_id
+        """,
+        # H = ln(n) − Σ c·ln(c)/n over the counts table — same counts-only
+        # formulation as dataset_rules.entropy
+        "entropy_events_type": """
+            SELECT COALESCE(ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6),
+                            0.0) AS entropy,
+                   COALESCE(SUM(c), 0)::BIGINT AS n
+            FROM (SELECT COUNT(*)::DOUBLE AS c FROM events
+                  WHERE event_type IS NOT NULL GROUP BY event_type)
+        """,
+        "corr_events_value_user": """
+            SELECT ROUND(corr(value, user_id), 6) AS corr,
+                   COUNT(*)::BIGINT AS n
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+        """,
+        "fd_user_event_type": """
+            SELECT user_id, COUNT(*)::BIGINT AS n_rows,
+                   COUNT(DISTINCT event_type)::BIGINT AS n_dependent
+            FROM events GROUP BY user_id
+            HAVING COUNT(DISTINCT event_type) > 1
+            ORDER BY user_id
+        """,
+        # naive wall-clock lag — matches Spark's timestamp_diff on the NTZ
+        # column in any session timezone
+        "freshness_events": """
+            SELECT ROUND(epoch(TIMESTAMP '2024-02-15 00:00:00')
+                         - epoch(MAX(ts)), 6) AS lag_seconds,
+                   (epoch(TIMESTAMP '2024-02-15 00:00:00') - epoch(MAX(ts)))
+                     <= 2592000.0 AS fresh
+            FROM events
         """,
         # validate_transcripts / transcript_verdicts / hll_cardinality_events
         # / simhash_pairs_documents / winnow_pairs_documents /

@@ -35,20 +35,23 @@ _PROBE_CACHE = {}
 
 
 def throttle_probe() -> float:
-    """Seconds for a FIXED single-thread numpy workload (~0.7 s in a clean
-    window on this host): a mixed compute+stream pass over an 8 MB array.
-    The absolute value is host-specific; the RATIO across probes within
-    one artifact is the throttle sentinel."""
+    """Seconds for a FIXED single-thread numpy workload (~1 s in a clean
+    window on this host): one compute+stream pass over a 64 MB array —
+    deliberately larger than any plausible L3, because an L3-resident
+    probe right after the warm-up call measured CACHE speed (0.016 s vs
+    the 1-2 s of later, evicted probes) and tripped the dispersion
+    sentinel on a perfectly healthy window. The absolute value is
+    host-specific; the RATIO across probes within one artifact is the
+    throttle sentinel."""
     import numpy as np
 
     x = _PROBE_CACHE.get("x")
     if x is None:
-        x = np.arange(1_000_000, dtype=np.float64)
+        x = np.arange(8_000_000, dtype=np.float64)
         _PROBE_CACHE["x"] = x
     t0 = time.perf_counter()
-    s = 0.0
-    for _ in range(2):
-        s += float(np.sqrt(x * 1.0000001 + s).sum())
+    s = float(np.sqrt(x * 1.0000001).sum())
+    _PROBE_CACHE["sink"] = s
     return time.perf_counter() - t0
 
 

@@ -1,0 +1,187 @@
+"""Cross-field (RowRule) and conditional (When) rules, plus the
+column-relationship analyzers (entropy / correlation / FD / freshness).
+
+Reference parity anchor: a hand-written ``Validator[A]`` instance receives
+the whole record (Validator.scala:31), so custom instances can compare
+fields — RowRule is that surface compiled into the single-projection
+engine; When is the guard-then-Valid idiom as a combinator."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from valar_spark import dataset_rules as D
+from valar_spark import rules as R
+from valar_spark import validate
+
+
+def _df(spark):
+    rows = [
+        # (conv_id, turn_idx, started, ended, role)
+        ("c1", 0, 10, 20, "user"),
+        ("c1", 1, 30, 25, "assistant"),   # ended < started → cross-field fail
+        ("c2", 0, 5, None, "user"),       # NULL predicate → cross-field fail
+        ("c2", 1, 7, 9, "tool"),          # tool turn, short gap → ok
+        ("c3", 0, 0, 1000, "tool"),       # tool turn too long → conditional fail
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, started long, ended long,"
+              " role string")
+
+
+def test_row_rule_flags_cross_field_violations(spark):
+    run = validate(
+        _df(spark),
+        {"timing": R.row_rule(
+            "ended_after_started",
+            F.col("ended") >= F.col("started"),
+            fields=("started", "ended"),
+            expected="ended >= started",
+            actual=F.col("ended"))},
+        keys=("conv_id", "turn_idx"),
+    )
+    v = run.violations.orderBy("conv_id", "turn_idx").collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in v] == [("c1", 1), ("c2", 0)]
+    assert all(r["rule_id"] == "timing.ended_after_started" for r in v)
+    assert all(r["code"] == "validation.cross_field" for r in v)
+    assert v[0]["field_path"] == ["started", "ended"]
+    assert v[0]["expected"] == "ended >= started"
+    assert v[0]["actual"] == "25"
+    assert v[1]["actual"] is None  # NULL predicate fails, actual is the null
+
+
+def test_row_rule_verdicts_and_pass_case(spark):
+    run = validate(
+        _df(spark),
+        {"timing": R.row_rule("ended_after_started",
+                              F.coalesce(F.col("ended"), F.lit(1 << 60))
+                              >= F.col("started"))},
+        keys=("conv_id", "turn_idx"),
+    )
+    s = run.summary().collect()
+    assert len(s) == 1
+    assert s[0]["rule_id"] == "timing.ended_after_started"
+    assert s[0]["violation_count"] == 1  # only c1/1 now (null coalesced ok)
+    assert s[0]["rows_checked"] == 5
+
+
+def test_when_then_applies_only_under_condition(spark):
+    # duration cap applies to tool turns only
+    run = validate(
+        _df(spark),
+        {"ended": R.when_then(F.col("role") == "tool",
+                              R.in_range(0, 100))},
+        keys=("conv_id", "turn_idx"),
+    )
+    v = run.violations.collect()
+    # c3/0 (tool, ended=1000) fails; c1/1 (assistant, would fail range if
+    # unconditional? no — 25 in range) …use the one real failure
+    assert [(r["conv_id"], r["turn_idx"]) for r in v] == [("c3", 0)]
+    assert v[0]["rule_id"] == "ended.in_range"
+
+
+def test_when_then_null_condition_skips(spark):
+    df = spark.createDataFrame([("a", None, 5)],
+                               "conv_id string, role string, x int")
+    run = validate(df, {"x": R.when_then(F.col("role") == "tool",
+                                         R.in_range(100, 200))},
+                   keys=("conv_id",))
+    assert run.violations.count() == 0  # NULL condition = not applicable
+
+
+def test_when_then_rule_ids_transparent(spark):
+    r = R.when_then(F.lit(True), R.in_range(0, 1))
+    assert r.rule_ids(("x",)) == ["x.in_range"]
+
+
+def test_binds_row_detection(spark):
+    rr = R.row_rule("a", F.lit(True))
+    assert R.binds_row(rr)
+    assert R.binds_row(rr & R.row_rule("b", F.lit(False)))
+    assert R.binds_row(R.when_then(F.lit(True), rr))
+    assert not R.binds_row(R.in_range(0, 1))
+    assert not R.binds_row(R.when_then(F.lit(True), R.in_range(0, 1)))
+    assert not R.binds_row(rr & R.in_range(0, 1))  # mixed → column-bound
+
+
+def test_row_rule_combines_with_column_rules_in_one_ruleset(spark):
+    run = validate(
+        _df(spark),
+        {
+            "role": R.one_of(["user", "assistant", "tool"]),
+            "timing": R.row_rule("ended_after_started",
+                                 F.col("ended") >= F.col("started")),
+        },
+        keys=("conv_id", "turn_idx"),
+    )
+    ids = {r["rule_id"] for r in run.summary().collect()}
+    assert ids == {"role.one_of", "timing.ended_after_started"}
+
+
+# --- analyzers --------------------------------------------------------------
+
+
+def test_entropy_known_distribution(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], "v string")
+    row = D.entropy(df, "v").first()
+    expect = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert abs(row["entropy"] - expect) < 1e-12
+    assert row["n"] == 3
+
+
+def test_entropy_empty_and_constant(spark):
+    empty = spark.createDataFrame([], "v string")
+    row = D.entropy(empty, "v").first()
+    assert row["entropy"] == 0.0 and row["n"] == 0
+    const = spark.createDataFrame([("x",)] * 5, "v string")
+    row = D.entropy(const, "v").first()
+    assert row["entropy"] == 0.0 and row["n"] == 5
+
+
+def test_correlation_perfect_and_null_skip(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (None, 9.0), (4.0, None)],
+        "a double, b double")
+    row = D.correlation(df, "a", "b").first()
+    assert abs(row["corr"] - 1.0) < 1e-12
+    assert row["n"] == 3  # pairwise-complete only
+
+
+def test_fd_violations(spark):
+    df = spark.createDataFrame(
+        [("c1", "m1"), ("c1", "m1"), ("c2", "m1"), ("c2", "m2"),
+         ("c3", None), ("c3", "m9")],
+        "conv_id string, model string")
+    got = {r["conv_id"]: (r["n_rows"], r["n_dependent"])
+           for r in D.fd_violations(df, ["conv_id"], "model").collect()}
+    # c1 consistent; c3 has one non-null value (nulls don't violate)
+    assert got == {"c2": (2, 2)}
+
+
+def test_freshness(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-10 12:00:00",)], "s string"
+    ).select(F.col("s").cast("timestamp").alias("ts"))
+    fresh = D.freshness_violation(df, "ts", "2024-01-11 12:00:00", 86400.0)
+    row = fresh.first()
+    assert row["fresh"] is True and row["lag_seconds"] == 86400.0
+    stale = D.freshness_violation(df, "ts", "2024-01-20 00:00:00", 86400.0)
+    assert stale.first()["fresh"] is False
+
+
+def test_freshness_ntz_column(spark, tmp_path):
+    # parquet with isAdjustedToUTC=false reads back as TIMESTAMP_NTZ —
+    # the rule must work there too (no epoch cast exists for NTZ)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    p = str(tmp_path / "ntz.parquet")
+    pq.write_table(pa.table({"ts": pa.array(
+        [datetime(2024, 1, 5, 6, 30)], type=pa.timestamp("us"))}), p)
+    df = spark.read.parquet(p)
+    assert df.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+    row = D.freshness_violation(df, "ts", "2024-01-05 07:30:00", 3600.0).first()
+    assert row["fresh"] is True and row["lag_seconds"] == 3600.0

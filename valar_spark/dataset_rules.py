@@ -265,6 +265,103 @@ def bucket_stats_outliers(
 
 
 # ---------------------------------------------------------------------------
+# Column-relationship analyzers (Deequ analogues: Entropy, Correlation,
+# hasUniqueValueRatio/FD-style consistency, Freshness)
+# ---------------------------------------------------------------------------
+
+
+def entropy(df: DataFrame, col: str) -> DataFrame:
+    """Shannon entropy (natural log) of ``col``'s value distribution over
+    non-null rows — one row ``(entropy, n)``. Deequ's ``Entropy`` analyzer;
+    low entropy on a supposedly-diverse column (or a sudden drop vs the
+    previous snapshot) is the classic stuck-producer signal.
+
+    Cost at 10^12 rows: one map-side-combined count per distinct value,
+    then a ≤|distinct|-row second aggregate — the formulation
+    ``H = ln(n) − Σ c·ln(c) / n`` needs no per-row division, so the big
+    groupBy carries only counts. Not mergeable across snapshots (entropy
+    isn't a sketch) — persist the count table if incremental update
+    matters."""
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return counts.agg(
+        F.coalesce(
+            F.log(F.sum("_c"))
+            - F.sum(F.col("_c") * F.log("_c")) / F.sum("_c"),
+            F.lit(0.0),
+        ).alias("entropy"),
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("n"),
+    )
+
+
+def correlation(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson sample correlation between two numeric columns over
+    pairwise-complete rows — one row ``(corr, n)``. Deequ's
+    ``Correlation``; a collapsing correlation between, say, turn index and
+    timestamp is a join/ingest-corruption smell no single-column profile
+    catches. Single aggregate pass (Spark's ``corr`` is a streaming
+    co-moment accumulator — map-side partials, constant state)."""
+    both = F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    return df.filter(both).agg(
+        F.corr(col_a, col_b).alias("corr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def fd_violations(
+    df: DataFrame, determinant: Sequence[str], dependent: str
+) -> DataFrame:
+    """Functional-dependency check ``determinant → dependent``: groups of
+    the determinant columns that map to MORE than one distinct non-null
+    dependent value — ``(*determinant, n_rows, n_dependent)`` per
+    violating group. The relational form of "a conversation has exactly
+    one model tag" / "an order ships from one warehouse"; uniqueness is
+    the special case where the determinant is a candidate key.
+
+    Cost: one shuffle on the determinant (exact ``count_distinct`` inside
+    each group — state is per-group distinct values, fine when the
+    dependent's per-group cardinality is small, which is what the rule
+    asserts anyway); violating groups only leave the reducers."""
+    kc = [F.col(k) for k in determinant]
+    return (
+        df.groupBy(*kc)
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.count_distinct(F.col(dependent)).alias("n_dependent"))
+        .filter(F.col("n_dependent") > 1)
+    )
+
+
+def freshness_violation(
+    df: DataFrame, ts_col: str, as_of: str, max_lag_seconds: float
+) -> DataFrame:
+    """Data-freshness rule: is the newest ``ts_col`` within
+    ``max_lag_seconds`` of ``as_of``? One row
+    ``(max_ts, lag_seconds, fresh)``. ``as_of`` is an explicit wall-clock
+    string, never ``now()`` — validation runs must be reproducible and
+    resumable (the checkpointed runner may re-execute a bucket hours
+    later). The literal is cast to the COLUMN's own timestamp type and
+    the lag computed with ``timestamp_diff``, so the rule works
+    identically for TIMESTAMP and TIMESTAMP_NTZ columns (NTZ — what
+    Spark infers for ``isAdjustedToUTC=false`` parquet — supports no
+    epoch cast at all, and wall-clock-frame arithmetic keeps the result
+    independent of ``spark.sql.session.timeZone``). One ``max``
+    aggregate: map-side combined, constant state."""
+    as_of_col = F.lit(as_of).cast(df.schema[ts_col].dataType.simpleString())
+    return df.agg(F.max(ts_col).alias("max_ts")).select(
+        "max_ts",
+        (F.timestamp_diff("MICROSECOND", F.col("max_ts"), as_of_col)
+         / F.lit(1e6)).alias("lag_seconds"),
+    ).select(
+        "max_ts", "lag_seconds",
+        (F.col("lag_seconds") <= F.lit(float(max_lag_seconds)))
+        .alias("fresh"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-column stats profile (BASELINE.json:6: null rate, min/max, HLL
 # cardinality, quantile sketches)
 # ---------------------------------------------------------------------------

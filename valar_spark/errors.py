@@ -37,6 +37,7 @@ CODE_COLLECTION_TOO_LARGE = "validation.security.collection_too_large"
 CODE_UNION_NO_MATCH = "validation.union.no_match"
 CODE_TYPE_MISMATCH = "validation.type.mismatch"
 CODE_UDF_FAILURE = "validation.udf.failure"
+CODE_CROSS_FIELD = "validation.cross_field"
 
 # Engine-level dataset rule codes (BASELINE.json:6 obligations).
 CODE_DUPLICATE_KEY = "validation.dataset.duplicate_key"

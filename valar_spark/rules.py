@@ -446,6 +446,118 @@ def always_valid() -> LeafRule:
     return _leaf("pass", build)
 
 
+class RowRule(Rule):
+    """Cross-field constraint: an arbitrary boolean Column over ANY of the
+    row's columns, not just the bound one.
+
+    Reference parity: a hand-written ``Validator[A]`` instance receives the
+    WHOLE record (Validator.scala:31 — ``validate(a: A)``), so custom
+    instances routinely compare fields against each other; the derived
+    per-field tree can't express that, the custom instance can. This is
+    the Spark analogue, compiled into the same single error-array
+    projection as column rules — one scan, no shuffle, whole-stage
+    codegen.
+
+    ``predicate`` is a ``Column[bool]`` over any columns of the validated
+    frame (e.g. ``F.col("value") <= F.col("cap")``). NULL predicate
+    results count as failures, same contract as :func:`satisfies`.
+    ``fields`` names the involved columns for the violation's
+    ``field_path``; ``actual`` optionally points at the column to report
+    as the offending value. Bind it under a descriptive RuleSet key —
+    ``rule_id = "<key>.<name>"`` — the binder detects row rules and skips
+    single-column resolution (see ``binds_row``)."""
+
+    def __init__(self, name: str, predicate: Column, *,
+                 fields: Sequence[str] = (),
+                 code: str = E.CODE_CROSS_FIELD,
+                 message: str = "Cross-field validation failed",
+                 expected: str | None = None,
+                 actual: Column | None = None,
+                 severity: str | None = None):
+        self.name = name
+        self.predicate = predicate
+        self.fields = tuple(fields)
+        self.code = code
+        self.message = message
+        self.expected = expected
+        self.actual = actual
+        self.severity = severity
+
+    def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
+        return E.cond_errors(
+            (~F.coalesce(self.predicate, F.lit(False)),
+             E.error_struct(_rid(rid_prefix, self.name), self.message,
+                            self.code, field_path=list(self.fields),
+                            expected=self.expected, actual=self.actual,
+                            severity=self.severity)),
+        )
+
+    def rule_ids(self, rid_prefix):
+        return [_rid(rid_prefix, self.name)]
+
+
+def row_rule(name: str, predicate: Column, *, fields: Sequence[str] = (),
+             code: str = E.CODE_CROSS_FIELD,
+             message: str = "Cross-field validation failed",
+             expected: str | None = None, actual: Column | None = None,
+             severity: str | None = None) -> RowRule:
+    """See :class:`RowRule`."""
+    return RowRule(name, predicate, fields=fields, code=code,
+                   message=message, expected=expected, actual=actual,
+                   severity=severity)
+
+
+class When(Rule):
+    """Conditional application: evaluate ``inner`` only on rows where
+    ``condition`` (a ``Column[bool]`` over any columns) holds; other rows
+    pass vacuously. NULL conditions mean "not applicable" (rule skipped) —
+    the same null-pass stance as :class:`Optional`.
+
+    Reference parity: conditionality in the reference is a custom
+    instance that returns ``Valid`` without checking when the guard fails
+    (Validator.scala:31 custom instances; the library's own pass-through
+    defaults, Validator.scala:43-60, are the degenerate always-skip
+    case). Transparent in ``rule_id`` — like :class:`Optional`, the
+    conditional wrapper adds no path segment."""
+
+    name = "when"
+
+    def __init__(self, condition: Column, inner: Rule):
+        self.condition = condition
+        self.inner = inner
+
+    def errors(self, col, rid_prefix, ctx, ann: Ann = ()):
+        return (
+            F.when(F.coalesce(self.condition, F.lit(False)),
+                   self.inner.errors(col, rid_prefix, ctx, ann))
+            .otherwise(E.empty_errors())
+        )
+
+    def rule_ids(self, rid_prefix):
+        return self.inner.rule_ids(rid_prefix)
+
+
+def when_then(condition: Column, inner: Rule) -> When:
+    """See :class:`When`."""
+    return When(condition, inner)
+
+
+def binds_row(rule: Rule) -> bool:
+    """True when ``rule`` needs no bound column — it (and every nested
+    rule) reads the row through explicit Column references. Drives the
+    RuleSet binder's choice between ``F.col(key)`` and a null placeholder
+    (the key then being a label, not a column name)."""
+    if isinstance(rule, RowRule):
+        return True
+    kids = getattr(rule, "children", None)
+    if kids:
+        return all(binds_row(k) for k in kids)
+    inner = getattr(rule, "inner", None)
+    if inner is not None:
+        return binds_row(inner)
+    return False
+
+
 # ---------------------------------------------------------------------------
 # Combinators — ValidationResult.scala algebra
 # ---------------------------------------------------------------------------

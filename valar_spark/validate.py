@@ -57,11 +57,17 @@ class RuleSet:
         ``address.street`` yields path ``[address, street]`` with per-level
         message prefixes — the same annotation as nested derived validators
         (Derivation.scala:84-95), computed statically at compile time."""
-        from .rules import fill_type_names
+        from .rules import binds_row, fill_type_names
 
         ctx = CompileContext(config=self.config)
         out: list[tuple[str, Column]] = []
         for key, rule in self.rules.items():
+            if binds_row(rule):
+                # cross-field rules read the row via explicit Column refs;
+                # the key is a label (rule_id prefix), not a column name —
+                # resolving F.col(key) would fail analysis
+                out.append((key, rule.errors(F.lit(None), (key,), ctx, ())))
+                continue
             segs = key.split(".")
             fill_type_names(rule, _resolve_dtype(df.schema, segs))
             tnames = _dtype_chain(df.schema, segs)
