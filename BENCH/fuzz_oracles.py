@@ -106,6 +106,17 @@ EVENTS_QUERIES = [
     # values, duplicate keys) through the compiled projection + verdicts
     "validate_events",
     "events_verdict_summary",
+    # round-4 cross-field + relationship analyzers: all null-robust by
+    # construction (COALESCE'd predicates, non-null filters both sides,
+    # state-column tie-breaker in the transition window)
+    "cross_field_events",
+    "entropy_events_type",
+    "corr_events_value_user",
+    "fd_user_event_type",
+    "freshness_events",
+    "transitions_events",
+    "mutual_info_events",
+    "distinctness_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]

@@ -699,6 +699,89 @@ def _q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sequence_gaps_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-sequence rule (turn_idx completeness analogue) over the one
+    driver table with a per-group line number: orders whose l_linenumber
+    is not dense from 1 — the synthetic generator leaves real gaps, so
+    the exact per-group gap accounting is under the hash."""
+    from valar_spark import dataset_rules as D
+
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        D.sequence_gaps(li, ["l_orderkey"], "l_linenumber", start=1)
+        .select("l_orderkey",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                F.col("min_idx").cast("long").alias("min_idx"),
+                F.col("max_idx").cast("long").alias("max_idx"),
+                F.col("n_missing").cast("long").alias("n_missing"))
+        .orderBy("l_orderkey")
+    )
+
+
+#: conversation-grammar analogue on the events table: the allowed
+#: (prev event_type -> event_type) pairs within a user's stream
+_EVENT_GRAMMAR = [
+    ("signup", "view"), ("signup", "click"),
+    ("view", "view"), ("view", "click"),
+    ("click", "view"), ("click", "purchase"), ("click", "error"),
+    ("purchase", "view"),
+    ("error", "view"), ("error", "error"),
+]
+
+#: the same grammar as chr(0)/chr(1)-encoded DuckDB literals for the
+#: oracle's NOT IN list
+_EVENT_GRAMMAR_SQL = ", ".join(
+    f"'{p}' || chr(1) || '{c}'" for p, c in _EVENT_GRAMMAR)
+
+
+def _q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-transition grammar rule: events per user ordered by
+    (ts, event_id, event_type); pairs outside _EVENT_GRAMMAR are
+    violations. Both engines lag over the identical order, and the state
+    column itself closes the sort key so rows duplicated on (ts,
+    event_id) stay interchangeable — the flagged set is
+    layout-independent even on adversarial (fuzzed) data."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull())
+    return (
+        D.illegal_transitions(ev, "user_id", ["ts", "event_id", "event_type"],
+                              "event_type", _EVENT_GRAMMAR)
+        .select("user_id", "event_id", "prev_state",
+                F.col("event_type").alias("state"), "kind")
+        .orderBy("user_id", "event_id")
+    )
+
+
+def _q_mutual_info_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style MutualInformation between event_type and a derived
+    user cohort (user_id % 4) — counts-only formulation, one joint-count
+    shuffle."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 4).cast("long"))
+    return D.mutual_information(ev, "event_type", "cohort").select(
+        F.round("mi", 6).alias("mi"), F.col("n").cast("long").alias("n"))
+
+
+def _q_distinctness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctness / unique-value-ratio / uniqueness of events.user_id in
+    one counts pass."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return D.distinctness(ev, "user_id").select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.round("distinctness", 6).alias("distinctness"),
+        F.round("unique_value_ratio", 6).alias("unique_value_ratio"),
+        F.round("uniqueness", 6).alias("uniqueness"))
+
+
 def _q_hll_cardinality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch cardinality (mergeable across partitions) — rows-only:
     DuckDB's approx sketch differs; exactness is covered by
@@ -1226,6 +1309,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_events_value_user": _q_corr_events_value_user,
         "fd_user_event_type": _q_fd_user_event_type,
         "freshness_events": _q_freshness_events,
+        "sequence_gaps_lineitem": _q_sequence_gaps_lineitem,
+        "transitions_events": _q_transitions_events,
+        "mutual_info_events": _q_mutual_info_events,
+        "distinctness_events": _q_distinctness_events,
         "hll_cardinality_events": _q_hll_cardinality_events,
         "dedup_exact_documents": _q_dedup_exact,
         "token_count_documents": _q_token_count,
@@ -2090,6 +2177,85 @@ def oracle_sql() -> dict[str, str]:
                    (epoch(TIMESTAMP '2024-02-15 00:00:00') - epoch(MAX(ts)))
                      <= 2592000.0 AS fresh
             FROM events
+        """,
+        "sequence_gaps_lineitem": """
+            SELECT l_orderkey,
+                   COUNT(*)::BIGINT AS n_rows,
+                   COUNT(DISTINCT l_linenumber)::BIGINT AS n_distinct,
+                   MIN(l_linenumber)::BIGINT AS min_idx,
+                   MAX(l_linenumber)::BIGINT AS max_idx,
+                   (MAX(l_linenumber)::BIGINT - 1 + 1
+                    - COUNT(DISTINCT l_linenumber))::BIGINT AS n_missing
+            FROM lineitem WHERE l_linenumber IS NOT NULL
+            GROUP BY l_orderkey
+            HAVING MIN(l_linenumber) < 1
+                OR MAX(l_linenumber) - COUNT(DISTINCT l_linenumber) >= 1
+            ORDER BY l_orderkey
+        """,
+        # lag over the identical total order (ts, event_id) per user;
+        # NULLS FIRST pinned to Spark's asc_nulls_first
+        "transitions_events": f"""
+            WITH lagged AS (
+                SELECT user_id, event_id, event_type,
+                       LAG(event_type) OVER w AS prev_state,
+                       ROW_NUMBER() OVER w AS rn
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts ASC NULLS FIRST,
+                                      event_id ASC NULLS FIRST,
+                                      event_type ASC NULLS FIRST)
+            )
+            SELECT user_id, event_id, prev_state, event_type AS state,
+                   'transition' AS kind
+            FROM lagged
+            WHERE rn > 1
+              AND COALESCE(prev_state, chr(0)) || chr(1)
+                  || COALESCE(event_type, chr(0))
+                  NOT IN ({_EVENT_GRAMMAR_SQL})
+            ORDER BY user_id, event_id
+        """,
+        # MI over the joint-count table, same counts-only formulation
+        "mutual_info_events": """
+            WITH joint AS (
+                SELECT event_type AS a, (user_id % 4)::BIGINT AS b,
+                       COUNT(*)::DOUBLE AS c
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY 1, 2
+            ), t AS (
+                SELECT c, SUM(c) OVER (PARTITION BY a) AS ca,
+                       SUM(c) OVER (PARTITION BY b) AS cb,
+                       SUM(c) OVER () AS n
+                FROM joint
+            )
+            SELECT COALESCE(ROUND(SUM((c / n) * ln(c * n / (ca * cb))), 6),
+                            0.0) AS mi,
+                   COALESCE(MAX(n), 0)::BIGINT AS n
+            FROM t
+        """,
+        "distinctness_events": """
+            WITH counts AS (
+                SELECT user_id, COUNT(*)::BIGINT AS c FROM events
+                WHERE user_id IS NOT NULL GROUP BY 1
+            ), a AS (
+                SELECT COALESCE(SUM(c), 0)::BIGINT AS n_rows,
+                       COUNT(*)::BIGINT AS n_distinct,
+                       COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END),
+                                0)::BIGINT AS n_unique
+                FROM counts
+            )
+            SELECT n_rows, n_distinct, n_unique,
+                   ROUND(CASE WHEN n_rows > 0
+                         THEN n_distinct::DOUBLE / n_rows ELSE 0.0 END,
+                         6) AS distinctness,
+                   ROUND(CASE WHEN n_distinct > 0
+                         THEN n_unique::DOUBLE / n_distinct ELSE 0.0 END,
+                         6) AS unique_value_ratio,
+                   ROUND(CASE WHEN n_rows > 0
+                         THEN n_unique::DOUBLE / n_rows ELSE 0.0 END,
+                         6) AS uniqueness
+            FROM a
         """,
         # validate_transcripts / transcript_verdicts / hll_cardinality_events
         # / simhash_pairs_documents / winnow_pairs_documents /

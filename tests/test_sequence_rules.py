@@ -1,0 +1,122 @@
+"""Sequence-shape rules (dense index, transition grammar) and the
+column-relationship analyzers added with them (mutual information,
+distinctness).
+
+Transcript-model anchors: turn_idx must be dense 0..n−1 within a
+conversation, and role transitions follow the conversation grammar —
+BASELINE.json's per-turn ordering invariant, lifted to group level."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from valar_spark import dataset_rules as D
+
+
+def _seq_df(spark):
+    rows = [
+        ("c1", 0), ("c1", 1), ("c1", 2),          # dense from 0 → ok
+        ("c2", 0), ("c2", 2), ("c2", 5),          # gaps at 1,3,4
+        ("c3", 1), ("c3", 2),                     # head gap at 0
+        ("c4", -1), ("c4", 0),                    # index below start
+        ("c5", 0), ("c5", None),                  # null idx ignored → ok
+    ]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int")
+
+
+def test_sequence_gaps_flags_gapped_groups_only(spark):
+    got = {r["conv_id"]: r for r in
+           D.sequence_gaps(_seq_df(spark), ["conv_id"], "turn_idx").collect()}
+    assert set(got) == {"c2", "c3", "c4"}
+    assert got["c2"]["n_missing"] == 3 and got["c2"]["max_idx"] == 5
+    assert got["c3"]["n_missing"] == 1 and got["c3"]["min_idx"] == 1
+    assert got["c4"]["min_idx"] == -1  # below start flags regardless
+    assert got["c2"]["n_rows"] == 3 and got["c2"]["n_distinct"] == 3
+
+
+def test_sequence_gaps_start_offset(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3)], "g string, i int")
+    got = D.sequence_gaps(df, ["g"], "i", start=1).collect()
+    assert [(r["g"], r["n_missing"]) for r in got] == [("b", 1)]
+
+
+def test_sequence_gap_violations_schema(spark):
+    v = D.sequence_gap_violations(
+        _seq_df(spark), ["conv_id"], "turn_idx").collect()
+    by_conv = {r["conv_id"]: r for r in v}
+    assert by_conv["c2"]["code"] == "validation.dataset.sequence_gap"
+    assert "3 missing" in by_conv["c2"]["message"]
+    assert by_conv["c2"]["field_path"] == ["turn_idx"]
+
+
+_GRAMMAR = [("user", "assistant"), ("assistant", "user"),
+            ("assistant", "tool"), ("tool", "assistant")]
+
+
+def _conv_df(spark):
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "tool"),
+        ("c1", 3, "assistant"), ("c1", 4, "user"),            # legal chain
+        ("c2", 0, "user"), ("c2", 1, "user"),                 # user→user bad
+        ("c3", 0, "assistant"),                               # bad initial
+        ("c4", 0, "user"), ("c4", 1, None), ("c4", 2, "user"),  # null state
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string")
+
+
+def test_illegal_transitions_flags_bad_pairs(spark):
+    got = D.illegal_transitions(
+        _conv_df(spark), "conv_id", ["turn_idx"], "role", _GRAMMAR).collect()
+    flagged = {(r["conv_id"], r["turn_idx"]): r for r in got}
+    # user→user, user→NULL, NULL→user; first rows pass without `initial`
+    assert set(flagged) == {("c2", 1), ("c4", 1), ("c4", 2)}
+    assert flagged[("c2", 1)]["prev_state"] == "user"
+    assert all(r["kind"] == "transition" for r in got)
+
+
+def test_illegal_transitions_initial_set(spark):
+    got = D.illegal_transitions(
+        _conv_df(spark), "conv_id", ["turn_idx"], "role", _GRAMMAR,
+        initial=["user"]).collect()
+    kinds = {(r["conv_id"], r["turn_idx"]): r["kind"] for r in got}
+    assert kinds[("c3", 0)] == "initial"
+    assert len(kinds) == 4
+
+
+def test_transition_violations_message(spark):
+    v = D.transition_violations(
+        _conv_df(spark), "conv_id", ["turn_idx"], "role", _GRAMMAR,
+        initial=["user"]).collect()
+    msgs = {(r["conv_id"], r["turn_idx"]): r["message"] for r in v}
+    assert msgs[("c2", "1")] == "Illegal role transition: user -> user"
+    assert msgs[("c3", "0")] == "Illegal initial role: assistant"
+    assert msgs[("c4", "1")] == "Illegal role transition: user -> null"
+
+
+def test_mutual_information_independent_and_identical(spark):
+    # independent: every (a, b) combination equally likely → MI = 0
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(3)],
+        "a string, b string")
+    r = D.mutual_information(indep, "a", "b").collect()[0]
+    assert abs(r["mi"]) < 1e-12 and r["n"] == 12
+    # identical: MI equals the entropy of the column
+    ident = spark.createDataFrame(
+        [("x", "x")] * 3 + [("y", "y")], "a string, b string")
+    mi = D.mutual_information(ident, "a", "b").collect()[0]["mi"]
+    h = D.entropy(ident, "a").collect()[0]["entropy"]
+    assert math.isclose(mi, h, rel_tol=1e-12)
+
+
+def test_distinctness_counts(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "v int")
+    r = D.distinctness(df, "v").collect()[0]
+    assert (r["n_rows"], r["n_distinct"], r["n_unique"]) == (4, 3, 2)
+    assert math.isclose(r["distinctness"], 0.75)
+    assert math.isclose(r["unique_value_ratio"], 2 / 3)
+    assert math.isclose(r["uniqueness"], 0.5)

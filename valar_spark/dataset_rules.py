@@ -361,6 +361,253 @@ def freshness_violation(
     )
 
 
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns over
+    pairwise-complete rows — one row ``(mi, n)``. Deequ's
+    ``MutualInformation``; MI collapsing toward 0 between, e.g., role and
+    tool says one no longer predicts the other (a tagging pipeline broke),
+    while MI ≈ H(col) says a supposedly independent column is derived.
+
+    Cost model at 10^12 rows: ONE shuffle — the map-side-combined joint
+    count groupBy(a, b) — after which everything (marginals via two window
+    passes, the MI sum) runs over the |A|×|B| joint-count table. That
+    table must be small (categorical inputs); feeding two high-cardinality
+    keys makes the joint table the data and this the wrong tool."""
+    both = F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    joint = (
+        df.filter(both).groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    )
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    total = joint.agg(F.sum("_c").alias("_n"))
+    terms = joint.select(
+        "_c",
+        F.sum("_c").over(wa).alias("_ca"),
+        F.sum("_c").over(wb).alias("_cb"),
+    ).crossJoin(F.broadcast(total))
+    return terms.agg(
+        F.coalesce(
+            F.sum((F.col("_c") / F.col("_n"))
+                  * F.log(F.col("_c") * F.col("_n")
+                          / (F.col("_ca") * F.col("_cb")))),
+            F.lit(0.0),
+        ).alias("mi"),
+        F.coalesce(F.max("_n"), F.lit(0.0)).cast("long").alias("n"),
+    )
+
+
+def distinctness(df: DataFrame, col: str) -> DataFrame:
+    """Deequ's ``Distinctness`` / ``UniqueValueRatio`` / ``Uniqueness``
+    for one column in a single pass over non-null rows — one row
+    ``(n_rows, n_distinct, n_unique, distinctness, unique_value_ratio,
+    uniqueness)`` where ``n_unique`` counts values occurring exactly once.
+    Distinctness sliding toward 0 on an id-ish column is the classic
+    duplicated-ingest smell *before* a uniqueness rule starts firing.
+
+    Cost: one map-side-combined count per distinct value, then an
+    aggregate over the counts table (≤ |distinct| rows). Exact — for
+    approximate monitoring at extreme cardinality use
+    :func:`stats_profile`'s HLL instead."""
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    agg = counts.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.coalesce(F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)),
+                   F.lit(0)).alias("n_unique"),
+    )
+    nz = F.col("n_rows") > 0
+    return agg.select(
+        "n_rows", "n_distinct", "n_unique",
+        F.when(nz, F.col("n_distinct") / F.col("n_rows"))
+        .otherwise(F.lit(0.0)).alias("distinctness"),
+        F.when(F.col("n_distinct") > 0,
+               F.col("n_unique") / F.col("n_distinct"))
+        .otherwise(F.lit(0.0)).alias("unique_value_ratio"),
+        F.when(nz, F.col("n_unique") / F.col("n_rows"))
+        .otherwise(F.lit(0.0)).alias("uniqueness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-shape rules (transcript model: turn_idx dense per conversation,
+# role transitions follow the conversation grammar)
+# ---------------------------------------------------------------------------
+
+
+def sequence_gaps(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    idx_col: str,
+    start: int = 0,
+) -> DataFrame:
+    """Groups whose ``idx_col`` is NOT the dense sequence ``start, start+1,
+    …`` — one row per violating group: ``(*group_cols, n_rows, n_distinct,
+    min_idx, max_idx, n_missing)``. The transcript-completeness invariant
+    (turn_idx must be 0..n−1 within a conversation — a gap means turns
+    were dropped by ingest); duplicates are uniqueness's job and do NOT
+    flag here.
+
+    ``n_missing`` counts absent indices in ``[start, max_idx]`` (head gaps
+    + internal gaps); a group also violates when ``min_idx < start``
+    (indices below the declared origin). Null indices are ignored —
+    point a ``required`` rule at the column to forbid them.
+
+    Cost at 10^12 rows: one map-side-combined groupBy carrying four
+    counters per group — no window sort, no per-index state. Compare
+    :func:`transcript_integrity_violations`, which pays a window sort to
+    localize row-level findings; this rule answers the cheaper per-group
+    question."""
+    kc = [F.col(k) for k in group_cols]
+    agg = (
+        df.filter(F.col(idx_col).isNotNull())
+        .groupBy(*kc)
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.count_distinct(F.col(idx_col)).alias("n_distinct"),
+             F.min(idx_col).alias("min_idx"),
+             F.max(idx_col).alias("max_idx"))
+    )
+    n_missing = (F.col("max_idx").cast("long") - F.lit(int(start)) + 1
+                 - F.col("n_distinct"))
+    return (
+        agg.withColumn("n_missing", n_missing)
+        .filter((F.col("min_idx") < F.lit(int(start)))
+                | (F.col("n_missing") > 0))
+    )
+
+
+def sequence_gap_violations(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    idx_col: str,
+    start: int = 0,
+    rule_id: str = "dataset.sequence_gap",
+) -> DataFrame:
+    bad = sequence_gaps(df, group_cols, idx_col, start)
+    return _as_violations(
+        bad,
+        rule_id,
+        E.CODE_SEQUENCE_GAP,
+        F.concat(F.lit(f"{idx_col} not dense from {start}: "),
+                 F.col("n_missing").cast("string"),
+                 F.lit(" missing index(es)")),
+        keys=list(group_cols),
+        field_path=[idx_col],
+        expected=f"dense {idx_col} from {start}",
+        actual=F.concat(F.lit("span ["), F.col("min_idx").cast("string"),
+                        F.lit(", "), F.col("max_idx").cast("string"),
+                        F.lit("] holds "), F.col("n_distinct").cast("string")),
+    )
+
+
+#: encoding separators for (prev, cur) state pairs — control chars that
+#: cannot appear in the validated state values themselves
+_PAIR_SEP = "\x01"
+_PAIR_NULL = "\x00"
+
+
+def illegal_transitions(
+    df: DataFrame,
+    part_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+    allowed: Sequence[tuple[str, str]],
+    initial: Sequence[str] | None = None,
+) -> DataFrame:
+    """Rows that break the state-transition grammar: within each
+    ``part_col`` group ordered by ``order_cols``, the pair
+    ``(previous state, state)`` must be in ``allowed``; if ``initial`` is
+    given, each group's FIRST state must be in it (otherwise first rows
+    pass). Returns the offending rows plus ``prev_state`` and ``kind``
+    (``transition`` | ``initial``). The conversation-grammar invariant —
+    e.g. assistant never follows assistant, tool output only follows an
+    assistant tool call.
+
+    NULL states never match ``allowed`` (a null-state row, and the row
+    after it, are both illegal transitions unless explicitly allowed via a
+    null-encoded pair). ``order_cols`` must be a total order within a
+    group (include a unique tie-breaker) or the lag pairing — and thus the
+    result — would be partition-layout-dependent.
+
+    Cost at 10^12 rows: ONE window shuffle on the group key; the grammar
+    check compiles to an ``IN`` over encoded pair literals — whole-stage
+    codegen, per-row state is one lag value. Skew is bounded by the
+    longest single group."""
+    def enc_val(c: Column) -> Column:
+        return F.coalesce(c.cast("string"), F.lit(_PAIR_NULL))
+
+    enc_pairs = [
+        _enc_pair_literal(p, c) for (p, c) in allowed
+    ]
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c).asc_nulls_first() for c in order_cols])
+    # window expressions must be materialized as columns before the
+    # filter can reference them (Spark forbids windows in WHERE)
+    lagged = (
+        df.withColumn("prev_state", F.lag(state_col).over(w))
+        .withColumn("_first", F.row_number().over(w) == 1)
+    )
+    pair = F.concat(enc_val(F.col("prev_state")), F.lit(_PAIR_SEP),
+                    enc_val(F.col(state_col)))
+    bad_transition = ~F.col("_first") & ~pair.isin(enc_pairs)
+    if initial is None:
+        bad_initial = F.lit(False)
+    else:
+        bad_initial = F.col("_first") & ~enc_val(F.col(state_col)).isin(
+            [_PAIR_NULL if v is None else str(v) for v in initial])
+    return (
+        lagged.filter(bad_transition | bad_initial)
+        .withColumn("kind", F.when(F.col("_first"), F.lit("initial"))
+                    .otherwise(F.lit("transition")))
+        .drop("_first")
+    )
+
+
+def _enc_pair_literal(prev: str | None, cur: str | None) -> str:
+    p = _PAIR_NULL if prev is None else str(prev)
+    c = _PAIR_NULL if cur is None else str(cur)
+    if _PAIR_SEP in p or _PAIR_SEP in c:
+        raise ValueError(
+            "state values must not contain the \\x01 pair separator")
+    return f"{p}{_PAIR_SEP}{c}"
+
+
+def transition_violations(
+    df: DataFrame,
+    part_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+    allowed: Sequence[tuple[str, str]],
+    initial: Sequence[str] | None = None,
+    rule_id: str = "dataset.illegal_transition",
+) -> DataFrame:
+    bad = illegal_transitions(df, part_col, order_cols, state_col,
+                              allowed, initial)
+    return _as_violations(
+        bad,
+        rule_id,
+        E.CODE_TRANSITION,
+        F.when(F.col("kind") == "initial",
+               F.concat(F.lit(f"Illegal initial {state_col}: "),
+                        F.coalesce(F.col(state_col).cast("string"),
+                                   F.lit("null"))))
+        .otherwise(F.concat(F.lit(f"Illegal {state_col} transition: "),
+                            F.coalesce(F.col("prev_state").cast("string"),
+                                       F.lit("null")),
+                            F.lit(" -> "),
+                            F.coalesce(F.col(state_col).cast("string"),
+                                       F.lit("null")))),
+        keys=[part_col, *order_cols[:1]],
+        field_path=[state_col],
+        expected="transition in allowed grammar",
+        actual=F.col(state_col),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-column stats profile (BASELINE.json:6: null rate, min/max, HLL
 # cardinality, quantile sketches)

@@ -46,6 +46,8 @@ CODE_DRIFT_PSI = "validation.dataset.drift_psi"
 CODE_DRIFT_KS = "validation.dataset.drift_ks"
 CODE_ORDERING = "validation.dataset.ordering"
 CODE_TEXT_MISMATCH = "validation.dataset.text_mismatch"
+CODE_SEQUENCE_GAP = "validation.dataset.sequence_gap"
+CODE_TRANSITION = "validation.dataset.illegal_transition"
 
 ERROR_FIELDS = (
     "rule_id",
