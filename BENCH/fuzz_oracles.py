@@ -116,6 +116,7 @@ EVENTS_QUERIES = [
     "freshness_events",
     "transitions_events",
     "mutual_info_events",
+    "compliance_events",
     "distinctness_events",
 ]
 

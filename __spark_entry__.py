@@ -767,6 +767,22 @@ def _q_mutual_info_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mi", 6).alias("mi"), F.col("n").cast("long").alias("n"))
 
 
+def _q_compliance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style Compliance ratio: events that are in-domain AND
+    in-range, as a monitored fraction (null predicate counts as not
+    satisfied in both engines via COALESCE)."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    pred = (F.col("event_type").isin("click", "view", "purchase", "signup")
+            & (F.col("value") >= 0) & (F.col("value") <= 400))
+    return D.compliance(ev, pred, "clean_event").select(
+        "rule",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_satisfied").cast("long").alias("n_satisfied"),
+        F.round("ratio", 6).alias("ratio"))
+
+
 def _q_distinctness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinctness / unique-value-ratio / uniqueness of events.user_id in
     one counts pass."""
@@ -1312,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_gaps_lineitem": _q_sequence_gaps_lineitem,
         "transitions_events": _q_transitions_events,
         "mutual_info_events": _q_mutual_info_events,
+        "compliance_events": _q_compliance_events,
         "distinctness_events": _q_distinctness_events,
         "hll_cardinality_events": _q_hll_cardinality_events,
         "dedup_exact_documents": _q_dedup_exact,
@@ -2233,6 +2250,22 @@ def oracle_sql() -> dict[str, str]:
                             0.0) AS mi,
                    COALESCE(MAX(n), 0)::BIGINT AS n
             FROM t
+        """,
+        "compliance_events": """
+            SELECT 'clean_event' AS rule,
+                   COUNT(*)::BIGINT AS n_rows,
+                   COALESCE(SUM(CASE WHEN COALESCE(
+                       event_type IN ('click', 'view', 'purchase', 'signup')
+                       AND value >= 0 AND value <= 400, FALSE)
+                       THEN 1 ELSE 0 END), 0)::BIGINT AS n_satisfied,
+                   ROUND(CASE WHEN COUNT(*) > 0 THEN
+                       COALESCE(SUM(CASE WHEN COALESCE(
+                           event_type IN ('click', 'view', 'purchase',
+                                          'signup')
+                           AND value >= 0 AND value <= 400, FALSE)
+                           THEN 1 ELSE 0 END), 0)::DOUBLE / COUNT(*)
+                       ELSE 0.0 END, 6) AS ratio
+            FROM events
         """,
         "distinctness_events": """
             WITH counts AS (

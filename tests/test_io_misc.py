@@ -366,3 +366,49 @@ def test_stream_session_stats_gap_sessionization(spark, tmp_path):
         ("A", "2026-01-01 02:00:00", 2, 2, 3),
         ("B", "2026-01-01 00:30:00", 1, 0, 0),
     }, got
+
+
+def test_streaming_transition_grammar_across_batches(spark, tmp_path):
+    """The conversation-grammar monitor keeps each conversation's LAST
+    state across micro-batches: an illegal follow-up arriving a batch
+    later is flagged, and the initial-state rule fires exactly once per
+    conversation."""
+    import time as _time
+
+    from valar_spark.streaming import stream_transition_violations
+
+    grammar = [("user", "assistant"), ("assistant", "user"),
+               ("assistant", "tool"), ("tool", "assistant")]
+    src = str(tmp_path / "src")
+    schema = "conv_id string, turn_idx int, role string"
+    batch1 = spark.createDataFrame(
+        [("A", 0, "user"), ("A", 1, "assistant"),
+         ("B", 0, "assistant")],            # illegal initial
+        schema)
+    batch2 = spark.createDataFrame(
+        [("A", 2, "assistant"),             # assistant→assistant, cross-batch
+         ("A", 3, "user"),                  # assistant→user: legal
+         ("B", 1, "user")],                 # assistant→user: legal
+        schema)
+    batch1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    _time.sleep(1.1)  # file-source orders by mtime
+    batch2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+
+    stream = (spark.readStream.schema(batch1.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{src}/b*"))
+    q = (stream_transition_violations(
+            stream, "conv_id", "turn_idx", "role", grammar,
+            initial=["user"])
+         .writeStream.format("memory").queryName("grammar_mem")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM grammar_mem").collect()
+    got = {(r["conv_id"], r["turn_idx"]): r for r in rows}
+    assert set(got) == {("B", 0), ("A", 2)}
+    assert got[("B", 0)]["kind"] == "initial"
+    assert got[("A", 2)]["kind"] == "transition"
+    assert got[("A", 2)]["prev_state"] == "assistant"
+    assert got[("A", 2)]["code"] == "validation.dataset.illegal_transition"

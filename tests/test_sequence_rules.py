@@ -112,6 +112,14 @@ def test_mutual_information_independent_and_identical(spark):
     assert math.isclose(mi, h, rel_tol=1e-12)
 
 
+def test_compliance_ratio_null_predicate_not_satisfied(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (50.0,), (200.0,), (None,)], "v double")
+    r = D.compliance(df, F.col("v") <= 100, "v_le_100").collect()[0]
+    assert (r["rule"], r["n_rows"], r["n_satisfied"]) == ("v_le_100", 4, 2)
+    assert math.isclose(r["ratio"], 0.5)
+
+
 def test_distinctness_counts(spark):
     df = spark.createDataFrame(
         [(1,), (1,), (2,), (3,), (None,)], "v int")

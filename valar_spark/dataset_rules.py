@@ -433,6 +433,30 @@ def distinctness(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def compliance(df: DataFrame, predicate: Column,
+               name: str = "compliance") -> DataFrame:
+    """Deequ's ``Compliance`` analyzer: the fraction of rows satisfying an
+    arbitrary boolean ``predicate`` Column — one row ``(rule, n_rows,
+    n_satisfied, ratio)``. NULL predicate results count as NOT satisfied
+    (same stance as :func:`~valar_spark.rules.row_rule`); ``ratio`` is 0.0
+    on an empty frame. The assertion form of a soft rule: "≥ 99.9% of
+    turns have non-empty text" as a monitored ratio instead of a hard
+    violation list.
+
+    Cost: one map-side-combined aggregate — constant state, no shuffle of
+    the data itself."""
+    sat = F.coalesce(predicate, F.lit(False)).cast("long")
+    agg = df.agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.coalesce(F.sum(sat), F.lit(0)).alias("n_satisfied"))
+    return agg.select(
+        F.lit(name).alias("rule"),
+        "n_rows", "n_satisfied",
+        F.when(F.col("n_rows") > 0,
+               F.col("n_satisfied") / F.col("n_rows"))
+        .otherwise(F.lit(0.0)).alias("ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence-shape rules (transcript model: turn_idx dense per conversation,
 # role transitions follow the conversation grammar)

@@ -285,3 +285,78 @@ def stream_integrity_stateful(
     return stream_df.groupBy(conv_col).applyInPandasWithState(
         fn, out_ddl, state_ddl, "append",
         "NoTimeout")
+
+
+def stream_transition_violations(
+    stream_df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    state_col: str = "role",
+    allowed: Sequence[tuple[str, str]] = (),
+    initial: Sequence[str] | None = None,
+) -> DataFrame:
+    """CROSS-micro-batch state-transition grammar monitor — the streaming
+    face of :func:`valar_spark.dataset_rules.illegal_transitions`: each
+    conversation's LAST state survives in the state store, so an illegal
+    ``(prev, cur)`` pair split across micro-batches (assistant turn in
+    batch k, illegal follow-up in batch k+1) is still flagged
+    (``applyInPandasWithState``; state = last state + rows_seen, ~ tens of
+    bytes per open conversation).
+
+    Semantics per conversation match the batch rule under (order_col)
+    ordering, assuming turns ARRIVE in non-decreasing order_col order
+    across batches (the stateless integrity monitor is the rule that
+    checks that assumption): the batch's rows are concatenated and sorted
+    once by order_col, then lag-checked against the grammar, with the
+    stored last state seeding the first comparison. First-ever turn per
+    conversation checks against ``initial`` when given, else passes. NULL
+    states never match the grammar (both the null row and its successor
+    flag) — same stance as the batch operator."""
+    import pandas as pd
+
+    allowed_set = {(None if p is None else str(p),
+                    None if c is None else str(c)) for p, c in allowed}
+    initial_set = None if initial is None else {
+        None if v is None else str(v) for v in initial}
+    conv_t = stream_df.schema[conv_col].dataType.simpleString()
+    order_t = stream_df.schema[order_col].dataType.simpleString()
+    out_cols = [conv_col, order_col, "prev_state", "state", "kind",
+                "rule_id", "code"]
+    out_ddl = (f"{conv_col} {conv_t}, {order_col} {order_t}, "
+               "prev_state string, state string, kind string, "
+               "rule_id string, code string")
+    state_ddl = "last_state string, seen long"
+
+    def _norm(v):
+        return None if pd.isna(v) else str(v)
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            last_state, seen = state.get
+        else:
+            last_state, seen = None, 0
+        conv = key[0]
+        out = []
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+            .sort_values([order_col])
+        for turn, cur_raw in zip(pdf[order_col], pdf[state_col]):
+            cur = _norm(cur_raw)
+            if seen == 0:
+                if initial_set is not None and cur not in initial_set:
+                    out.append((conv, turn, None, cur, "initial",
+                                "dataset.illegal_transition",
+                                "validation.dataset.illegal_transition"))
+            elif (last_state, cur) not in allowed_set:
+                out.append((conv, turn, last_state, cur, "transition",
+                            "dataset.illegal_transition",
+                            "validation.dataset.illegal_transition"))
+            last_state = cur
+            seen += 1
+        state.update((last_state, seen))
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return stream_df.groupBy(conv_col).applyInPandasWithState(
+        fn, out_ddl, state_ddl, "append",
+        "NoTimeout")
