@@ -380,12 +380,17 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
     wa = Window.partitionBy(col_a)
     wb = Window.partitionBy(col_b)
-    total = joint.agg(F.sum("_c").alias("_n"))
+    # the grand total deliberately uses an unpartitioned window rather
+    # than agg + cross join: a second aggregate branch would duplicate
+    # the joint subtree and re-scan + re-shuffle the BASE table; the
+    # single-partition window only moves the (small) joint-count table
+    wn = Window.partitionBy()
     terms = joint.select(
         "_c",
         F.sum("_c").over(wa).alias("_ca"),
         F.sum("_c").over(wb).alias("_cb"),
-    ).crossJoin(F.broadcast(total))
+        F.sum("_c").over(wn).alias("_n"),
+    )
     return terms.agg(
         F.coalesce(
             F.sum((F.col("_c") / F.col("_n"))
