@@ -48,3 +48,21 @@ def test_suggest_rules_skips_high_cardinality_domain(spark):
                    for r in report.collect())
     run = validate(df, rules, keys=("key",), partition_cols=("key",))
     assert run.violations.count() == 0
+
+
+def test_suggest_dataset_level_candidates(spark):
+    """Uniqueness candidate when a column's exact distinct equals its
+    non-null count; dense-index candidate when an int column's global
+    value set is the dense span [0|1, max] with repeats."""
+    from valar_spark.suggest import suggest_rules
+
+    rows = [(i, i % 5, f"v{i}") for i in range(50)]  # id unique, idx dense 0-4
+    df = spark.createDataFrame(rows, "id long, idx int, s string")
+    _, report = suggest_rules(df)
+    got = {(r["column"], r["rule"]) for r in report.collect()}
+    assert ("id", "uniqueness_candidate") in got
+    assert ("idx", "sequence_candidate") in got
+    assert ("s", "uniqueness_candidate") in got   # all-distinct string
+    # idx is not unique and id is not a dense-with-repeats index
+    assert ("idx", "uniqueness_candidate") not in got
+    assert ("id", "sequence_candidate") not in got

@@ -12,7 +12,11 @@ table (mergeable sketches), plus one extra aggregate for string-blank
 counts, plus one bounded ``distinct().limit(max_domain+1)`` per
 low-cardinality candidate column (candidates pre-filtered by the HLL
 estimate, so the number of extra jobs is data-independent). Driver
-traffic is O(columns · max_domain) values.
+traffic is O(columns · max_domain) values. Dataset-level candidates
+(uniqueness / dense-index, report-only) add one exact multi-
+``count_distinct`` aggregate over the HLL-pre-filtered candidate
+columns — a multi-distinct Expand, so candidate count multiplies the
+shuffled row count; HLL keeps that to the plausible-key columns.
 """
 
 from __future__ import annotations
@@ -139,6 +143,49 @@ def suggest_rules(
         else:
             add(c, R.required() & core, "required", "",
                 "0 nulls observed")
+
+    # dataset-level candidates (report-only — they map to dataset_rules
+    # functions, not per-column validate() rules): uniqueness when the
+    # column's exact distinct count equals its non-null count, dense
+    # per-group index when an integer column's global value set is the
+    # dense span [min, max]. HLL pre-filters the candidates so the single
+    # verification agg stays O(few columns).
+    cand = []
+    for c in columns:
+        p = prof[c]
+        nn = (p["rows"] or 0) - (p["null_count"] or 0)
+        est = p["distinct_estimate"]
+        if nn > 0 and est is not None and est >= 0.9 * nn:
+            cand.append(c)
+        elif (dtypes[c] in ("integer", "long", "short", "byte")
+              and p["min"] is not None and est is not None):
+            span = float(p["max"]) - float(p["min"]) + 1
+            if span <= max(2.0 * float(est), 1000.0):
+                cand.append(c)
+    if cand:
+        row = df.agg(*[F.count_distinct(F.col(c)).alias(c)
+                       for c in cand]).first()
+        for c in cand:
+            p = prof[c]
+            nn = (p["rows"] or 0) - (p["null_count"] or 0)
+            nd = int(row[c] or 0)
+            if nn > 0 and nd == nn:
+                report_rows.append((
+                    c, "uniqueness_candidate", "",
+                    f"exact distinct {nd} == non-null rows {nn} — "
+                    "candidate key (dataset_rules.uniqueness_violations)"))
+            if (dtypes[c] in ("integer", "long", "short", "byte")
+                    and p["min"] is not None and nd > 1
+                    and int(p["min"]) in (0, 1)
+                    and int(p["max"]) - int(p["min"]) + 1 == nd
+                    and nd < nn):
+                report_rows.append((
+                    c, "sequence_candidate",
+                    f"start={int(p['min'])}",
+                    f"global value set is the dense span "
+                    f"[{int(p['min'])}, {int(p['max'])}] with repeats — "
+                    "candidate per-group index "
+                    "(dataset_rules.sequence_gaps)"))
 
     report = spark.createDataFrame(report_rows, REPORT_SCHEMA)
     return rules, report
