@@ -185,3 +185,37 @@ def test_freshness_ntz_column(spark, tmp_path):
     assert df.schema["ts"].dataType.simpleString() == "timestamp_ntz"
     row = D.freshness_violation(df, "ts", "2024-01-05 07:30:00", 3600.0).first()
     assert row["fresh"] is True and row["lag_seconds"] == 3600.0
+
+
+def test_group_level_validation_composes(spark):
+    """Conversation-level rules are plain validate() over a groupBy
+    aggregate: one shuffle builds the per-conversation frame, then the
+    same compiled projection (column rules + cross-field RowRule) applies.
+    This is the documented pattern for 'conversation has >= 1 user turn',
+    'first role is user', 'length in range' style invariants."""
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"),
+        ("c2", 0, "assistant"), ("c2", 1, "assistant"),   # no user turn,
+                                                          # bad first role
+        ("c3", 0, "user"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    stats = df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+        F.sum((F.col("role") == "user").cast("int")).alias("n_user_turns"),
+    )
+    run = validate(stats, {
+        "n_turns": R.in_range(1, 100),
+        "first_role": R.one_of(["user"]),
+        "dialogue": R.row_rule("has_user_turn", F.col("n_user_turns") >= 1,
+                               fields=("n_user_turns",),
+                               actual=F.col("n_user_turns")),
+    }, keys=("conv_id",))
+    v = run.violations.collect()
+    got = {(r["conv_id"], r["rule_id"]) for r in v}
+    assert got == {("c2", "first_role.one_of"),
+                   ("c2", "dialogue.has_user_turn")}
+    s = {r["rule_id"]: r["pass"] for r in run.summary().collect()}
+    assert s == {"n_turns.in_range": True, "first_role.one_of": False,
+                 "dialogue.has_user_turn": False}
