@@ -128,3 +128,27 @@ def test_distinctness_counts(spark):
     assert math.isclose(r["distinctness"], 0.75)
     assert math.isclose(r["unique_value_ratio"], 2 / 3)
     assert math.isclose(r["uniqueness"], 0.5)
+
+
+def test_schema_violations_contract(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 2.0)], "conv_id string, turn_idx int, extra double")
+    v = D.schema_violations(
+        df, "conv_id string, turn_idx bigint, role string")
+    got = {tuple(r["field_path"]): (r["message"], r["expected"], r["actual"])
+           for r in v.collect()}
+    assert got[("turn_idx",)] == ("Type mismatch for turn_idx",
+                                  "bigint", "int")
+    assert got[("role",)] == ("Missing column: role", "string", None)
+    assert got[("extra",)] == ("Unexpected column: extra", None, "double")
+    assert all(r["code"] == "validation.dataset.schema_mismatch"
+               for r in v.collect())
+    assert all(r["conv_id"] is None for r in v.collect())
+    # allow_extra drops only the extra-column finding
+    v2 = D.schema_violations(
+        df, "conv_id string, turn_idx bigint, role string", allow_extra=True)
+    assert {tuple(r["field_path"]) for r in v2.collect()} == \
+        {("turn_idx",), ("role",)}
+    # clean contract → empty frame with the violation schema
+    ok = D.schema_violations(df, "conv_id string, turn_idx int, extra double")
+    assert ok.count() == 0 and "field_path" in ok.columns

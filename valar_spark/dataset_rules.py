@@ -188,6 +188,65 @@ def iqr_outliers(df: DataFrame, col: str, k: float = 1.5,
     )
 
 
+def schema_violations(
+    df: DataFrame,
+    expected_ddl: str,
+    *,
+    allow_extra: bool = False,
+    nullability: bool = False,
+    rule_id: str = "dataset.schema",
+) -> DataFrame:
+    """Schema contract check: compare ``df.schema`` to an expected DDL
+    string (``"conv_id string, turn_idx int, ..."``) and emit one
+    violation row per missing column, unexpected extra column (unless
+    ``allow_extra``), or type mismatch. Nullability differences are
+    ignored unless ``nullability=True`` — parquet/Iceberg round-trips
+    routinely flip it.
+
+    Pure metadata: no scan, no job — the returned (possibly empty)
+    violations frame is built from the catalyst schema alone, so the
+    check belongs at the FRONT of a pipeline run, failing fast before
+    10^12 rows are touched. The row-level complement is ``castable``
+    (try_cast), which catches value-level type drift inside a string
+    column; this catches declared-schema drift between snapshots."""
+    from pyspark.sql.types import StructType
+
+    spark = df.sparkSession
+    expected = StructType.fromDDL(expected_ddl)
+    actual = {f.name: f for f in df.schema.fields}
+    exp = {f.name: f for f in expected.fields}
+    rows: list[tuple] = []
+
+    def emit(col: str, message: str, want: str | None, got: str | None):
+        # table-level finding: the key columns stay NULL, the offending
+        # column travels in field_path
+        rows.append((rule_id, None, None, None, [col], message,
+                     E.CODE_SCHEMA, None, want, got))
+
+    for name, f in exp.items():
+        if name not in actual:
+            emit(name, f"Missing column: {name}",
+                 f.dataType.simpleString(), None)
+        else:
+            a = actual[name]
+            if a.dataType != f.dataType:
+                emit(name, f"Type mismatch for {name}",
+                     f.dataType.simpleString(), a.dataType.simpleString())
+            elif nullability and a.nullable and not f.nullable:
+                emit(name, f"Nullability mismatch for {name}",
+                     "NOT NULL", "nullable")
+    if not allow_extra:
+        for name, a in actual.items():
+            if name not in exp:
+                emit(name, f"Unexpected column: {name}", None,
+                     a.dataType.simpleString())
+
+    schema = ("rule_id string, conv_id string, turn_idx string, "
+              "partition_id int, field_path array<string>, message string, "
+              "code string, severity string, expected string, actual string")
+    return spark.createDataFrame(rows, schema)
+
+
 def snapshot_count_drift(
     current: DataFrame,
     baseline: DataFrame,

@@ -48,6 +48,7 @@ CODE_ORDERING = "validation.dataset.ordering"
 CODE_TEXT_MISMATCH = "validation.dataset.text_mismatch"
 CODE_SEQUENCE_GAP = "validation.dataset.sequence_gap"
 CODE_TRANSITION = "validation.dataset.illegal_transition"
+CODE_SCHEMA = "validation.dataset.schema_mismatch"
 
 ERROR_FIELDS = (
     "rule_id",
