@@ -118,6 +118,9 @@ EVENTS_QUERIES = [
     "mutual_info_events",
     "compliance_events",
     "distinctness_events",
+    # sketch-tolerance companion: fuzz cardinality (≤13 users) keeps the
+    # lgk=14 HLL in exact coupon mode, so within_5pct must stay TRUE
+    "hll_tolerance_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]

@@ -810,6 +810,28 @@ def _q_hll_cardinality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable HLL companion: emits the EXACT distinct count plus a
+    boolean asserting the lgk=14 sketch estimate lands within 5% of it
+    (at this cardinality the Datasketches HLL is in exact coupon-list
+    mode, so the bound is conservative by orders of magnitude). The DuckDB
+    oracle states the same row with ``TRUE`` — an out-of-tolerance sketch
+    therefore hash-mismatches, putting the sketch path under the hard gate
+    without requiring DuckDB to reproduce the estimator."""
+    ev = _read(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+        .cast("double").alias("_est"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
+    within = F.when(
+        F.col("exact_users") == 0, F.col("_est") == 0.0
+    ).otherwise(
+        F.abs(F.col("_est") - F.col("exact_users"))
+        / F.col("exact_users") <= 0.05)
+    return agg.select("exact_users", within.alias("within_5pct"))
+
+
 # ---------------------------------------------------------------------------
 # text-pipeline + similarity-search operators (dedup, quality, ANN)
 # ---------------------------------------------------------------------------
@@ -1269,6 +1291,27 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         emb.filter(F.col("vec_id") < 5), k=5, nprobe=4)
 
 
+def _q_ann_ivf_probe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-all equality oracle: with ``nprobe = nlist`` every cell is
+    searched, so the IVF machinery (centroid ranking, cell routing,
+    per-cell candidate join, (sim desc, id)-tie-break merge) must return
+    EXACTLY the brute-force top-k — hash-checked against the same DuckDB
+    all-pairs oracle as ``ann_topk_embeddings``. This pins the index
+    plumbing as lossless; the pruned ``nprobe < nlist`` companion above
+    stays rows-only because approximation has no SQL analogue."""
+    from valar_spark import ann
+
+    emb = _read(spark, sf_dir, "embeddings")
+    _prune_dead_sessions(_IVF_CACHE, spark.sparkContext.applicationId)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_CACHE:
+        _IVF_CACHE[key] = ann.ivf_build_sampled(emb, nlist=8, max_iter=8)
+    assigned, centroids = _IVF_CACHE[key]
+    return ann.ivf_topk(assigned, centroids,
+                        emb.filter(F.col("vec_id") < 5), k=5,
+                        nprobe=8).orderBy("query_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = bench execution order. The shuffle/UDF-heavy pair
     # queries run FIRST (right after the flagship): this host throttles
@@ -1291,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": _q_embedding_near_dups,
         "ann_topk_embeddings": _q_ann_topk,
         "ann_ivf_topk_embeddings": _q_ann_ivf,
+        "ann_ivf_probe_all_embeddings": _q_ann_ivf_probe_all,
         "uniqueness_user_events": _q_uniqueness_user,
         "uniqueness_events_key": _q_uniqueness_events,
         "ref_orders_customer": _q_ref_orders_customer,
@@ -1331,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compliance_events": _q_compliance_events,
         "distinctness_events": _q_distinctness_events,
         "hll_cardinality_events": _q_hll_cardinality_events,
+        "hll_tolerance_events": _q_hll_tolerance_events,
         "dedup_exact_documents": _q_dedup_exact,
         "token_count_documents": _q_token_count,
         "quality_documents": _q_quality,
@@ -2143,6 +2188,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rnk AS INT) AS rank
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
+        """,
+        # IVF with nprobe = nlist searches every cell, so the result must
+        # equal the brute-force all-pairs top-k — identical oracle
+        "ann_ivf_probe_all_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                WHERE vec_id < 5
+            ),
+            sims AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[],
+                                              q.qv::DOUBLE[]) AS sim
+                FROM embeddings e, q WHERE e.vec_id <> q.qid
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rnk
+                FROM sims
+            )
+            SELECT query_id, vec_id, ROUND(sim, 6) AS cosine_sim,
+                   CAST(rnk AS INT) AS rank
+            FROM ranked WHERE rnk <= 5
+            ORDER BY query_id, rank
+        """,
+        # the sketch estimate itself has no DuckDB analogue; the oracle
+        # pins the exact count and asserts the within-tolerance flag is
+        # TRUE — a drifting estimator hash-mismatches
+        "hll_tolerance_events": """
+            SELECT COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+                   TRUE AS within_5pct
+            FROM events
         """,
         # RowRule + When through the compiled validate() projection: the
         # oracle is the union of the two predicates' failure sets with the

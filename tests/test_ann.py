@@ -79,6 +79,20 @@ def test_ivf_recall(spark, emb):
     assert r4 > r1, f"recall must grow with nprobe: {r1} -> {r4}"
 
 
+def test_ivf_probe_all_equals_brute_force_rows(spark, emb):
+    """nprobe = nlist must reproduce the brute-force result ROW-FOR-ROW
+    (ids, rounded sims, ranks) — the gate query
+    ann_ivf_probe_all_embeddings hash-checks the same identity vs DuckDB;
+    this pins it in-repo at test speed."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = ann.brute_force_topk(emb, queries, k=5).orderBy(
+        "query_id", "rank").collect()
+    assigned, centroids = ann.ivf_build(emb, nlist=8)
+    full = ann.ivf_topk(assigned, centroids, queries, k=5,
+                        nprobe=8).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in exact]
+
+
 def test_ivf_recall_nlist64_sf01(spark):
     """Centroids-as-table path at production-ish quantizer size: nlist=64
     over the sf0.1 embeddings (2000 x 64-dim). Plan stays a broadcast join
