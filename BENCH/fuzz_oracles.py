@@ -121,6 +121,10 @@ EVENTS_QUERIES = [
     # sketch-tolerance companion: fuzz cardinality (≤13 users) keeps the
     # lgk=14 HLL in exact coupon mode, so within_5pct must stay TRUE
     "hll_tolerance_events",
+    # robust-stats + frequency analyzers (round 4): exact medians and
+    # count ranking must agree bit-for-bit under nulls/dups/ties
+    "mad_outliers_events",
+    "frequent_values_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]

@@ -272,6 +272,32 @@ def _q_iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "event_id"))
 
 
+def _q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-filter (median/MAD) outlier rows over the same spiked value
+    column as the IQR query — the robust fence; both engines compute the
+    two sequential exact medians identically."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        (F.col("value")
+         * F.when(F.col("event_id") % 499 == 0, F.lit(25.0)).otherwise(1.0))
+        .alias("value"))
+    return (D.mad_outliers(ev, "value", k=3.5)
+            .select("user_id", "event_id",
+                    F.round("value", 6).alias("value"))
+            .orderBy("user_id", "event_id"))
+
+
+def _q_frequent_values_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event_type frequency profile (Deequ Histogram analogue):
+    counts-only aggregate, ranking window bounded by |domain|."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return D.frequent_values(ev, "event_type", k=3).orderBy("rank")
+
+
 def _q_completeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot row-count reconciliation: 'current' is events with every
     101st row dropped and user 7's rows double-ingested — both engines
@@ -1349,6 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordering_events_by_value": _q_ordering_events_by_value,
         "psi_events_value_halves": _q_psi_events_value_halves,
         "iqr_outliers_events": _q_iqr_outliers_events,
+        "mad_outliers_events": _q_mad_outliers_events,
+        "frequent_values_events": _q_frequent_values_events,
         "bucket_outliers_events": _q_bucket_outliers_events,
         "completeness_events": _q_completeness_events,
         "js_events_value_halves": _q_js_events_value_halves,
@@ -1563,6 +1591,41 @@ def oracle_sql() -> dict[str, str]:
               AND (value < q1 - 1.5 * (q3 - q1)
                    OR value > q3 + 1.5 * (q3 - q1))
             ORDER BY user_id, event_id
+        """,
+        # Hampel filter: two sequential exact medians (median ignores
+        # nulls on both engines) then the k·MAD fence
+        "mad_outliers_events": """
+            WITH inj AS (
+                SELECT user_id, event_id,
+                       value * CASE WHEN event_id % 499 = 0 THEN 25.0
+                                    ELSE 1.0 END AS value
+                FROM events
+            ), m AS (
+                SELECT quantile_cont(value, 0.5) AS mv FROM inj
+            ), d AS (
+                SELECT quantile_cont(abs(value - mv), 0.5) AS dv
+                FROM inj, m WHERE value IS NOT NULL
+            )
+            SELECT user_id, event_id, ROUND(value, 6) AS value
+            FROM inj, m, d
+            WHERE value IS NOT NULL AND abs(value - mv) > 3.5 * dv
+            ORDER BY user_id, event_id
+        """,
+        # frequency profile: counts aggregate + rank window over the
+        # <= |domain| counts rows; ties break on the value
+        "frequent_values_events": """
+            WITH c AS (
+                SELECT event_type AS value, COUNT(*)::BIGINT AS cnt
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY event_type
+            ), r AS (
+                SELECT value, cnt,
+                       ROW_NUMBER() OVER (ORDER BY cnt DESC, value) AS rank,
+                       ROUND(cnt::DOUBLE / SUM(cnt) OVER (), 6) AS ratio
+                FROM c
+            )
+            SELECT CAST(rank AS INT) AS rank, value, cnt, ratio
+            FROM r WHERE rank <= 3 ORDER BY rank
         """,
         "completeness_events": """
             WITH cur AS (

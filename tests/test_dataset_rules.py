@@ -259,3 +259,43 @@ def test_iqr_outliers(spark):
     # approx sketch path returns the same rows on this tiny input
     approx = {r["id"] for r in iqr_outliers(df, "v", approx=True).collect()}
     assert approx == got
+
+
+def test_mad_outliers(spark):
+    """Hampel fence vs a hand computation: median=14.5, MAD=3, so the
+    k=3.5 fence is |x−14.5| > 10.5 — exactly the planted 500/−400."""
+    from valar_spark.dataset_rules import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(
+            [10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 500, -400]
+        )] + [(12, None)],
+        "id bigint, v double")
+    got = {r["id"] for r in mad_outliers(df, "v", k=3.5).collect()}
+    assert got == {10, 11}
+    approx = {r["id"] for r in mad_outliers(df, "v", k=3.5,
+                                            approx=True).collect()}
+    assert approx == got
+    # breakdown robustness + the documented MAD=0 degenerate case: with
+    # 60% identical values MAD is 0, so every deviating row flags — a
+    # 40% contamination cannot mask itself by dragging the fence
+    df2 = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(
+            [10, 10, 10, 10, 10, 10, 60, 61, 62, 63])],
+        "id bigint, v double")
+    assert {r["id"] for r in mad_outliers(df2, "v", k=3.5).collect()} == {
+        6, 7, 8, 9}
+
+
+def test_frequent_values(spark):
+    from valar_spark.dataset_rules import frequent_values
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1
+        + [(None,)],
+        "v string")
+    got = frequent_values(df, "v", k=3).orderBy("rank").collect()
+    # b/c tie at 3 breaks on the value; null excluded from counts+total
+    assert [(r["rank"], r["value"], r["cnt"]) for r in got] == [
+        (1, "a", 5), (2, "b", 3), (3, "c", 3)]
+    assert abs(got[0]["ratio"] - 5 / 12) < 1e-6

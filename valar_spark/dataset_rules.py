@@ -188,6 +188,64 @@ def iqr_outliers(df: DataFrame, col: str, k: float = 1.5,
     )
 
 
+def mad_outliers(df: DataFrame, col: str, k: float = 3.5,
+                 approx: bool = False) -> DataFrame:
+    """Rows where ``|x − median| > k·MAD`` (median absolute deviation) —
+    the ROBUST companion to :func:`iqr_outliers`: both fences survive up
+    to 50% contamination, but MAD's k·σ-equivalent threshold (k≈3.5 on
+    the raw MAD ≈ the classic 2.36·σ rule on normal data) is the standard
+    Hampel-filter form. Inherently two sequential quantile passes (MAD is
+    the median OF deviations from the median) plus the filter scan — each
+    aggregate reduces to one broadcastable row, so no data-row shuffle
+    ever happens; ``approx=True`` swaps exact ``percentile`` for the
+    mergeable ``percentile_approx`` sketch for 10^12-row tables. Nulls
+    are never outliers. Degenerate note: if >50% of values are identical
+    MAD = 0 and every deviating row flags — the correct strict reading of
+    the rule (use IQR for a laxer fence there)."""
+    qfn = F.percentile_approx if approx else F.percentile
+    med = df.agg(qfn(col, F.lit(0.5)).alias("_med"))
+    mad = (
+        df.crossJoin(F.broadcast(med))
+        .filter(F.col(col).isNotNull())
+        .select(F.abs(F.col(col) - F.col("_med")).alias("_dev"),
+                F.col("_med"))
+        .groupBy("_med")
+        .agg(qfn("_dev", F.lit(0.5)).alias("_mad"))
+    )
+    return (
+        df.crossJoin(F.broadcast(mad))
+        .filter(F.col(col).isNotNull()
+                & (F.abs(F.col(col) - F.col("_med")) > k * F.col("_mad")))
+        .drop("_med", "_mad")
+    )
+
+
+def frequent_values(df: DataFrame, col: str, k: int = 5) -> DataFrame:
+    """Top-k most frequent values of ``col`` with counts and corpus ratio
+    — the histogram/frequency profile analyzer (Deequ ``Histogram``
+    analogue) that feeds domain-rule suggestion and categorical-drift
+    review. One hash aggregate over the data (mergeable, map-side
+    combined); the ranking window runs on the COUNTS table (≤ |domain|
+    rows), so the single-partition window is bounded by the column's
+    cardinality, never the data. Nulls are excluded (the null-rate stat
+    owns them); ties break on the value itself for determinism."""
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("value"))
+    wt = Window.partitionBy()
+    return (
+        counts
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("ratio", F.round(F.col("cnt")
+                                     / F.sum("cnt").over(wt), 6))
+        .filter(F.col("rank") <= k)
+        .select("rank", "value", "cnt", "ratio")
+    )
+
+
 def schema_violations(
     df: DataFrame,
     expected_ddl: str,
