@@ -125,6 +125,9 @@ EVENTS_QUERIES = [
     # count ranking must agree bit-for-bit under nulls/dups/ties
     "mad_outliers_events",
     "frequent_values_events",
+    # per-group composition bounds: FILTER-count semantics must match
+    # when/otherwise(0) sums under null event_types and null-free groups
+    "group_composition_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]

@@ -298,6 +298,28 @@ def _q_frequent_values_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.frequent_values(ev, "event_type", k=3).orderBy("rank")
 
 
+def _q_group_composition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user composition bounds (the transcript "every conversation
+    contains exactly one system turn" rule family, exercised on the
+    registered events table): each user must have ≥1 click, 0 errors, and
+    ≤5 purchases — one hash aggregate, one violation row per failing
+    (group, requirement)."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    reqs = {
+        "has_click": (F.col("event_type") == "click", 1, None),
+        "no_error": (F.col("event_type") == "error", 0, 0),
+        "bounded_purchase": (F.col("event_type") == "purchase", 0, 5),
+    }
+    return (D.group_composition(ev, ["user_id"], reqs)
+            .select("user_id", "requirement",
+                    F.col("observed").cast("long").alias("observed"),
+                    F.col("lo").cast("long").alias("lo"),
+                    F.col("hi").cast("long").alias("hi"))
+            .orderBy("user_id", "requirement"))
+
+
 def _q_completeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot row-count reconciliation: 'current' is events with every
     101st row dropped and user 7's rows double-ingested — both engines
@@ -1377,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outliers_events": _q_iqr_outliers_events,
         "mad_outliers_events": _q_mad_outliers_events,
         "frequent_values_events": _q_frequent_values_events,
+        "group_composition_events": _q_group_composition_events,
         "bucket_outliers_events": _q_bucket_outliers_events,
         "completeness_events": _q_completeness_events,
         "js_events_value_halves": _q_js_events_value_halves,
@@ -1536,16 +1559,23 @@ def oracle_sql() -> dict[str, str]:
                             ELSE event_type END AS event_type
                 FROM events
             ), l AS (
+                -- NULLS FIRST pinned to Spark's asc default: a duplicate
+                -- key whose rows tie on ts but one text is NULL must pick
+                -- the same row on both engines (fuzzer-caught)
                 SELECT user_id, event_id, event_type FROM (
                     SELECT user_id, event_id, event_type,
                            ROW_NUMBER() OVER (PARTITION BY user_id, event_id
-                                              ORDER BY ts, event_type) AS rn
+                                              ORDER BY ts ASC NULLS FIRST,
+                                              event_type ASC NULLS FIRST)
+                               AS rn
                     FROM mut) WHERE rn = 1
             ), r AS (
                 SELECT user_id, event_id, event_type FROM (
                     SELECT user_id, event_id, event_type,
                            ROW_NUMBER() OVER (PARTITION BY user_id, event_id
-                                              ORDER BY ts, event_type) AS rn
+                                              ORDER BY ts ASC NULLS FIRST,
+                                              event_type ASC NULLS FIRST)
+                               AS rn
                     FROM events) WHERE rn = 1
             )
             SELECT user_id, event_id, l.event_type AS got,
@@ -1626,6 +1656,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(rank AS INT) AS rank, value, cnt, ratio
             FROM r WHERE rank <= 3 ORDER BY rank
+        """,
+        # per-group composition bounds: conditional counts (FILTER skips
+        # null predicates, matching Spark's when/otherwise(0) sum), one
+        # violation row per (group, requirement) outside [lo, hi]
+        "group_composition_events": """
+            WITH g AS (
+                SELECT user_id,
+                       COUNT(*) FILTER (WHERE event_type = 'click')
+                           ::BIGINT AS c_click,
+                       COUNT(*) FILTER (WHERE event_type = 'error')
+                           ::BIGINT AS c_error,
+                       COUNT(*) FILTER (WHERE event_type = 'purchase')
+                           ::BIGINT AS c_purchase
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, 'has_click' AS requirement,
+                   c_click AS observed, 1::BIGINT AS lo,
+                   CAST(NULL AS BIGINT) AS hi
+            FROM g WHERE c_click < 1
+            UNION ALL
+            SELECT user_id, 'no_error', c_error, 0::BIGINT, 0::BIGINT
+            FROM g WHERE c_error > 0
+            UNION ALL
+            SELECT user_id, 'bounded_purchase', c_purchase, 0::BIGINT,
+                   5::BIGINT
+            FROM g WHERE c_purchase > 5
+            ORDER BY user_id, requirement
         """,
         "completeness_events": """
             WITH cur AS (

@@ -97,6 +97,44 @@ def test_transition_violations_message(spark):
     assert msgs[("c4", "1")] == "Illegal role transition: user -> null"
 
 
+def test_group_composition(spark):
+    """Exactly-one-system / ≥1-assistant / ≤2-tool bounds on a tiny
+    hand-built transcript set with one violation of each kind."""
+    from valar_spark.dataset_rules import (group_composition,
+                                           group_composition_violations)
+
+    rows = (
+        # c1: well-formed
+        [("c1", 0, "system"), ("c1", 1, "user"), ("c1", 2, "assistant")]
+        # c2: TWO system turns
+        + [("c2", 0, "system"), ("c2", 1, "system"), ("c2", 2, "assistant")]
+        # c3: no assistant, three tool turns
+        + [("c3", 0, "system"), ("c3", 1, "tool"), ("c3", 2, "tool"),
+           ("c3", 3, "tool")]
+    )
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                     "role string")
+    reqs = {
+        "one_system": (F.col("role") == "system", 1, 1),
+        "has_assistant": (F.col("role") == "assistant", 1, None),
+        "max_two_tool": (F.col("role") == "tool", 0, 2),
+    }
+    got = {(r["conv_id"], r["requirement"], r["observed"])
+           for r in group_composition(df, ["conv_id"], reqs).collect()}
+    assert got == {("c2", "one_system", 2), ("c3", "has_assistant", 0),
+                   ("c3", "max_two_tool", 3)}
+    v = group_composition_violations(df, ["conv_id"], reqs).collect()
+    assert len(v) == 3
+    by_conv = {(r["conv_id"], r["actual"]): r for r in v}
+    r2 = by_conv[("c2", "2")]
+    assert r2["code"] == "validation.dataset.group_composition"
+    assert r2["expected"] == "[1, 1]"
+    assert "one_system count 2 outside [1, 1]" in r2["message"]
+    # unbounded hi renders as ∞
+    r3 = by_conv[("c3", "0")]
+    assert r3["expected"] == "[1, ∞]"
+
+
 def test_mutual_information_independent_and_identical(spark):
     # independent: every (a, b) combination equally likely → MI = 0
     indep = spark.createDataFrame(

@@ -650,6 +650,81 @@ def sequence_gap_violations(
     )
 
 
+def group_composition(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    requirements: dict[str, tuple[Column, int, int | None]],
+) -> DataFrame:
+    """Per-group composition bounds: each requirement is ``name →
+    (predicate, lo, hi)`` and a group violates when its count of rows
+    satisfying the predicate falls outside ``[lo, hi]`` (``hi=None`` =
+    unbounded). The transcript-composition invariant family — "every
+    conversation has exactly one system turn", "at least one assistant
+    reply", "no more than N tool calls" — which neither the dense-index
+    rule (:func:`sequence_gaps`) nor the transition grammar
+    (:func:`illegal_transitions`) expresses.
+
+    Output: one row per violating (group, requirement):
+    ``(*group_cols, n_rows, requirement, observed, lo, hi)``.
+
+    Cost at 10^12 rows: ONE map-side-combined hash aggregate carrying one
+    long counter per requirement per group — no window sort, no second
+    scan; the per-requirement explode runs on the aggregated (one row per
+    group) table. NULL predicate results count as not-satisfied (SQL
+    ``COUNT(*) FILTER`` semantics)."""
+    names = list(requirements)
+    agg = df.groupBy(*[F.col(k) for k in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(F.when(requirements[n][0], 1).otherwise(0)).cast("long")
+          .alias(f"_c_{i}") for i, n in enumerate(names)],
+    )
+    entries = F.array(*[
+        F.struct(
+            F.lit(n).alias("requirement"),
+            F.col(f"_c_{i}").alias("observed"),
+            F.lit(int(requirements[n][1])).cast("long").alias("lo"),
+            (F.lit(int(requirements[n][2])) if requirements[n][2] is not None
+             else F.lit(None)).cast("long").alias("hi"),
+        ) for i, n in enumerate(names)
+    ])
+    return (
+        agg.select(*group_cols, "n_rows", F.explode(entries).alias("_e"))
+        .select(*group_cols, "n_rows", "_e.requirement", "_e.observed",
+                "_e.lo", "_e.hi")
+        .filter((F.col("observed") < F.col("lo"))
+                | (F.col("hi").isNotNull()
+                   & (F.col("observed") > F.col("hi"))))
+    )
+
+
+def group_composition_violations(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    requirements: dict[str, tuple[Column, int, int | None]],
+    rule_id: str = "dataset.group_composition",
+) -> DataFrame:
+    bad = group_composition(df, group_cols, requirements)
+    return _as_violations(
+        bad,
+        rule_id,
+        E.CODE_GROUP_COMPOSITION,
+        F.concat(F.col("requirement"), F.lit(" count "),
+                 F.col("observed").cast("string"),
+                 F.lit(" outside ["), F.col("lo").cast("string"),
+                 F.lit(", "),
+                 F.coalesce(F.col("hi").cast("string"), F.lit("∞")),
+                 F.lit("]")),
+        keys=list(group_cols),
+        field_path=[],
+        expected=F.concat(F.lit("["), F.col("lo").cast("string"),
+                          F.lit(", "),
+                          F.coalesce(F.col("hi").cast("string"),
+                                     F.lit("∞")),
+                          F.lit("]")),
+        actual=F.col("observed").cast("string"),
+    )
+
+
 #: encoding separators for (prev, cur) state pairs — control chars that
 #: cannot appear in the validated state values themselves
 _PAIR_SEP = "\x01"

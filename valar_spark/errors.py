@@ -49,6 +49,7 @@ CODE_TEXT_MISMATCH = "validation.dataset.text_mismatch"
 CODE_SEQUENCE_GAP = "validation.dataset.sequence_gap"
 CODE_TRANSITION = "validation.dataset.illegal_transition"
 CODE_SCHEMA = "validation.dataset.schema_mismatch"
+CODE_GROUP_COMPOSITION = "validation.dataset.group_composition"
 
 ERROR_FIELDS = (
     "rule_id",
