@@ -128,6 +128,9 @@ EVENTS_QUERIES = [
     # per-group composition bounds: FILTER-count semantics must match
     # when/otherwise(0) sums under null event_types and null-free groups
     "group_composition_events",
+    # Benford MAD: truncating-cast digit extraction + missing-digit
+    # accounting must agree under nulls/zeros/negatives
+    "benford_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]

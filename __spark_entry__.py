@@ -320,6 +320,18 @@ def _q_group_composition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "requirement"))
 
 
+def _q_benford_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit MAD over the integer part of value — the
+    fabricated-numbers / ingest-anomaly screen. Digit extraction is
+    string-based on the LONG cast (exact on both engines — no log10/pow
+    whose 1-ulp libm drift flips floor at power-of-ten boundaries), and
+    the Benford constants are the same literals on both sides."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return D.benford_deviation(ev, "value")
+
+
 def _q_completeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot row-count reconciliation: 'current' is events with every
     101st row dropped and user 7's rows double-ingested — both engines
@@ -1400,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_events": _q_mad_outliers_events,
         "frequent_values_events": _q_frequent_values_events,
         "group_composition_events": _q_group_composition_events,
+        "benford_events": _q_benford_events,
         "bucket_outliers_events": _q_bucket_outliers_events,
         "completeness_events": _q_completeness_events,
         "js_events_value_halves": _q_js_events_value_halves,
@@ -1683,6 +1696,29 @@ def oracle_sql() -> dict[str, str]:
                    5::BIGINT
             FROM g WHERE c_purchase > 5
             ORDER BY user_id, requirement
+        """,
+        # Benford first-digit MAD: identical literal constants (no libm),
+        # FLOOR-based positivity matching Spark's truncating long cast;
+        # absent digits contribute their full expected probability
+        "benford_events": """
+            WITH bp(d, p) AS (VALUES
+                ('1', 0.3010299956639812), ('2', 0.17609125905568124),
+                ('3', 0.12493873660829993), ('4', 0.09691001300805642),
+                ('5', 0.07918124604762482), ('6', 0.06694678963061322),
+                ('7', 0.05799194697768673), ('8', 0.05115252244738129),
+                ('9', 0.04575749056067514)
+            ), c AS (
+                SELECT SUBSTR(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR),
+                              1, 1) AS d,
+                       COUNT(*)::DOUBLE AS cnt
+                FROM events
+                WHERE value IS NOT NULL AND FLOOR(value) >= 1
+                GROUP BY 1
+            ), t AS (SELECT SUM(cnt) AS tot FROM c)
+            SELECT COALESCE((SELECT SUM(cnt) FROM c), 0)::BIGINT AS n,
+                   ROUND(SUM(ABS(COALESCE(cnt, 0) / tot - p)) / 9, 6)
+                       AS mad_benford
+            FROM bp LEFT JOIN c ON bp.d = c.d, t
         """,
         "completeness_events": """
             WITH cur AS (

@@ -287,6 +287,35 @@ def test_mad_outliers(spark):
         6, 7, 8, 9}
 
 
+def test_benford_deviation(spark):
+    import math
+
+    from valar_spark.dataset_rules import benford_deviation
+
+    # counts proportional to Benford itself → MAD ≈ 0 (up to integer
+    # rounding of the planted counts)
+    planted = []
+    for d in range(1, 10):
+        planted += [float(d * 100)] * round(1000 * math.log10(1 + 1 / d))
+    df = spark.createDataFrame([(v,) for v in planted], "v double")
+    row = benford_deviation(df, "v").first()
+    assert row["n"] == len(planted)
+    assert row["mad_benford"] < 0.001
+    # all-sevens data: hand-computed MAD — digit 7 deviates by 1−p7, the
+    # other eight contribute their full expected probability
+    df7 = spark.createDataFrame([(7.5,)] * 50 + [(0.2,), (-3.0,), (None,)],
+                                "v double")
+    row7 = benford_deviation(df7, "v").first()
+    assert row7["n"] == 50  # 0.2 floors to 0, negatives/nulls excluded
+    p = [math.log10(1 + 1 / d) for d in range(1, 10)]
+    expect = (abs(1.0 - p[6]) + sum(p) - p[6]) / 9
+    assert abs(row7["mad_benford"] - round(expect, 6)) < 1e-9
+    # empty input: n=0, statistic undefined
+    empty = benford_deviation(
+        spark.createDataFrame([(0.0,), (None,)], "v double"), "v").first()
+    assert empty["n"] == 0 and empty["mad_benford"] is None
+
+
 def test_frequent_values(spark):
     from valar_spark.dataset_rules import frequent_values
 

@@ -650,6 +650,53 @@ def sequence_gap_violations(
     )
 
 
+#: Benford expected first-digit probabilities log10(1 + 1/d), d = 1..9
+_BENFORD_P = [0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+              0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+              0.05799194697768673, 0.05115252244738129, 0.04575749056067514]
+
+
+def benford_deviation(df: DataFrame, col: str) -> DataFrame:
+    """Mean absolute deviation of ``col``'s first-significant-digit
+    distribution from Benford's law — the classic fabricated-numbers /
+    ingest-anomaly screen for naturally-occurring magnitudes (amounts,
+    counts, populations). Returns one row ``(n, mad_benford)``; flag when
+    ``mad_benford`` exceeds the Nigrini conformity thresholds (~0.006
+    close / 0.012 marginal / 0.015 nonconformity for 9-digit MAD).
+
+    Only strictly-positive values participate (zero/negative/null have no
+    Benford digit). The digit is extracted from the LONG cast's decimal
+    rendering — exact and engine-portable, deliberately avoiding
+    ``log10``/``pow`` whose 1-ulp libm differences flip ``floor`` at
+    power-of-ten boundaries; values in (0, 1) therefore round down to 0
+    and are excluded (document the unit scale accordingly).
+
+    Cost at 10^12 rows: one 9-group hash aggregate (map-side combined to
+    ≤9 rows per partition); the Benford constants fold into the plan."""
+    digit = F.substring(F.col(col).cast("long").cast("string"), 1, 1)
+    counts = (
+        df.filter(F.col(col).isNotNull() & (F.col(col).cast("long") > 0))
+        .groupBy(digit.alias("_d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    )
+    expect = F.element_at(F.array(*[F.lit(p) for p in _BENFORD_P]),
+                          F.col("_d").cast("int"))
+    tot = Window.partitionBy()
+    dev = counts.select(
+        F.col("_c"),
+        expect.alias("_exp"),
+        F.abs(F.col("_c") / F.sum("_c").over(tot) - expect).alias("_ad"))
+    return dev.agg(
+        F.coalesce(F.sum("_c"), F.lit(0.0)).cast("long").alias("n"),
+        # missing digits contribute their full expected probability: MAD
+        # is over all 9 digits, so add sum(P) of absent ones. Empty input
+        # → n = 0, mad_benford NULL (undefined, not zero).
+        F.round((F.sum("_ad")
+                 + F.lit(sum(_BENFORD_P))
+                 - F.sum("_exp")) / 9.0, 6).alias("mad_benford"),
+    )
+
+
 def group_composition(
     df: DataFrame,
     group_cols: Sequence[str],
