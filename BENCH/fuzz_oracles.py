@@ -20,6 +20,10 @@ import sys
 FUZZ_QUERIES = [
     "token_count_documents",
     "nonempty_documents",
+    # C4-style line dedup: \n / \r\n separators and a tiny word pool give
+    # heavy cross-doc line repeats; full-text reconstruction must match
+    "repeated_lines_documents",
+    "line_dedup_documents",
     "fingerprint_documents",
     "language_id_documents",
     "en_marker_hits_documents",

@@ -931,6 +931,43 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banner_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a boilerplate banner line prepended to every 3rd doc
+    (plus a trailing footer on every 5th) — the deterministic repeated-
+    line fixture both engines reproduce for the C4-style line dedup."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("  Accept cookies to continue.  \n"), t)
+               ).otherwise(t)
+    t = F.when(F.col("doc_id") % 5 == 0,
+               F.concat(t, F.lit("\n(c) example.com — all rights reserved"))
+               ).otherwise(t)
+    return docs.select("doc_id", t.alias("text"))
+
+
+def _q_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated (boilerplate) lines at min_docs=2 over the
+    banner fixture — the C4/RefinedWeb curation signal."""
+    from valar_spark import textops as X
+
+    return (X.repeated_lines(_banner_docs(spark, sf_dir), min_docs=2)
+            .select("line", F.col("n_docs").cast("long").alias("n_docs"))
+            .orderBy("line"))
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-line REMOVAL: reconstructed text with boilerplate lines
+    dropped byte-for-byte (original order, blanks kept), plus the removed
+    count — full-text hash-checked against the DuckDB reconstruction."""
+    from valar_spark import textops as X
+
+    return (X.remove_repeated_lines(_banner_docs(spark, sf_dir), min_docs=2)
+            .select("doc_id", "text",
+                    F.col("n_removed").cast("long").alias("n_removed"))
+            .orderBy("doc_id"))
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
@@ -1441,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality_events": _q_hll_cardinality_events,
         "hll_tolerance_events": _q_hll_tolerance_events,
         "dedup_exact_documents": _q_dedup_exact,
+        "repeated_lines_documents": _q_repeated_lines,
+        "line_dedup_documents": _q_line_dedup,
         "token_count_documents": _q_token_count,
         "quality_documents": _q_quality,
         "en_marker_hits_documents": _q_en_marker_hits,
@@ -1916,6 +1955,72 @@ def oracle_sql() -> dict[str, str]:
             FROM u WHERE text IS NOT NULL
             GROUP BY md5(text) HAVING COUNT(*) > 1
             ORDER BY text_hash
+        """,
+        # C4-style cross-document line dedup over the banner fixture; the
+        # trim class matches WS_CLASS (Java-whitespace, both engines)
+        "repeated_lines_documents": r"""
+            WITH banner AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN base || chr(10) ||
+                                 '(c) example.com — all rights reserved'
+                            ELSE base END AS text
+                FROM (SELECT doc_id,
+                             CASE WHEN doc_id % 3 = 0
+                                  THEN '  Accept cookies to continue.  '
+                                       || chr(10) || text
+                                  ELSE text END AS base
+                      FROM documents WHERE text IS NOT NULL)
+            ), ex AS (
+                SELECT doc_id,
+                       regexp_replace(lst[pos],
+                           '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)',
+                           '', 'g') AS line
+                FROM (SELECT doc_id, lst,
+                             generate_subscripts(lst, 1) AS pos
+                      FROM (SELECT doc_id,
+                                   string_split(text, chr(10)) AS lst
+                            FROM banner))
+            )
+            SELECT line, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM ex WHERE line <> ''
+            GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+            ORDER BY line
+        """,
+        "line_dedup_documents": r"""
+            WITH banner AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN base || chr(10) ||
+                                 '(c) example.com — all rights reserved'
+                            ELSE base END AS text
+                FROM (SELECT doc_id,
+                             CASE WHEN doc_id % 3 = 0
+                                  THEN '  Accept cookies to continue.  '
+                                       || chr(10) || text
+                                  ELSE text END AS base
+                      FROM documents WHERE text IS NOT NULL)
+            ), ex AS (
+                SELECT doc_id, pos, lst[pos] AS raw,
+                       regexp_replace(lst[pos],
+                           '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)',
+                           '', 'g') AS line
+                FROM (SELECT doc_id, lst,
+                             generate_subscripts(lst, 1) AS pos
+                      FROM (SELECT doc_id,
+                                   string_split(text, chr(10)) AS lst
+                            FROM banner))
+            ), flagged AS (
+                SELECT line FROM ex WHERE line <> ''
+                GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+            )
+            SELECT e.doc_id,
+                   COALESCE(string_agg(e.raw, chr(10) ORDER BY e.pos)
+                            FILTER (WHERE f.line IS NULL), '') AS text,
+                   COUNT(*) FILTER (WHERE f.line IS NOT NULL)::BIGINT
+                       AS n_removed
+            FROM ex e LEFT JOIN flagged f ON e.line = f.line
+            GROUP BY e.doc_id ORDER BY e.doc_id
         """,
         "token_count_documents": r"""
             SELECT doc_id,

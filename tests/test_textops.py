@@ -276,6 +276,37 @@ def test_pii_scrub_and_counts(spark):
     assert got[3]["s"] is None
 
 
+def test_repeated_line_removal(spark):
+    """C4-style boilerplate removal: the shared banner goes (whatever its
+    surrounding whitespace), unique prose and blank lines stay
+    byte-for-byte, order preserved."""
+    from valar_spark import textops as X
+
+    rows = [
+        (1, "  banner  \nkeep one\n\nkeep two"),
+        (2, "banner\nother text"),
+        (3, "solo line\nbanner"),
+        (4, "untouched\n\ntail"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    rep = {r["line"]: r["n_docs"]
+           for r in X.repeated_lines(df, min_docs=2).collect()}
+    assert rep == {"banner": 3}
+    got = {r["doc_id"]: (r["text"], r["n_removed"])
+           for r in X.remove_repeated_lines(df, min_docs=2).collect()}
+    assert got == {
+        1: ("keep one\n\nkeep two", 1),
+        2: ("other text", 1),
+        3: ("solo line", 1),
+        4: ("untouched\n\ntail", 0),
+    }
+    # min_docs above the repeat count: nothing removed, text bit-identical
+    keep_all = {r["doc_id"]: r["text"]
+                for r in X.remove_repeated_lines(df, min_docs=4).collect()}
+    assert keep_all == {i: t for i, t in rows if t is not None}
+
+
 def test_corpus_filter_reasons(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog sat on the mat with the hat"),  # clean en

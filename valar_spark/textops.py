@@ -115,6 +115,79 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
+#: line normalization for cross-document line dedup: the Java-whitespace
+#: trim class shared with every other cross-engine text oracle (WS_CLASS)
+_LINE_TRIM_RE = r"(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)"
+
+
+def _exploded_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(id, pos, raw, line)`` — one row per newline-split line of each
+    non-null document; ``line`` is the whitespace-trimmed form used as the
+    dedup key, ``raw`` the original text reinserted on reconstruction."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), "\n"))
+                .alias("pos", "raw"))
+        .withColumn("line", F.regexp_replace("raw", _LINE_TRIM_RE, ""))
+    )
+
+
+def repeated_lines(df: DataFrame, min_docs: int = 2,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Normalized lines occurring in ≥ ``min_docs`` DISTINCT documents —
+    the C4/RefinedWeb boilerplate signal (nav menus, cookie banners,
+    license footers repeat across pages; prose lines don't). Returns
+    ``(line, n_docs)``. One explode + one count-distinct aggregate keyed
+    by the line; blank lines never flag. The shuffle carries (line,
+    doc_id) pairs — at 100 TB, pre-hash the line (xxhash64) if line text
+    dominates shuffle bytes; kept as text here because the output IS the
+    reviewable boilerplate list."""
+    return (
+        _exploded_lines(df, text_col, id_col)
+        .filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_repeated_lines(df: DataFrame, min_docs: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Cross-document repeated-line removal (the C4 "discard any line
+    shared across documents" curation pass): drops every line whose
+    normalized form appears in ≥ ``min_docs`` distinct docs, preserving
+    all other lines (including blanks) byte-for-byte in original order.
+    Returns ``(id, text, n_removed)`` for each non-null-text document.
+
+    Plan shape: explode → key-equality left join against
+    :func:`repeated_lines` (no window over data rows) → one per-doc
+    aggregate whose ``collect_list`` skips nulls (un-kept lines), sorted
+    and joined driver-free. The per-doc array transform is a higher-order
+    function (interpreted, not codegen) — bounded by lines-per-document,
+    not by the table."""
+    ex = _exploded_lines(df, text_col, id_col)
+    flagged = repeated_lines(df, min_docs, text_col, id_col).select("line")
+    joined = ex.join(flagged.withColumn("_flag", F.lit(True)),
+                     "line", "left")
+    kept_struct = F.when(F.col("_flag").isNull(),
+                         F.struct(F.col("pos"), F.col("raw")))
+    return (
+        joined.groupBy(F.col(id_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["raw"]),
+                "\n").alias(text_col),
+            F.sum(F.when(F.col("_flag").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text quality / language-ID / fingerprints — pure projections (no shuffle)
 # ---------------------------------------------------------------------------
