@@ -135,6 +135,9 @@ EVENTS_QUERIES = [
     # Benford MAD: truncating-cast digit extraction + missing-digit
     # accounting must agree under nulls/zeros/negatives
     "benford_events",
+    # json_parseable: fuzz props pool stays inside the Spark∩DuckDB
+    # dialect-agreement subset (the rule docstring lists the divergences)
+    "json_valid_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]

@@ -657,6 +657,33 @@ def _q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_json_valid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``json_parseable`` leaf through the full validate() machinery over
+    a deterministically corrupted props column. The injected invalids
+    (unterminated object, single-quoted keys, blank) sit in the
+    Spark∩DuckDB dialect-agreement subset — the measured divergences
+    (trailing commas / NaN / trailing garbage / lone surrogates, see
+    rules.json_parseable docstring) are deliberately NOT planted, exactly
+    like the PII rule's Java∩RE2 contract."""
+    from valar_spark import rules as R
+    from valar_spark import validate
+
+    ev = _read(spark, sf_dir, "events")
+    props = (
+        F.when(F.col("event_id") % 13 == 0, F.lit('{"broken":'))
+        .when(F.col("event_id") % 17 == 0, F.lit("{'k': 1}"))
+        .when(F.col("event_id") % 19 == 0, F.lit(" "))
+        .otherwise(F.col("props")))
+    mut = ev.select("user_id", "event_id", props.alias("props"))
+    run = validate(mut, {"props": R.json_parseable()},
+                   keys=("user_id", "event_id"),
+                   partition_cols=("user_id",))
+    return (run.violations
+            .select("rule_id", "user_id", "event_id", "code",
+                    F.col("actual").alias("props"))
+            .orderBy("user_id", "event_id"))
+
+
 def _q_events_verdict_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verdict machinery (posexplode_outer single-scan counting + static
     rule_id cross, validate.py:200-243) under the hash oracle: the
@@ -1464,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_transcripts": _q_validate_transcripts,
         "transcript_verdicts": _q_transcript_verdicts,
         "validate_events": _q_validate_events,
+        "json_valid_events": _q_json_valid_events,
         "events_verdict_summary": _q_events_verdict_summary,
         "cross_field_events": _q_cross_field_events,
         "entropy_events_type": _q_entropy_events_type,
@@ -1672,6 +1700,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE value IS NOT NULL
               AND (value < q1 - 1.5 * (q3 - q1)
                    OR value > q3 + 1.5 * (q3 - q1))
+            ORDER BY user_id, event_id
+        """,
+        # json_parseable through validate(): injected invalids are in the
+        # Spark∩DuckDB dialect-agreement subset (see the rule docstring)
+        "json_valid_events": """
+            WITH mut AS (
+                SELECT user_id, event_id,
+                       CASE WHEN event_id % 13 = 0 THEN '{"broken":'
+                            WHEN event_id % 17 = 0 THEN '{''k'': 1}'
+                            WHEN event_id % 19 = 0 THEN ' '
+                            ELSE props END AS props
+                FROM events
+            )
+            SELECT 'props.json_parseable' AS rule_id, user_id, event_id,
+                   'validation.string.invalid_json' AS code, props
+            FROM mut WHERE props IS NOT NULL AND NOT json_valid(props)
             ORDER BY user_id, event_id
         """,
         # Hampel filter: two sequential exact medians (median ignores

@@ -519,3 +519,21 @@ def test_duplicate_rule_ids_verdicts_not_doubled(spark):
     assert len(rows) == 1  # one rule_id row, not two
     assert rows[0]["rows_checked"] == 2
     assert rows[0]["violation_count"] == run.violations.count()
+
+
+def test_json_parseable_rule(spark):
+    """Spark-variant JSON validity semantics: scalars/whitespace-padded
+    values pass, structural breakage fails, null skips; the documented
+    Spark-lenient case (trailing garbage) passes by contract."""
+    from valar_spark.validate import validate as _validate
+
+    rows = [(1, '{"k": 1}'), (2, "1"), (3, "true"), (4, '  {"a":1}  '),
+            (5, '{"broken":'), (6, "{'k':1}"), (7, ""), (8, " "),
+            (9, None), (10, '{"a":1} extra')]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    run = _validate(df, {"s": R.json_parseable()}, keys=("id",))
+    got = {int(r["id"]) for r in run.violations.collect()}
+    assert got == {5, 6, 7, 8}
+    row = run.violations.filter("id = 5").first()
+    assert row["code"] == "validation.string.invalid_json"
+    assert row["actual"] == '{"broken":'

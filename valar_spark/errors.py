@@ -38,6 +38,7 @@ CODE_UNION_NO_MATCH = "validation.union.no_match"
 CODE_TYPE_MISMATCH = "validation.type.mismatch"
 CODE_UDF_FAILURE = "validation.udf.failure"
 CODE_CROSS_FIELD = "validation.cross_field"
+CODE_INVALID_JSON = "validation.string.invalid_json"
 
 # Engine-level dataset rule codes (BASELINE.json:6 obligations).
 CODE_DUPLICATE_KEY = "validation.dataset.duplicate_key"

@@ -184,6 +184,32 @@ def finite(message: str | None = None) -> LeafRule:
     return _leaf("finite", build)
 
 
+def json_parseable(message: str | None = None) -> LeafRule:
+    """String parses as JSON (GreatExpectations
+    ``expect_column_values_to_be_json_parseable`` analogue) via Spark's
+    variant parser — JVM-side, codegen'd, no Python. Null skips (point
+    ``required`` at the column to forbid nulls).
+
+    Dialect contract: the engine's definition of "valid" is Spark
+    ``try_parse_json`` (RFC-8259 plus leading/trailing whitespace and
+    trailing garbage after one complete value). Measured divergences vs
+    DuckDB's lenient yyjson, for anyone porting oracles: DuckDB also
+    accepts trailing commas and NaN/Infinity literals (Spark rejects),
+    while Spark accepts trailing garbage and lone surrogates (DuckDB
+    rejects). Cross-engine checks must stick to the common subset."""
+
+    def build(col, rid, ctx, ann):
+        msg = message or "String must be valid JSON"
+        fail = col.isNotNull() & F.try_parse_json(col).isNull()
+        return E.cond_errors(
+            (fail,
+             E.error_struct(rid, msg, E.CODE_INVALID_JSON, ann=ann,
+                            expected="parseable JSON", actual=col)),
+        )
+
+    return _leaf("json_parseable", build)
+
+
 def min_length(n: int, message: str | None = None) -> LeafRule:
     """Untrimmed length >= n; null invalid (ValidationHelpers.scala:182-207)."""
 
