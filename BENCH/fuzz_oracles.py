@@ -138,6 +138,9 @@ EVENTS_QUERIES = [
     # json_parseable: fuzz props pool stays inside the Spark∩DuckDB
     # dialect-agreement subset (the rule docstring lists the divergences)
     "json_valid_events",
+    # sessionization: integer-microsecond gap math + tie-invariant
+    # boundary cumsum must agree under duplicate (user, ts) rows
+    "sessions_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]

@@ -320,6 +320,22 @@ def _q_group_composition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "requirement"))
 
 
+def _q_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization rollup (1h gap) per user — the batch
+    conversation-segmentation profile. Session assignment is
+    order-invariant within timestamp ties (ties are never boundaries), so
+    no engine-specific tie-break is needed; epochs are whole seconds on
+    this data, making the long-cast gap math identical on both engines."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return (
+        D.session_stats(ev, ["user_id"], "ts", gap_seconds=3600)
+        .select("user_id", "session_id", "n_events", "t_start", "t_end")
+        .orderBy("user_id", "session_id")
+    )
+
+
 def _q_benford_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit MAD over the integer part of value — the
     fabricated-numbers / ingest-anomaly screen. Digit extraction is
@@ -1477,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_values_events": _q_frequent_values_events,
         "group_composition_events": _q_group_composition_events,
         "benford_events": _q_benford_events,
+        "sessions_events": _q_sessions_events,
         "bucket_outliers_events": _q_bucket_outliers_events,
         "completeness_events": _q_completeness_events,
         "js_events_value_halves": _q_js_events_value_halves,
@@ -1717,6 +1734,32 @@ def oracle_sql() -> dict[str, str]:
                    'validation.string.invalid_json' AS code, props
             FROM mut WHERE props IS NOT NULL AND NOT json_valid(props)
             ORDER BY user_id, event_id
+        """,
+        # sessionization: cumulative boundary-sum form, order-invariant
+        # within ts ties, so no tie-break pinning is required
+        "sessions_events": """
+            WITH lagged AS (
+                SELECT user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC NULLS FIRST) AS prev_ts
+                FROM events WHERE ts IS NOT NULL
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(CASE WHEN prev_ts IS NULL
+                                  OR epoch_us(ts) - epoch_us(prev_ts)
+                                     > 3600000000::BIGINT
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC NULLS FIRST
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - 1 AS session_id
+                FROM lagged
+            )
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   COUNT(*)::BIGINT AS n_events,
+                   MIN(ts) AS t_start, MAX(ts) AS t_end
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         # Hampel filter: two sequential exact medians (median ignores
         # nulls on both engines) then the k·MAD fence

@@ -287,6 +287,38 @@ def test_mad_outliers(spark):
         6, 7, 8, 9}
 
 
+def test_sessionize(spark):
+    """Gap boundaries, per-group numbering, tie handling (equal ts never
+    splits), null-ts exclusion, and the session_stats rollup."""
+    from datetime import datetime
+
+    from valar_spark.dataset_rules import session_stats, sessionize
+
+    T = datetime
+    rows = [
+        ("u1", 1, T(2026, 1, 1, 10, 0, 0)),
+        ("u1", 2, T(2026, 1, 1, 10, 20, 0)),   # 20min — same session
+        ("u1", 3, T(2026, 1, 1, 11, 0, 1)),    # 40min01 > 30min — new
+        ("u1", 4, T(2026, 1, 1, 11, 0, 1)),    # tie — never a boundary
+        ("u2", 5, T(2026, 1, 1, 9, 0, 0)),
+        ("u2", 6, None),                        # excluded
+    ]
+    df = spark.createDataFrame(rows, "u string, id bigint, ts timestamp")
+    got = {r["id"]: r["session_id"]
+           for r in sessionize(df, ["u"], "ts", gap_seconds=1800).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+    st = {(r["u"], r["session_id"]): r["n_events"]
+          for r in session_stats(df, ["u"], "ts", 1800).collect()}
+    assert st == {("u1", 0): 2, ("u1", 1): 2, ("u2", 0): 1}
+    # exactly-at-gap is NOT a boundary (strict >)
+    df2 = spark.createDataFrame(
+        [("u", 1, T(2026, 1, 1, 0, 0, 0)), ("u", 2, T(2026, 1, 1, 0, 30, 0))],
+        "u string, id bigint, ts timestamp")
+    got2 = {r["id"]: r["session_id"]
+            for r in sessionize(df2, ["u"], "ts", 1800).collect()}
+    assert got2 == {1: 0, 2: 0}
+
+
 def test_benford_deviation(spark):
     import math
 

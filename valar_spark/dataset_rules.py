@@ -697,6 +697,62 @@ def benford_deviation(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def sessionize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based session assignment (the batch companion to
+    ``streaming.stream_session_stats``): within each group, a new session
+    starts whenever the time since the previous event exceeds
+    ``gap_seconds``. Adds ``session_id`` (0-based per group, in time
+    order) to every non-null-ts row.
+
+    One window shuffle on the group key; the cumulative-sum form is
+    order-insensitive within timestamp ties (ties are never boundaries),
+    so the assignment is deterministic without a total tie-break. At
+    10^12 rows this is the same single-shuffle cost class as the
+    integrity window — share the conv_id partitioning."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(ts_col).asc())
+    prev = F.lag(F.col(ts_col)).over(w)
+    # timestamp_diff works identically for TIMESTAMP and TIMESTAMP_NTZ
+    # (NTZ supports no epoch cast at all — same trick as freshness); the
+    # comparison is exact integer MICROSECONDS so sub-second gaps behave
+    # identically to any epoch-based oracle
+    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+    boundary = F.when(
+        prev.isNull() | (gap_us > int(gap_seconds) * 1_000_000),
+        1).otherwise(0)
+    wc = (Window.partitionBy(*group_cols).orderBy(F.col(ts_col).asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("session_id",
+                    (F.sum(boundary).over(wc) - 1).cast("long"))
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`:
+    ``(*group_cols, session_id, n_events, t_start, t_end)`` — the
+    conversation-segmentation profile (sessions/user, events/session,
+    span) a transcript pipeline reports before re-chunking long
+    histories."""
+    return (
+        sessionize(df, group_cols, ts_col, gap_seconds)
+        .groupBy(*group_cols, "session_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.min(ts_col).alias("t_start"),
+             F.max(ts_col).alias("t_end"))
+    )
+
+
 def group_composition(
     df: DataFrame,
     group_cols: Sequence[str],
