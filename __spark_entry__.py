@@ -320,6 +320,24 @@ def _q_group_composition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "requirement"))
 
 
+def _q_id_leakage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-level train/holdout leakage: events whose user_id appears in a
+    deterministic holdout sample of customer keys (c_custkey % 101 == 7)
+    — the inverse-membership dataset rule (disjoint_keys), the ID-level
+    companion to the content-level contamination screen."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    holdout = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 101 == 7)
+    return (
+        D.disjoint_keys(ev, "user_id", holdout, other_col="c_custkey")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked"))
+        .orderBy("user_id")
+    )
+
+
 def _q_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization rollup (1h gap) per user — the batch
     conversation-segmentation profile. Session assignment is
@@ -1494,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_composition_events": _q_group_composition_events,
         "benford_events": _q_benford_events,
         "sessions_events": _q_sessions_events,
+        "id_leakage_events": _q_id_leakage_events,
         "bucket_outliers_events": _q_bucket_outliers_events,
         "completeness_events": _q_completeness_events,
         "js_events_value_halves": _q_js_events_value_halves,
@@ -1734,6 +1753,15 @@ def oracle_sql() -> dict[str, str]:
                    'validation.string.invalid_json' AS code, props
             FROM mut WHERE props IS NOT NULL AND NOT json_valid(props)
             ORDER BY user_id, event_id
+        """,
+        # inverse membership (train/holdout ID leakage): semi join on the
+        # deterministic customer-key sample
+        "id_leakage_events": """
+            SELECT user_id, COUNT(*)::BIGINT AS n_leaked
+            FROM events
+            WHERE user_id IN (SELECT c_custkey FROM customer
+                              WHERE c_custkey % 101 = 7)
+            GROUP BY user_id ORDER BY user_id
         """,
         # sessionization: cumulative boundary-sum form, order-invariant
         # within ts ties, so no tie-break pinning is required

@@ -287,6 +287,21 @@ def test_mad_outliers(spark):
         6, 7, 8, 9}
 
 
+def test_disjointness(spark):
+    from valar_spark.dataset_rules import (disjoint_keys,
+                                           disjointness_violations)
+
+    df = spark.createDataFrame([(1,), (2,), (3,), (None,)], "k bigint")
+    other = spark.createDataFrame([(2,), (9,), (None,)], "ref bigint")
+    got = {r["k"] for r in
+           disjoint_keys(df, "k", other, other_col="ref").collect()}
+    assert got == {2}  # null never matches (SQL join semantics)
+    v = disjointness_violations(df, "k", other, other_col="ref").collect()
+    assert len(v) == 1
+    assert v[0]["code"] == "validation.dataset.disjointness"
+    assert v[0]["actual"] == "2"
+
+
 def test_sessionize(spark):
     """Gap boundaries, per-group numbering, tie handling (equal ts never
     splits), null-ts exclusion, and the session_stats rollup."""

@@ -154,6 +154,46 @@ def referential_violations(
 # ---------------------------------------------------------------------------
 
 
+def disjoint_keys(
+    df: DataFrame,
+    col: str,
+    other: DataFrame,
+    other_col: str | None = None,
+) -> DataFrame:
+    """Rows of ``df`` whose ``col`` value APPEARS in ``other`` — the
+    INVERSE of referential integrity: membership is the violation. The
+    train/holdout ID-leakage check (eval user_ids must not occur in the
+    training events; cf. the content-level contamination screen in
+    textops). One left-semi join on the key — broadcast when the holdout
+    set is small, shuffled hash otherwise (AQE decides); only the key
+    column of ``other`` is ever read."""
+    oc = other_col or col
+    ref = other.select(F.col(oc).alias(col)).distinct()
+    return df.join(ref, col, "left_semi")
+
+
+def disjointness_violations(
+    df: DataFrame,
+    col: str,
+    other: DataFrame,
+    other_col: str | None = None,
+    keys: Sequence[str] = (),
+    rule_id: str = "dataset.disjointness",
+) -> DataFrame:
+    bad = disjoint_keys(df, col, other, other_col)
+    return _as_violations(
+        bad,
+        rule_id,
+        E.CODE_DISJOINTNESS,
+        F.concat(F.lit(f"{col} value "), F.col(col).cast("string"),
+                 F.lit(" present in the excluded set")),
+        keys=list(keys) or [col],
+        field_path=[col],
+        expected="absent from excluded set",
+        actual=F.col(col).cast("string"),
+    )
+
+
 def domain_breakdown(df: DataFrame, col: str, allowed: Sequence[str]) -> DataFrame:
     """Per-value counts of out-of-domain values: ``(value, n)``."""
     return (

@@ -51,6 +51,7 @@ CODE_SEQUENCE_GAP = "validation.dataset.sequence_gap"
 CODE_TRANSITION = "validation.dataset.illegal_transition"
 CODE_SCHEMA = "validation.dataset.schema_mismatch"
 CODE_GROUP_COMPOSITION = "validation.dataset.group_composition"
+CODE_DISJOINTNESS = "validation.dataset.disjointness"
 
 ERROR_FIELDS = (
     "rule_id",
