@@ -1470,6 +1470,124 @@ def _q_ann_ivf_probe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                         nprobe=8).orderBy("query_id", "rank")
 
 
+def _q_charset_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset hygiene over a planted-mojibake fixture: every 23rd doc
+    gets non-whitespace control chars + U+FFFD appended, every 29th gets
+    accented/symbol text — both constructions are pure string literals
+    the DuckDB oracle replays with chr()."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    nn = t.isNotNull()
+    t = F.when((F.col("doc_id") % 23 == 0) & nn,
+               F.concat(t, F.lit("\x01\x07\x7f��"))).otherwise(t)
+    t = F.when((F.col("doc_id") % 29 == 0) & nn,
+               F.concat(t, F.lit(" héllo wörld §ß"))).otherwise(t)
+    return (X.charset_features(docs.select("doc_id", t.alias("text")))
+            .orderBy("doc_id"))
+
+
+def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return (X.cap_per_group(docs, "source", 10)
+            .select("doc_id", "source", F.col("grp_rank").cast("int")
+                    .alias("grp_rank"))
+            .orderBy("doc_id"))
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return (X.stratified_sample(docs, "lang",
+                                {"en": 0.5, "de": 0.25, "zh": 0.0},
+                                default_fraction=0.1)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def _q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return (X.salient_terms(docs, k=3)
+            .orderBy("doc_id", "term_rank"))
+
+
+_NGRAM_NOVEL_TAIL = " zzqq flibber tuxwol novel tail"
+
+
+def _q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination over a mixed eval fixture: every
+    53rd doc becomes an eval item — even ids verbatim (ratio must be
+    1.0), odd ids a 120-char prefix plus a novel tail (partial overlap).
+    Ratios are exact integer divisions, so the construction is fully
+    oracle-able."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.filter((F.col("doc_id") % 53 == 0)
+                       & F.col("text").isNotNull())
+    ev = base.select(
+        F.col("doc_id").alias("eval_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.substring("text", 1, 120),
+                            F.lit(_NGRAM_NOVEL_TAIL))).alias("text"))
+    return (X.ngram_overlap(docs, ev, shingle_n=3)
+            .orderBy("eval_id"))
+
+
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with planted degenerate vectors: every 31st a zero
+    vector, every 37th (not also 31st) all-NaN — same CASE order in the
+    oracle's list_transform construction."""
+    emb = _read(spark, sf_dir, "embeddings")
+    zero = F.array_repeat(F.lit(0.0).cast("float"), F.size("embedding"))
+    nanv = F.array_repeat(F.lit(float("nan")).cast("float"),
+                          F.size("embedding"))
+    v = (F.when(F.col("vec_id") % 31 == 0, zero)
+         .when(F.col("vec_id") % 37 == 0, nanv)
+         .otherwise(F.col("embedding")))
+    return emb.select("vec_id", v.alias("embedding"), "label")
+
+
+def _q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import ann
+
+    return (ann.embedding_profile(_planted_embeddings(spark, sf_dir))
+            .orderBy("vec_id"))
+
+
+def _q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import ann
+
+    return ann.embedding_dim_stats(_read(spark, sf_dir, "embeddings"))
+
+
+def _q_zscore_outliers_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return (D.group_zscore_outliers(ev, "value", "user_id",
+                                    z=3.0, min_group_n=10)
+            .select("user_id", "event_id", "z_score")
+            .orderBy("event_id"))
+
+
+def _q_reconciliation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import dataset_rules as D
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    measure = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+               * (1 + F.col("l_tax")))
+    return (D.reconciliation_violations(li, "l_orderkey", measure,
+                                        orders, "o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = bench execution order. The shuffle/UDF-heavy pair
     # queries run FIRST (right after the flagship): this host throttles
@@ -1552,6 +1670,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_documents": _q_corpus_filter,
         "pii_scrub_documents": _q_pii_scrub,
         "hash_split_documents": _q_hash_split,
+        "charset_documents": _q_charset_documents,
+        "cap_per_source_documents": _q_cap_per_source,
+        "stratified_sample_documents": _q_stratified_sample,
+        "salient_terms_documents": _q_salient_terms,
+        "ngram_overlap_documents": _q_ngram_overlap,
+        "embedding_profile_embeddings": _q_embedding_profile,
+        "embedding_dim_stats_embeddings": _q_embedding_dim_stats,
+        "zscore_outliers_by_user_events": _q_zscore_outliers_by_user,
+        "reconciliation_orders_lineitem": _q_reconciliation_orders,
     }
 
 
@@ -2757,4 +2884,208 @@ def oracle_sql() -> dict[str, str]:
     # the LSH-gated scale path must reproduce the ungated exact result
     # bit-for-bit — same brute-force oracle
     o["jaccard_lsh_gated_pairs"] = o["jaccard_pairs_documents"]
+    o["charset_documents"] = r"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 23 = 0 AND text IS NOT NULL
+                        THEN text || chr(1) || chr(7) || chr(127)
+                                  || chr(65533) || chr(65533)
+                        ELSE text END AS t0
+            FROM documents
+        ), q AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 29 = 0 AND t0 IS NOT NULL
+                        THEN t0 || ' héllo wörld §ß'
+                        ELSE t0 END AS text
+            FROM p
+        ), f AS (
+            SELECT doc_id, text, COALESCE(text, '') AS t,
+                   LENGTH(COALESCE(text, '')) AS n
+            FROM q
+        )
+        SELECT doc_id,
+               CAST(n - LENGTH(regexp_replace(t, '[\x00-\x08\x0E-\x1F\x7F]',
+                   '', 'g')) AS BIGINT) AS n_control,
+               CAST(n - LENGTH(replace(t, chr(65533), '')) AS BIGINT)
+                 AS n_replacement,
+               CAST(n - LENGTH(regexp_replace(t, '[^\x00-\x7F]', '', 'g'))
+                 AS BIGINT) AS n_non_ascii,
+               CASE WHEN text IS NULL OR n = 0 THEN NULL
+                    ELSE ROUND((n - LENGTH(regexp_replace(t, '[^\x00-\x7F]',
+                        '', 'g'))) * 1.0 / n, 9) END AS non_ascii_ratio
+        FROM f ORDER BY doc_id
+    """
+    # md5 keep-order replayed bit-for-bit; NULLS FIRST pinned to Spark's
+    # asc default on the id tiebreak
+    o["cap_per_source_documents"] = """
+        SELECT doc_id, source, CAST(rn AS INTEGER) AS grp_rank
+        FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(
+                           CASE WHEN doc_id IS NULL THEN 'valar'
+                                ELSE CAST(doc_id AS VARCHAR) || ':valar'
+                           END), 1, 8))::UBIGINT ASC,
+                           doc_id ASC NULLS FIRST) AS rn
+            FROM documents
+        ) WHERE rn <= 10 ORDER BY doc_id
+    """
+    o["stratified_sample_documents"] = """
+        SELECT doc_id, lang
+        FROM (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(
+                       CASE WHEN doc_id IS NULL THEN 'valar'
+                            ELSE CAST(doc_id AS VARCHAR) || ':valar'
+                       END), 1, 8))::UBIGINT % 10000 AS b
+            FROM documents
+        )
+        WHERE CASE lang WHEN 'en' THEN b < 5000
+                        WHEN 'de' THEN b < 2500
+                        WHEN 'zh' THEN b < 0
+                        ELSE b < 1000 END
+        ORDER BY doc_id
+    """
+    o["salient_terms_documents"] = r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(regexp_replace(LOWER(text), '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+            FROM documents
+            WHERE text IS NOT NULL AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+        ), ex AS (
+            SELECT doc_id, unnest(t) AS term FROM toks
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS c FROM ex GROUP BY doc_id, term
+        ), dfq AS (
+            SELECT term, COUNT(*) AS d FROM tf GROUP BY term
+        ), nd AS (
+            SELECT COUNT(DISTINCT doc_id) AS nn FROM tf
+        ), r AS (
+            SELECT tf.doc_id, tf.term, c, d,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY c DESC, d ASC, tf.term ASC)
+                     AS rn
+            FROM tf JOIN dfq USING (term)
+        )
+        SELECT doc_id, term, CAST(c AS BIGINT) AS tf, CAST(d AS BIGINT)
+                 AS df,
+               ROUND(c * (LN((nn + 1.0) / (d + 1.0)) + 1.0), 6) AS tfidf,
+               CAST(rn AS INTEGER) AS term_rank
+        FROM r, nd WHERE rn <= 3 ORDER BY doc_id, term_rank
+    """
+    o["ngram_overlap_documents"] = r"""
+        WITH ctoks AS (
+            SELECT regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+            FROM documents
+            WHERE text IS NOT NULL AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+        ), csh AS (
+            SELECT DISTINCT unnest(list_distinct(list_transform(
+                generate_series(1, GREATEST(len(t) - 2, 1)),
+                i -> array_to_string(t[i:i+2], ' ')))) AS s
+            FROM ctoks
+        ), ev AS (
+            SELECT doc_id AS eval_id,
+                   CASE WHEN doc_id % 2 = 0 THEN text
+                        ELSE substr(text, 1, 120)
+                             || ' zzqq flibber tuxwol novel tail' END AS text
+            FROM documents
+            WHERE doc_id % 53 = 0 AND text IS NOT NULL
+        ), etoks AS (
+            SELECT eval_id, regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+            FROM ev
+            WHERE regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+        ), esh AS (
+            SELECT eval_id, unnest(list_distinct(list_transform(
+                generate_series(1, GREATEST(len(t) - 2, 1)),
+                i -> array_to_string(t[i:i+2], ' ')))) AS s
+            FROM etoks
+        )
+        SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN csh.s IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_matched,
+               ROUND(SUM(CASE WHEN csh.s IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 9) AS overlap_ratio
+        FROM esh LEFT JOIN csh USING (s)
+        GROUP BY eval_id ORDER BY eval_id
+    """
+    o["embedding_profile_embeddings"] = """
+        WITH p AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id % 31 = 0
+                        THEN list_transform(embedding, x -> 0.0::FLOAT)
+                        WHEN vec_id % 37 = 0
+                        THEN list_transform(embedding, x -> 'nan'::FLOAT)
+                        ELSE embedding END AS embedding
+            FROM embeddings
+        ), ex AS (
+            SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM p
+        ), agg AS (
+            SELECT vec_id, COUNT(*) AS n,
+                   SUM(CASE WHEN isnan(x) THEN 1 ELSE 0 END) AS nn,
+                   SUM(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS nz,
+                   SQRT(SUM(x * x)) AS nrm
+            FROM ex GROUP BY vec_id
+        )
+        SELECT p.vec_id, CAST(len(p.embedding) AS INTEGER) AS dim,
+               CAST(COALESCE(nn, 0) AS BIGINT) AS n_nan,
+               CAST(COALESCE(nz, 0) AS BIGINT) AS n_zero,
+               CASE WHEN nn > 0 THEN NULL ELSE ROUND(nrm, 6) END AS norm
+        FROM p LEFT JOIN agg USING (vec_id) ORDER BY vec_id
+    """
+    o["embedding_dim_stats_embeddings"] = """
+        WITH ex AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding) AS xf
+            FROM embeddings WHERE embedding IS NOT NULL
+        )
+        SELECT CAST(dim AS INTEGER) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN isnan(xf) THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nan,
+               ROUND(AVG(CASE WHEN isnan(xf) THEN NULL
+                              ELSE xf::DOUBLE END), 6) AS mean_val,
+               ROUND(MIN(CASE WHEN isnan(xf) THEN NULL
+                              ELSE xf::DOUBLE END), 6) AS min_val,
+               ROUND(MAX(CASE WHEN isnan(xf) THEN NULL
+                              ELSE xf::DOUBLE END), 6) AS max_val
+        FROM ex GROUP BY dim ORDER BY dim
+    """
+    # explicit sum/sum-of-squares algebra on BOTH engines (not builtin
+    # stddev — Welford merge order is engine-internal); fence decision
+    # rounded at 1e-6 exactly like the Spark side
+    o["zscore_outliers_by_user_events"] = """
+        WITH m AS (
+            SELECT user_id, COUNT(*) AS n, SUM(value) AS s,
+                   SUM(value * value) AS ss
+            FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY user_id HAVING COUNT(*) >= 10
+        ), j AS (
+            SELECT e.user_id, e.event_id, e.value,
+                   s / n AS mean,
+                   SQRT(GREATEST((ss - s * s / n) / (n - 1), 0)) AS std
+            FROM events e JOIN m USING (user_id)
+            WHERE e.value IS NOT NULL
+        )
+        SELECT user_id, event_id,
+               ROUND((value - mean) / std, 4) AS z_score
+        FROM j
+        WHERE std > 0 AND ROUND(ABS(value - mean) - 3.0 * std, 6) > 0
+        ORDER BY event_id
+    """
+    o["reconciliation_orders_lineitem"] = """
+        WITH agg AS (
+            SELECT l_orderkey AS o_orderkey,
+                   SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                     AS rec,
+                   COUNT(*) AS nf
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o.o_orderkey,
+               CAST(COALESCE(nf, 0) AS BIGINT) AS n_fact_rows
+        FROM orders o LEFT JOIN agg USING (o_orderkey)
+        WHERE (rec IS NULL AND o.o_totalprice IS NOT NULL)
+           OR (o.o_totalprice IS NULL AND rec IS NOT NULL)
+           OR ABS(o.o_totalprice - rec) > 0.01
+        ORDER BY o_orderkey
+    """
     return o

@@ -291,3 +291,28 @@ def test_embedding_near_dup_auto_chunk_bits(spark, emb, monkeypatch):
     assert a16 <= p8
     for df in (auto, pinned8, auto16, pinned16):
         df.unpersist()
+
+
+def test_embedding_profile_degenerate_vectors(spark):
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 0.0]), (2, [0.0, 0.0, 0.0]),
+         (3, [nan, 1.0, 2.0]), (4, None)],
+        "vec_id bigint, embedding array<float>")
+    got = {r["vec_id"]: r for r in ann.embedding_profile(df).collect()}
+    assert got[1]["dim"] == 3 and got[1]["n_zero"] == 1
+    assert abs(got[1]["norm"] - 5.0) < 1e-6          # 3-4-5 triangle
+    assert got[2]["n_zero"] == 3 and got[2]["norm"] == 0.0
+    assert got[3]["n_nan"] == 1 and got[3]["norm"] is None
+    assert got[4]["dim"] is None
+
+
+def test_embedding_dim_stats_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (2, [3.0, 20.0]), (3, [5.0, 30.0])],
+        "vec_id bigint, embedding array<float>")
+    got = {r["dim"]: r for r in ann.embedding_dim_stats(df).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n"] == 3 and got[0]["mean_val"] == 3.0
+    assert got[0]["min_val"] == 1.0 and got[0]["max_val"] == 5.0
+    assert got[1]["mean_val"] == 20.0 and got[1]["n_nan"] == 0

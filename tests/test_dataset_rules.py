@@ -375,3 +375,34 @@ def test_frequent_values(spark):
     assert [(r["rank"], r["value"], r["cnt"]) for r in got] == [
         (1, "a", 5), (2, "b", 3), (3, "c", 3)]
     assert abs(got[0]["ratio"] - 5 / 12) < 1e-6
+
+
+def test_group_zscore_outliers(spark):
+    # group "a": 11 tight values + one wild outlier; group "b": too small
+    # to judge; group "c": zero variance (exempt by rule)
+    rows = ([("a", float(100 + i)) for i in range(11)] + [("a", 10_000.0)]
+            + [("b", 0.0), ("b", 9_999.0)]
+            + [("c", 5.0)] * 12 + [("a", None)])
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = D.group_zscore_outliers(df, "value", "grp", z=3.0, min_group_n=10)
+    got = out.collect()
+    assert len(got) == 1
+    assert got[0]["grp"] == "a" and got[0]["value"] == 10_000.0
+    assert got[0]["z_score"] > 3.0
+
+
+def test_reconciliation_violations(spark):
+    fact = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0), (4, 1.0)],
+        "k bigint, amt double")
+    summary = spark.createDataFrame(
+        [(1, 15.0),          # reconciled
+         (2, 7.005),         # inside 0.01 tolerance
+         (3, 9.0),           # header with no detail rows
+         (4, 99.0),          # broken total
+         (5, None)],         # null stored total, no facts -> fine
+        "k bigint, total double")
+    out = D.reconciliation_violations(
+        fact, "k", F.col("amt"), summary, "k", "total")
+    got = {r["k"]: r["n_fact_rows"] for r in out.collect()}
+    assert got == {3: 0, 4: 1}

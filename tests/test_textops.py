@@ -574,3 +574,103 @@ def test_normalize_text_canonicalizes(spark):
     assert got[3] == "café x"              # lowercase + ws collapse + trim
     assert got[4] is None
     assert got[5] == "plain"
+
+
+def test_cap_per_group_caps_and_is_content_stable(spark):
+    rows = [(i, f"doc {i}", f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    kept = X.cap_per_group(df, "source", 5).collect()
+    by_g: dict[str, list] = {}
+    for r in kept:
+        by_g.setdefault(r["source"], []).append(r)
+    assert all(len(v) == 5 for v in by_g.values())
+    assert all(sorted(r["grp_rank"] for r in v) == [1, 2, 3, 4, 5]
+               for v in by_g.values())
+    # content-stable: survivors are a fixed function of ids, not of
+    # arrival order or corpus composition beyond the hash frontier
+    kept2 = {(r["doc_id"]) for r in
+             X.cap_per_group(df.orderBy(F.rand(7)), "source", 5).collect()}
+    assert kept2 == {r["doc_id"] for r in kept}
+    # a group under the cap survives whole
+    small = X.cap_per_group(df.filter(F.col("doc_id") < 4), "source", 5)
+    assert small.count() == 4
+
+
+def test_stratified_sample_nested_and_exact_fractions(spark):
+    rows = [(i, "x", ["en", "de", "zh"][i % 3]) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    s30 = {r["doc_id"] for r in
+           X.stratified_sample(df, "lang", {"en": 0.3, "de": 0.3},
+                               default_fraction=0.3).collect()}
+    s10 = {r["doc_id"] for r in
+           X.stratified_sample(df, "lang", {"en": 0.1, "de": 0.1},
+                               default_fraction=0.1).collect()}
+    assert s10 <= s30                     # nested subsets across fractions
+    zero = X.stratified_sample(df, "lang", {"en": 0.0}, default_fraction=1.0)
+    got = zero.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert "en" not in by                 # zero fraction drops the stratum
+    assert by["de"] == 300 and by["zh"] == 300  # default keeps the rest
+    # roughly proportional draw (md5 is uniform): 30% of 300 ± wide slack
+    n_en_30 = sum(1 for i in s30 if i % 3 == 0)
+    assert 50 <= n_en_30 <= 130
+
+
+def test_charset_features_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "plain ascii"), (2, "a\x01b\x07c\x7f"), (3, "bad � dec"),
+         (4, "héllo§"), (5, None), (6, ""), (7, "\t\n ok")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in X.charset_features(df).collect()}
+    assert got[1]["n_control"] == 0 and got[1]["n_non_ascii"] == 0
+    assert got[2]["n_control"] == 3          # \x01 \x07 \x7f
+    assert got[3]["n_replacement"] == 1
+    assert got[4]["n_non_ascii"] == 2 and \
+        abs(got[4]["non_ascii_ratio"] - 2 / 6) < 1e-9
+    assert got[5]["n_control"] == 0 and got[5]["non_ascii_ratio"] is None
+    assert got[6]["non_ascii_ratio"] is None
+    assert got[7]["n_control"] == 0          # \t \n are whitespace, not ctrl
+
+
+def test_salient_terms_ranking(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple apple banana common"),
+         (2, "banana banana cherry common"),
+         (3, "common common date date date"),
+         (4, None), (5, "   ")],
+        "doc_id bigint, text string")
+    out = X.salient_terms(df, k=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3}          # null/blank docs drop out
+    assert all(len(v) == 2 for v in by_doc.values())
+    d1 = sorted(by_doc[1], key=lambda r: r["term_rank"])
+    assert d1[0]["term"] == "apple" and d1[0]["tf"] == 3 and d1[0]["df"] == 1
+    # tie on tf=1 between banana (df=2) and common (df=3): rarer wins
+    assert d1[1]["term"] == "banana"
+    # tfidf: 3 * (ln(4/2)+1) for apple in a 3-doc corpus
+    import math
+    assert abs(d1[0]["tfidf"] - round(3 * (math.log(4 / 2) + 1), 6)) < 1e-6
+    # rarest-first is doc-local: doc 3's top is date (tf=3)
+    d3 = sorted(by_doc[3], key=lambda r: r["term_rank"])
+    assert d3[0]["term"] == "date"
+
+
+def test_ngram_overlap_ratios(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        "doc_id bigint, text string")
+    ev = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),   # verbatim
+         (11, "zz yy xx ww vv uu tt"),                          # novel
+         (12, "the quick brown fox sat on novel words here")],  # partial
+        "eval_id bigint, text string")
+    got = {r["eval_id"]: r for r in
+           X.ngram_overlap(corpus, ev, shingle_n=3).collect()}
+    assert got[10]["overlap_ratio"] == 1.0
+    assert got[11]["overlap_ratio"] == 0.0 and got[11]["n_matched"] == 0
+    # partial: shares exactly the two leading trigrams of doc 1
+    assert got[12]["n_matched"] == 2
+    assert 0.0 < got[12]["overlap_ratio"] < 1.0

@@ -34,6 +34,61 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def embedding_profile(df: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Per-vector hygiene profile for an embedding column —
+    ``(id, dim, n_nan, n_zero, norm)``. Catches the degenerate vectors
+    that silently poison similarity search and dedup: zero/near-empty
+    vectors (cosine undefined), NaN leakage from a failed encoder batch,
+    and ragged dimensions from a mixed-model write. ``norm`` is NULL when
+    the vector contains NaN (instead of a poisoned NaN that different
+    engines order differently); null vectors profile as dim NULL.
+
+    Pure shuffle-free projection; the fold runs in array order (matching
+    a sequential list-fold oracle bit-for-bit before rounding)."""
+    v = F.col(vec_col)
+    n_nan = F.size(F.filter(v, lambda x: F.isnan(x.cast("double"))))
+    return df.select(
+        id_col,
+        F.when(v.isNull(), F.lit(None)).otherwise(F.size(v)).cast("int")
+        .alias("dim"),
+        n_nan.cast("long").alias("n_nan"),
+        F.size(F.filter(v, lambda x: x.cast("double") == 0.0)).cast("long")
+        .alias("n_zero"),
+        F.when(v.isNull() | (n_nan > 0), F.lit(None))
+        .otherwise(F.round(_norm(v), 6)).alias("norm"),
+    )
+
+
+def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Per-DIMENSION distribution stats across the corpus —
+    ``(dim, n, n_nan, mean_val, min_val, max_val)`` (floats rounded 6,
+    NaNs excluded from the moments and counted separately). The
+    training-data signal: a dimension whose mean drifts or collapses to a
+    constant flags an encoder-version mismatch between ingest batches —
+    per-dim stats are the cheapest drift tripwire for 100-TB embedding
+    stores.
+
+    Shape at scale: posexplode to (dim, value) then ONE hash aggregate
+    keyed by dim — cardinality = vector width, partial map-side combine
+    does almost all the work, and the shuffle carries `width × partitions`
+    rows no matter the corpus size."""
+    ex = df.filter(F.col(vec_col).isNotNull()).select(
+        F.posexplode(vec_col).alias("dim", "_x"))
+    x = F.col("_x").cast("double")
+    clean = F.when(F.isnan(x), F.lit(None)).otherwise(x)
+    return (
+        ex.groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum(F.isnan(x).cast("long")).cast("long").alias("n_nan"),
+             F.round(F.avg(clean), 6).alias("mean_val"),
+             F.round(F.min(clean), 6).alias("min_val"),
+             F.round(F.max(clean), 6).alias("max_val"))
+        .orderBy("dim")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

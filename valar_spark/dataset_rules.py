@@ -260,6 +260,87 @@ def mad_outliers(df: DataFrame, col: str, k: float = 3.5,
     )
 
 
+def group_zscore_outliers(df: DataFrame, col: str, group_col: str,
+                          z: float = 3.5,
+                          min_group_n: int = 10) -> DataFrame:
+    """Per-ENTITY anomaly rule: rows whose ``col`` deviates more than
+    ``z`` sample standard deviations from THEIR OWN group's mean — a
+    $2000 purchase is normal for one account and fraud-shaped for
+    another, which corpus-global fences (:func:`iqr_outliers` /
+    :func:`mad_outliers`) cannot see. Groups with fewer than
+    ``min_group_n`` non-null values are exempt (a 2-row group flags
+    nothing meaningful), as are zero-variance groups.
+
+    The moments use the explicit sum/sum-of-squares algebra (one
+    mergeable aggregate pass — the same algebra an external oracle can
+    state, unlike builtin Welford whose merge order is engine-internal),
+    and the comparison is rounded at 1e-6 so an ulp of parallel-sum
+    reordering cannot flip a fence decision. Shape at scale: one
+    group-keyed aggregate producing a #groups-sized table that joins
+    back broadcast-or-shuffled by Catalyst; the data rows shuffle at
+    most once. Returns the flagged rows + ``z_score`` (rounded 4)."""
+    v = F.col(col).cast("double")
+    m = (df.filter(v.isNotNull())
+         .groupBy(group_col)
+         .agg(F.count(F.lit(1)).alias("_n"),
+              F.sum(v).alias("_s"),
+              F.sum(v * v).alias("_ss")))
+    m = m.select(
+        group_col, "_n",
+        (F.col("_s") / F.col("_n")).alias("_mean"),
+        F.sqrt(F.greatest(
+            (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n"))
+            / (F.col("_n") - 1), F.lit(0.0))).alias("_std"),
+    ).filter(F.col("_n") >= min_group_n)
+    return (
+        df.join(m, group_col)
+        .filter(v.isNotNull() & (F.col("_std") > 0)
+                & (F.round(F.abs(v - F.col("_mean")) - z * F.col("_std"), 6)
+                   > 0))
+        .withColumn("z_score",
+                    F.round((v - F.col("_mean")) / F.col("_std"), 4))
+        .drop("_n", "_s", "_ss", "_mean", "_std")
+    )
+
+
+def reconciliation_violations(
+    fact: DataFrame,
+    fact_key: str,
+    measure: Column,
+    summary: DataFrame,
+    summary_key: str,
+    expected_col: str,
+    tolerance: float = 0.01,
+) -> DataFrame:
+    """Cross-table AGGREGATE reconciliation: every summary/header row's
+    stored total must equal the recomputed aggregate of its fact rows
+    within ``tolerance`` (order headers vs their line items, a metrics
+    rollup vs its events). Returns the mismatched summary keys with
+    ``n_fact_rows`` (0 ⇒ a header with no detail rows at all — a failure
+    mode plain referential integrity misses, because RI only checks the
+    child→parent direction). Summary rows whose stored total is NULL
+    flag whenever fact rows exist.
+
+    Shape at scale: ONE fact-side aggregate keyed by the fact key
+    (mergeable sum — map-side partials do the heavy lifting), left-joined
+    from the summary side; the fact rows themselves shuffle once at most.
+    ``tolerance`` absorbs float summation-order differences across
+    partitionings/engines — a reconciled total differs by ulps, a broken
+    one by units."""
+    agg = (fact.groupBy(F.col(fact_key).alias(summary_key))
+           .agg(F.sum(measure).alias("_recomputed"),
+                F.count(F.lit(1)).alias("_n_fact")))
+    j = summary.select(summary_key, F.col(expected_col).alias("_expected")) \
+        .join(agg, summary_key, "left")
+    bad = ((F.col("_recomputed").isNull() & F.col("_expected").isNotNull())
+           | (F.col("_expected").isNull() & F.col("_recomputed").isNotNull())
+           | (F.abs(F.col("_expected") - F.col("_recomputed")) > tolerance))
+    return (j.filter(bad)
+            .select(summary_key,
+                    F.coalesce(F.col("_n_fact"), F.lit(0)).cast("long")
+                    .alias("n_fact_rows")))
+
+
 def frequent_values(df: DataFrame, col: str, k: int = 5) -> DataFrame:
     """Top-k most frequent values of ``col`` with counts and corpus ratio
     — the histogram/frequency profile analyzer (Deequ ``Histogram``

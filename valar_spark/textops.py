@@ -287,6 +287,40 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+#: control characters that are NOT tokenizer whitespace (\t\n\v\f\r are
+#: legitimate layout; NUL..\x08, \x0E..\x1F and DEL are mojibake/binary
+#: leakage signals). Shared with the DuckDB oracle verbatim.
+CTRL_CLASS = r"[\x00-\x08\x0E-\x1F\x7F]"
+
+
+def charset_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-set hygiene signals for corpus filtering:
+    ``n_control`` (non-whitespace C0/DEL control characters — binary or
+    terminal-escape leakage), ``n_replacement`` (U+FFFD — upstream
+    decode failures / mojibake), ``n_non_ascii`` and ``non_ascii_ratio``
+    (script mix; near-1 on CJK is fine, mid-range on `lang='en'` rows is
+    a mis-decode flag). Null text ⇒ zero counts, null ratio.
+
+    Pure shuffle-free projection (counts via length-after-strip deltas,
+    no explode); all counts are codepoint-based so they agree across
+    engines regardless of internal UTF-8/UTF-16 representation."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    n_ctrl = n - F.length(F.regexp_replace(t, CTRL_CLASS, ""))
+    n_repl = n - F.length(F.regexp_replace(t, "�", ""))
+    n_na = n - F.length(F.regexp_replace(t, r"[^\x00-\x7F]", ""))
+    return df.select(
+        id_col,
+        n_ctrl.cast("long").alias("n_control"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_na.cast("long").alias("n_non_ascii"),
+        F.when(F.col(text_col).isNull() | (n == 0), F.lit(None))
+        .otherwise(F.round(n_na.cast("double") / n, 9))
+        .alias("non_ascii_ratio"),
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language heuristic: count whole-word hits per language,
     argmax wins (ties → lexicographically first; no hits → 'und'). A real
@@ -825,6 +859,24 @@ class _ScopedCheckpointDir:
         fs.delete(path, True)
 
 
+def md5_order_key(col: Column, salt: str = "valar") -> Column:
+    """Deterministic, engine-portable 32-bit ordering key:
+    ``int(md5(id || ':' || salt)[:8], 16)`` as a long in [0, 2³²).
+
+    The one hash every sampling/split operator in the engine keys on —
+    content-stable (same id ⇒ same key on every run, engine, cluster
+    size, and as the corpus grows) and reproducible bit-for-bit in any
+    engine with md5 (the DuckDB oracles recompute it as
+    ``('0x' || substr(md5(...), 1, 8))::UBIGINT``). Spark's ``concat_ws``
+    SKIPS nulls, so a null id hashes the bare salt — oracles replicate
+    that with an explicit CASE (see hash_split_documents)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws(
+            ":", col.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+        .cast("long")
+    )
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float] | None = None,
@@ -842,11 +894,7 @@ def hash_split(
     normalized; assignment order follows the dict order."""
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
     total = sum(weights.values())
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat_ws(
-            ":", F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10)
-        .cast("long") % buckets
-    )
+    bucket = md5_order_key(F.col(id_col), salt) % buckets
     expr: Column | None = None
     acc = 0.0
     names = list(weights)
@@ -859,6 +907,71 @@ def hash_split(
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", split)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_per_group: int,
+    id_col: str = "doc_id",
+    salt: str = "valar",
+) -> DataFrame:
+    """C4-style per-group quota: keep at most ``max_per_group`` rows per
+    ``group_col`` value (per-domain / per-language caps that stop one hot
+    source from dominating a training mix), adding ``grp_rank`` (1-based
+    keep order). Which rows survive is decided by the deterministic
+    :func:`md5_order_key` — a content-stable uniform draw, NOT arrival
+    order, so the kept subset is reproducible across runs/engines and
+    stable under corpus growth (a group's survivors only change where new
+    ids hash below the cap boundary). Ties (32-bit hash collisions, null
+    ids sharing the bare-salt hash) break on ``id_col`` ascending
+    nulls-first — oracles must pin NULLS FIRST (DuckDB defaults last).
+
+    Scale shape: ONE hash-partitioned sort-window shuffle on
+    ``group_col`` (rank ≤ cap is a running count, no full-group
+    materialization beyond the sort); AQE splits skewed hot groups'
+    sort spill, and because the filter is rank ≤ k the window can stop
+    serving a group early under whole-stage codegen. The null group is a
+    group like any other (capped too)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(group_col)
+         .orderBy(md5_order_key(F.col(id_col), salt).asc(),
+                  F.col(id_col).asc_nulls_first()))
+    return (df.withColumn("grp_rank", F.row_number().over(w))
+            .filter(F.col("grp_rank") <= max_per_group))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "valar",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (language/source rebalancing
+    for a training mix): keep a row iff its :func:`md5_order_key` bucket
+    falls below ``round(fraction × buckets)`` for its stratum. Unlike
+    ``df.sample`` the draw is content-stable — the same id keeps/drops on
+    every run, engine and cluster size, kept sets are NESTED across
+    fractions (a 10% sample ⊆ the 20% sample — supports reproducible
+    scaling-law subsets), and it composes with :func:`hash_split` by
+    using a different salt. Strata not in ``fractions`` (including null)
+    use ``default_fraction``. Pure shuffle-free projection; fraction
+    granularity is 1/``buckets``."""
+    bucket = md5_order_key(F.col(id_col), salt) % buckets
+    expr: Column | None = None
+    for name, frac in fractions.items():
+        cut = int(round(frac * buckets))
+        cond = F.col(strata_col) == name
+        keep_here = bucket < cut
+        expr = F.when(cond, keep_here) if expr is None \
+            else expr.when(cond, keep_here)
+    default_keep = bucket < int(round(default_fraction * buckets))
+    keep = default_keep if expr is None else expr.otherwise(default_keep)
+    return df.filter(keep)
 
 
 def dedup_minhash_by_priority(
@@ -1304,6 +1417,90 @@ def top_ngram_stats(df: DataFrame, text_col: str = "text",
                 F.round(F.col("top_count") * F.length("top_gram")
                         / F.greatest(F.col("_nc"), F.lit(1)), 6)
                 .alias("top_frac"))
+    )
+
+
+def salient_terms(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-``k`` salient terms per document with tf-idf weights:
+    ``(id, term, tf, df, tfidf, term_rank)``. Terms are lowercased
+    whitespace tokens; ``tfidf = tf × (ln((N+1)/(df+1)) + 1)`` (smoothed,
+    sklearn-style) with N = number of documents containing ≥1 token.
+
+    Ranking is the EXACT integer order ``(tf DESC, df ASC, term ASC)`` —
+    most frequent, then rarest — deliberately NOT the float product:
+    libm ``ln`` may differ by an ulp across engines and integer-coincident
+    scores (tf=2,df+1=3 vs tf=1,df+1=9 at equal N collide exactly in ℝ)
+    would make a float rank engine-dependent. The rounded ``tfidf``
+    column is informational payload.
+
+    Shape at scale: doc-keyed explode+aggregate (partial map-side
+    combine), a term-keyed document-frequency aggregate whose result is
+    vocab-sized (Catalyst/AQE broadcasts it back when it fits — hot terms
+    skew only the pre-combined partials), and one doc-keyed top-k
+    window."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    toks = df.filter(
+        c.isNotNull() & (F.regexp_replace(c, WS_STRIP, "") != "")
+    ).select(F.col(id_col), F.explode(tokens(F.lower(c))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = tf.select(F.count_distinct(id_col).alias("_n"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .crossJoin(F.broadcast(ndocs))
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"),
+                F.round(F.col("tf") * (F.log((F.col("_n") + 1.0)
+                                             / (F.col("df") + 1.0)) + 1.0),
+                        6).alias("tfidf"),
+                F.col("term_rank").cast("int").alias("term_rank"))
+    )
+
+
+def ngram_overlap(corpus: DataFrame, eval_df: DataFrame,
+                  shingle_n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  eval_id_col: str = "eval_id") -> DataFrame:
+    """Token-n-gram overlap decontamination ratio (the GPT-3-appendix-C
+    method, which screened on 13-gram collisions): for every eval item,
+    the fraction of its DISTINCT token n-grams that occur anywhere in the
+    training corpus — ``(eval_id, n_grams, n_matched, overlap_ratio)``.
+    1.0 ⇒ verbatim containment; high partial values catch paraphrase /
+    quote leakage that exact-dedup misses. Complements
+    :func:`winnow_contamination` (which localizes matches to documents;
+    this scores corpus-level saturation per eval item).
+
+    Shape at scale: the corpus side reduces to a DISTINCT shingle-hash
+    set (one doc-local dedup + one long-keyed distinct — ≈ unique-token-
+    n-gram cardinality, never doc×gram rows), and the eval side (small by
+    nature) LEFT-joins it on int64 keys; the ratio is exact integer
+    division. Never an all-pairs comparison."""
+    corpus_sh = (
+        corpus.select(F.explode(
+            hashed_shingles(F.col(text_col), shingle_n)).alias("_sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev = eval_df.select(
+        F.col(eval_id_col),
+        F.explode(hashed_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    return (
+        ev.join(corpus_sh, "_sh", "left")
+        .groupBy(eval_id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+             .alias("n_matched"))
+        .select(eval_id_col, "n_grams", "n_matched",
+                F.round(F.col("n_matched").cast("double") / F.col("n_grams"),
+                        9).alias("overlap_ratio"))
     )
 
 
