@@ -52,6 +52,15 @@ FUZZ_QUERIES = [
     # NFC + lowercase + ws-collapse across engines (unicodedata vs DuckDB
     # nfc_normalize/ICU lower) — prime dialect-drift territory
     "normalized_documents",
+    # round-4 curation analyzers: regex-class counting (control/FFFD/
+    # non-ASCII on astral+BMP mixes), LOWER dialect + UTF-8 term-tie
+    # ordering in the tf-idf rank, shingle-hash vs string-shingle set
+    # agreement in the overlap ratio, and the md5 keep-order replay
+    "charset_documents",
+    "salient_terms_documents",
+    "ngram_overlap_documents",
+    "cap_per_source_documents",
+    "stratified_sample_documents",
 ]
 
 _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",
@@ -141,6 +150,10 @@ EVENTS_QUERIES = [
     # sessionization: integer-microsecond gap math + tie-invariant
     # boundary cumsum must agree under duplicate (user, ts) rows
     "sessions_events",
+    # per-entity z-score (round 4): explicit sum/sumsq algebra + the
+    # 1e-6-rounded fence must agree under nulls, duplicate values and
+    # near-constant groups (13 users × ~23 events each ≥ min_group_n=10)
+    "zscore_outliers_by_user_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]
@@ -155,6 +168,8 @@ def make_events(rng: random.Random, n: int = 300) -> list[tuple]:
         ts = base_ts + rng.choice([0, 0, 60, 3600, rng.randint(0, 86400)])
         val = rng.choice([None, 0.0, -5.25, 499.999,
                           round(rng.uniform(0, 500), 3)])
+        if rng.random() < 0.01:           # rare spike: makes per-user
+            val = 50_000.0                # z-score fences actually fire
         props = rng.choice([None, "", " ", "\t", '{"k": 1}', "{}"])
         rows.append((user, eid, rng.choice(_ETYPES), val, ts, props))
     return rows

@@ -1583,7 +1583,7 @@ def _q_reconciliation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     measure = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
                * (1 + F.col("l_tax")))
-    return (D.reconciliation_violations(li, "l_orderkey", measure,
+    return (D.reconciliation_mismatches(li, "l_orderkey", measure,
                                         orders, "o_orderkey", "o_totalprice")
             .orderBy("o_orderkey"))
 

@@ -402,7 +402,25 @@ def test_reconciliation_violations(spark):
          (4, 99.0),          # broken total
          (5, None)],         # null stored total, no facts -> fine
         "k bigint, total double")
-    out = D.reconciliation_violations(
+    out = D.reconciliation_mismatches(
         fact, "k", F.col("amt"), summary, "k", "total")
     got = {r["k"]: r["n_fact_rows"] for r in out.collect()}
     assert got == {3: 0, 4: 1}
+
+
+def test_group_zscore_and_reconciliation_violation_schemas(spark):
+    rows = ([("a", float(i), float(100 + i)) for i in range(11)]
+            + [("a", 99.0, 10_000.0)])
+    df = spark.createDataFrame(rows, "grp string, k double, value double")
+    v = D.group_zscore_violations(df, "value", "grp", "k", z=3.0,
+                                  min_group_n=10).collect()
+    assert len(v) == 1
+    assert v[0]["code"] == "validation.dataset.group_outlier"
+    assert v[0]["conv_id"] == "a" and v[0]["turn_idx"] == "99.0"
+    fact = spark.createDataFrame([(1, 10.0)], "k bigint, amt double")
+    summary = spark.createDataFrame([(1, 99.0), (3, 5.0)],
+                                    "k bigint, total double")
+    rv = D.reconciliation_rule_violations(
+        fact, "k", F.col("amt"), summary, "k", "total").collect()
+    assert {r["conv_id"] for r in rv} == {"1", "3"}
+    assert all(r["code"] == "validation.dataset.reconciliation" for r in rv)

@@ -303,7 +303,7 @@ def group_zscore_outliers(df: DataFrame, col: str, group_col: str,
     )
 
 
-def reconciliation_violations(
+def reconciliation_mismatches(
     fact: DataFrame,
     fact_key: str,
     measure: Column,
@@ -339,6 +339,59 @@ def reconciliation_violations(
             .select(summary_key,
                     F.coalesce(F.col("_n_fact"), F.lit(0)).cast("long")
                     .alias("n_fact_rows")))
+
+
+def group_zscore_violations(
+    df: DataFrame, col: str, group_col: str, key_col: str,
+    z: float = 3.5, min_group_n: int = 10,
+    rule_id: str | None = None,
+) -> DataFrame:
+    """:func:`group_zscore_outliers` in the engine's standard violation
+    schema (same rows as the runner's other dataset rules, union-able
+    into one violations frame)."""
+    out = group_zscore_outliers(df, col, group_col, z=z,
+                                min_group_n=min_group_n)
+    return _as_violations(
+        out,
+        rule_id or f"dataset.group_zscore.{col}",
+        E.CODE_GROUP_OUTLIER,
+        F.concat(F.lit(f"{col} deviates z="), F.col("z_score").cast("string"),
+                 F.lit(f" from its {group_col} group mean")),
+        keys=(group_col, key_col),
+        field_path=(col,),
+        expected=f"|z| <= {z}",
+        actual=F.col("z_score"),
+    )
+
+
+def reconciliation_rule_violations(
+    fact: DataFrame,
+    fact_key: str,
+    measure: Column,
+    summary: DataFrame,
+    summary_key: str,
+    expected_col: str,
+    tolerance: float = 0.01,
+    rule_id: str | None = None,
+) -> DataFrame:
+    """:func:`reconciliation_mismatches` in the standard violation
+    schema."""
+    out = reconciliation_mismatches(fact, fact_key, measure, summary,
+                                    summary_key, expected_col,
+                                    tolerance=tolerance)
+    return _as_violations(
+        out,
+        rule_id or f"dataset.reconciliation.{expected_col}",
+        E.CODE_RECONCILIATION,
+        F.concat(F.lit(f"{expected_col} disagrees with the recomputed "
+                       f"fact aggregate over "),
+                 F.col("n_fact_rows").cast("string"),
+                 F.lit(" fact rows")),
+        keys=(summary_key,),
+        field_path=(expected_col,),
+        expected=f"recomputed total within {tolerance}",
+        actual=F.col("n_fact_rows"),
+    )
 
 
 def frequent_values(df: DataFrame, col: str, k: int = 5) -> DataFrame:

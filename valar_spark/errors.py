@@ -52,6 +52,8 @@ CODE_TRANSITION = "validation.dataset.illegal_transition"
 CODE_SCHEMA = "validation.dataset.schema_mismatch"
 CODE_GROUP_COMPOSITION = "validation.dataset.group_composition"
 CODE_DISJOINTNESS = "validation.dataset.disjointness"
+CODE_GROUP_OUTLIER = "validation.dataset.group_outlier"
+CODE_RECONCILIATION = "validation.dataset.reconciliation"
 
 ERROR_FIELDS = (
     "rule_id",
