@@ -61,6 +61,9 @@ FUZZ_QUERIES = [
     "ngram_overlap_documents",
     "cap_per_source_documents",
     "stratified_sample_documents",
+    # normalization-KEY dedup: nfc+lower+ws-collapse equality must pick
+    # the same keep-set across engines on adversarial unicode
+    "dedup_normalized_documents",
 ]
 
 _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",

@@ -1588,6 +1588,26 @@ def _q_reconciliation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
+def _q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-key dedup over a construction with planted
+    re-serializations: every 19th doc gets a copy (id+200000) that is
+    case-flipped on 'a' and whitespace-padded — byte-distinct, but equal
+    under NFC+lowercase+ws-collapse, so exactly the planted copies must
+    drop (plus any natural normalized dups, which the oracle recomputes
+    identically)."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = (docs.filter((F.col("doc_id") % 19 == 0)
+                            & F.col("text").isNotNull())
+                .select((F.col("doc_id") + 200000).alias("doc_id"),
+                        F.concat(F.lit("  "),
+                                 F.replace("text", F.lit("a"), F.lit("A")),
+                                 F.lit(" \t")).alias("text")))
+    u = docs.unionByName(variants)
+    return X.dedup_normalized(u).select("doc_id").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = bench execution order. The shuffle/UDF-heavy pair
     # queries run FIRST (right after the flagship): this host throttles
@@ -1679,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats_embeddings": _q_embedding_dim_stats,
         "zscore_outliers_by_user_events": _q_zscore_outliers_by_user,
         "reconciliation_orders_lineitem": _q_reconciliation_orders,
+        "dedup_normalized_documents": _q_dedup_normalized,
     }
 
 
@@ -3071,6 +3092,23 @@ def oracle_sql() -> dict[str, str]:
         FROM j
         WHERE std > 0 AND ROUND(ABS(value - mean) - 3.0 * std, 6) > 0
         ORDER BY event_id
+    """
+    o["dedup_normalized_documents"] = r"""
+        WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 200000,
+                   '  ' || replace(text, 'a', 'A') || ' ' || chr(9)
+            FROM documents WHERE doc_id % 19 = 0 AND text IS NOT NULL
+        ), k AS (
+            SELECT doc_id,
+                   md5(regexp_replace(regexp_replace(
+                       LOWER(nfc_normalize(text)),
+                       '[ \t\n\f\r\x0B]+', ' ', 'g'),
+                       '(^ +)|( +$)', '', 'g')) AS h
+            FROM u WHERE text IS NOT NULL
+        )
+        SELECT MIN(doc_id) AS doc_id FROM k GROUP BY h ORDER BY doc_id
     """
     o["reconciliation_orders_lineitem"] = """
         WITH agg AS (

@@ -674,3 +674,15 @@ def test_ngram_overlap_ratios(spark):
     # partial: shares exactly the two leading trigrams of doc 1
     assert got[12]["n_matched"] == 2
     assert 0.0 < got[12]["overlap_ratio"] < 1.0
+
+
+def test_dedup_normalized_collapses_reserializations(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "  HELLO\tWORLD \n"),
+         (4, "café"), (5, "café"),              # NFC vs NFD compose equal
+         (6, "distinct doc"), (7, None)],
+        "doc_id bigint, text string")
+    kept = {r["doc_id"] for r in X.dedup_normalized(df).collect()}
+    assert kept == {1, 4, 6}                    # min id per normalized key
+    groups = X.normalized_duplicate_groups(df).collect()
+    assert {(g["n_docs"], g["min_doc_id"]) for g in groups} == {(3, 1), (2, 4)}

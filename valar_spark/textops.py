@@ -115,6 +115,41 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
+def normalized_duplicate_groups(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                form: str = "NFC") -> DataFrame:
+    """Duplicate groups under :func:`normalize_text` equality (Unicode
+    form + lowercase + whitespace collapse) — the "near-exact" dedup key
+    most web-corpus pipelines run between exact dedup and MinHash:
+    catches case/encoding/whitespace re-serializations that byte-exact
+    md5 misses, at exact-dedup cost. Same shape as
+    :func:`exact_duplicate_groups`: the shuffle carries (key-hash, id)
+    only."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.md5(normalize_text(F.col(text_col), form))
+                .alias("norm_hash"), F.col(id_col))
+        .groupBy("norm_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_normalized(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", form: str = "NFC") -> DataFrame:
+    """Keep the lowest-id doc per distinct NORMALIZED text (see
+    :func:`normalized_duplicate_groups`). Window-free like
+    :func:`dedup_exact`: min-id per key then semi-join; null-text rows
+    are dropped (they carry no content to keep)."""
+    keep = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(normalize_text(F.col(text_col), form)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
 #: line normalization for cross-document line dedup: the Java-whitespace
 #: trim class shared with every other cross-engine text oracle (WS_CLASS)
 _LINE_TRIM_RE = r"(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)"
