@@ -1588,6 +1588,25 @@ def _q_reconciliation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
+def _q_embedding_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import ann
+
+    return ann.embedding_group_drift(_read(spark, sf_dir, "embeddings"),
+                                     group_col="label")
+
+
+def _q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type distinct-user cardinality with the sketch-accuracy
+    boolean — the oracle states exact counts + TRUE, so an out-of-bound
+    sketch estimate hash-mismatches (same contract as
+    hll_tolerance_events, sliced)."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return (D.group_distinct_tolerance(ev, "user_id", "event_type")
+            .orderBy("event_type"))
+
+
 def _q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-key dedup over a construction with planted
     re-serializations: every 19th doc gets a copy (id+200000) that is
@@ -1700,6 +1719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers_by_user_events": _q_zscore_outliers_by_user,
         "reconciliation_orders_lineitem": _q_reconciliation_orders,
         "dedup_normalized_documents": _q_dedup_normalized,
+        "embedding_group_drift_embeddings": _q_embedding_group_drift,
+        "hll_by_group_events": _q_hll_by_group,
     }
 
 
@@ -3092,6 +3113,30 @@ def oracle_sql() -> dict[str, str]:
         FROM j
         WHERE std > 0 AND ROUND(ABS(value - mean) - 3.0 * std, 6) > 0
         ORDER BY event_id
+    """
+    o["embedding_group_drift_embeddings"] = """
+        WITH ex AS (
+            SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding)::DOUBLE AS x
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND label IS NOT NULL
+        ), g AS (
+            SELECT label, dim, SUM(x) AS s, COUNT(*) AS c
+            FROM ex WHERE NOT isnan(x) GROUP BY label, dim
+        ), gl AS (
+            SELECT dim, SUM(s) / SUM(c) AS gm FROM g GROUP BY dim
+        )
+        SELECT label, CAST(MIN(c) AS BIGINT) AS n_vectors,
+               ROUND(SQRT(SUM((s / c - gm) * (s / c - gm))), 6)
+                 AS centroid_dist
+        FROM g JOIN gl USING (dim)
+        GROUP BY label ORDER BY label
+    """
+    o["hll_by_group_events"] = """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type ORDER BY event_type
     """
     o["dedup_normalized_documents"] = r"""
         WITH u AS (

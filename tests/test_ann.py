@@ -316,3 +316,19 @@ def test_embedding_dim_stats_exact(spark):
     assert got[0]["n"] == 3 and got[0]["mean_val"] == 3.0
     assert got[0]["min_val"] == 1.0 and got[0]["max_val"] == 5.0
     assert got[1]["mean_val"] == 20.0 and got[1]["n_nan"] == 0
+
+
+def test_embedding_group_drift_displaced_group(spark):
+    # group 0 centered at origin, group 1 shifted by +10 on dim 0 —
+    # group distances from the global centroid must mirror each other
+    # (equal sizes) and sit near 5.0
+    rows = ([(i, [0.1 * (i % 3) - 0.1, 0.0], 0) for i in range(30)]
+            + [(100 + i, [10.0 + 0.1 * (i % 3) - 0.1, 0.0], 1)
+               for i in range(30)])
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<float>, "
+                               "label int")
+    got = {r["label"]: r for r in ann.embedding_group_drift(df).collect()}
+    assert got[0]["n_vectors"] == 30 and got[1]["n_vectors"] == 30
+    assert abs(got[0]["centroid_dist"] - 5.0) < 1e-4
+    assert abs(got[0]["centroid_dist"] - got[1]["centroid_dist"]) < 1e-6

@@ -424,3 +424,15 @@ def test_group_zscore_and_reconciliation_violation_schemas(spark):
         fact, "k", F.col("amt"), summary, "k", "total").collect()
     assert {r["conv_id"] for r in rv} == {"1", "3"}
     assert all(r["code"] == "validation.dataset.reconciliation" for r in rv)
+
+
+def test_group_distinct_tolerance(spark):
+    rows = [(f"g{i % 2}", i % 4) for i in range(200)] + [("g2", None)]
+    df = spark.createDataFrame(rows, "grp string, uid int")
+    got = {r["grp"]: r for r in
+           D.group_distinct_tolerance(df, "uid", "grp").collect()}
+    assert got["g0"]["exact_distinct"] == 2   # even i -> 0, 2
+    assert got["g1"]["exact_distinct"] == 2   # odd i -> 1, 3
+    assert all(r["within_tol"] for r in got.values() if r["grp"] != "g2")
+    # an all-null group: exact 0, sketch empty, still within
+    assert got["g2"]["exact_distinct"] == 0 and got["g2"]["within_tol"]

@@ -89,6 +89,43 @@ def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding",
     )
 
 
+def embedding_group_drift(df: DataFrame, group_col: str = "label",
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Per-group centroid displacement from the corpus centroid —
+    ``(group, n_vectors, centroid_dist)`` (L2, rounded 6). The embedding
+    drift tripwire: when one ingest batch / label / source was encoded by
+    a different model version, its centroid walks away from the global
+    mean long before any per-vector check fires. Complements
+    :func:`embedding_dim_stats` (which sees global drift but not which
+    slice moved).
+
+    Shape at scale: posexplode → ONE (group × dim)-keyed sum/count
+    aggregate (map-side partials do the work; result is #groups × width
+    rows), the global centroid derived from THAT small frame (exact —
+    weighted by the same sums, no second data pass), then a
+    groups-sized join+aggregate. The data rows shuffle once, carrying
+    only partial sums. NaN entries are excluded; null group/vector rows
+    are skipped."""
+    ex = df.filter(F.col(vec_col).isNotNull()
+                   & F.col(group_col).isNotNull()).select(
+        group_col, F.posexplode(vec_col).alias("dim", "_x"))
+    x = F.col("_x").cast("double")
+    g = (ex.filter(~F.isnan(x))
+         .groupBy(group_col, "dim")
+         .agg(F.sum(x).alias("_s"), F.count(F.lit(1)).alias("_c")))
+    glob = (g.groupBy("dim")
+            .agg((F.sum("_s") / F.sum("_c")).alias("_gm")))
+    diff = F.col("_s") / F.col("_c") - F.col("_gm")
+    return (
+        g.join(glob, "dim")
+        .groupBy(group_col)
+        .agg(F.min("_c").cast("long").alias("n_vectors"),
+             F.round(F.sqrt(F.sum(diff * diff)), 6).alias("centroid_dist"))
+        .orderBy(group_col)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

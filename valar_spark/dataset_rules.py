@@ -420,6 +420,32 @@ def frequent_values(df: DataFrame, col: str, k: int = 5) -> DataFrame:
     )
 
 
+def group_distinct_tolerance(df: DataFrame, col: str, group_col: str,
+                             lgk: int = 14,
+                             tol: float = 0.05) -> DataFrame:
+    """Per-GROUP cardinality with a sketch-accuracy gate:
+    ``(group, exact_distinct, within_tol)`` where ``within_tol`` asserts
+    the mergeable Datasketches HLL estimate lands within ``tol`` of the
+    exact count for that group. The per-slice companion of the global
+    HLL rule: at 10^12 rows the exact count is replaced by the sketch and
+    this check (run on samples / small slices) is the calibration
+    evidence that the sketch's error bound holds on this data. ONE
+    group-keyed aggregate computing both; the sketch side is mergeable
+    across partitions by construction."""
+    agg = df.groupBy(group_col).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(col, F.lit(lgk)))
+        .cast("double").alias("_est"),
+        F.count_distinct(col).cast("long").alias("exact_distinct"),
+    )
+    within = F.when(
+        F.col("exact_distinct") == 0, F.col("_est") == 0.0
+    ).otherwise(
+        F.abs(F.col("_est") - F.col("exact_distinct"))
+        / F.col("exact_distinct") <= tol)
+    return agg.select(group_col, "exact_distinct",
+                      within.alias("within_tol"))
+
+
 def schema_violations(
     df: DataFrame,
     expected_ddl: str,
