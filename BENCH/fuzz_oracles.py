@@ -64,6 +64,9 @@ FUZZ_QUERIES = [
     # normalization-KEY dedup: nfc+lower+ws-collapse equality must pick
     # the same keep-set across engines on adversarial unicode
     "dedup_normalized_documents",
+    # the COMPOSED pipeline: quality windows into dedup into cap into
+    # sample into split — any stage-boundary dialect drift surfaces here
+    "curation_ledger_documents",
 ]
 
 _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",

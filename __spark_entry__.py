@@ -1588,6 +1588,19 @@ def _q_reconciliation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
+def _q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE curation pipeline (quality → normalized dedup → per-
+    source cap 20 → stratified sample → split) as one hash-checked
+    ledger — the end-to-end composition, not just its stages."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return (X.curation_ledger(docs, cap=20,
+                              fractions={"en": 0.8, "de": 0.6},
+                              default_fraction=0.5)
+            .orderBy("doc_id"))
+
+
 def _q_embedding_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import ann
 
@@ -1721,12 +1734,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized_documents": _q_dedup_normalized,
         "embedding_group_drift_embeddings": _q_embedding_group_drift,
         "hll_by_group_events": _q_hll_by_group,
+        "curation_ledger_documents": _q_curation_ledger,
     }
 
 
 # the planted-mutation spec of _mutated_events as SQL — ONE definition
 # shared by both flagship-path oracles (the moduli live in exactly two
 # places: the Python mutation and this CTE)
+# the corpus_filter quality-gate spec as SQL CTEs (h: marker hits, s:
+# lang_pred + tokens, r: per-doc ',reason' concat) — ONE definition shared
+# by the corpus_filter oracle and the composed curation-ledger oracle
+_CORPUS_REASONS_SQL = r"""h AS (
+                SELECT doc_id, text,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(der|die|und|das|ist)\b')), 0) AS de,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(the|and|of|to|is)\b')), 0) AS en,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(el|la|los|que|es)\b')), 0) AS es,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '\b(le|la|et|les|est)\b')), 0) AS fr,
+                    COALESCE(len(regexp_extract_all(LOWER(text),
+                        '(的|是|了|在|我)')), 0) AS zh
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text,
+                    CASE WHEN GREATEST(de, en, es, fr, zh) = 0 THEN 'und'
+                         WHEN de = GREATEST(de, en, es, fr, zh) THEN 'de'
+                         WHEN en = GREATEST(de, en, es, fr, zh) THEN 'en'
+                         WHEN es = GREATEST(de, en, es, fr, zh) THEN 'es'
+                         WHEN fr = GREATEST(de, en, es, fr, zh) THEN 'fr'
+                         ELSE 'zh' END AS lang_pred,
+                    CASE WHEN text IS NULL OR regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = ''
+                         THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+')
+                    END AS t,
+                    LENGTH(text) AS nc
+                FROM h
+            ), r AS (
+                SELECT doc_id,
+                    (CASE WHEN len(t) < 5
+                          THEN ',too_few_tokens' ELSE '' END)
+                    || (CASE WHEN nc * 1.0 / GREATEST(len(t), 1) > 12.0
+                             THEN ',long_tokens' ELSE '' END)
+                    || (CASE WHEN (nc - LENGTH(regexp_replace(text, '[0-9]',
+                             '', 'g'))) * 1.0 / GREATEST(nc, 1) > 0.3
+                             THEN ',digits' ELSE '' END)
+                    || (CASE WHEN (len(t) - len(list_distinct(t))) * 1.0
+                             / GREATEST(len(t), 1) > 0.9
+                             THEN ',repetition' ELSE '' END)
+                    || (CASE WHEN lang_pred NOT IN ('de','en','es','fr')
+                             THEN ',lang' ELSE '' END) AS raw
+                FROM s
+            )"""
+
+
 _MUTATED_EVENTS_SQL = """WITH m0 AS (
                 SELECT event_id, user_id, event_type, props,
                        CASE WHEN event_id % 499 = 0 THEN value * 25.0
@@ -2484,50 +2546,8 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(len(l), 1), 6) AS dup_line_frac
             FROM feat ORDER BY doc_id
         """,
-        "corpus_filter_documents": r"""
-            WITH h AS (
-                SELECT doc_id, text,
-                    COALESCE(len(regexp_extract_all(LOWER(text),
-                        '\b(der|die|und|das|ist)\b')), 0) AS de,
-                    COALESCE(len(regexp_extract_all(LOWER(text),
-                        '\b(the|and|of|to|is)\b')), 0) AS en,
-                    COALESCE(len(regexp_extract_all(LOWER(text),
-                        '\b(el|la|los|que|es)\b')), 0) AS es,
-                    COALESCE(len(regexp_extract_all(LOWER(text),
-                        '\b(le|la|et|les|est)\b')), 0) AS fr,
-                    COALESCE(len(regexp_extract_all(LOWER(text),
-                        '(的|是|了|在|我)')), 0) AS zh
-                FROM documents
-            ), s AS (
-                SELECT doc_id, text,
-                    CASE WHEN GREATEST(de, en, es, fr, zh) = 0 THEN 'und'
-                         WHEN de = GREATEST(de, en, es, fr, zh) THEN 'de'
-                         WHEN en = GREATEST(de, en, es, fr, zh) THEN 'en'
-                         WHEN es = GREATEST(de, en, es, fr, zh) THEN 'es'
-                         WHEN fr = GREATEST(de, en, es, fr, zh) THEN 'fr'
-                         ELSE 'zh' END AS lang_pred,
-                    CASE WHEN text IS NULL OR regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = ''
-                         THEN CAST([] AS VARCHAR[])
-                         ELSE regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+')
-                    END AS t,
-                    LENGTH(text) AS nc
-                FROM h
-            ), r AS (
-                SELECT doc_id,
-                    (CASE WHEN len(t) < 5
-                          THEN ',too_few_tokens' ELSE '' END)
-                    || (CASE WHEN nc * 1.0 / GREATEST(len(t), 1) > 12.0
-                             THEN ',long_tokens' ELSE '' END)
-                    || (CASE WHEN (nc - LENGTH(regexp_replace(text, '[0-9]',
-                             '', 'g'))) * 1.0 / GREATEST(nc, 1) > 0.3
-                             THEN ',digits' ELSE '' END)
-                    || (CASE WHEN (len(t) - len(list_distinct(t))) * 1.0
-                             / GREATEST(len(t), 1) > 0.9
-                             THEN ',repetition' ELSE '' END)
-                    || (CASE WHEN lang_pred NOT IN ('de','en','es','fr')
-                             THEN ',lang' ELSE '' END) AS raw
-                FROM s
-            )
+        "corpus_filter_documents": rf"""
+            WITH {_CORPUS_REASONS_SQL}
             SELECT doc_id, raw = '' AS keep,
                    LTRIM(raw, ',') AS drop_reasons
             FROM r ORDER BY doc_id
@@ -3113,6 +3133,74 @@ def oracle_sql() -> dict[str, str]:
         FROM j
         WHERE std > 0 AND ROUND(ABS(value - mean) - 3.0 * std, 6) > 0
         ORDER BY event_id
+    """
+    # the composed pipeline replayed stage-for-stage: the quality CTE is
+    # the SHARED _CORPUS_REASONS_SQL, dedup/cap/sample/split reuse the
+    # proven md5/nfc fragments; windows pin NULLS FIRST and tie-break on
+    # doc_id exactly like the Spark ledger
+    o["curation_ledger_documents"] = rf"""
+        WITH {_CORPUS_REASONS_SQL}, base AS (
+            SELECT d.doc_id, d.text, d.lang, d.source,
+                   LTRIM(r.raw, ',') AS drop_reasons,
+                   r.raw = '' AS q_keep
+            FROM documents d JOIN r USING (doc_id)
+        ), k AS (
+            SELECT *,
+                   md5(regexp_replace(regexp_replace(
+                       LOWER(nfc_normalize(text)),
+                       '[ \t\n\f\r\x0B]+', ' ', 'g'),
+                       '(^ +)|( +$)', '', 'g')) AS nkey,
+                   ('0x' || substr(md5(CASE WHEN doc_id IS NULL
+                        THEN 'valar:cap'
+                        ELSE CAST(doc_id AS VARCHAR) || ':valar:cap' END),
+                        1, 8))::UBIGINT AS okey,
+                   ('0x' || substr(md5(CASE WHEN doc_id IS NULL
+                        THEN 'valar:sample'
+                        ELSE CAST(doc_id AS VARCHAR) || ':valar:sample'
+                        END), 1, 8))::UBIGINT % 10000 AS sbucket,
+                   ('0x' || substr(md5(CASE WHEN doc_id IS NULL
+                        THEN 'valar'
+                        ELSE CAST(doc_id AS VARCHAR) || ':valar' END),
+                        1, 8))::UBIGINT % 10000 AS spbucket
+            FROM base
+        ), w1 AS (
+            SELECT *, MIN(CASE WHEN q_keep THEN doc_id END)
+                      OVER (PARTITION BY nkey) AS min_id
+            FROM k
+        ), w2 AS (
+            SELECT *,
+                   q_keep AND doc_id != min_id AS dedup_drop,
+                   q_keep AND doc_id = min_id AS s2
+            FROM w1
+        ), w3 AS (
+            SELECT *, SUM(CASE WHEN s2 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY source
+                       ORDER BY okey ASC, doc_id ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS crank
+            FROM w2
+        ), fin AS (
+            SELECT *,
+                   s2 AND crank > 20 AS cap_drop,
+                   s2 AND crank <= 20 AS s3,
+                   CASE lang WHEN 'en' THEN sbucket < 8000
+                             WHEN 'de' THEN sbucket < 6000
+                             ELSE sbucket < 5000 END AS sample_keep
+            FROM w3
+        )
+        SELECT doc_id,
+               CASE WHEN NOT q_keep THEN 'quality'
+                    WHEN dedup_drop THEN 'dedup'
+                    WHEN cap_drop THEN 'cap'
+                    WHEN s3 AND NOT sample_keep THEN 'sample'
+               END AS drop_stage,
+               drop_reasons,
+               CASE WHEN s3 AND sample_keep THEN
+                    CASE WHEN spbucket < 9800 THEN 'train'
+                         WHEN spbucket < 9900 THEN 'val'
+                         ELSE 'test' END
+               END AS split
+        FROM fin ORDER BY doc_id
     """
     o["embedding_group_drift_embeddings"] = """
         WITH ex AS (

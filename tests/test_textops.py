@@ -686,3 +686,36 @@ def test_dedup_normalized_collapses_reserializations(spark):
     assert kept == {1, 4, 6}                    # min id per normalized key
     groups = X.normalized_duplicate_groups(df).collect()
     assert {(g["n_docs"], g["min_doc_id"]) for g in groups} == {(3, 1), (2, 4)}
+
+
+def test_curation_ledger_matches_sequential_stages(spark, docs):
+    """The one-pass ledger must equal literally chaining the standalone
+    ops: quality filter -> dedup_normalized -> cap_per_group ->
+    stratified_sample -> hash_split (same per-purpose salts)."""
+    fr = {"en": 0.8, "de": 0.6}
+    led = X.curation_ledger(docs, cap=10, fractions=fr,
+                            default_fraction=0.5)
+    led_rows = {r["doc_id"]: r for r in led.collect()}
+    q = X.corpus_filter(docs).filter(F.col("keep")) \
+        .select("doc_id", "text", "lang", "source")
+    d = X.dedup_normalized(q)
+    c = X.cap_per_group(d, "source", 10, salt="valar:cap")
+    s = X.stratified_sample(c, "lang", fr, default_fraction=0.5,
+                            salt="valar:sample")
+    seq = {r["doc_id"]: r["split"] for r in X.hash_split(s).collect()}
+    led_kept = {i: r["split"] for i, r in led_rows.items()
+                if r["drop_stage"] is None}
+    assert led_kept == seq
+    # ledger covers every doc exactly once with a stage or a split
+    assert set(led_rows) == {r["doc_id"] for r in docs.collect()}
+    stages = {r["drop_stage"] for r in led_rows.values()}
+    assert stages <= {None, "quality", "dedup", "cap", "sample"}
+
+
+def test_curation_report_accounts_for_every_doc(spark, docs):
+    led = X.curation_ledger(docs, cap=10, fractions={"en": 0.5},
+                            default_fraction=0.3)
+    rep = {r["stage"]: r["n_docs"] for r in
+           X.curation_report(led).collect()}
+    assert sum(rep.values()) == docs.count()
+    assert any(k.startswith("kept:") for k in rep)

@@ -928,8 +928,16 @@ def hash_split(
     md5 — the DuckDB oracle recomputes it bit-for-bit. Weights are
     normalized; assignment order follows the dict order."""
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
-    total = sum(weights.values())
     bucket = md5_order_key(F.col(id_col), salt) % buckets
+    return df.withColumn("split", split_assign_expr(bucket, weights, buckets))
+
+
+def split_assign_expr(bucket: Column, weights: dict[str, float],
+                      buckets: int = 10_000) -> Column:
+    """The cumulative-threshold split assignment of :func:`hash_split` as
+    a reusable Column over an existing bucket expression (weights
+    normalized; assignment order = dict order)."""
+    total = sum(weights.values())
     expr: Column | None = None
     acc = 0.0
     names = list(weights)
@@ -940,8 +948,7 @@ def hash_split(
         expr = F.when(branch, F.lit(name)) if expr is None \
             else expr.when(branch, F.lit(name))
     last = F.lit(names[-1])
-    split = last if expr is None else expr.otherwise(last)
-    return df.withColumn("split", split)
+    return last if expr is None else expr.otherwise(last)
 
 
 def cap_per_group(
@@ -997,16 +1004,122 @@ def stratified_sample(
     use ``default_fraction``. Pure shuffle-free projection; fraction
     granularity is 1/``buckets``."""
     bucket = md5_order_key(F.col(id_col), salt) % buckets
+    return df.filter(stratum_keep_expr(
+        F.col(strata_col), fractions, default_fraction, bucket, buckets))
+
+
+def stratum_keep_expr(strata: Column, fractions: dict[str, float],
+                      default_fraction: float, bucket: Column,
+                      buckets: int = 10_000) -> Column:
+    """The per-stratum threshold predicate of :func:`stratified_sample`
+    as a reusable Column over an existing bucket expression."""
     expr: Column | None = None
     for name, frac in fractions.items():
         cut = int(round(frac * buckets))
-        cond = F.col(strata_col) == name
+        cond = strata == name
         keep_here = bucket < cut
         expr = F.when(cond, keep_here) if expr is None \
             else expr.when(cond, keep_here)
     default_keep = bucket < int(round(default_fraction * buckets))
-    keep = default_keep if expr is None else expr.otherwise(default_keep)
-    return df.filter(keep)
+    return default_keep if expr is None else expr.otherwise(default_keep)
+
+
+def curation_ledger(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap_group_col: str = "source",
+    cap: int | None = None,
+    strata_col: str = "lang",
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = 1.0,
+    split_weights: dict[str, float] | None = None,
+    dedup_form: str = "NFC",
+    salt: str = "valar",
+    min_tokens: int = 5,
+    allowed_langs: tuple[str, ...] = ("de", "en", "es", "fr"),
+) -> DataFrame:
+    """The WHOLE curation pipeline — quality gate → normalized dedup →
+    per-group cap → stratified sample → split assignment — evaluated as
+    ONE window-augmented pass that returns a per-document LEDGER:
+    ``(id, drop_stage, drop_reasons, split)`` where ``drop_stage`` ∈
+    {quality, dedup, cap, sample, NULL=survivor} names the FIRST stage
+    that dropped the doc (later stages only consider prior survivors,
+    exactly like running the stages sequentially — e.g. a quality-dropped
+    doc can never hold a dedup group's keep slot) and survivors get their
+    train/val/test ``split``.
+
+    Why a ledger and not five chained filters: a 100-TB curation run
+    needs per-stage yield accounting and per-doc drop provenance anyway,
+    and chaining filters pays the scan five times. Here the quality
+    signals are scan-local, dedup is one window over the normalization
+    key, the cap is a running count over the (group, md5-order) window,
+    and sampling/split are row-local hashes — two window shuffles total,
+    each carrying only (id, keys). Hash purposes are salted apart
+    (``salt:cap`` / ``salt:sample`` / split uses ``salt``), so cap
+    survival, sample survival and split assignment are pairwise
+    independent draws.
+
+    Fully oracle-able: every stage is an engine-portable expression
+    (see the ``curation_ledger_documents`` gate query)."""
+    from pyspark.sql import Window
+
+    g = corpus_filter(df, text_col, min_tokens=min_tokens,
+                      allowed_langs=allowed_langs)
+    # each window's inputs are MATERIALIZED columns from the previous
+    # step (Spark forbids nesting a window expression inside another)
+    nkey = F.md5(normalize_text(F.col(text_col), dedup_form))
+    g = g.withColumn(
+        "_min_id",
+        F.min(F.when(F.col("keep"), F.col(id_col)))
+        .over(Window.partitionBy(nkey)))
+    q_keep = F.col("keep")
+    dedup_drop = q_keep & (F.col(id_col) != F.col("_min_id"))
+    g = g.withColumn("_s2", q_keep & ~dedup_drop)
+    s2_keep = F.col("_s2")
+    okey = md5_order_key(F.col(id_col), f"{salt}:cap")
+    if cap is not None:
+        wcap = (Window.partitionBy(cap_group_col)
+                .orderBy(okey.asc(), F.col(id_col).asc_nulls_first())
+                .rowsBetween(Window.unboundedPreceding, 0))
+        g = g.withColumn("_crank", F.sum(s2_keep.cast("int")).over(wcap))
+        cap_drop = s2_keep & (F.col("_crank") > cap)
+    else:
+        cap_drop = F.lit(False)
+    s3_keep = s2_keep & ~cap_drop
+    if fractions is not None or default_fraction < 1.0:
+        sbucket = md5_order_key(F.col(id_col), f"{salt}:sample") % 10_000
+        sample_keep = stratum_keep_expr(F.col(strata_col), fractions or {},
+                                        default_fraction, sbucket)
+        sample_drop = s3_keep & ~sample_keep
+    else:
+        sample_drop = F.lit(False)
+    s4_keep = s3_keep & ~sample_drop
+    weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    split = split_assign_expr(md5_order_key(F.col(id_col), salt) % 10_000,
+                              weights)
+    stage = (F.when(~q_keep, F.lit("quality"))
+             .when(dedup_drop, F.lit("dedup"))
+             .when(cap_drop, F.lit("cap"))
+             .when(sample_drop, F.lit("sample")))
+    return g.select(
+        id_col,
+        stage.alias("drop_stage"),
+        F.concat_ws(",", "drop_reasons").alias("drop_reasons"),
+        F.when(s4_keep, split).alias("split"),
+    )
+
+
+def curation_report(ledger: DataFrame) -> DataFrame:
+    """Per-stage yield accounting over a :func:`curation_ledger` —
+    ``(stage, n_docs)`` with survivors under their split name. One
+    aggregate over the ledger."""
+    return (ledger
+            .groupBy(F.coalesce(F.col("drop_stage"),
+                                F.concat(F.lit("kept:"), F.col("split")))
+                     .alias("stage"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy("stage"))
 
 
 def dedup_minhash_by_priority(
