@@ -71,3 +71,16 @@ def test_cli_auto_on_non_transcript_table(spark, tmp_path, monkeypatch,
     res = _json_line(out)
     assert res["dataset_violations"] == 0  # transcript checks skipped
     assert res["buckets_processed"] == list(range(4))
+
+
+def test_cli_curate_writes_ledger(spark, tmp_path, monkeypatch, capsys):
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--work-dir", str(tmp_path), "--run-id", "c1",
+        "--curate", "--cap", "15"])
+    assert rc == 0
+    assert _json_line(out)["ledger"].endswith("ledger_c1")
+    led = spark.read.parquet(str(tmp_path / "ledger_c1"))
+    assert set(led.columns) == {"doc_id", "drop_stage", "drop_reasons",
+                                "split"}
+    assert led.count() == 500

@@ -719,3 +719,25 @@ def test_curation_report_accounts_for_every_doc(spark, docs):
            X.curation_report(led).collect()}
     assert sum(rep.values()) == docs.count()
     assert any(k.startswith("kept:") for k in rep)
+
+
+def test_curation_ledger_near_dup_stage(spark, docs):
+    """A caller-supplied near-dup drop set (e.g. dedup_minhash victims)
+    slots in between normalized dedup and the cap: already-dropped docs
+    keep their earlier stage, survivors in the set become 'near_dup',
+    and the cap only counts what remains."""
+    base = X.curation_ledger(docs, cap=10)
+    rows = {r["doc_id"]: r for r in base.collect()}
+    q_dropped = next(i for i, r in rows.items() if r["drop_stage"] == "quality")
+    survivor = next(i for i, r in rows.items() if r["drop_stage"] is None)
+    nd = spark.createDataFrame([(q_dropped,), (survivor,)], "doc_id bigint")
+    led = {r["doc_id"]: r for r in
+           X.curation_ledger(docs, cap=10, near_dup_drop_ids=nd).collect()}
+    assert led[q_dropped]["drop_stage"] == "quality"   # earlier stage wins
+    assert led[survivor]["drop_stage"] == "near_dup"
+    # with the real minhash keep-set: victims = ids NOT kept
+    kept_mh = X.dedup_minhash(docs, threshold=0.8)
+    victims = docs.select("doc_id").exceptAll(kept_mh.select("doc_id"))
+    led2 = X.curation_ledger(docs, cap=10, near_dup_drop_ids=victims)
+    stages = {r["drop_stage"] for r in led2.collect()}
+    assert stages <= {None, "quality", "dedup", "near_dup", "cap", "sample"}

@@ -40,6 +40,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--history-anomalies", action="store_true",
                    help="after the run, flag rules whose violation rate "
                         "deviates >3 sigma from prior runs in this work-dir")
+    p.add_argument("--curate", action="store_true",
+                   help="treat --input as a documents-shaped table "
+                        "(doc_id, text, lang, source) and run the "
+                        "curation LEDGER (quality -> normalized dedup "
+                        "[-> MinHash near-dup] -> per-source cap -> "
+                        "split): writes the per-doc ledger parquet to "
+                        "the work-dir and prints the per-stage yield")
+    p.add_argument("--cap", type=int, default=None,
+                   help="per-source document cap for --curate")
+    p.add_argument("--minhash", action="store_true",
+                   help="add the MinHash near-dup stage to --curate")
     p.add_argument("--auto", action="store_true",
                    help="end-to-end pipeline: profile the input and PROPOSE "
                         "a rule set (Deequ-style suggestion), validate with "
@@ -61,6 +72,23 @@ def main(argv: list[str] | None = None) -> int:
         df = synth_transcripts(spark, total_turns=int(args.input[6:]), seed=42)
     else:
         df = spark.read.parquet(args.input)
+
+    if args.curate:
+        import os
+
+        from valar_spark import textops as X
+
+        nd = None
+        if args.minhash:
+            kept = X.dedup_minhash(df, threshold=0.8)
+            nd = df.select("doc_id").exceptAll(kept.select("doc_id"))
+        led = X.curation_ledger(df, cap=args.cap, near_dup_drop_ids=nd)
+        out = os.path.join(args.work_dir, f"ledger_{args.run_id}")
+        led.write.mode("overwrite").parquet(out)
+        X.curation_report(spark.read.parquet(out)).show(50, truncate=False)
+        print(json.dumps({"run_id": args.run_id, "ledger": out}))
+        spark.stop()
+        return 0
 
     if args.suggest:
         from valar_spark.suggest import suggest_rules

@@ -1038,12 +1038,13 @@ def curation_ledger(
     salt: str = "valar",
     min_tokens: int = 5,
     allowed_langs: tuple[str, ...] = ("de", "en", "es", "fr"),
+    near_dup_drop_ids: DataFrame | None = None,
 ) -> DataFrame:
     """The WHOLE curation pipeline — quality gate → normalized dedup →
     per-group cap → stratified sample → split assignment — evaluated as
     ONE window-augmented pass that returns a per-document LEDGER:
     ``(id, drop_stage, drop_reasons, split)`` where ``drop_stage`` ∈
-    {quality, dedup, cap, sample, NULL=survivor} names the FIRST stage
+    {quality, dedup, near_dup, cap, sample, NULL=survivor} names the FIRST stage
     that dropped the doc (later stages only consider prior survivors,
     exactly like running the stages sequentially — e.g. a quality-dropped
     doc can never hold a dedup group's keep slot) and survivors get their
@@ -1075,7 +1076,23 @@ def curation_ledger(
         .over(Window.partitionBy(nkey)))
     q_keep = F.col("keep")
     dedup_drop = q_keep & (F.col(id_col) != F.col("_min_id"))
-    g = g.withColumn("_s2", q_keep & ~dedup_drop)
+    # optional near-dup stage: a caller-supplied drop-id set (e.g. the
+    # victims of dedup_minhash / embedding_near_dup_pairs — LSH stages
+    # aren't expressible as one window, so they plug in as a broadcast-or-
+    # shuffled left join on the id). Applied AFTER exact/normalized dedup,
+    # before the cap, mirroring the classic pipeline order.
+    if near_dup_drop_ids is not None:
+        nd = near_dup_drop_ids.select(
+            F.col(near_dup_drop_ids.columns[0]).alias(id_col)) \
+            .distinct().withColumn("_nd_hit", F.lit(True))
+        g = g.join(nd, id_col, "left")
+        near_drop_base = F.coalesce(F.col("_nd_hit"), F.lit(False))
+    else:
+        near_drop_base = F.lit(False)
+    g = (g.withColumn("_s2a", q_keep & ~dedup_drop)
+         .withColumn("_ndrop", F.col("_s2a") & near_drop_base))
+    near_drop = F.col("_ndrop")
+    g = g.withColumn("_s2", F.col("_s2a") & ~near_drop)
     s2_keep = F.col("_s2")
     okey = md5_order_key(F.col(id_col), f"{salt}:cap")
     if cap is not None:
@@ -1100,6 +1117,7 @@ def curation_ledger(
                               weights)
     stage = (F.when(~q_keep, F.lit("quality"))
              .when(dedup_drop, F.lit("dedup"))
+             .when(near_drop, F.lit("near_dup"))
              .when(cap_drop, F.lit("cap"))
              .when(sample_drop, F.lit("sample")))
     return g.select(
