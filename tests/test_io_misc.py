@@ -412,3 +412,37 @@ def test_streaming_transition_grammar_across_batches(spark, tmp_path):
     assert got[("A", 2)]["kind"] == "transition"
     assert got[("A", 2)]["prev_state"] == "assistant"
     assert got[("A", 2)]["code"] == "validation.dataset.illegal_transition"
+
+
+def test_stream_curate_gate_and_split(spark, tmp_path):
+    """Ingest-time curation is stateless: quality gate + charset counters
+    + content-stable split on a file-source stream, and the split equals
+    the batch hash_split bit-for-bit (shared expressions)."""
+    from valar_spark import textops as X
+    from valar_spark.streaming import stream_curate
+
+    src = str(tmp_path / "cur_src")
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house is here today"),
+         (2, "xx"),                                   # too few tokens
+         (3, "bad \x01 control the and of to is char here today"),
+         (4, None)],
+        "doc_id bigint, text string")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_curate(stream)
+    q = (out.writeStream.format("memory").queryName("cur_test")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r for r in
+               spark.sql("SELECT * FROM cur_test").collect()}
+    finally:
+        q.stop()
+    assert got[1]["keep"] is True and got[1]["split"] is not None
+    assert got[2]["keep"] is False and "too_few_tokens" in got[2]["drop_reasons"]
+    assert got[3]["n_control"] == 1
+    assert got[4]["keep"] is False
+    batch_split = {r["doc_id"]: r["split"]
+                   for r in X.hash_split(df).collect()}
+    assert all(got[i]["split"] == batch_split[i] for i in got)

@@ -212,6 +212,48 @@ def stream_near_dup_flags(
     )
 
 
+def stream_curate(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_weights: dict[str, float] | None = None,
+    min_tokens: int = 5,
+    allowed_langs: tuple[str, ...] = ("de", "en", "es", "fr"),
+) -> DataFrame:
+    """Ingest-time curation: the quality/language gate + charset hygiene
+    + deterministic split assignment applied to a document STREAM —
+    every signal is a stateless projection (the same engine-portable
+    expressions as the batch :func:`~valar_spark.textops.corpus_filter` /
+    :func:`~valar_spark.textops.charset_features` /
+    :func:`~valar_spark.textops.hash_split`), so the stream plan has no
+    state store and no watermark requirement, and the batch and streaming
+    paths CANNOT drift apart (shared Column builders, not parallel
+    implementations).
+
+    Emits every incoming doc with ``keep``/``drop_reasons``, charset
+    counters and its content-stable ``split`` — downstream sinks route on
+    ``keep`` (e.g. kept → the training landing zone partitioned by split,
+    dropped → a quarantine table with reasons). Dedup against the
+    existing corpus chains via :func:`stream_near_dup_flags`; dedup
+    WITHIN the stream via :func:`stream_dedup_exact`."""
+    from . import textops as X
+
+    g = X.corpus_filter(stream_df, text_col, min_tokens=min_tokens,
+                        allowed_langs=allowed_langs)
+    g = X.hash_split(g, weights=split_weights, id_col=id_col)
+    # charset counters inline (a stream-stream self-join would demand
+    # watermarks; these are projections of the same row)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    n_ctrl = n - F.length(F.regexp_replace(t, X.CTRL_CLASS, ""))
+    n_na = n - F.length(F.regexp_replace(t, r"[^\x00-\x7F]", ""))
+    return (g.withColumn("n_control", n_ctrl.cast("long"))
+            .withColumn("n_non_ascii", n_na.cast("long"))
+            .select(id_col, text_col, "lang_pred", "keep",
+                    F.concat_ws(",", "drop_reasons").alias("drop_reasons"),
+                    "n_control", "n_non_ascii", "split"))
+
+
 _NO_TS = -(1 << 62)  # sentinel: no comparable predecessor (start / null ts)
 
 
