@@ -67,6 +67,9 @@ FUZZ_QUERIES = [
     # the COMPOSED pipeline: quality windows into dedup into cap into
     # sample into split — any stage-boundary dialect drift surfaces here
     "curation_ledger_documents",
+    # span-duplication fractions: shingle-hash df counts vs string-gram
+    # df counts must agree on adversarial tokenizations
+    "dup_ngram_fraction_documents",
 ]
 
 _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",

@@ -340,15 +340,19 @@ def _q_id_leakage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization rollup (1h gap) per user — the batch
-    conversation-segmentation profile. Session assignment is
-    order-invariant within timestamp ties (ties are never boundaries), so
-    no engine-specific tie-break is needed; epochs are whole seconds on
-    this data, making the long-cast gap math identical on both engines."""
+    conversation-segmentation profile. ``tie_cols=[event_id]`` pins a
+    TOTAL window order: the session count is tie-invariant, but an
+    oracle that sorts its lag and cumsum passes independently can split
+    a duplicate-(user, ts) tie group across sessions (fuzzer-caught
+    one-off); with the unique tie-break both engines replay the same
+    total order. Epochs are whole seconds on this data, making the
+    long-cast gap math identical on both engines."""
     from valar_spark import dataset_rules as D
 
     ev = _read(spark, sf_dir, "events")
     return (
-        D.session_stats(ev, ["user_id"], "ts", gap_seconds=3600)
+        D.session_stats(ev, ["user_id"], "ts", gap_seconds=3600,
+                        tie_cols=["event_id"])
         .select("user_id", "session_id", "n_events", "t_start", "t_end")
         .orderBy("user_id", "session_id")
     )
@@ -626,6 +630,22 @@ def _q_transcript_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = _transcripts(spark)
     return validate(df, transcript_ruleset()).verdicts
+
+
+def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level shape profile + shape-rule violations over the
+    synthetic transcript table (rows-only — transcripts are not a
+    registered DuckDB view; the per-column machinery is pinned by
+    test_conversation_stats_and_shape_violations)."""
+    from valar_spark import dataset_rules as D
+
+    df = _transcripts(spark)
+    stats = D.conversation_stats(df)
+    viol = (D.conversation_violations(df, min_turns=2)
+            .select(F.col("conv_id").alias("conv"),
+                    F.col("actual").alias("shape_violation")))
+    return (stats.join(viol, "conv", "left")
+            .orderBy("conv"))
 
 
 def _mutated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1588,6 +1608,18 @@ def _q_reconciliation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
+def _q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-duplication fractions over the planted-copies corpus (every
+    even doc's grams are df≥2 by construction ⇒ dup_frac 1.0 for copies;
+    odd docs measure natural template repetition). Shares the cached
+    shingle pass with the other near-dup gate queries."""
+    from valar_spark import textops as X
+
+    u = _docs_with_copies(spark, sf_dir)
+    return (X.duplicated_ngram_fraction(u, sets=_shared_sets(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
 def _q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENTIRE curation pipeline (quality → normalized dedup → per-
     source cap 20 → stratified sample → split) as one hash-checked
@@ -1696,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_documents": _q_frame_sample,
         "validate_transcripts": _q_validate_transcripts,
         "transcript_verdicts": _q_transcript_verdicts,
+        "conversation_stats_transcripts": _q_conversation_stats,
         "validate_events": _q_validate_events,
         "json_valid_events": _q_json_valid_events,
         "events_verdict_summary": _q_events_verdict_summary,
@@ -1735,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_group_drift_embeddings": _q_embedding_group_drift,
         "hll_by_group_events": _q_hll_by_group,
         "curation_ledger_documents": _q_curation_ledger,
+        "dup_ngram_fraction_documents": _q_dup_ngram_fraction,
     }
 
 
@@ -1998,9 +2032,11 @@ def oracle_sql() -> dict[str, str]:
         # within ts ties, so no tie-break pinning is required
         "sessions_events": """
             WITH lagged AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id,
                        LAG(ts) OVER (PARTITION BY user_id
-                                     ORDER BY ts ASC NULLS FIRST) AS prev_ts
+                                     ORDER BY ts ASC NULLS FIRST,
+                                              event_id ASC NULLS FIRST)
+                         AS prev_ts
                 FROM events WHERE ts IS NOT NULL
             ), s AS (
                 SELECT user_id, ts,
@@ -2009,7 +2045,8 @@ def oracle_sql() -> dict[str, str]:
                                      > 3600000000::BIGINT
                                 THEN 1 ELSE 0 END)
                            OVER (PARTITION BY user_id
-                                 ORDER BY ts ASC NULLS FIRST
+                                 ORDER BY ts ASC NULLS FIRST,
+                                          event_id ASC NULLS FIRST
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW) - 1 AS session_id
                 FROM lagged
@@ -3133,6 +3170,29 @@ def oracle_sql() -> dict[str, str]:
         FROM j
         WHERE std > 0 AND ROUND(ABS(value - mean) - 3.0 * std, 6) > 0
         ORDER BY event_id
+    """
+    o["dup_ngram_fraction_documents"] = rf"""
+        WITH u AS ({_DOCS_WITH_COPIES_SQL}),
+        toks AS (
+            SELECT doc_id, regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+            FROM u WHERE text IS NOT NULL AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, GREATEST(len(t) - 2, 1)),
+                i -> array_to_string(t[i:i+2], ' ')))) AS s
+            FROM toks
+        ),
+        dfreq AS (
+            SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2
+        )
+        SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dup,
+               ROUND(SUM(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 9) AS dup_frac
+        FROM sh LEFT JOIN dfreq d USING (s)
+        GROUP BY sh.doc_id ORDER BY sh.doc_id
     """
     # the composed pipeline replayed stage-for-stage: the quality CTE is
     # the SHARED _CORPUS_REASONS_SQL, dedup/cap/sample/split reuse the

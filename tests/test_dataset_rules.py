@@ -436,3 +436,48 @@ def test_group_distinct_tolerance(spark):
     assert all(r["within_tol"] for r in got.values() if r["grp"] != "g2")
     # an all-null group: exact 0, sketch empty, still within
     assert got["g2"]["exact_distinct"] == 0 and got["g2"]["within_tol"]
+
+
+def test_conversation_stats_and_shape_violations(spark):
+    rows = [
+        # c1: dense 0..2, mixed roles, one tool call
+        ("c1", 0, "user", "hi", None),
+        ("c1", 1, "assistant", "hello there", "search"),
+        ("c1", 2, "user", "thanks", None),
+        # c2: gapped turn_idx (0, 2) -> non-dense
+        ("c2", 0, "user", "a", None),
+        ("c2", 2, "assistant", "b", None),
+        # c3: single turn, empty text -> too_few + mostly_empty
+        ("c3", 0, "user", "   ", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    st = {r["conv"]: r for r in D.conversation_stats(df).collect()}
+    assert st["c1"]["n_turns"] == 3 and st["c1"]["dense"]
+    assert st["c1"]["n_user"] == 2 and st["c1"]["n_tool_calls"] == 1
+    assert not st["c2"]["dense"]
+    assert st["c3"]["n_empty_text"] == 1
+    v = {r["conv_id"]: r["actual"] for r in
+         D.conversation_violations(df, min_turns=2).collect()}
+    assert "c1" not in v
+    assert v["c2"] == "non_dense_turn_idx"
+    assert "too_few_turns" in v["c3"] and "mostly_empty" in v["c3"]
+
+
+def test_sessionize_tie_break_total_order(spark):
+    """Duplicate (group, ts) rows around a boundary: with tie_cols the
+    assignment is a fixed total order — the whole tie group follows its
+    first row into the new session, independent of input order."""
+    from datetime import datetime
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    t1 = datetime(2026, 1, 1, 3, 0, 0)          # 3h later -> boundary
+    rows = [("u", 1, t0), ("u", 2, t1), ("u", 3, t1), ("u", 4, t1)]
+    for perm in (rows, rows[::-1], [rows[2], rows[0], rows[3], rows[1]]):
+        df = spark.createDataFrame(
+            perm, "g string, event_id int, ts timestamp")
+        got = {r["event_id"]: r["session_id"] for r in
+               D.sessionize(df, ["g"], "ts", gap_seconds=3600,
+                            tie_cols=["event_id"]).collect()}
+        assert got == {1: 0, 2: 1, 3: 1, 4: 1}

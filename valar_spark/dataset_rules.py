@@ -902,6 +902,7 @@ def sessionize(
     group_cols: Sequence[str],
     ts_col: str,
     gap_seconds: int = 1800,
+    tie_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Gap-based session assignment (the batch companion to
     ``streaming.stream_session_stats``): within each group, a new session
@@ -909,12 +910,21 @@ def sessionize(
     ``gap_seconds``. Adds ``session_id`` (0-based per group, in time
     order) to every non-null-ts row.
 
-    One window shuffle on the group key; the cumulative-sum form is
-    order-insensitive within timestamp ties (ties are never boundaries),
-    so the assignment is deterministic without a total tie-break. At
-    10^12 rows this is the same single-shuffle cost class as the
-    integrity window — share the conv_id partitioning."""
-    w = Window.partitionBy(*group_cols).orderBy(F.col(ts_col).asc())
+    One window shuffle on the group key. The session COUNT is invariant
+    to timestamp-tie order (ties are never boundaries), and within one
+    engine — which evaluates the lag and the cumulative sum over a
+    SINGLE sort — the tie group's first row carries the boundary, so the
+    whole group lands in the new session whatever order the sort chose.
+    But an external replay that sorts the two passes INDEPENDENTLY (an
+    oracle's two CTEs, a re-partitioned rerun) can split a tie group
+    across sessions. Pass ``tie_cols`` (a unique key, e.g. the event id)
+    to pin a TOTAL order whenever duplicate ``(group, ts)`` rows are
+    possible and results must be reproducible across engines — the
+    differential fuzzer caught a one-off count flicker on exactly this
+    (duplicate-heavy fuzz events, DuckDB two-CTE replay)."""
+    order_cols = [F.col(ts_col).asc()] + [
+        F.col(c).asc_nulls_first() for c in tie_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     prev = F.lag(F.col(ts_col)).over(w)
     # timestamp_diff works identically for TIMESTAMP and TIMESTAMP_NTZ
     # (NTZ supports no epoch cast at all — same trick as freshness); the
@@ -924,7 +934,7 @@ def sessionize(
     boundary = F.when(
         prev.isNull() | (gap_us > int(gap_seconds) * 1_000_000),
         1).otherwise(0)
-    wc = (Window.partitionBy(*group_cols).orderBy(F.col(ts_col).asc())
+    wc = (Window.partitionBy(*group_cols).orderBy(*order_cols)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
         df.filter(F.col(ts_col).isNotNull())
@@ -938,6 +948,7 @@ def session_stats(
     group_cols: Sequence[str],
     ts_col: str,
     gap_seconds: int = 1800,
+    tie_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-session rollup over :func:`sessionize`:
     ``(*group_cols, session_id, n_events, t_start, t_end)`` — the
@@ -945,7 +956,7 @@ def session_stats(
     span) a transcript pipeline reports before re-chunking long
     histories."""
     return (
-        sessionize(df, group_cols, ts_col, gap_seconds)
+        sessionize(df, group_cols, ts_col, gap_seconds, tie_cols=tie_cols)
         .groupBy(*group_cols, "session_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
              F.min(ts_col).alias("t_start"),
@@ -1136,6 +1147,87 @@ def transition_violations(
 # Per-column stats profile (BASELINE.json:6: null rate, min/max, HLL
 # cardinality, quantile sketches)
 # ---------------------------------------------------------------------------
+
+
+def conversation_stats(df: DataFrame, conv_col: str = "conv_id",
+                       turn_col: str = "turn_idx",
+                       role_col: str = "role", text_col: str = "text",
+                       tool_col: str = "tool") -> DataFrame:
+    """Per-CONVERSATION shape profile over a transcript table — the
+    payload-level view the per-turn rules can't see: turn count vs dense
+    ``turn_idx`` coverage, role mix (a conversation that is 95% assistant
+    turns is synthetic-loop-shaped), empty-text and tool-call rates, and
+    text-volume stats. ONE conv-keyed aggregate (map-side combined;
+    at 10^12 turns this is THE natural partition key, so the shuffle is
+    the already-clustered one the flagship pipeline shares).
+
+    Columns: ``(conv, n_turns, max_turn_idx, dense, n_user, n_assistant,
+    n_system, n_tool_role, n_empty_text, n_tool_calls, total_chars,
+    avg_chars)``; ``dense`` ⇔ turn_idx is exactly 0..n_turns−1 with no
+    gaps or dups (min=0 ∧ max=n−1 ∧ distinct=n)."""
+    t = F.col(text_col)
+    stripped = F.regexp_replace(t, r"(^\s+)|(\s+$)", "")
+    empty = t.isNull() | (stripped == "")
+    return (
+        df.groupBy(F.col(conv_col).alias("conv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+             F.max(turn_col).cast("long").alias("max_turn_idx"),
+             ((F.min(turn_col) == 0)
+              & (F.max(turn_col) == F.count(F.lit(1)) - 1)
+              & (F.count_distinct(F.col(turn_col))
+                 == F.count(F.lit(1)))).alias("dense"),
+             F.sum((F.col(role_col) == "user").cast("long"))
+             .cast("long").alias("n_user"),
+             F.sum((F.col(role_col) == "assistant").cast("long"))
+             .cast("long").alias("n_assistant"),
+             F.sum((F.col(role_col) == "system").cast("long"))
+             .cast("long").alias("n_system"),
+             F.sum((F.col(role_col) == "tool").cast("long"))
+             .cast("long").alias("n_tool_role"),
+             F.sum(empty.cast("long")).cast("long").alias("n_empty_text"),
+             F.sum((F.col(tool_col).isNotNull()
+                    & (F.col(tool_col) != "none")).cast("long"))
+             .cast("long").alias("n_tool_calls"),
+             F.sum(F.coalesce(F.length(t), F.lit(0))).cast("long")
+             .alias("total_chars"),
+             F.round(F.avg(F.coalesce(F.length(t), F.lit(0))), 6)
+             .alias("avg_chars"))
+    )
+
+
+def conversation_violations(df: DataFrame, min_turns: int = 2,
+                            max_turns: int = 10_000,
+                            require_dense: bool = True,
+                            max_empty_frac: float = 0.5,
+                            conv_col: str = "conv_id",
+                            **stat_cols: str) -> DataFrame:
+    """Conversation-SHAPE rule in the standard violation schema: flags
+    conversations that are too short/long, have gapped or duplicated
+    turn indices, or are mostly empty turns — the conversation-level
+    gate a transcript curation run applies before per-turn validation
+    cost is spent."""
+    s = conversation_stats(df, conv_col=conv_col, **stat_cols)
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_turns") < min_turns, F.lit("too_few_turns")),
+        F.when(F.col("n_turns") > max_turns, F.lit("too_many_turns")),
+        F.when(F.lit(require_dense) & ~F.col("dense"),
+               F.lit("non_dense_turn_idx")),
+        F.when(F.col("n_empty_text")
+               > max_empty_frac * F.col("n_turns"),
+               F.lit("mostly_empty")),
+    )
+    bad = s.withColumn("_r", reasons).filter(F.col("_r") != "")
+    return _as_violations(
+        bad,
+        "dataset.conversation_shape",
+        E.CODE_CONVERSATION_SHAPE,
+        F.concat(F.lit("Conversation shape: "), F.col("_r")),
+        keys=("conv",),
+        field_path=(conv_col,),
+        expected=f"{min_turns} <= turns <= {max_turns}, dense turn_idx",
+        actual=F.col("_r"),
+    )
 
 
 def stats_profile(

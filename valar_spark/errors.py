@@ -54,6 +54,7 @@ CODE_GROUP_COMPOSITION = "validation.dataset.group_composition"
 CODE_DISJOINTNESS = "validation.dataset.disjointness"
 CODE_GROUP_OUTLIER = "validation.dataset.group_outlier"
 CODE_RECONCILIATION = "validation.dataset.reconciliation"
+CODE_CONVERSATION_SHAPE = "validation.dataset.conversation_shape"
 
 ERROR_FIELDS = (
     "rule_id",

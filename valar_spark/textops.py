@@ -1586,6 +1586,44 @@ def top_ngram_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def duplicated_ngram_fraction(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", shingle_n: int = 3,
+                              min_df: int = 2,
+                              sets: DataFrame | None = None) -> DataFrame:
+    """Cross-document SPAN duplication per doc — ``(id, n_grams, n_dup,
+    dup_frac)``: the fraction of a document's distinct token n-grams that
+    also occur in at least ``min_df`` documents corpus-wide. The signal
+    behind substring-level train-set dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a doc
+    that is 60% made of corpus-repeated spans is boilerplate/template
+    material even when no single WHOLE document matches it (which is why
+    doc-level MinHash and line-level dedup both miss it).
+
+    Shape at scale: the per-doc shingle sets (shared cacheable pass,
+    ``sets``) explode to (gram-hash, id); gram document-frequencies are
+    one long-keyed aggregate (map-side combined; result ≈ unique-gram
+    cardinality); flagged grams join back by hash. Never any doc×doc
+    comparison."""
+    own = sets is None
+    if own:
+        sets = shingle_hash_sets(df, text_col, id_col, shingle_n)
+    ex = sets.select("_id", F.explode("_sh").alias("_g"))
+    dfreq = (ex.groupBy("_g")
+             .agg(F.count(F.lit(1)).alias("_df"))
+             .filter(F.col("_df") >= min_df)
+             .select("_g", F.lit(1).alias("_dup")))
+    return (
+        ex.join(dfreq, "_g", "left")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+             F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long")
+             .alias("n_dup"))
+        .select(id_col, "n_grams", "n_dup",
+                F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 9)
+                .alias("dup_frac"))
+    )
+
+
 def salient_terms(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Top-``k`` salient terms per document with tf-idf weights:
