@@ -1690,6 +1690,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_planted_recall_documents": _q_winnow_planted_recall,
         "contamination_screen_documents": _q_contamination_screen,
         "top_bigram_documents": _q_top_bigram,
+        # round-4 session-G shuffle/UDF-heavy additions — early for the
+        # same throttled-tail reason as the pair queries above
+        "curation_ledger_documents": _q_curation_ledger,
+        "dup_ngram_fraction_documents": _q_dup_ngram_fraction,
+        "salient_terms_documents": _q_salient_terms,
+        "ngram_overlap_documents": _q_ngram_overlap,
+        "dedup_normalized_documents": _q_dedup_normalized,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "embedding_near_dup_pairs": _q_embedding_near_dups,
         "ann_topk_embeddings": _q_ann_topk,
@@ -1758,17 +1765,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_documents": _q_charset_documents,
         "cap_per_source_documents": _q_cap_per_source,
         "stratified_sample_documents": _q_stratified_sample,
-        "salient_terms_documents": _q_salient_terms,
-        "ngram_overlap_documents": _q_ngram_overlap,
         "embedding_profile_embeddings": _q_embedding_profile,
         "embedding_dim_stats_embeddings": _q_embedding_dim_stats,
         "zscore_outliers_by_user_events": _q_zscore_outliers_by_user,
         "reconciliation_orders_lineitem": _q_reconciliation_orders,
-        "dedup_normalized_documents": _q_dedup_normalized,
         "embedding_group_drift_embeddings": _q_embedding_group_drift,
         "hll_by_group_events": _q_hll_by_group,
-        "curation_ledger_documents": _q_curation_ledger,
-        "dup_ngram_fraction_documents": _q_dup_ngram_fraction,
     }
 
 

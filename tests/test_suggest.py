@@ -66,3 +66,13 @@ def test_suggest_dataset_level_candidates(spark):
     # idx is not unique and id is not a dense-with-repeats index
     assert ("idx", "uniqueness_candidate") not in got
     assert ("id", "sequence_candidate") not in got
+
+
+def test_suggest_charset_and_conversation_candidates(spark):
+    from valar_spark.synth import synth_transcripts
+
+    df = synth_transcripts(spark, total_turns=3000, seed=42)
+    _, report = suggest_rules(df)
+    rows = {(r["column"], r["rule"]) for r in report.collect()}
+    assert ("conv_id,turn_idx", "conversation_shape_candidate") in rows
+    assert any(rule == "charset_clean_candidate" for _, rule in rows)

@@ -62,14 +62,23 @@ def suggest_rules(
 
     string_cols = [c for c in columns if dtypes[c] == "string"]
     blanks: dict[str, int] = {}
+    ctrls: dict[str, int] = {}
     if string_cols:
-        row = df.agg(*[
-            F.sum((F.col(c).isNotNull()
-                   & (F.regexp_replace(F.col(c), r"[\x00-\x20]", "") == ""))
-                  .cast("long")).alias(c)
-            for c in string_cols
-        ]).first()
+        from .textops import CTRL_CLASS
+
+        row = df.agg(*(
+            [F.sum((F.col(c).isNotNull()
+                    & (F.regexp_replace(F.col(c), r"[\x00-\x20]", "") == ""))
+                   .cast("long")).alias(c)
+             for c in string_cols]
+            + [F.sum((F.length(F.col(c))
+                      - F.length(F.regexp_replace(F.col(c), CTRL_CLASS,
+                                                  "")))
+                     .cast("long")).alias(f"__ctrl_{c}")
+               for c in string_cols]
+        )).first()
         blanks = {c: int(row[c] or 0) for c in string_cols}
+        ctrls = {c: int(row[f"__ctrl_{c}"] or 0) for c in string_cols}
 
     rules: dict = {}
     report_rows: list[tuple] = []
@@ -186,6 +195,26 @@ def suggest_rules(
                     f"[{int(p['min'])}, {int(p['max'])}] with repeats — "
                     "candidate per-group index "
                     "(dataset_rules.sequence_gaps)"))
+
+    # charset hygiene: a string column that is control-char-free TODAY is
+    # worth a tripwire (mojibake/binary leakage arrives with new ingest
+    # batches, not the profiled one) — report-only, maps to
+    # textops.charset_features over the column
+    for c in string_cols:
+        nn = (prof[c]["rows"] or 0) - (prof[c]["null_count"] or 0)
+        if nn > 0 and ctrls.get(c, 0) == 0:
+            report_rows.append((
+                c, "charset_clean_candidate", "",
+                "0 non-whitespace control chars observed — monitor with "
+                "textops.charset_features (n_control == 0)"))
+
+    # conversation shape: the transcript pair (conv-like key + dense
+    # per-group index) proposes the conversation-level gate
+    if {"conv_id", "turn_idx"} <= set(columns):
+        report_rows.append((
+            "conv_id,turn_idx", "conversation_shape_candidate", "",
+            "transcript-shaped key pair present — candidate "
+            "dataset_rules.conversation_violations(min_turns, dense)"))
 
     report = spark.createDataFrame(report_rows, REPORT_SCHEMA)
     return rules, report
