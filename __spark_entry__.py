@@ -1640,6 +1640,18 @@ def _q_embedding_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      group_col="label")
 
 
+def _q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of a deliberately skewed key: user 7's rows are
+    tripled (construction both engines replay), so the profile must
+    rank it first with an exact skew ratio."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    skewed = ev.unionByName(ev.filter(F.col("user_id") == 7)) \
+        .unionByName(ev.filter(F.col("user_id") == 7))
+    return D.key_skew_profile(skewed, "user_id", k=5)
+
+
 def _q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type distinct-user cardinality with the sketch-accuracy
     boolean — the oracle states exact counts + TRUE, so an out-of-bound
@@ -1771,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconciliation_orders_lineitem": _q_reconciliation_orders,
         "embedding_group_drift_embeddings": _q_embedding_group_drift,
         "hll_by_group_events": _q_hll_by_group,
+        "key_skew_events": _q_key_skew_events,
     }
 
 
@@ -3281,6 +3294,30 @@ def oracle_sql() -> dict[str, str]:
                  AS centroid_dist
         FROM g JOIN gl USING (dim)
         GROUP BY label ORDER BY label
+    """
+    o["key_skew_events"] = """
+        WITH u AS (
+            SELECT * FROM events
+            UNION ALL SELECT * FROM events WHERE user_id = 7
+            UNION ALL SELECT * FROM events WHERE user_id = 7
+        ), per AS (
+            SELECT CAST(user_id AS VARCHAR) AS key_value,
+                   COUNT(*) AS n_rows
+            FROM u GROUP BY CAST(user_id AS VARCHAR)
+        ), tot AS (
+            SELECT SUM(n_rows) AS rows_, COUNT(*) AS keys_ FROM per
+        ), ranked AS (
+            SELECT key_value, n_rows,
+                   ROW_NUMBER() OVER (ORDER BY n_rows DESC,
+                                      key_value ASC NULLS FIRST)
+                     AS key_rank
+            FROM per
+        )
+        SELECT CAST(key_rank AS INTEGER) AS key_rank, key_value,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               ROUND(n_rows * 1.0 / rows_, 9) AS row_share,
+               ROUND(n_rows / (rows_ * 1.0 / keys_), 6) AS skew_ratio
+        FROM ranked, tot WHERE key_rank <= 5 ORDER BY key_rank
     """
     o["hll_by_group_events"] = """
         SELECT event_type,

@@ -481,3 +481,15 @@ def test_sessionize_tie_break_total_order(spark):
                D.sessionize(df, ["g"], "ts", gap_seconds=3600,
                             tie_cols=["event_id"]).collect()}
         assert got == {1: 0, 2: 1, 3: 1, 4: 1}
+
+
+def test_key_skew_profile(spark):
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)] + [(None,)] * 20
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["key_rank"]: r for r in
+           D.key_skew_profile(df, "k", k=3).collect()}
+    assert got[1]["key_value"] == "hot" and got[1]["n_rows"] == 90
+    # 120 rows / 12 keys = 10 mean -> hot skew ratio 9.0
+    assert abs(got[1]["skew_ratio"] - 9.0) < 1e-6
+    assert got[2]["key_value"] is None and got[2]["n_rows"] == 20
+    assert abs(got[1]["row_share"] - 0.75) < 1e-9

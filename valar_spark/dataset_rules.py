@@ -1149,6 +1149,45 @@ def transition_violations(
 # ---------------------------------------------------------------------------
 
 
+def key_skew_profile(df: DataFrame, col: str, k: int = 5) -> DataFrame:
+    """Shuffle-key SKEW diagnosis for a prospective join/aggregation key:
+    the top-``k`` heaviest key values with ``(key_rank, key_value,
+    n_rows, row_share, skew_ratio)`` where ``skew_ratio`` = that key's
+    rows ÷ the mean rows-per-key. This is the measurement behind every
+    skew mitigation in the engine (salting, AQE skew-join thresholds,
+    broadcast decisions): a key with skew_ratio 500 at 10^12 rows IS the
+    straggler task, and profiling it costs one map-side-combined
+    aggregate over (key, count) — cardinality-sized, not data-sized.
+    Nulls count as a key (they hash to one partition like any other
+    value — the classic silent skew). Ties rank by key string ascending
+    (deterministic across engines)."""
+    per = (df.groupBy(F.col(col).cast("string").alias("key_value"))
+           .agg(F.count(F.lit(1)).alias("n_rows")))
+    tot = per.agg(
+        F.sum("n_rows").alias("_rows"),
+        F.count(F.lit(1)).alias("_keys"))
+    # orderBy+limit plans as distributed TakeOrdered (per-partition
+    # partial top-k, k rows to the driver stage) — a global row_number
+    # window here would instead sort the whole key table on ONE
+    # partition; the rank window below runs over only k rows
+    order = [F.desc("n_rows"), F.asc_nulls_first("key_value")]
+    top = per.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("key_rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("key_rank").cast("int"),
+                "key_value",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.round(F.col("n_rows") / F.col("_rows"), 9)
+                .alias("row_share"),
+                F.round(F.col("n_rows")
+                        / (F.col("_rows") / F.col("_keys")), 6)
+                .alias("skew_ratio"))
+        .orderBy("key_rank")
+    )
+
+
 def conversation_stats(df: DataFrame, conv_col: str = "conv_id",
                        turn_col: str = "turn_idx",
                        role_col: str = "role", text_col: str = "text",
