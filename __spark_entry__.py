@@ -1640,6 +1640,19 @@ def _q_embedding_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      group_col="label")
 
 
+def _q_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced drift: PSI of each event_type's value distribution vs the
+    whole corpus on FIXED edges 50..450 (caller-fixed so both engines
+    bin identically; the strictly-below-edge rule matches
+    drift.histogram — floor(v/50) would disagree at exact boundaries)."""
+    from valar_spark import drift
+
+    ev = _read(spark, sf_dir, "events")
+    return drift.psi_by_group(ev, "value", "event_type",
+                              edges=[float(e) for e in
+                                     range(50, 451, 50)])
+
+
 def _q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew profile of a deliberately skewed key: user 7's rows are
     tripled (construction both engines replay), so the profile must
@@ -1784,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_group_drift_embeddings": _q_embedding_group_drift,
         "hll_by_group_events": _q_hll_by_group,
         "key_skew_events": _q_key_skew_events,
+        "psi_by_type_events": _q_psi_by_type,
     }
 
 
@@ -3294,6 +3308,43 @@ def oracle_sql() -> dict[str, str]:
                  AS centroid_dist
         FROM g JOIN gl USING (dim)
         GROUP BY label ORDER BY label
+    """
+    # strictly-below-edge binning replayed with list_filter (floor(v/50)
+    # would disagree exactly AT an edge); eps smoothing + ln as in the
+    # halves PSI oracle
+    o["psi_by_type_events"] = """
+        WITH base AS (
+            SELECT event_type AS grp,
+                   len(list_filter([50.0,100.0,150.0,200.0,250.0,300.0,
+                                    350.0,400.0,450.0],
+                                   e -> value > e)) AS bucket
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ), gb AS (
+            SELECT grp, bucket, COUNT(*) AS g_n FROM base
+            GROUP BY grp, bucket
+        ), gl AS (
+            SELECT bucket, SUM(g_n) AS q_n FROM gb GROUP BY bucket
+        ), gt AS (
+            SELECT grp, SUM(g_n) AS gt FROM gb GROUP BY grp
+        ), qt AS (
+            SELECT SUM(q_n) AS qt FROM gl
+        ), dense AS (
+            SELECT gt.grp, b.bucket, gt.gt,
+                   COALESCE(gb.g_n, 0) AS g_n,
+                   COALESCE(gl.q_n, 0) AS q_n
+            FROM gt CROSS JOIN (SELECT unnest(generate_series(0, 9))
+                                  AS bucket) b
+            LEFT JOIN gb ON gb.grp = gt.grp AND gb.bucket = b.bucket
+            LEFT JOIN gl ON gl.bucket = b.bucket
+        )
+        SELECT grp AS event_type, CAST(MIN(gt) AS BIGINT) AS n_rows,
+               ROUND(SUM((GREATEST(g_n * 1.0 / gt, 1e-6)
+                          - GREATEST(q_n * 1.0 / qt, 1e-6))
+                         * LN(GREATEST(g_n * 1.0 / gt, 1e-6)
+                              / GREATEST(q_n * 1.0 / qt, 1e-6))), 9)
+                 AS psi
+        FROM dense, qt GROUP BY grp ORDER BY event_type
     """
     o["key_skew_events"] = """
         WITH u AS (

@@ -493,3 +493,24 @@ def test_key_skew_profile(spark):
     assert abs(got[1]["skew_ratio"] - 9.0) < 1e-6
     assert got[2]["key_value"] is None and got[2]["n_rows"] == 20
     assert abs(got[1]["row_share"] - 0.75) < 1e-9
+
+
+def test_psi_by_group_flags_shifted_slice(spark):
+    edges = [float(e) for e in range(50, 451, 50)]
+    # no divergent slice: every group ~ the corpus -> psi ~ 0 everywhere
+    same = [(g, float(v % 450)) for g in "abc" for v in range(450)]
+    df0 = spark.createDataFrame(same, "grp string, value double")
+    got0 = {r["grp"]: r["psi"] for r in
+            drift.psi_by_group(df0, "value", "grp", edges=edges).collect()}
+    assert all(v < 0.01 for v in got0.values())
+    # c shifted far right: its slice dominates; a/b (identical) pay the
+    # complement penalty (the corpus now contains c's mass) but equally
+    rows = ([("a", float(v % 100)) for v in range(300)]
+            + [("b", float(v % 100)) for v in range(300)]
+            + [("c", 400.0 + float(v % 50)) for v in range(300)])
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {r["grp"]: r for r in drift.psi_by_group(
+        df, "value", "grp", edges=edges).collect()}
+    assert got["c"]["psi"] > got["a"]["psi"] > 0
+    assert got["a"]["n_rows"] == 300
+    assert abs(got["a"]["psi"] - got["b"]["psi"]) < 1e-9  # identical slices

@@ -90,6 +90,58 @@ def psi(
     return psi_from_counts(p_counts, q_counts, threshold, eps)
 
 
+def psi_by_group(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+    edges: list[float] | None = None,
+) -> DataFrame:
+    """Per-SLICE drift: PSI of each group's ``col`` distribution against
+    the WHOLE corpus, fully distributed — ``(group, n_rows, psi)`` with
+    one output row per group. The slice monitor :func:`psi` can't give
+    you without one driver round-trip per group: which language/source/
+    day slice walked away from the corpus distribution. Binning uses the
+    same strictly-below-edge rule as :func:`histogram` (bucket = #edges
+    < value), with global quantile ``edges`` by default or caller-fixed
+    edges for cross-engine reproducibility.
+
+    Shape at scale: one (group, bucket) aggregate (map-side combined;
+    result is groups × (bins+1) rows), the global histogram and group
+    totals derived from THAT small frame, missing buckets densified by a
+    groups × buckets cross join of two tiny frames — the data rows
+    shuffle once, everything after is cardinality-sized."""
+    if edges is None:
+        edges = quantile_edges(df, col, bins)
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    v = F.col(col).cast("double")
+    bucket = F.size(F.filter(arr, lambda e: v > e))
+    base = (df.filter(v.isNotNull() & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("grp"), bucket.alias("bucket")))
+    gb = base.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("g_n"))
+    glob = gb.groupBy("bucket").agg(F.sum("g_n").alias("q_n"))
+    gt = gb.groupBy("grp").agg(F.sum("g_n").alias("gt"))
+    qt = glob.agg(F.sum("q_n").alias("qt"))
+    buckets = df.sparkSession.range(len(edges) + 1) \
+        .select(F.col("id").cast("int").alias("bucket"))
+    dense = (gt.crossJoin(F.broadcast(buckets))
+             .join(gb, ["grp", "bucket"], "left")
+             .join(F.broadcast(glob), "bucket", "left")
+             .crossJoin(F.broadcast(qt)))
+    p = F.greatest(F.coalesce(F.col("g_n"), F.lit(0)) / F.col("gt"),
+                   F.lit(eps))
+    q = F.greatest(F.coalesce(F.col("q_n"), F.lit(0)) / F.col("qt"),
+                   F.lit(eps))
+    return (
+        dense.groupBy("grp")
+        .agg(F.min("gt").cast("long").alias("n_rows"),
+             F.round(F.sum((p - q) * F.log(p / q)), 9).alias("psi"))
+        .withColumnRenamed("grp", group_col)
+        .orderBy(group_col)
+    )
+
+
 def counts_from_pairs(pairs, bins: int) -> list[int]:
     """Zero-filled histogram list from sparse ``(bucket, n)`` pairs — the
     densify step between ``streaming.stream_value_histogram`` output
