@@ -1640,6 +1640,13 @@ def _q_embedding_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      group_col="label")
 
 
+def _q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return D.quantiles_by_group(ev, "value", "event_type")
+
+
 def _q_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliced drift: PSI of each event_type's value distribution vs the
     whole corpus on FIXED edges 50..450 (caller-fixed so both engines
@@ -1798,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_group_events": _q_hll_by_group,
         "key_skew_events": _q_key_skew_events,
         "psi_by_type_events": _q_psi_by_type,
+        "quantiles_by_type_events": _q_quantiles_by_type,
     }
 
 
@@ -3345,6 +3353,16 @@ def oracle_sql() -> dict[str, str]:
                               / GREATEST(q_n * 1.0 / qt, 1e-6))), 9)
                  AS psi
         FROM dense, qt GROUP BY grp ORDER BY event_type
+    """
+    o["quantiles_by_type_events"] = """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(quantile_cont(value, 0.25), 6) AS q25,
+               ROUND(quantile_cont(value, 0.50), 6) AS q5,
+               ROUND(quantile_cont(value, 0.75), 6) AS q75,
+               ROUND(quantile_cont(value, 0.95), 6) AS q95
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
     """
     o["key_skew_events"] = """
         WITH u AS (

@@ -514,3 +514,13 @@ def test_psi_by_group_flags_shifted_slice(spark):
     assert got["c"]["psi"] > got["a"]["psi"] > 0
     assert got["a"]["n_rows"] == 300
     assert abs(got["a"]["psi"] - got["b"]["psi"]) < 1e-9  # identical slices
+
+
+def test_quantiles_by_group_exact(spark):
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 5.0)] * 10
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {r["grp"]: r for r in
+           D.quantiles_by_group(df, "value", "grp").collect()}
+    assert got["a"]["n_rows"] == 100 and got["a"]["q5"] == 50.5
+    assert got["a"]["q95"] == 95.05   # exact linear interpolation
+    assert got["b"]["q25"] == 5.0 == got["b"]["q95"]

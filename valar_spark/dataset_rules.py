@@ -1149,6 +1149,30 @@ def transition_violations(
 # ---------------------------------------------------------------------------
 
 
+def quantiles_by_group(df: DataFrame, col: str, group_col: str,
+                       probs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+                       approx: bool = False) -> DataFrame:
+    """Per-slice quantile profile — ``(group, n_rows, q_<p>…)`` rounded 6.
+    The sliced companion of the global quantile rule: a latency/price/
+    length distribution that is healthy in aggregate routinely hides one
+    slice whose p95 doubled. Exact ``percentile`` for oracle-checkable
+    runs; ``approx=True`` switches to the mergeable ``percentile_approx``
+    sketch (one pass, bounded memory per group) for 10^12-row tables.
+    One group-keyed aggregate either way."""
+    qfn = F.percentile_approx if approx else F.percentile
+    arr = qfn(col, F.array(*[F.lit(float(p)) for p in probs]))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows"),
+            arr.alias("_q")]
+    out = (df.filter(F.col(col).isNotNull()
+                     & F.col(group_col).isNotNull())
+           .groupBy(group_col).agg(*aggs))
+    cols = [group_col, "n_rows"] + [
+        F.round(F.col("_q").getItem(i), 6)
+        .alias(f"q{str(p).replace('0.', '')}")
+        for i, p in enumerate(probs)]
+    return out.select(*cols).orderBy(group_col)
+
+
 def key_skew_profile(df: DataFrame, col: str, k: int = 5) -> DataFrame:
     """Shuffle-key SKEW diagnosis for a prospective join/aggregation key:
     the top-``k`` heaviest key values with ``(key_rank, key_value,
