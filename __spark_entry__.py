@@ -1640,6 +1640,32 @@ def _q_embedding_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      group_col="label")
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep probability =
+    clamp(n_chars / 2000) — long docs kept, short ones thinned, draw
+    replayed bit-for-bit by the oracle."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    w = docs.withColumn("w", F.col("n_chars") / 2000.0)
+    return (X.weighted_sample(w, "w")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (5k whitespace tokens per shard) over
+    the hash-shuffled corpus — the two-phase distributed cumsum must
+    equal the oracle's single window replay exactly."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    t = docs.withColumn("n_tok", X.token_count(F.col("text")))
+    return (X.pack_token_shards(t, "n_tok", 5000)
+            .select("doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+                    "shard_id")
+            .orderBy("doc_id"))
+
+
 def _q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import dataset_rules as D
 
@@ -1806,6 +1832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_events": _q_key_skew_events,
         "psi_by_type_events": _q_psi_by_type,
         "quantiles_by_type_events": _q_quantiles_by_type,
+        "weighted_sample_documents": _q_weighted_sample,
+        "pack_shards_documents": _q_pack_shards,
     }
 
 
@@ -3353,6 +3381,50 @@ def oracle_sql() -> dict[str, str]:
                               / GREATEST(q_n * 1.0 / qt, 1e-6))), 9)
                  AS psi
         FROM dense, qt GROUP BY grp ORDER BY event_type
+    """
+    o["weighted_sample_documents"] = """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, n_chars,
+                   ('0x' || substr(md5(CASE WHEN doc_id IS NULL
+                        THEN 'valar:wsample'
+                        ELSE CAST(doc_id AS VARCHAR) || ':valar:wsample'
+                        END), 1, 8))::UBIGINT % 10000 AS b
+            FROM documents
+        )
+        WHERE n_chars IS NOT NULL
+          AND b < ROUND(LEAST(GREATEST(n_chars / 2000.0, 0.0), 1.0)
+                        * 10000, 0)
+        ORDER BY doc_id
+    """
+    o["pack_shards_documents"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR regexp_replace(text, '(^[ 	
+]+)|([ 	
+]+$)', '', 'g') = ''
+                        THEN 0
+                        ELSE len(regexp_split_to_array(regexp_replace(text, '(^[ 	
+]+)|([ 	
+]+$)', '', 'g'), '[ 	
+]+'))
+                   END AS n_tok,
+                   ('0x' || substr(md5(CASE WHEN doc_id IS NULL
+                        THEN 'valar:pack'
+                        ELSE CAST(doc_id AS VARCHAR) || ':valar:pack'
+                        END), 1, 8))::UBIGINT AS k
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tok,
+                   SUM(GREATEST(n_tok, 0)) OVER (
+                       ORDER BY k ASC, doc_id ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(FLOOR((cum - GREATEST(n_tok, 0)) * 1.0 / 5000)
+                 AS BIGINT) AS shard_id
+        FROM c ORDER BY doc_id
     """
     o["quantiles_by_type_events"] = """
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,

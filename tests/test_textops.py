@@ -741,3 +741,40 @@ def test_curation_ledger_near_dup_stage(spark, docs):
     led2 = X.curation_ledger(docs, cap=10, near_dup_drop_ids=victims)
     stages = {r["drop_stage"] for r in led2.collect()}
     assert stages <= {None, "quality", "dedup", "near_dup", "cap", "sample"}
+
+
+def test_weighted_sample_proportional_and_stable(spark):
+    rows = [(i, 1.0) for i in range(500)] + \
+           [(1000 + i, 0.2) for i in range(500)] + \
+           [(2000 + i, 0.0) for i in range(100)] + [(3000, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    kept = {r["doc_id"] for r in X.weighted_sample(df, "w").collect()}
+    assert all(i in kept for i in range(500))       # w=1 keeps everything
+    n_low = sum(1 for i in kept if 1000 <= i < 2000)
+    assert 60 <= n_low <= 140                        # ~20% of 500
+    assert not any(i >= 2000 for i in kept)          # w=0 and null drop
+    kept2 = {r["doc_id"] for r in X.weighted_sample(df, "w").collect()}
+    assert kept == kept2                             # deterministic
+
+
+def test_pack_token_shards_balanced_and_order_invariant(spark):
+    rows = [(i, 100 + (i % 7) * 10) for i in range(400)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok int")
+    out = X.pack_token_shards(df, "n_tok", 2000)
+    got = {r["doc_id"]: r["shard_id"] for r in out.collect()}
+    assert len(got) == 401 and got[999] is not None  # null tokens still land
+    # every shard except the last is filled to >= shard budget - max doc
+    from collections import Counter
+    tok = {i: (100 + (i % 7) * 10) for i in range(400)}
+    tok[999] = 0
+    sums = Counter()
+    for d, s in got.items():
+        sums[s] += tok[d]
+    last = max(sums)
+    assert all(2000 - 160 <= sums[s] <= 2000 + 160
+               for s in sums if s != last)
+    # input order does not matter (content-stable hash order)
+    got2 = {r["doc_id"]: r["shard_id"] for r in
+            X.pack_token_shards(df.orderBy(F.rand(3)), "n_tok", 2000)
+            .collect()}
+    assert got == got2

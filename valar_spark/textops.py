@@ -1024,6 +1024,82 @@ def stratum_keep_expr(strata: Column, fractions: dict[str, float],
     return default_keep if expr is None else expr.otherwise(default_keep)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "valar:wsample",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with CONTINUOUS keep
+    probabilities: keep a row iff its :func:`md5_order_key` bucket falls
+    below ``round(weight × buckets)`` — quality-weighted downsampling
+    (keep docs with probability ∝ their quality score), the standard mix
+    rebalancer between the hard gate and uniform sampling. Weights are
+    clamped to [0, 1]; null weights drop. Content-stable like every
+    sampler here (same id+salt ⇒ same draw on every run/engine/cluster)
+    and nested across weight scalings. Pure shuffle-free projection."""
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
+                F.lit(1.0))
+    bucket = md5_order_key(F.col(id_col), salt) % buckets
+    return df.filter(F.col(weight_col).isNotNull()
+                     & (bucket < F.round(w * buckets, 0)))
+
+
+def pack_token_shards(
+    df: DataFrame,
+    tokens_col: str,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    salt: str = "valar:pack",
+    range_buckets: int = 256,
+) -> DataFrame:
+    """Token-budget SHARD assignment for training dataloaders: orders the
+    corpus by its content-stable :func:`md5_order_key` (a deterministic
+    shuffle), computes the running token total in that order, and
+    assigns ``shard_id = floor((cumsum − tokens) / shard_tokens)`` — so
+    every shard holds ~``shard_tokens`` tokens of hash-shuffled docs.
+
+    Scale shape — the global cumulative sum is TWO-PHASE, never a
+    single-partition window: rows land in ``range_buckets`` range
+    buckets of the uniform hash key (bucket = key's top bits), the
+    within-bucket cumsum is an ordinary partitioned window, and the
+    cross-bucket prefix offsets come from a ``range_buckets``-row
+    aggregate broadcast back. A naive ``Window.orderBy(key)`` (no
+    partition) would sort the corpus on ONE reducer; this plan's widest
+    shuffle is the ordinary hash partition on bucket. Output: input rows
+    + ``shard_id`` (0-based). Null/negative token counts count as 0
+    tokens (the row still lands in a shard)."""
+    from pyspark.sql import Window
+
+    key = md5_order_key(F.col(id_col), salt)
+    # 32-bit key -> top bits pick the range bucket; within-bucket order
+    # is (key, id) — a total order, so the cumsum is deterministic
+    shift = 32 - max(range_buckets - 1, 1).bit_length()
+    t = F.greatest(F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)),
+                   F.lit(0))
+    g = df.withColumn("_key", key) \
+        .withColumn("_bkt", F.shiftrightunsigned(F.col("_key"), shift)
+                    .cast("int")) \
+        .withColumn("_t", t)
+    wlocal = (Window.partitionBy("_bkt")
+              .orderBy(F.col("_key").asc(), F.col(id_col).asc_nulls_first())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    g = g.withColumn("_local_cum", F.sum("_t").over(wlocal))
+    per_bucket = g.groupBy("_bkt").agg(F.sum("_t").alias("_bt"))
+    woff = (Window.orderBy(F.col("_bkt").asc())
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = per_bucket.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(woff), F.lit(0))) \
+        .select("_bkt", "_off")
+    return (g.join(F.broadcast(offsets), "_bkt")
+            .withColumn("shard_id",
+                        F.floor((F.col("_off") + F.col("_local_cum")
+                                 - F.col("_t"))
+                                / F.lit(int(shard_tokens))).cast("long"))
+            .drop("_key", "_bkt", "_t", "_local_cum", "_off"))
+
+
 def curation_ledger(
     df: DataFrame,
     text_col: str = "text",
