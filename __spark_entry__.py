@@ -641,7 +641,7 @@ def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = _transcripts(spark)
     stats = D.conversation_stats(df)
-    viol = (D.conversation_violations(df, min_turns=2)
+    viol = (D.conversation_violations(df, min_turns=2, stats=stats)
             .select(F.col("conv_id").alias("conv"),
                     F.col("actual").alias("shape_violation")))
     return (stats.join(viol, "conv", "left")

@@ -1263,13 +1263,17 @@ def conversation_violations(df: DataFrame, min_turns: int = 2,
                             require_dense: bool = True,
                             max_empty_frac: float = 0.5,
                             conv_col: str = "conv_id",
+                            stats: DataFrame | None = None,
                             **stat_cols: str) -> DataFrame:
     """Conversation-SHAPE rule in the standard violation schema: flags
     conversations that are too short/long, have gapped or duplicated
     turn indices, or are mostly empty turns — the conversation-level
     gate a transcript curation run applies before per-turn validation
-    cost is spent."""
-    s = conversation_stats(df, conv_col=conv_col, **stat_cols)
+    cost is spent. Pass a precomputed ``stats`` frame (from
+    :func:`conversation_stats`) to share ONE aggregate between the
+    profile and the gate instead of re-aggregating."""
+    s = stats if stats is not None else \
+        conversation_stats(df, conv_col=conv_col, **stat_cols)
     reasons = F.concat_ws(
         ",",
         F.when(F.col("n_turns") < min_turns, F.lit("too_few_turns")),
