@@ -70,6 +70,10 @@ FUZZ_QUERIES = [
     # span-duplication fractions: shingle-hash df counts vs string-gram
     # df counts must agree on adversarial tokenizations
     "dup_ngram_fraction_documents",
+    # md5-draw samplers + the two-phase pack cumsum vs the oracle's
+    # single-window replay (token counts over adversarial whitespace)
+    "weighted_sample_documents",
+    "pack_shards_documents",
 ]
 
 _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",
@@ -163,6 +167,13 @@ EVENTS_QUERIES = [
     # 1e-6-rounded fence must agree under nulls, duplicate values and
     # near-constant groups (13 users × ~23 events each ≥ min_group_n=10)
     "zscore_outliers_by_user_events",
+    # sliced analyzers: fixed-edge binning + eps/ln PSI, exact per-group
+    # quantile interpolation, top-k skew ranking with count ties broken
+    # on the key string — all under null/empty/case-shifted groups
+    "psi_by_type_events",
+    "quantiles_by_type_events",
+    "key_skew_events",
+    "hll_by_group_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]
