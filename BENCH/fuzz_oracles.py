@@ -174,6 +174,9 @@ EVENTS_QUERIES = [
     "quantiles_by_type_events",
     "key_skew_events",
     "hll_by_group_events",
+    # categorical slice drift: sentinel-encoded null categories + the
+    # 0*ln0 JS terms must agree under case-shifted/empty/null types
+    "js_by_cohort_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]

@@ -1640,6 +1640,21 @@ def _q_embedding_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      group_col="label")
 
 
+def _q_js_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical slice drift with PLANTED divergence: cohort 3
+    (user_id % 10 == 3) has its event_type forced to 'error', so its JS
+    vs the corpus mix must dominate the other cohorts'."""
+    from valar_spark import drift
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull())
+    mut = ev.select(
+        (F.col("user_id") % 10).alias("cohort"),
+        F.when(F.col("user_id") % 10 == 3, F.lit("error"))
+        .otherwise(F.col("event_type")).alias("event_type"))
+    return drift.js_by_group(mut, "event_type", "cohort")
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sampling: keep probability =
     clamp(n_chars / 2000) — long docs kept, short ones thinned, draw
@@ -1834,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_by_type_events": _q_quantiles_by_type,
         "weighted_sample_documents": _q_weighted_sample,
         "pack_shards_documents": _q_pack_shards,
+        "js_by_cohort_events": _q_js_by_cohort,
     }
 
 
@@ -3382,6 +3398,45 @@ def oracle_sql() -> dict[str, str]:
                  AS psi
         FROM dense, qt GROUP BY grp ORDER BY event_type
     """
+    o["js_by_cohort_events"] = """
+        WITH base AS (
+            SELECT user_id % 10 AS grp,
+                   COALESCE(CASE WHEN user_id % 10 = 3 THEN 'error'
+                                 ELSE event_type END,
+                            '__null__') AS val
+            FROM events WHERE user_id IS NOT NULL
+        ), gb AS (
+            SELECT grp, val, COUNT(*) AS g_n FROM base GROUP BY grp, val
+        ), gl AS (
+            SELECT val, SUM(g_n) AS q_n FROM gb GROUP BY val
+        ), gt AS (
+            SELECT grp, SUM(g_n) AS gt FROM gb GROUP BY grp
+        ), qt AS (
+            SELECT SUM(q_n) AS qt FROM gl
+        ), dense AS (
+            SELECT gt.grp, v.val, gt.gt,
+                   COALESCE(gb.g_n, 0) AS g_n, gl.q_n
+            FROM gt CROSS JOIN (SELECT DISTINCT val FROM gl) v
+            JOIN gl ON gl.val = v.val
+            LEFT JOIN gb ON gb.grp = gt.grp AND gb.val = v.val
+        ), terms AS (
+            SELECT grp, gt,
+                   (CASE WHEN g_n > 0 THEN
+                        0.5 * (g_n * 1.0 / gt)
+                        * LN((g_n * 1.0 / gt)
+                             / ((g_n * 1.0 / gt + q_n * 1.0 / qt) / 2))
+                    ELSE 0.0 END)
+                   + (CASE WHEN q_n > 0 THEN
+                        0.5 * (q_n * 1.0 / qt)
+                        * LN((q_n * 1.0 / qt)
+                             / ((g_n * 1.0 / gt + q_n * 1.0 / qt) / 2))
+                      ELSE 0.0 END) AS term
+            FROM dense, qt
+        )
+        SELECT grp AS cohort, CAST(MIN(gt) AS BIGINT) AS n_rows,
+               ROUND(SUM(term), 9) AS js
+        FROM terms GROUP BY grp ORDER BY cohort
+    """
     o["weighted_sample_documents"] = """
         SELECT doc_id, lang FROM (
             SELECT doc_id, lang, n_chars,
@@ -3400,13 +3455,18 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (
             SELECT doc_id,
                    CASE WHEN text IS NULL OR regexp_replace(text, '(^[ 	
-]+)|([ 	
-]+$)', '', 'g') = ''
+
+]+)|([ 	
+
+]+$)', '', 'g') = ''
                         THEN 0
                         ELSE len(regexp_split_to_array(regexp_replace(text, '(^[ 	
-]+)|([ 	
-]+$)', '', 'g'), '[ 	
-]+'))
+
+]+)|([ 	
+
+]+$)', '', 'g'), '[ 	
+
+]+'))
                    END AS n_tok,
                    ('0x' || substr(md5(CASE WHEN doc_id IS NULL
                         THEN 'valar:pack'

@@ -524,3 +524,19 @@ def test_quantiles_by_group_exact(spark):
     assert got["a"]["n_rows"] == 100 and got["a"]["q5"] == 50.5
     assert got["a"]["q95"] == 95.05   # exact linear interpolation
     assert got["b"]["q25"] == 5.0 == got["b"]["q95"]
+
+
+def test_js_by_group_planted_divergence(spark):
+    rows = ([("a", ["x", "y"][v % 2]) for v in range(200)]
+            + [("b", ["x", "y"][v % 2]) for v in range(200)]
+            + [("c", "z")] * 200 + [("c", None)] * 10
+            + [(None, "x")] * 5)
+    df = spark.createDataFrame(rows, "grp string, val string")
+    got = {r["grp"]: r for r in
+           drift.js_by_group(df, "val", "grp").collect()}
+    assert None not in got                      # null groups drop
+    assert got["c"]["n_rows"] == 210            # null category counted
+    assert got["c"]["js"] > got["a"]["js"] > 0
+    assert abs(got["a"]["js"] - got["b"]["js"]) < 1e-12
+    import math
+    assert got["c"]["js"] < math.log(2) + 1e-9  # JS bound

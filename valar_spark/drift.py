@@ -142,6 +142,51 @@ def psi_by_group(
     )
 
 
+def js_by_group(
+    df: DataFrame,
+    cat_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Categorical slice drift: Jensen–Shannon divergence of each group's
+    ``cat_col`` distribution against the WHOLE corpus —
+    ``(group, n_rows, js)`` (nats, rounded 9), one row per slice. The
+    categorical twin of :func:`psi_by_group` (value mix per
+    language/source/day slice); JS needs no epsilon smoothing — a
+    category absent from one side contributes its ``0·ln0 = 0`` term —
+    and is symmetric + bounded by ln 2.
+
+    Shape at scale: one (group, category) aggregate, the corpus
+    distribution and group totals derived from that cardinality-sized
+    frame, densified by a groups × categories cross join of two tiny
+    frames. Null categories count as a category (sentinel-encoded —
+    equi-join keys must be non-null); null groups drop."""
+    base = (df.filter(F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("grp"),
+                    F.coalesce(F.col(cat_col).cast("string"),
+                               F.lit("__null__")).alias("val")))
+    gb = base.groupBy("grp", "val").agg(F.count(F.lit(1)).alias("g_n"))
+    glob = gb.groupBy("val").agg(F.sum("g_n").alias("q_n"))
+    gt = gb.groupBy("grp").agg(F.sum("g_n").alias("gt"))
+    qt = glob.agg(F.sum("q_n").alias("qt"))
+    vals = glob.select("val")
+    dense = (gt.crossJoin(F.broadcast(vals))
+             .join(gb, ["grp", "val"], "left")
+             .join(F.broadcast(glob), "val")
+             .crossJoin(F.broadcast(qt)))
+    p = F.coalesce(F.col("g_n"), F.lit(0)) / F.col("gt")
+    q = F.col("q_n") / F.col("qt")
+    m = (p + q) / 2
+    term = (F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+            + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0)))
+    return (
+        dense.groupBy("grp")
+        .agg(F.min("gt").cast("long").alias("n_rows"),
+             F.round(F.sum(term), 9).alias("js"))
+        .withColumnRenamed("grp", group_col)
+        .orderBy(group_col)
+    )
+
+
 def counts_from_pairs(pairs, bins: int) -> list[int]:
     """Zero-filled histogram list from sparse ``(bucket, n)`` pairs — the
     densify step between ``streaming.stream_value_histogram`` output
