@@ -446,3 +446,33 @@ def test_stream_curate_gate_and_split(spark, tmp_path):
     batch_split = {r["doc_id"]: r["split"]
                    for r in X.hash_split(df).collect()}
     assert all(got[i]["split"] == batch_split[i] for i in got)
+
+
+def test_stream_curate_to_sink_routes_and_partitions(spark, tmp_path):
+    """foreachBatch deployment: kept docs land partitioned by split,
+    drops land in quarantine with reasons; restartable checkpoint."""
+    from valar_spark.streaming import stream_curate_to_sink
+
+    src = str(tmp_path / "sink_src")
+    df = spark.createDataFrame(
+        [(i, "the cat and the dog of the house is here today no " + str(i))
+         for i in range(40)] + [(100, "xx"), (101, None)],
+        "doc_id bigint, text string")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = stream_curate_to_sink(
+        stream, str(tmp_path / "kept"), str(tmp_path / "quar"),
+        str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    quar = spark.read.parquet(str(tmp_path / "quar"))
+    assert kept.count() == 40 and quar.count() == 2
+    assert "split" in kept.columns and "drop_reasons" in quar.columns
+    # physical layout is split-partitioned directories
+    import os
+    assert any(d.startswith("split=")
+               for d in os.listdir(str(tmp_path / "kept")))
+    assert {r["doc_id"] for r in quar.collect()} == {100, 101}

@@ -254,6 +254,51 @@ def stream_curate(
                     "n_control", "n_non_ascii", "split"))
 
 
+def stream_curate_to_sink(
+    stream_df: DataFrame,
+    kept_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **curate_kwargs,
+):
+    """Deploy :func:`stream_curate` as a running sink: kept documents
+    land under ``kept_path`` PARTITIONED BY their train/val/test split
+    (the dataloader-facing layout — a trainer reads ``split=train/``
+    directly and partition pruning serves the others), dropped documents
+    land under ``quarantine_path`` with their ``drop_reasons`` (the
+    audit/triage table). One ``foreachBatch`` writer does both routes
+    per micro-batch from a single cached evaluation of the curation
+    projection — two streaming queries would double-read the source and
+    could diverge on retry; checkpointed at ``checkpoint_path``, restart
+    resumes mid-stream. foreachBatch is at-least-once on retry: parquet
+    appends can duplicate a replayed batch, so downstream consumers
+    dedup on ``doc_id`` (content-stable) or the sink paths point at an
+    idempotent table format. Returns the started StreamingQuery (caller
+    owns ``stop()``)."""
+    curated = stream_curate(stream_df, text_col=text_col, id_col=id_col,
+                            **curate_kwargs)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (batch_df.filter(F.col("keep"))
+             .drop("keep", "drop_reasons")
+             .write.mode("append").partitionBy("split")
+             .parquet(kept_path))
+            (batch_df.filter(~F.col("keep"))
+             .drop("keep", "split")
+             .write.mode("append").parquet(quarantine_path))
+        finally:
+            batch_df.unpersist()
+
+    return (curated.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .start())
+
+
 _NO_TS = -(1 << 62)  # sentinel: no comparable predecessor (start / null ts)
 
 
