@@ -209,8 +209,15 @@ def main() -> None:
     queries = (
         {} if os.environ.get("VALAR_BENCH_FLAGSHIP_ONLY") else entrymod.queries()
     )
+    # BENCH order is decoupled from the driver's gate order (= queries()
+    # dict order): heavy queries run first so the throttled tail hits the
+    # sub-second projections, not the 20s-class pair queries. Names not in
+    # BENCH_ORDER follow in gate order, so nothing is silently dropped.
+    bench_order = [n for n in getattr(entrymod, "BENCH_ORDER", []) if n in queries]
+    bench_order += [n for n in queries if n not in bench_order]
     per_query: dict[str, float] = {"flagship_validate": round(flagship_sec, 3)}
-    for name, fn in queries.items():
+    for name in bench_order:
+        fn = queries[name]
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).count()

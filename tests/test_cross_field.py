@@ -106,6 +106,24 @@ def test_binds_row_detection(spark):
     assert not R.binds_row(rr & R.in_range(0, 1))  # mixed → column-bound
 
 
+def test_mixed_row_and_column_rule_under_label_key_raises_clearly(spark):
+    """A composite mixing a RowRule with a column-bound rule under a
+    LABEL key is not all-RowRule (binds_row=False), so it used to fall
+    through to the column path and die with an opaque 'column not found'
+    on the label. It now raises a ValueError that says what's wrong
+    (ADVICE r4)."""
+    import pytest
+
+    rule = R.row_rule("ok", F.col("ended") >= F.col("started")) & R.required()
+    with pytest.raises(ValueError, match="mixes row rules"):
+        validate(_df(spark), {"timing": rule},
+                 keys=("conv_id", "turn_idx")).violations.count()
+    # under a real COLUMN key the column path still applies unchanged
+    run = validate(_df(spark), {"role": R.one_of(["user"]) },
+                   keys=("conv_id", "turn_idx"))
+    run.violations.count()
+
+
 def test_row_rule_combines_with_column_rules_in_one_ruleset(spark):
     run = validate(
         _df(spark),

@@ -36,6 +36,29 @@ def test_sequence_gaps_flags_gapped_groups_only(spark):
     assert got["c2"]["n_rows"] == 3 and got["c2"]["n_distinct"] == 3
 
 
+def test_sequence_gaps_below_origin_clamps_missing_count(spark):
+    # indices entirely below the origin: {-2,-1} with start=0 violates via
+    # min_idx < start, and the missing count clamps to 0 instead of the
+    # nonsense negative span (-2) the raw formula yields (ADVICE r4)
+    df = spark.createDataFrame([("g", -2), ("g", -1)], "k string, i int")
+    got = D.sequence_gaps(df, ["k"], "i").collect()
+    assert len(got) == 1
+    assert got[0]["min_idx"] == -2 and got[0]["n_missing"] == 0
+    msg = D.sequence_gap_violations(df, ["k"], "i").first()["message"]
+    assert "0 missing" in msg and "below origin 0" in msg
+
+
+def test_sequence_gaps_partial_below_origin_counts_internal_gaps(spark):
+    # {-1, 0, 2}: max=2, n_distinct=3 → raw span count 2-0+1-3 = 0, but
+    # index 1 IS missing — the raw formula credits the below-origin index
+    # toward the span. The clamp keeps the count non-negative; the
+    # min_idx < start reason still flags the group.
+    df = spark.createDataFrame([("g", -1), ("g", 0), ("g", 2)],
+                               "k string, i int")
+    got = D.sequence_gaps(df, ["k"], "i").first()
+    assert got["min_idx"] == -1 and got["n_missing"] >= 0
+
+
 def test_sequence_gaps_start_offset(spark):
     df = spark.createDataFrame(
         [("a", 1), ("a", 2), ("b", 2), ("b", 3)], "g string, i int")

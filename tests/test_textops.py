@@ -743,6 +743,38 @@ def test_curation_ledger_near_dup_stage(spark, docs):
     assert stages <= {None, "quality", "dedup", "near_dup", "cap", "sample"}
 
 
+def test_curation_survivors_pre_near_dup_protects_cluster_content(spark):
+    """ADVICE r4 (medium): the near-dup drop set must be computed over the
+    quality+dedup SURVIVORS. Planted scenario: doc 1 (lowest id) near-dups
+    doc 2 but fails the quality gate (one 3000-char token ⇒ long_tokens);
+    a raw-corpus MinHash keeps doc 1 as the cluster keeper and drops doc 2
+    — the cluster's content then vanishes from the kept set entirely. The
+    survivors-first pipeline keeps doc 2."""
+    good = ("the quick brown fox jumps over the lazy dog "
+            "and runs far away home")
+    q_bad = good + " " + ("x" * 3000)
+    other = "completely different text about spark engines and data tables"
+    df = spark.createDataFrame(
+        [(1, q_bad, "en", "web"), (2, good, "en", "web"),
+         (3, other, "en", "web")],
+        "doc_id bigint, text string, lang string, source string")
+    surv = X.curation_survivors_pre_near_dup(df)
+    assert {r["doc_id"] for r in surv.collect()} == {2, 3}
+    kept = X.dedup_minhash(surv, threshold=0.8)
+    nd = surv.select("doc_id").exceptAll(kept.select("doc_id"))
+    led = {r["doc_id"]: r for r in
+           X.curation_ledger(df, near_dup_drop_ids=nd).collect()}
+    assert led[1]["drop_stage"] == "quality"
+    assert led[2]["drop_stage"] is None       # cluster content survives
+    # the raw-corpus drop set reproduces the bug this fix removes:
+    kept_raw = X.dedup_minhash(df, threshold=0.8)
+    nd_raw = df.select("doc_id").exceptAll(kept_raw.select("doc_id"))
+    led_raw = {r["doc_id"]: r for r in
+               X.curation_ledger(df, near_dup_drop_ids=nd_raw).collect()}
+    assert led_raw[1]["drop_stage"] == "quality"
+    assert led_raw[2]["drop_stage"] == "near_dup"
+
+
 def test_weighted_sample_proportional_and_stable(spark):
     rows = [(i, 1.0) for i in range(500)] + \
            [(1000 + i, 0.2) for i in range(500)] + \

@@ -80,8 +80,14 @@ def main(argv: list[str] | None = None) -> int:
 
         nd = None
         if args.minhash:
-            kept = X.dedup_minhash(df, threshold=0.8)
-            nd = df.select("doc_id").exceptAll(kept.select("doc_id"))
+            # compute the near-dup drop set over the quality+dedup
+            # SURVIVORS, not the raw corpus — otherwise a surviving doc
+            # can be dropped as near-dup of a keeper that itself failed
+            # the quality gate, and the cluster's content vanishes from
+            # the kept set entirely (ADVICE r4)
+            surv = X.curation_survivors_pre_near_dup(df)
+            kept = X.dedup_minhash(surv, threshold=0.8)
+            nd = surv.select("doc_id").exceptAll(kept.select("doc_id"))
         led = X.curation_ledger(df, cap=args.cap, near_dup_drop_ids=nd)
         out = os.path.join(args.work_dir, f"ledger_{args.run_id}")
         led.write.mode("overwrite").parquet(out)

@@ -399,23 +399,28 @@ def frequent_values(df: DataFrame, col: str, k: int = 5) -> DataFrame:
     — the histogram/frequency profile analyzer (Deequ ``Histogram``
     analogue) that feeds domain-rule suggestion and categorical-drift
     review. One hash aggregate over the data (mergeable, map-side
-    combined); the ranking window runs on the COUNTS table (≤ |domain|
-    rows), so the single-partition window is bounded by the column's
-    cardinality, never the data. Nulls are excluded (the null-rate stat
-    owns them); ties break on the value itself for determinism."""
+    combined); the top-k selection is a distributed TakeOrdered, so only
+    k rows ever pass through a single task regardless of the column's
+    cardinality. Nulls are excluded (the null-rate stat owns them); ties
+    break on the value itself for determinism."""
     counts = (
         df.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # top-k FIRST via orderBy().limit(k) — Spark plans a distributed
+    # TakeOrdered (per-partition heaps + driver merge of k rows), so a
+    # high-cardinality column never sorts its whole domain through one
+    # window task (ADVICE r4; same shape as key_skew_profile). The rank
+    # window then runs on ≤k rows and the ratio denominator comes from a
+    # broadcast 1-row aggregate over the FULL counts table.
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("value")).limit(k)
     w = Window.orderBy(F.col("cnt").desc(), F.col("value"))
-    wt = Window.partitionBy()
     return (
-        counts
+        topk.crossJoin(F.broadcast(total))
         .withColumn("rank", F.row_number().over(w))
-        .withColumn("ratio", F.round(F.col("cnt")
-                                     / F.sum("cnt").over(wt), 6))
-        .filter(F.col("rank") <= k)
+        .withColumn("ratio", F.round(F.col("cnt") / F.col("_total"), 6))
         .select("rank", "value", "cnt", "ratio")
     )
 
@@ -817,8 +822,14 @@ def sequence_gaps(
              F.min(idx_col).alias("min_idx"),
              F.max(idx_col).alias("max_idx"))
     )
-    n_missing = (F.col("max_idx").cast("long") - F.lit(int(start)) + 1
-                 - F.col("n_distinct"))
+    # clamp at 0: a group whose indices sit entirely below ``start``
+    # (e.g. {-2,-1} with start=0) violates via min_idx < start, and the
+    # span formula would otherwise go NEGATIVE and render a nonsense
+    # "-2 missing index(es)" message downstream (ADVICE r4)
+    n_missing = F.greatest(
+        F.col("max_idx").cast("long") - F.lit(int(start)) + 1
+        - F.col("n_distinct"),
+        F.lit(0).cast("long"))
     return (
         agg.withColumn("n_missing", n_missing)
         .filter((F.col("min_idx") < F.lit(int(start)))
@@ -840,7 +851,14 @@ def sequence_gap_violations(
         E.CODE_SEQUENCE_GAP,
         F.concat(F.lit(f"{idx_col} not dense from {start}: "),
                  F.col("n_missing").cast("string"),
-                 F.lit(" missing index(es)")),
+                 F.lit(" missing index(es)"),
+                 # the below-origin violation gets its own reason rather
+                 # than leaking into the (now clamped) missing count
+                 F.when(F.col("min_idx") < F.lit(int(start)),
+                        F.concat(F.lit("; min index "),
+                                 F.col("min_idx").cast("string"),
+                                 F.lit(f" below origin {start}")))
+                 .otherwise(F.lit(""))),
         keys=list(group_cols),
         field_path=[idx_col],
         expected=f"dense {idx_col} from {start}",

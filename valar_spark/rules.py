@@ -584,6 +584,21 @@ def binds_row(rule: Rule) -> bool:
     return False
 
 
+def contains_row_rule(rule: Rule) -> bool:
+    """True when ANY descendant is a RowRule. Used by the RuleSet binder
+    to reject a composite that MIXES row rules with column-bound rules
+    under a label key — ``binds_row`` is all-or-nothing, so such a rule
+    would otherwise fall through to the column path and fail analysis
+    with an opaque 'column not found' on the label (ADVICE r4)."""
+    if isinstance(rule, RowRule):
+        return True
+    kids = getattr(rule, "children", None)
+    if kids and any(contains_row_rule(k) for k in kids):
+        return True
+    inner = getattr(rule, "inner", None)
+    return inner is not None and contains_row_rule(inner)
+
+
 # ---------------------------------------------------------------------------
 # Combinators — ValidationResult.scala algebra
 # ---------------------------------------------------------------------------

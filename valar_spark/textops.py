@@ -879,9 +879,23 @@ class _ScopedCheckpointDir:
         self.scoped_dir = self._sc.getCheckpointDir()
 
     def restore(self) -> None:
-        jsc = self._sc._jsc.sc()
-        opt = self._sc._jvm.scala.Option.apply(self._prev)
-        getattr(jsc, "checkpointDir_$eq")(opt)
+        # exact restore needs the JVM-internal Option var (the public
+        # setter appends a fresh UUID under the old path). Guard it: the
+        # internals are version-fragile and absent under Spark Connect —
+        # there, fall back to the public API and accept the UUID-append
+        # semantics (ADVICE r4).
+        jsc_attr = getattr(self._sc, "_jsc", None)
+        jvm = getattr(self._sc, "_jvm", None)
+        if jsc_attr is not None and jvm is not None:
+            try:
+                jsc = jsc_attr.sc()
+                opt = jvm.scala.Option.apply(self._prev)
+                getattr(jsc, "checkpointDir_$eq")(opt)
+                return
+            except Exception:
+                pass
+        if self._prev is not None:
+            self._sc.setCheckpointDir(self._prev)
 
     def cleanup(self) -> None:
         """Delete this run's UUID-scoped checkpoint files (Hadoop FS API, so
@@ -1098,6 +1112,36 @@ def pack_token_shards(
                                  - F.col("_t"))
                                 / F.lit(int(shard_tokens))).cast("long"))
             .drop("_key", "_bkt", "_t", "_local_cum", "_off"))
+
+
+def curation_survivors_pre_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_form: str = "NFC",
+    min_tokens: int = 5,
+    allowed_langs: tuple[str, ...] = ("de", "en", "es", "fr"),
+) -> DataFrame:
+    """The quality-gate + normalized-dedup SURVIVORS — i.e. exactly the
+    docs :func:`curation_ledger` (same parameters) still considers live
+    when its near-dup stage runs. This is the correct INPUT for computing
+    a ``near_dup_drop_ids`` set to feed back into the ledger: a drop set
+    computed over the RAW corpus can evict a surviving doc as near-dup of
+    a "keeper" that itself failed the quality gate, making the cluster's
+    content vanish from the kept set entirely and contradicting the
+    ledger's 'later stages only consider prior survivors' invariant
+    (ADVICE r4). Returns ``df``'s columns unchanged."""
+    from pyspark.sql import Window
+
+    g = corpus_filter(df, text_col, min_tokens=min_tokens,
+                      allowed_langs=allowed_langs)
+    nkey = F.md5(normalize_text(F.col(text_col), dedup_form))
+    g = g.withColumn(
+        "_min_id",
+        F.min(F.when(F.col("keep"), F.col(id_col)))
+        .over(Window.partitionBy(nkey)))
+    return (g.filter(F.col("keep") & (F.col(id_col) == F.col("_min_id")))
+            .select(*df.columns))
 
 
 def curation_ledger(

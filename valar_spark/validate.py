@@ -57,7 +57,7 @@ class RuleSet:
         ``address.street`` yields path ``[address, street]`` with per-level
         message prefixes — the same annotation as nested derived validators
         (Derivation.scala:84-95), computed statically at compile time."""
-        from .rules import binds_row, fill_type_names
+        from .rules import binds_row, contains_row_rule, fill_type_names
 
         ctx = CompileContext(config=self.config)
         out: list[tuple[str, Column]] = []
@@ -68,6 +68,20 @@ class RuleSet:
                 # resolving F.col(key) would fail analysis
                 out.append((key, rule.errors(F.lit(None), (key,), ctx, ())))
                 continue
+            if (key.split(".")[0] not in df.columns
+                    and contains_row_rule(rule)):
+                # e.g. row_rule(...) & required() under a label key: the
+                # composite is not all-RowRule, so it would bind as a
+                # column rule and fail analysis with an opaque
+                # 'column not found' on the label. Say what's wrong.
+                raise ValueError(
+                    f"rule under key {key!r} mixes row rules with "
+                    f"column-bound rules, and {key!r} is not a column of "
+                    f"the DataFrame. Row rules (row_rule/cross-field) "
+                    f"must not be combined with column-bound rules under "
+                    f"a label key — either make every leaf a row rule, "
+                    f"or bind the column-bound parts under their own "
+                    f"column key.")
             segs = key.split(".")
             fill_type_names(rule, _resolve_dtype(df.schema, segs))
             tnames = _dtype_chain(df.schema, segs)
