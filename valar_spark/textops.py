@@ -1159,6 +1159,7 @@ def curation_ledger(
     min_tokens: int = 5,
     allowed_langs: tuple[str, ...] = ("de", "en", "es", "fr"),
     near_dup_drop_ids: DataFrame | None = None,
+    cap_range_buckets: int = 64,
 ) -> DataFrame:
     """The WHOLE curation pipeline — quality gate → normalized dedup →
     per-group cap → stratified sample → split assignment — evaluated as
@@ -1174,9 +1175,13 @@ def curation_ledger(
     needs per-stage yield accounting and per-doc drop provenance anyway,
     and chaining filters pays the scan five times. Here the quality
     signals are scan-local, dedup is one window over the normalization
-    key, the cap is a running count over the (group, md5-order) window,
-    and sampling/split are row-local hashes — two window shuffles total,
-    each carrying only (id, keys). Hash purposes are salted apart
+    key, the cap is a TWO-PHASE running count (within-range-bucket window
+    + broadcast per-group prefix offsets — a hot source never serializes
+    through one task; ``cap_range_buckets`` bounds the offsets table at
+    |groups| × buckets rows, so drop it toward 1 if ``cap_group_col`` is
+    high-cardinality), and sampling/split are row-local hashes — the
+    window shuffles each carry only (id, keys). Hash purposes are salted
+    apart
     (``salt:cap`` / ``salt:sample`` / split uses ``salt``), so cap
     survival, sample survival and split assignment are pairwise
     independent draws.
@@ -1216,10 +1221,47 @@ def curation_ledger(
     s2_keep = F.col("_s2")
     okey = md5_order_key(F.col(id_col), f"{salt}:cap")
     if cap is not None:
-        wcap = (Window.partitionBy(cap_group_col)
-                .orderBy(okey.asc(), F.col(id_col).asc_nulls_first())
+        # TWO-PHASE per-group running survivor count (the pattern
+        # pack_token_shards proves): a plain
+        # Window.partitionBy(group).orderBy(okey) running SUM does not
+        # get Spark's WindowGroupLimit pushdown (that only fires for
+        # rank-filter shapes), so a hot source's ENTIRE survivor set
+        # would sort through ONE window task — a straggler by
+        # construction at 5-10 sources / 100 TB. Instead: rows land in
+        # ``cap_range_buckets`` range buckets of the uniform 32-bit hash
+        # key (bucket = top bits, so bucket order majorizes key order
+        # and concatenating buckets preserves the (okey, id) total
+        # order); the within-(group, bucket) running count is an
+        # ordinary partitioned window, and the cross-bucket prefix
+        # offsets come from a (groups × buckets)-row aggregate broadcast
+        # back. Same _crank, bit for bit.
+        shift = 32 - max(cap_range_buckets - 1, 1).bit_length()
+        # null group = a group like any other: coalesce to a sentinel so
+        # the offsets join (null keys never equal) matches the window's
+        # null-partition semantics
+        cgrp = F.coalesce(F.col(cap_group_col).cast("string"),
+                          F.lit("\u0000<null>"))
+        g = (g.withColumn("_ckey", okey)
+             .withColumn("_cbkt",
+                         F.shiftrightunsigned(F.col("_ckey"), shift)
+                         .cast("int"))
+             .withColumn("_cgrp", cgrp))
+        wloc = (Window.partitionBy("_cgrp", "_cbkt")
+                .orderBy(F.col("_ckey").asc(),
+                         F.col(id_col).asc_nulls_first())
                 .rowsBetween(Window.unboundedPreceding, 0))
-        g = g.withColumn("_crank", F.sum(s2_keep.cast("int")).over(wcap))
+        g = g.withColumn("_clocal", F.sum(s2_keep.cast("int")).over(wloc))
+        per_bkt = (g.groupBy("_cgrp", "_cbkt")
+                   .agg(F.sum(s2_keep.cast("int")).alias("_cbn")))
+        woff = (Window.partitionBy("_cgrp")
+                .orderBy(F.col("_cbkt").asc())
+                .rowsBetween(Window.unboundedPreceding, -1))
+        offsets = (per_bkt
+                   .withColumn("_coff", F.coalesce(F.sum("_cbn").over(woff),
+                                                   F.lit(0)))
+                   .select("_cgrp", "_cbkt", "_coff"))
+        g = (g.join(F.broadcast(offsets), ["_cgrp", "_cbkt"])
+             .withColumn("_crank", F.col("_coff") + F.col("_clocal")))
         cap_drop = s2_keep & (F.col("_crank") > cap)
     else:
         cap_drop = F.lit(False)
