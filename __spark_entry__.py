@@ -612,12 +612,39 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the deterministic synth output persisted for the DuckDB oracles —
+#: transcripts aren't a driver-registered view, but DuckDB reads arbitrary
+#: parquet, so the trio's queries write the table once and their oracles
+#: ``FROM`` the same files (the pattern the harness already proves for the
+#: driver tables). Spark writes it on the trio's FIRST queries() call,
+#: which precedes the oracle run in the driver's query-then-oracle gate.
+_GATE_TRANSCRIPTS_PATH = "/tmp/valar_gate/transcripts_60000"
+
+
+def _transcripts_parquet(spark: SparkSession) -> str:
+    """Persist the deterministic 60k-turn synth table plus the Spark-
+    computed verdict bucket ``pid`` (= ``pmod(xxhash64(conv_id), 32)``,
+    exactly what validate() derives). xxhash64 has no DuckDB analogue, so
+    the bucket id rides along AS DATA: the oracle then verifies the
+    per-bucket counting/rollup machinery, while bucket-assignment
+    semantics stay pinned by tests (test_validate_events / runner)."""
+    import os
+
+    if not os.path.exists(os.path.join(_GATE_TRANSCRIPTS_PATH, "_SUCCESS")):
+        from valar_spark.validate import bucket_expr
+
+        (_transcripts(spark)
+         .withColumn("pid", bucket_expr(["conv_id"], 32))
+         .write.mode("overwrite").parquet(_GATE_TRANSCRIPTS_PATH))
+    return _GATE_TRANSCRIPTS_PATH
+
+
 def _q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-rule violations over the synthetic transcript table — rows-only
-    check (transcripts are not a registered DuckDB view)."""
+    """Row-rule violations over the synthetic transcript table, under the
+    full hash oracle via the persisted-parquet pattern."""
     from valar_spark import validate
 
-    df = _transcripts(spark)
+    df = spark.read.parquet(_transcripts_parquet(spark))
     return (
         validate(df, transcript_ruleset())
         .violations
@@ -626,20 +653,22 @@ def _q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_transcript_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(bucket, rule) verdicts over the transcript table — the
+    resumable per-partition pass/fail surface of BASELINE.json:14, under
+    the hash oracle (the persisted ``pid`` column lets DuckDB group by
+    the same buckets validate() derives)."""
     from valar_spark import validate
 
-    df = _transcripts(spark)
+    df = spark.read.parquet(_transcripts_parquet(spark))
     return validate(df, transcript_ruleset()).verdicts
 
 
 def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level shape profile + shape-rule violations over the
-    synthetic transcript table (rows-only — transcripts are not a
-    registered DuckDB view; the per-column machinery is pinned by
-    test_conversation_stats_and_shape_violations)."""
+    synthetic transcript table, under the hash oracle."""
     from valar_spark import dataset_rules as D
 
-    df = _transcripts(spark)
+    df = spark.read.parquet(_transcripts_parquet(spark))
     stats = D.conversation_stats(df)
     viol = (D.conversation_violations(df, min_turns=2, stats=stats)
             .select(F.col("conv_id").alias("conv"),
@@ -2879,6 +2908,129 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt AS BIGINT) AS violation_count,
                    CAST(total AS BIGINT) AS rows_checked
             FROM c ORDER BY rule_id
+        """,
+        # --- transcripts trio: oracles read the persisted deterministic
+        # synth parquet (see _transcripts_parquet) ---
+        "validate_transcripts": rf"""
+            WITH t AS (
+                SELECT * FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            )
+            SELECT * FROM (
+                SELECT 'text.non_empty' AS rule_id, conv_id, turn_idx,
+                       CASE WHEN text IS NULL THEN 'validation.string.null'
+                            ELSE 'validation.string.empty' END AS code,
+                       CASE WHEN text IS NULL THEN 'null'
+                            ELSE text END AS actual
+                FROM t
+                WHERE text IS NULL
+                   OR regexp_replace(text, '[\x00-\x20]', '', 'g') = ''
+                UNION ALL
+                SELECT 'text.max_length', conv_id, turn_idx,
+                       CASE WHEN text IS NULL THEN 'validation.string.null'
+                            ELSE 'validation.string.too_long' END,
+                       CASE WHEN text IS NULL THEN 'null'
+                            ELSE CAST(LENGTH(text) AS VARCHAR) END
+                FROM t WHERE text IS NULL OR LENGTH(text) > 8000
+                UNION ALL
+                SELECT 'turn_idx.non_negative', conv_id, turn_idx,
+                       'validation.number.negative',
+                       CAST(turn_idx AS VARCHAR)
+                FROM t WHERE turn_idx IS NOT NULL AND turn_idx < 0
+                UNION ALL
+                SELECT 'role.one_of', conv_id, turn_idx,
+                       'validation.value.not_in_set', COALESCE(role, 'null')
+                FROM t WHERE role IS NULL
+                   OR role NOT IN ('system','user','assistant','tool')
+                UNION ALL
+                SELECT 'tool.one_of', conv_id, turn_idx,
+                       'validation.value.not_in_set', tool
+                FROM t WHERE tool IS NOT NULL
+                  AND tool NOT IN ('search','code','browser','none')
+            ) ORDER BY rule_id, conv_id, turn_idx
+        """,
+        "transcript_verdicts": rf"""
+            WITH t AS (
+                SELECT * FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            ), c AS (
+                SELECT pid, 'text.non_empty' AS rule_id,
+                       COUNT(*) FILTER (WHERE text IS NULL OR
+                           regexp_replace(text, '[\x00-\x20]', '', 'g') = '')
+                         AS cnt,
+                       COUNT(*) AS total FROM t GROUP BY pid
+                UNION ALL
+                SELECT pid, 'text.max_length',
+                       COUNT(*) FILTER (WHERE text IS NULL
+                           OR LENGTH(text) > 8000),
+                       COUNT(*) FROM t GROUP BY pid
+                UNION ALL
+                SELECT pid, 'turn_idx.non_negative',
+                       COUNT(*) FILTER (WHERE turn_idx IS NOT NULL
+                           AND turn_idx < 0),
+                       COUNT(*) FROM t GROUP BY pid
+                UNION ALL
+                SELECT pid, 'role.one_of',
+                       COUNT(*) FILTER (WHERE role IS NULL OR role NOT IN
+                           ('system','user','assistant','tool')),
+                       COUNT(*) FROM t GROUP BY pid
+                UNION ALL
+                SELECT pid, 'tool.one_of',
+                       COUNT(*) FILTER (WHERE tool IS NOT NULL
+                           AND tool NOT IN ('search','code','browser','none')),
+                       COUNT(*) FROM t GROUP BY pid
+            )
+            SELECT CAST(pid AS INT) AS partition_id, rule_id,
+                   cnt = 0 AS pass,
+                   CAST(cnt AS BIGINT) AS violation_count,
+                   CAST(total AS BIGINT) AS rows_checked
+            FROM c ORDER BY partition_id, rule_id
+        """,
+        "conversation_stats_transcripts": rf"""
+            WITH t AS (
+                SELECT * FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            ), s AS (
+                SELECT conv_id AS conv,
+                       COUNT(*)::BIGINT AS n_turns,
+                       MAX(turn_idx)::BIGINT AS max_turn_idx,
+                       (MIN(turn_idx) = 0
+                        AND MAX(turn_idx) = COUNT(*) - 1
+                        AND COUNT(DISTINCT turn_idx) = COUNT(*)) AS dense,
+                       COUNT(*) FILTER (WHERE role = 'user')::BIGINT
+                         AS n_user,
+                       COUNT(*) FILTER (WHERE role = 'assistant')::BIGINT
+                         AS n_assistant,
+                       COUNT(*) FILTER (WHERE role = 'system')::BIGINT
+                         AS n_system,
+                       COUNT(*) FILTER (WHERE role = 'tool')::BIGINT
+                         AS n_tool_role,
+                       COUNT(*) FILTER (WHERE text IS NULL OR
+                           regexp_replace(text,
+                               '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)',
+                               '', 'g') = '')::BIGINT AS n_empty_text,
+                       COUNT(*) FILTER (WHERE tool IS NOT NULL
+                           AND tool <> 'none')::BIGINT AS n_tool_calls,
+                       SUM(COALESCE(LENGTH(text), 0))::BIGINT
+                         AS total_chars,
+                       ROUND(AVG(COALESCE(LENGTH(text), 0)), 6)
+                         AS avg_chars
+                FROM t GROUP BY conv_id
+            ), v AS (
+                SELECT conv,
+                       concat_ws(',',
+                           CASE WHEN n_turns < 2
+                                THEN 'too_few_turns' END,
+                           CASE WHEN n_turns > 10000
+                                THEN 'too_many_turns' END,
+                           CASE WHEN NOT dense
+                                THEN 'non_dense_turn_idx' END,
+                           CASE WHEN n_empty_text > 0.5 * n_turns
+                                THEN 'mostly_empty' END) AS shape_violation
+                FROM s
+            )
+            SELECT s.*, CASE WHEN v.shape_violation = ''
+                             THEN NULL ELSE v.shape_violation END
+                     AS shape_violation
+            FROM s LEFT JOIN v USING (conv)
+            ORDER BY conv
         """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
