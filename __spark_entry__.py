@@ -1367,6 +1367,30 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WINNOW_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_WINNOW_FP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _winnow_raw_prints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE winnowing-UDF pass over the UNMODIFIED documents table per
+    (session, table), shared by every winnow-family gate query (VERDICT
+    r4 ask #7). Fingerprints are a pure function of the text, so the
+    pair/recall corpus (even docs suffixed + copied) and the
+    contamination corpus (every 37th doc quote-planted) only need fresh
+    fingerprinting of their MODIFIED subsets — the untouched docs reuse
+    these prints, and a modified doc's copies share its print rows
+    re-keyed."""
+    from pyspark import StorageLevel
+
+    from valar_spark import textops as X
+
+    _prune_dead_sessions(_WINNOW_FP_CACHE, spark.sparkContext.applicationId)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WINNOW_FP_CACHE:
+        docs = _read(spark, sf_dir, "documents")
+        _WINNOW_FP_CACHE[key] = (
+            X.winnow_fingerprint_table(docs)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    return _WINNOW_FP_CACHE[key]
 
 
 def _winnow_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1406,8 +1430,21 @@ def _winnow_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             suffixed.filter(even).select(
                 (F.col("doc_id") + 100_000).alias("doc_id"), "text")
         ).repartition(spark.sparkContext.defaultParallelism)
+        # fingerprint ONLY the modified subset (the suffixed even docs —
+        # their +100000 copies have identical text, so their prints are
+        # the same rows re-keyed); untouched docs reuse the shared raw
+        # print pass. One UDF pass over n/2 docs instead of 3n/2.
+        fp_even = X.winnow_fingerprint_table(
+            suffixed.join(docs.filter(even).select("doc_id"), "doc_id"))
+        prints = (
+            _winnow_raw_prints(spark, sf_dir)
+            .join(docs.filter(~even).select(F.col("doc_id").alias("_id")),
+                  "_id")
+            .unionByName(fp_even)
+            .unionByName(fp_even.select(
+                (F.col("_id") + 100_000).alias("_id"), "_fp")))
         _WINNOW_PAIRS_CACHE[key] = X.winnow_match_pairs(
-            u, min_shared=1, max_df_frac=0.02)
+            u, min_shared=1, max_df_frac=0.02, prints=prints)
     return _WINNOW_PAIRS_CACHE[key]
 
 
@@ -1446,14 +1483,24 @@ def _q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "eval_id long, text string")
     qarr = F.array(*[F.lit(q) for q in _EVAL_QUOTES])
     m = F.col("doc_id") % 37
+    contaminated = (m < 5) & F.col("text").isNotNull()
     planted = docs.select(
         "doc_id",
-        F.when((m < 5) & F.col("text").isNotNull(),
+        F.when(contaminated,
                F.concat("text", F.lit(" "),
                         F.element_at(qarr, (m + 1).cast("int"))))
         .otherwise(F.col("text")).alias("text"))
+    # shared raw print pass: only the quote-planted ~13.5% of docs get a
+    # fresh fingerprint UDF run; the rest reuse _winnow_raw_prints
+    prints = (
+        _winnow_raw_prints(spark, sf_dir)
+        .join(docs.filter(~contaminated)
+              .select(F.col("doc_id").alias("_id")), "_id")
+        .unionByName(X.winnow_fingerprint_table(
+            planted.join(docs.filter(contaminated).select("doc_id"),
+                         "doc_id"))))
     return (X.winnow_contamination(planted, ev, min_shared=2,
-                                   max_df_frac=0.05)
+                                   max_df_frac=0.05, prints=prints)
             .select("doc_id", "eval_id").orderBy("doc_id"))
 
 

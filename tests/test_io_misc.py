@@ -277,6 +277,54 @@ def test_stream_near_dup_flags_against_static_index(spark, tmp_path):
     assert n_bands_100 == 16
 
 
+def test_stream_curate_to_sink_near_dup_routes_to_quarantine(spark, tmp_path):
+    """VERDICT r5 ask: with a static MinHash band index wired in, a doc
+    arriving in micro-batch k+1 that near-duplicates the indexed corpus
+    lands in quarantine with reason 'near_dup'; kept docs' split
+    assignment is bit-identical to the batch hash_split (the screen is
+    independent of the content hash)."""
+    from valar_spark import textops as X
+    from valar_spark.streaming import stream_curate_to_sink
+
+    indexed = ("the quick brown fox jumps over the lazy dog and then "
+               "runs far away home tonight")
+    corpus = spark.createDataFrame([(1, indexed)], "doc_id bigint, text string")
+    index = X.minhash_band_table(corpus, num_hashes=64, bands=16)
+
+    good0 = ("a completely novel document about engines and tables with "
+             "plenty of the usual words in it")
+    good1 = ("another unrelated good document the pipeline should keep "
+             "and route to the training zone")
+    src = str(tmp_path / "nd_src")
+    b0 = spark.createDataFrame([(10, good0)], "doc_id bigint, text string")
+    b1 = spark.createDataFrame(
+        [(11, good1), (12, indexed + " zzz"), (13, "xx")],
+        "doc_id bigint, text string")
+    b0.coalesce(1).write.parquet(f"{src}/b0")
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+    stream = (spark.readStream.schema(b0.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{src}/b*"))
+    q = stream_curate_to_sink(
+        stream, str(tmp_path / "nd_kept"), str(tmp_path / "nd_quar"),
+        str(tmp_path / "nd_ckpt"), index_bands=index)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = {r["doc_id"]: r for r in
+            spark.read.parquet(str(tmp_path / "nd_kept")).collect()}
+    quar = {r["doc_id"]: r for r in
+            spark.read.parquet(str(tmp_path / "nd_quar")).collect()}
+    assert set(kept) == {10, 11}
+    assert quar[12]["drop_reasons"] == "near_dup"     # batch k+1 near-dup
+    assert "too_few_tokens" in quar[13]["drop_reasons"]
+    # split hashes unchanged vs the batch path
+    all_docs = b0.unionByName(b1)
+    batch_split = {r["doc_id"]: r["split"]
+                   for r in X.hash_split(all_docs).collect()}
+    assert all(kept[i]["split"] == batch_split[i] for i in kept)
+
+
 def test_bucketed_tables_eliminate_flagship_shuffles(spark, tmp_path):
     """write_bucketed lays transcripts + registry out hash-clustered by
     conv_id: the RI anti-join AND the (conv_id, turn_idx) integrity window

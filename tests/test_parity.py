@@ -521,6 +521,29 @@ def test_duplicate_rule_ids_verdicts_not_doubled(spark):
     assert rows[0]["violation_count"] == run.violations.count()
 
 
+def test_rule_cost_attribution(spark):
+    """rule_cost times each bound key in isolation and shares the cost
+    across its leaf rule_ids; summary(with_cost=True) carries the
+    attribution columns (VERDICT r4 stretch #8)."""
+    from valar_spark.validate import validate as _validate
+
+    df = spark.createDataFrame(
+        [(i, "x" * (i % 5), i - 2) for i in range(200)],
+        "id bigint, s string, n int")
+    run = _validate(df, {"s": R.non_empty() & R.max_length(3),
+                         "n": R.non_negative()}, keys=("id",))
+    cost = {r["rule_id"]: r for r in run.rule_cost().collect()}
+    assert set(cost) == {"s.non_empty", "s.max_length", "n.non_negative"}
+    assert all(r["cost_sec"] > 0 for r in cost.values())
+    # leaves of one key share the key's measured time
+    assert cost["s.non_empty"]["cost_sec"] == cost["s.max_length"]["cost_sec"]
+    assert abs(sum(r["cost_frac"] for rid, r in cost.items()
+                   if rid in ("s.non_empty", "n.non_negative")) - 1.0) < 0.02
+    s = {r["rule_id"]: r for r in run.summary(with_cost=True).collect()}
+    assert all("cost_sec" in r.asDict() and r["cost_sec"] > 0
+               for r in s.values())
+
+
 def test_json_parseable_rule(spark):
     """Spark-variant JSON validity semantics: scalars/whitespace-padded
     values pass, structural breakage fails, null skips; the documented

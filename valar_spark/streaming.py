@@ -261,6 +261,10 @@ def stream_curate_to_sink(
     checkpoint_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index_bands: DataFrame | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
     **curate_kwargs,
 ):
     """Deploy :func:`stream_curate` as a running sink: kept documents
@@ -276,15 +280,46 @@ def stream_curate_to_sink(
     appends can duplicate a replayed batch, so downstream consumers
     dedup on ``doc_id`` (content-stable) or the sink paths point at an
     idempotent table format. Returns the started StreamingQuery (caller
-    owns ``stop()``)."""
+    owns ``stop()``).
+
+    ``index_bands`` (the existing corpus's static MinHash band table,
+    :func:`textops.minhash_band_table`) adds the NEAR-DUP stage: a kept
+    doc whose bands collide with the index routes to quarantine with
+    reason ``near_dup`` instead of landing in the training zone — the
+    streaming twin of ``curation_ledger(near_dup_drop_ids=...)``. The
+    screen runs INSIDE foreachBatch (batch semantics: the per-doc
+    distinct over colliding bands is a plain aggregate, no stream state),
+    and — matching the batch ledger's 'later stages only consider prior
+    survivors' invariant — only quality-gate survivors are screened;
+    quality-dropped docs keep their original reasons. Split assignment
+    is untouched (content-hash, independent of the screen)."""
     curated = stream_curate(stream_df, text_col=text_col, id_col=id_col,
                             **curate_kwargs)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from . import textops as X
+
         batch_df.persist()
         try:
-            (batch_df.filter(F.col("keep"))
-             .drop("keep", "drop_reasons")
+            kept = batch_df.filter(F.col("keep"))
+            if index_bands is not None:
+                hits = (
+                    X.minhash_band_table(kept, text_col, id_col,
+                                         num_hashes, bands, shingle_n)
+                    .join(F.broadcast(index_bands
+                                      .select("band_idx", "band_hash")
+                                      .distinct()),
+                          ["band_idx", "band_hash"])
+                    .select(F.col("_id").alias(id_col)).distinct()
+                    .withColumn("_nd", F.lit(True)))
+                kept = kept.join(hits, id_col, "left")
+                nd = F.coalesce(F.col("_nd"), F.lit(False))
+                (kept.filter(nd)
+                 .withColumn("drop_reasons", F.lit("near_dup"))
+                 .drop("_nd", "keep", "split")
+                 .write.mode("append").parquet(quarantine_path))
+                kept = kept.filter(~nd).drop("_nd")
+            (kept.drop("keep", "drop_reasons")
              .write.mode("append").partitionBy("split")
              .parquet(kept_path))
             (batch_df.filter(~F.col("keep"))

@@ -2038,7 +2038,8 @@ def winnow_contamination(corpus: DataFrame, eval_df: DataFrame,
                          eval_text_col: str = "text",
                          k: int = 8, w: int = 4, min_shared: int = 2,
                          max_df: int | None = None,
-                         max_df_frac: float | None = None) -> DataFrame:
+                         max_df_frac: float | None = None,
+                         prints: DataFrame | None = None) -> DataFrame:
     """Eval-set contamination screening — the canonical winnowing use
     (MOSS applied to train/test leakage): flags ``(doc_id, eval_id,
     shared_fp)`` for every corpus doc sharing ≥ ``min_shared`` selected
@@ -2056,13 +2057,17 @@ def winnow_contamination(corpus: DataFrame, eval_df: DataFrame,
     (df computed over the CORPUS) exactly as in
     :func:`winnow_match_pairs` — note a quote planted into more than
     ``max_df`` corpus docs would prune itself, so size the cap above the
-    expected contamination rate."""
+    expected contamination rate. ``prints`` supplies a precomputed
+    ``(_id, _fp)`` corpus fingerprint table (fingerprints are a pure
+    function of text, so one winnow-UDF pass can serve several screens
+    over the same corpus)."""
     from pyspark import StorageLevel
 
     if max_df_frac is not None:
         max_df = max(2, int(max_df_frac * corpus.count()))
-    ce = (winnow_fingerprint_table(corpus, text_col, id_col, k, w)
-          .select("_id", F.explode("_fp").alias("h"))
+    t = (prints if prints is not None
+         else winnow_fingerprint_table(corpus, text_col, id_col, k, w))
+    ce = (t.select("_id", F.explode("_fp").alias("h"))
           .persist(StorageLevel.MEMORY_AND_DISK))
     ee = (winnow_fingerprint_table(eval_df, eval_text_col, eval_id_col, k, w)
           .select(F.col("_id").alias("_eid"), F.explode("_fp").alias("h")))

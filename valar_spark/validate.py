@@ -158,6 +158,7 @@ class ValidationRun:
     ):
         self.ruleset = ruleset
         self.keys = list(keys)
+        self._df = df
         cfg = ruleset.config
         self.partition_cols = list(partition_cols) if partition_cols else [self.keys[0]]
         self._base = df.withColumn(
@@ -204,9 +205,12 @@ class ValidationRun:
             self._errs, self.ruleset.rule_ids(), bucket_col=BUCKET_COL
         )
 
-    def summary(self) -> DataFrame:
-        """Table-level rollup: one row per rule_id."""
-        return (
+    def summary(self, with_cost: bool = False) -> DataFrame:
+        """Table-level rollup: one row per rule_id. ``with_cost=True``
+        joins :meth:`rule_cost`'s per-rule wall-time attribution
+        (``cost_sec``/``cost_frac``) — the operational view that turns a
+        run's total wall time into "which rule is the expensive one"."""
+        s = (
             self.verdicts.groupBy("rule_id")
             .agg(
                 F.min("pass").alias("pass"),
@@ -215,6 +219,47 @@ class ValidationRun:
             )
             .orderBy("rule_id")
         )
+        if with_cost:
+            s = (s.join(self.rule_cost()
+                        .select("rule_id", "cost_sec", "cost_frac"),
+                        "rule_id", "left")
+                 .orderBy("rule_id"))
+        return s
+
+    def rule_cost(self, repeat: int = 1) -> DataFrame:
+        """Per-rule wall-time attribution: ``(rule_id, rule_key, cost_sec,
+        cost_frac)``. Production validation evaluates every rule in ONE
+        fused projection, so per-rule time is not observable there; this
+        diagnostic re-times each bound key's compiled expression in
+        ISOLATION (one violation-counting scan per key, ``repeat`` takes
+        the min) and shares the key's measured cost across its leaf
+        rule_ids. Cost is rules × scans — run it on a sample or at
+        diagnostic moments, not inside the hot path; the measured ranking
+        is the point (which rule to optimize/drop), absolute seconds are
+        machine-local."""
+        import time as _time
+
+        spark = self._base.sparkSession
+        rows: list[tuple] = []
+        total = 0.0
+        for key, rule in self.ruleset.rules.items():
+            sub = RuleSet({key: rule}, self.ruleset.config)
+            run = ValidationRun(self._df, sub, keys=self.keys,
+                                partition_cols=self.partition_cols)
+            best = None
+            for _ in range(max(repeat, 1)):
+                t0 = _time.perf_counter()
+                run.violations.count()
+                dt = _time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            total += best
+            for rid in sub.rule_ids():
+                rows.append((rid, key, round(best, 4)))
+        return spark.createDataFrame(
+            rows, "rule_id string, rule_key string, cost_sec double"
+        ).withColumn(
+            "cost_frac",
+            F.round(F.col("cost_sec") / F.lit(max(total, 1e-9)), 4))
 
 
 def verdicts_from(errs: DataFrame, rule_ids: Sequence[str], bucket_col: str = BUCKET_COL) -> DataFrame:
