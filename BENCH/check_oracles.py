@@ -33,6 +33,7 @@ def main() -> None:
     from valar_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional: gate just these query names
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -43,6 +44,8 @@ def main() -> None:
     oracles = e.oracle_sql()
     failures = 0
     for name, fn in e.queries().items():
+        if only and name not in only:
+            continue
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]

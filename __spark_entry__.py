@@ -619,6 +619,7 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: driver tables). Spark writes it on the trio's FIRST queries() call,
 #: which precedes the oracle run in the driver's query-then-oracle gate.
 _GATE_TRANSCRIPTS_PATH = "/tmp/valar_gate/transcripts_60000"
+_GATE_REGISTRY_PATH = "/tmp/valar_gate/registry_60000"
 
 
 def _transcripts_parquet(spark: SparkSession) -> str:
@@ -675,6 +676,52 @@ def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("actual").alias("shape_violation")))
     return (stats.join(viol, "conv", "left")
             .orderBy("conv"))
+
+
+def _registry_parquet(spark: SparkSession) -> str:
+    """Persist the deterministic conversation registry (the RI parent
+    table of BASELINE.json:6) next to the transcripts parquet so the
+    referential oracle can anti-join the same two file sets."""
+    import os
+
+    if not os.path.exists(os.path.join(_GATE_REGISTRY_PATH, "_SUCCESS")):
+        from valar_spark.synth import synth_registry
+
+        (synth_registry(spark, total_turns=60_000, seed=42)
+         .write.mode("overwrite").parquet(_GATE_REGISTRY_PATH))
+    return _GATE_REGISTRY_PATH
+
+
+def _q_transcript_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's SECOND job — uniqueness of (conv_id, turn_idx) AND
+    ts-monotonicity in one window pass (dataset_rules.py::
+    transcript_integrity_violations, incl. its hash-key shuffle
+    compression) — under a full DuckDB hash oracle on the persisted
+    transcript parquet. With this and :func:`_q_referential_transcripts`,
+    all three flagship jobs are hash-gated on the north-rule table shape.
+    Scalar columns only (field_path is a constant-per-rule array, pinned
+    by tests/test_dataset_rules.py)."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    return (D.transcript_integrity_violations(df)
+            .select("rule_id", "conv_id", "turn_idx", "message", "code",
+                    "expected", "actual"))
+
+
+def _q_referential_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's THIRD job — conv_id ⊆ registry as a shuffled
+    anti-join (broadcast_parent=False, the at-scale plan the flagship
+    runs) — under a full DuckDB hash oracle over the persisted transcript
+    + registry parquets."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    reg = spark.read.parquet(_registry_parquet(spark))
+    return (D.referential_violations(df, "conv_id", reg,
+                                     broadcast_parent=False)
+            .select("rule_id", "conv_id", "message", "code", "expected",
+                    "actual"))
 
 
 def _mutated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1885,7 +1932,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": _q_weighted_sample,
         "pack_shards_documents": _q_pack_shards,
         "js_by_cohort_events": _q_js_by_cohort,
-        # -- slots 49-50: near-dup core (streaming sink consumes it in r5) --
+        # -- slots 49-50: NEW in r5 — the flagship's integrity-window and
+        # RI anti-join jobs hash-gated on the north-rule transcript shape
+        # (displacing minhash/near-dup-components, driver-gated green in
+        # r04 and unchanged since) --
+        "transcript_integrity_transcripts": _q_transcript_integrity,
+        "referential_transcripts": _q_referential_transcripts,
         "minhash_near_dup_pairs": _q_minhash_near_dups,
         "near_dup_components_documents": _q_near_dup_components,
         # ==== position 51+: long-stable r2/r3 oracles (driver-gated green
@@ -3078,6 +3130,66 @@ def oracle_sql() -> dict[str, str]:
                      AS shape_violation
             FROM s LEFT JOIN v USING (conv)
             ORDER BY conv
+        """,
+        # the flagship's integrity-window job: duplicate (conv_id,
+        # turn_idx) keys at row grain (k copies => k-1 violation rows) +
+        # ts regressions under the stable (turn_idx, ts) in-conversation
+        # sort — same lag() definition as dataset_rules.py::
+        # transcript_integrity_violations' exact second pass
+        "transcript_integrity_transcripts": rf"""
+            WITH t AS (
+                SELECT * FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            ), lagged AS (
+                SELECT conv_id, turn_idx, ts,
+                       LAG(turn_idx) OVER w AS prev_order,
+                       LAG(ts) OVER w AS prev_ts
+                FROM t
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+            ), flagged AS (
+                SELECT *,
+                       (prev_order IS NOT DISTINCT FROM turn_idx) AS is_dup,
+                       (prev_ts IS NOT NULL AND ts < prev_ts) AS is_regress
+                FROM lagged
+            )
+            SELECT CASE WHEN is_dup THEN 'dataset.uniqueness'
+                        ELSE 'dataset.ordering' END AS rule_id,
+                   conv_id,
+                   CAST(turn_idx AS VARCHAR) AS turn_idx,
+                   CASE WHEN is_dup
+                        THEN 'Duplicate key (conv_id, turn_idx)'
+                        ELSE 'ts not monotone within ' || conv_id
+                             || ' under ORDER BY turn_idx' END AS message,
+                   CASE WHEN is_dup
+                        THEN 'validation.dataset.duplicate_key'
+                        ELSE 'validation.dataset.ordering' END AS code,
+                   CASE WHEN is_dup THEN 'unique key'
+                        ELSE 'non-decreasing ts' END AS expected,
+                   CASE WHEN is_dup THEN CAST(turn_idx AS VARCHAR)
+                        ELSE CAST(ts AS VARCHAR) END AS actual
+            FROM flagged WHERE is_dup OR is_regress
+            ORDER BY conv_id, turn_idx
+        """,
+        # the flagship's RI job: distinct child conv_ids with no registry
+        # parent, with the affected-row count folded into the message
+        "referential_transcripts": rf"""
+            WITH t AS (
+                SELECT * FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            ), reg AS (
+                SELECT * FROM '{_GATE_REGISTRY_PATH}/*.parquet'
+            ), orphans AS (
+                SELECT conv_id, COUNT(*) AS orphan_rows
+                FROM t GROUP BY conv_id
+                HAVING conv_id NOT IN (SELECT conv_id FROM reg)
+            )
+            SELECT 'dataset.referential_integrity' AS rule_id,
+                   conv_id,
+                   'conv_id not present in reference table ('
+                     || CAST(orphan_rows AS VARCHAR)
+                     || ' child rows affected)' AS message,
+                   'validation.dataset.referential_integrity' AS code,
+                   'key present in reference table' AS expected,
+                   conv_id AS actual
+            FROM orphans ORDER BY conv_id
         """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -540,3 +540,56 @@ def test_js_by_group_planted_divergence(spark):
     assert abs(got["a"]["js"] - got["b"]["js"]) < 1e-12
     import math
     assert got["c"]["js"] < math.log(2) + 1e-9  # JS bound
+
+
+def test_transcript_integrity_exact_rows(spark):
+    """The flagship integrity job (gate query
+    transcript_integrity_transcripts): a planted duplicate key and a
+    planted ts regression each yield EXACTLY one violation row with the
+    documented fields — k copies of a key give k-1 rows, and the
+    hash-compressed first pass must not leak false positives."""
+    rows = [
+        ("c1", 0, "system", "s", None, "2026-01-01 00:00:00"),
+        ("c1", 1, "user", "u", None, "2026-01-01 00:00:01"),
+        ("c1", 1, "user", "u", None, "2026-01-01 00:00:01"),  # dup key
+        ("c1", 2, "assistant", "a", None, "2026-01-01 00:00:02"),
+        ("c2", 0, "system", "s", None, "2026-01-01 00:01:40"),
+        ("c2", 1, "user", "u", None, "2026-01-01 00:00:30"),  # ts regress
+        ("c3", 0, "system", "s", None, "2026-01-01 00:03:20"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    got = {(r["rule_id"], r["conv_id"]): r
+           for r in D.transcript_integrity_violations(df).collect()}
+    assert len(got) == 2
+    dup = got[("dataset.uniqueness", "c1")]
+    assert dup["turn_idx"] == "1"
+    assert dup["code"] == "validation.dataset.duplicate_key"
+    assert dup["expected"] == "unique key" and dup["actual"] == "1"
+    reg = got[("dataset.ordering", "c2")]
+    assert reg["turn_idx"] == "1"
+    assert reg["code"] == "validation.dataset.ordering"
+    assert reg["expected"] == "non-decreasing ts"
+    assert reg["actual"] == "2026-01-01 00:00:30"
+    assert "not monotone within c2" in reg["message"]
+
+
+def test_flagship_gate_queries_fire(spark):
+    """Gate queries 49-50 (transcript_integrity_transcripts /
+    referential_transcripts) flag every planted violation kind on the
+    persisted 60k synth table: both integrity rule_ids present, and the
+    orphan set equals the registry anti-join recomputed independently."""
+    import __spark_entry__ as e
+
+    integ = e.queries()["transcript_integrity_transcripts"](spark, "")
+    kinds = {r["rule_id"] for r in integ.select("rule_id").distinct().collect()}
+    assert kinds == {"dataset.uniqueness", "dataset.ordering"}
+    ref = e.queries()["referential_transcripts"](spark, "").collect()
+    t = spark.read.parquet(e._transcripts_parquet(spark))
+    reg = spark.read.parquet(e._registry_parquet(spark))
+    expect = {r["conv_id"] for r in
+              t.select("conv_id").distinct()
+               .join(reg, "conv_id", "left_anti").collect()}
+    assert expect and {r["conv_id"] for r in ref} == expect
