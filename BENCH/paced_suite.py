@@ -1,0 +1,160 @@
+"""Segmented paced suite — the only way to record a CLEAN (unthrottled)
+full-suite artifact on this burst-budgeted host.
+
+A continuous 32-core suite run is ~12 min of sustained load; the host's
+CPU burst budget drains in the first 1-2 min and every later sample reads
+2-5x its clean cost (see BASELINE.md's throttle model — r5 continuous run:
+flagship 10.8 -> 34.3 -> 56.7 s monotone). This driver instead runs the
+suite in SEGMENTS of ~30-60 s of work, each in a fresh subprocess, with
+recovery idle between segments, and accepts a segment only when its
+intra-segment probe trace is flat (max/min < 1.5 AND absolute probe near
+the host floor). Dirty segments are re-run after a longer idle. The
+assembled artifact is per-query comparable round-over-round, which a
+continuous-run artifact on this host is not.
+
+Usage: python BENCH/paced_suite.py [out.json]
+Env:   PACED_SF_DIR (default /root/testdata/sf0.1),
+       PACED_IDLE (base inter-segment idle sec, default 150),
+       PACED_RETRIES (per segment, default 2)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import throttle_probe  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# rough per-query cost estimates (sec, clean window) used ONLY to pack
+# segments — from the r4/r5 recorded artifacts divided by the observed
+# throttle factor; anything unlisted is assumed sub-second
+EST = {
+    "contamination_screen_documents": 45, "ann_topk_embeddings": 12,
+    "near_dup_components_documents": 22, "jaccard_lsh_gated_pairs": 15,
+    "jaccard_pairs_documents": 12, "salient_terms_documents": 12,
+    "events_verdict_summary": 10, "winnow_pairs_documents": 10,
+    "media_features_documents": 8, "top_bigram_documents": 5,
+    "minhash_near_dup_pairs": 5, "simhash_pairs_documents": 4,
+    "embedding_near_dup_pairs": 5, "ann_ivf_topk_embeddings": 4,
+    "frame_sample_documents": 7, "transcript_verdicts": 6,
+    "conversation_stats_transcripts": 6, "validate_transcripts": 5,
+    "json_valid_events": 6, "cross_field_events": 4, "validate_events": 2,
+    "embedding_cosine_pairs": 3, "ann_ivf_probe_all_embeddings": 3,
+    "dedup_normalized_documents": 2, "fd_user_event_type": 3,
+    "entropy_events_type": 3, "sequence_gaps_lineitem": 2,
+}
+SEGMENT_BUDGET = 50.0
+
+
+def pack_segments(names: list[str]) -> list[list[str]]:
+    segs: list[list[str]] = []
+    cur: list[str] = []
+    cost = 0.0
+    for n in names:
+        c = EST.get(n, 1.0)
+        if cur and cost + c > SEGMENT_BUDGET:
+            segs.append(cur)
+            cur, cost = [], 0.0
+        cur.append(n)
+        cost += c
+    if cur:
+        segs.append(cur)
+    return segs
+
+
+def wait_until_cool(floor: float, max_wait: float = 600.0) -> float:
+    spent = 0.0
+    while True:
+        p = throttle_probe()
+        if p < 1.8 * floor or spent >= max_wait:
+            return p
+        time.sleep(min(30.0, max_wait - spent))
+        spent += 30.0
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH/bench_r05_paced.json"
+    sf_dir = os.environ.get("PACED_SF_DIR", "/root/testdata/sf0.1")
+    base_idle = float(os.environ.get("PACED_IDLE", "150"))
+    retries = int(os.environ.get("PACED_RETRIES", "2"))
+
+    import __spark_entry__ as e
+
+    names = [n for n in getattr(e, "BENCH_ORDER", []) if n in e.queries()]
+    names += [n for n in e.queries() if n not in names]
+    segments = pack_segments(names)
+    print(f"{len(names)} queries in {len(segments)} segments", flush=True)
+
+    throttle_probe()
+    floor = min(throttle_probe() for _ in range(3))
+    print(f"probe floor: {floor:.3f}s", flush=True)
+
+    per_query: dict[str, float] = {}
+    seg_meta = []
+    all_clean = True
+    for i, seg in enumerate(segments):
+        result, clean = None, False
+        for attempt in range(retries + 1):
+            idle = base_idle * (1 + attempt)
+            print(f"segment {i} attempt {attempt}: idle {idle:.0f}s "
+                  f"then {seg}", flush=True)
+            time.sleep(idle)
+            p0 = wait_until_cool(floor)
+            t0 = time.time()
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "BENCH/segment_runner.py"),
+                 sf_dir, *seg],
+                capture_output=True, text=True, cwd=REPO)
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("{")]
+            if not line:
+                print(f"segment {i} CRASHED: {proc.stderr[-500:]}",
+                      flush=True)
+                continue
+            result = json.loads(line[-1])
+            probes = ([p0]
+                      + [q["probe"] for q in result["queries"].values()]
+                      + [result["final_probe"]])
+            clean = (max(probes) / max(min(probes), 1e-9) < 1.5
+                     and max(probes) < 1.8 * floor)
+            print(f"segment {i} attempt {attempt}: wall "
+                  f"{time.time() - t0:.0f}s probes {probes} "
+                  f"clean={clean}", flush=True)
+            if clean:
+                break
+        if result is None:
+            all_clean = False
+            continue
+        for n, q in result["queries"].items():
+            per_query[n] = q["sec"]
+        seg_meta.append({"segment": i, "names": seg, "clean": clean,
+                         "probes": probes})
+        all_clean = all_clean and clean
+
+    artifact = {
+        "metric": "dataset-rule suite, segmented paced protocol",
+        "value": round(sum(v for v in per_query.values() if v >= 0), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": 0.1,
+        "cpus": 32,
+        "throttled": not all_clean,
+        "protocol": "segmented-paced",
+        "probe_floor": round(floor, 3),
+        "segments": seg_meta,
+    }
+    with open(os.path.join(REPO, out_path), "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({k: v for k, v in artifact.items()
+                      if k != "segments"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Child runner for the segmented paced suite (see paced_suite.py): start
+one Spark session, warm it, then run the given gate queries back-to-back,
+probing single-thread host speed before each. Emits ONE JSON line.
+
+Usage: python BENCH/segment_runner.py <sf_dir> <name> [<name> ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import throttle_probe  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:]
+
+    import __spark_entry__ as e
+    from valar_spark.session import get_spark
+
+    spark = get_spark(app_name="valar_segment", master="local[32]",
+                      shuffle_partitions=32)
+    # JVM/codegen warm-up: exercise scan+window+join+agg codegen paths so
+    # the first measured query doesn't pay Spark-infra JIT (measured 4.3s
+    # vs 0.9s warm for the same sub-second query in a fresh session)
+    warm = spark.range(200_000).selectExpr(
+        "id", "id % 97 AS k", "cast(id as double) AS v")
+    (warm.selectExpr("k", "v",
+                     "row_number() OVER (PARTITION BY k ORDER BY v) AS r")
+     .join(warm.groupBy("k").count(), "k").groupBy("k").count().count())
+    qs = e.queries()
+    throttle_probe()  # unrecorded: first call pays page-fault/alloc costs
+
+    def probe2() -> float:
+        # min of 2: a single probe can catch a scheduling blip (observed
+        # 17.7s between 0.05s neighbors); real budget drain affects both
+        return round(min(throttle_probe(), throttle_probe()), 3)
+
+    out: dict[str, dict] = {}
+    for name in names:
+        p = probe2()
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf_dir).count()
+            sec = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — reported, not hidden
+            sec = -1.0
+            print(f"QUERY FAILED {name}: {exc}", file=sys.stderr)
+        out[name] = {"sec": sec, "probe": p}
+    final = round(min(throttle_probe(), throttle_probe()), 3)
+    print(json.dumps({"queries": out, "final_probe": final}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

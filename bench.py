@@ -55,6 +55,35 @@ def throttle_probe() -> float:
     return time.perf_counter() - t0
 
 
+class _Pacer:
+    """Bounded adaptive pacing: before a heavy measurement, wait (sleep +
+    re-probe) until the single-thread probe returns to ~its session floor,
+    spending at most ``budget`` seconds of sleep across the whole run. In a
+    clean window each call costs one ~0.05s probe; in a drained window it
+    converts unusable (throttled) run time into recovery idle, which is the
+    only thing that makes per-query times comparable across rounds on this
+    burst-budgeted host. VALAR_BENCH_PACE_BUDGET=0 disables."""
+
+    def __init__(self, budget: float) -> None:
+        self.budget = budget
+        self.floor = None  # min probe seen this run
+
+    def wait(self, max_wait: float = 90.0) -> float:
+        spent = 0.0
+        while True:
+            p = throttle_probe()
+            if self.floor is None or p < self.floor:
+                self.floor = p
+            if p < 1.8 * max(self.floor, 0.03):
+                return p
+            if self.budget <= 0 or spent >= max_wait:
+                return p
+            step = min(20.0, self.budget, max_wait - spent)
+            time.sleep(step)
+            self.budget -= step
+            spent += step
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -187,6 +216,7 @@ def main() -> None:
     D.referential_violations(warm_stored, "conv_id", warm_registry,
                              broadcast_parent=False).count()
     cooldown = float(os.environ.get("VALAR_BENCH_COOLDOWN", "15"))
+    pacer = _Pacer(float(os.environ.get("VALAR_BENCH_PACE_BUDGET", "240")))
     times = []
     throttle_probe()  # unrecorded warm-up: the first call pays one-time
     # page-fault/alloc/freq-ramp costs that would read as fake throttle
@@ -196,7 +226,7 @@ def main() -> None:
         if i > 0 and cooldown > 0:
             time.sleep(cooldown)  # let the burst budget refill between
             # repeats — back-to-back repeats measured the throttled tail
-        probes.append(round(throttle_probe(), 3))
+        probes.append(round(pacer.wait(), 3))
         dt, n_viol = flagship()
         times.append(dt)
     probes.append(round(throttle_probe(), 3))
@@ -216,8 +246,13 @@ def main() -> None:
     bench_order = [n for n in getattr(entrymod, "BENCH_ORDER", []) if n in queries]
     bench_order += [n for n in queries if n not in bench_order]
     per_query: dict[str, float] = {"flagship_validate": round(flagship_sec, 3)}
+    heavy = set(getattr(entrymod, "BENCH_ORDER", []))
     for name in bench_order:
         fn = queries[name]
+        if name in heavy:
+            # recovery-pace the 20s-class queries: a drained-window sample
+            # is 2-5x its clean cost and uninterpretable round-over-round
+            pacer.wait(max_wait=45.0)
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).count()
@@ -246,6 +281,10 @@ def main() -> None:
         "flagship_best": round(flagship_best, 3),
         "probe_times": probes,
         "throttled": throttled,
+        "pace_slept": round(
+            float(os.environ.get("VALAR_BENCH_PACE_BUDGET", "240"))
+            - pacer.budget, 1),
+        "probe_floor": round(pacer.floor, 3) if pacer.floor else None,
         "violations_found": n_viol,
         "rules_evaluated": n_rules,
     }))
