@@ -87,6 +87,29 @@ _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",
 _SEPS = [" ", "  ", "\t", "\n", " \n ", "\r\n", " "]  # NBSP is NOT \s
 
 
+def compare_frames(name: str, sdf, odf) -> list[str]:
+    """Column-sorted, value-sorted, stringified frame equality — the same
+    shape-insensitive comparison the driver's gate uses. Returns [name] on
+    divergence (printing the first differing rows), [] when equal."""
+    s = (sdf.reindex(sorted(sdf.columns), axis=1)
+         .sort_values(sorted(sdf.columns), kind="mergesort")
+         .reset_index(drop=True).astype(str))
+    o = (odf.reindex(sorted(odf.columns), axis=1)
+         .sort_values(sorted(odf.columns), kind="mergesort")
+         .reset_index(drop=True).astype(str))
+    if len(s) != len(o) or list(s.columns) != list(o.columns) \
+            or not s.equals(o):
+        print(f"DIVERGENCE {name}: spark={len(s)} duckdb={len(o)} "
+              f"cols {list(s.columns)} vs {list(o.columns)}")
+        if len(s) == len(o) and list(s.columns) == list(o.columns):
+            neq = (s != o).any(axis=1)
+            print("spark:", s[neq].head(3).to_dict("records"))
+            print("duck :", o[neq].head(3).to_dict("records"))
+        return [name]
+    print(f"ok {name} ({len(s)} rows)")
+    return []
+
+
 def random_text(rng: random.Random) -> str | None:
     roll = rng.random()
     if roll < 0.08:
@@ -108,6 +131,98 @@ def make_table(rng: random.Random, n_docs: int = 120) -> list[tuple]:
         rows.append((i, t, rng.choice(["en", "de", "fr", "es", "zh"]),
                      f"src{i % 7}", len(t) if t is not None else None))
     return rows
+
+
+# transcripts-table oracle pairs (round 5): the trio reads a persisted
+# parquet whose path both the gate query glue and the oracle SQL resolve
+# from __spark_entry__._GATE_TRANSCRIPTS_PATH at call time, so the fuzz
+# round can point BOTH engines at a random adversarial transcript table by
+# monkeypatching that one module global — the exact production query text
+# runs, not a re-implementation.
+TRANSCRIPTS_QUERIES = [
+    # row rules: Java-trim non_empty ([\x00-\x20]), codepoint max_length,
+    # null-passing non_negative, exact-equality one_of / optional one_of
+    "validate_transcripts",
+    # per-bucket verdicts: pmod(xxhash64(conv_id), 32) buckets persisted as
+    # pid must agree with the buckets validate() re-derives
+    "transcript_verdicts",
+    # conversation shape profile: \s-trim empty detection, dense turn_idx
+    # logic under null/negative/duplicate indices, 6dp-rounded avg_chars
+    # (conversations are kept ≤13 turns so the average can never terminate
+    # at exactly 7 decimal digits — no cross-engine rounding-tie exposure)
+    "conversation_stats_transcripts",
+]
+
+
+def make_transcripts(rng: random.Random, n_convs: int = 40) -> list[tuple]:
+    special_texts = [
+        None, "", " ", "   ", "\t \n", "\x0b\x0c", "\r\n\r\n",
+        "\x00\x01\x1f ", "\x00still here", "a" * 8001, "b" * 8500,
+        "c" * 8000,  # boundary: exactly the max, must pass
+        " ", "　",  # non-ASCII whitespace: NOT Java-trim-empty
+        "naïve résumé 你好 𝔘nicode 👩‍🚀", "line1\nline2\nline1",
+    ]
+    words = ["alpha", "beta", "gamma", "δelta", "你好", "naïve",
+             "tool_call", "ok", "x"]
+    role_pool = (["system", "user", "assistant", "tool"] * 6
+                 + [None, "", "USER", "Assistant", "assistant ", "operator"])
+    tool_pool = (["search", "code", "browser", "none"] * 3 + [None] * 10
+                 + ["", "Search", "shell", " code", "none "])
+    rows: list[tuple] = []
+    for c in range(n_convs):
+        conv = f"conv-{rng.randrange(10**6):06d}"
+        n = rng.randint(1, 12)
+        idxs: list[int | None] = list(range(n))
+        roll = rng.random()
+        if roll < 0.15 and n > 1:
+            idxs[0] = rng.choice([-3, -1, None, n + 4])  # gap/negative/null
+        elif roll < 0.25:
+            idxs.append(idxs[-1])  # duplicated turn index (non-dense)
+        for i in idxs:
+            text = (rng.choice(special_texts) if rng.random() < 0.3
+                    else " ".join(rng.choice(words)
+                                  for _ in range(rng.randint(1, 8))))
+            rows.append((conv, i, rng.choice(role_pool), text,
+                         rng.choice(tool_pool),
+                         1_700_000_000 + rng.randrange(10**6)))
+    return rows
+
+
+def run_transcripts_round(spark, rng: random.Random, work: str) -> list[str]:
+    import duckdb
+    import __spark_entry__ as e
+
+    from valar_spark.validate import bucket_expr
+
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    path = f"{work}/transcripts_fuzz"
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        make_transcripts(rng),
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts_epoch bigint",
+    ).select("conv_id", "turn_idx", "role", "text", "tool",
+             F.timestamp_seconds("ts_epoch").alias("ts"))
+    # persist with the same pid derivation _transcripts_parquet uses — the
+    # verdicts oracle groups by this column while validate() re-derives it
+    (df.withColumn("pid", bucket_expr(["conv_id"], 32))
+     .coalesce(2).write.parquet(path))
+
+    prev = e._GATE_TRANSCRIPTS_PATH
+    e._GATE_TRANSCRIPTS_PATH = path
+    failures: list[str] = []
+    try:
+        con = duckdb.connect()
+        for name in TRANSCRIPTS_QUERIES:
+            sdf = e.queries()[name](spark, work).toPandas()
+            odf = con.execute(e.oracle_sql()[name]).fetchdf()
+            failures += compare_frames(name, sdf, odf)
+        con.close()
+    finally:
+        e._GATE_TRANSCRIPTS_PATH = prev
+    return failures
 
 
 # events-table oracle pairs — exercised with planted duplicate keys, equal
@@ -223,21 +338,7 @@ def run_events_round(spark, rng: random.Random, work: str) -> list[str]:
     for name in EVENTS_QUERIES:
         sdf = e.queries()[name](spark, work).toPandas()
         odf = con.execute(e.oracle_sql()[name]).fetchdf()
-        s = (sdf.reindex(sorted(sdf.columns), axis=1)
-             .sort_values(sorted(sdf.columns), kind="mergesort")
-             .reset_index(drop=True).astype(str))
-        o = (odf.reindex(sorted(odf.columns), axis=1)
-             .sort_values(sorted(odf.columns), kind="mergesort")
-             .reset_index(drop=True).astype(str))
-        if len(s) != len(o) or not s.equals(o):
-            failures.append(name)
-            print(f"DIVERGENCE {name}: spark={len(s)} duckdb={len(o)}")
-            if len(s) == len(o):
-                neq = (s != o).any(axis=1)
-                print("spark:", s[neq].head(3).to_dict("records"))
-                print("duck :", o[neq].head(3).to_dict("records"))
-        else:
-            print(f"ok {name} ({len(s)} rows)")
+        failures += compare_frames(name, sdf, odf)
     con.close()
     return failures
 
@@ -263,22 +364,7 @@ def run_round(spark, rng: random.Random, work: str) -> list[str]:
     for name in FUZZ_QUERIES:
         sdf = e.queries()[name](spark, work).toPandas()
         odf = con.execute(e.oracle_sql()[name]).fetchdf()
-        s = (sdf.reindex(sorted(sdf.columns), axis=1)
-             .sort_values(sorted(sdf.columns), kind="mergesort")
-             .reset_index(drop=True).astype(str))
-        o = (odf.reindex(sorted(odf.columns), axis=1)
-             .sort_values(sorted(odf.columns), kind="mergesort")
-             .reset_index(drop=True).astype(str))
-        if len(s) != len(o) or not s.equals(o):
-            failures.append(name)
-            print(f"DIVERGENCE {name}: spark={len(s)} rows, "
-                  f"duckdb={len(o)} rows")
-            if len(s) == len(o):
-                neq = (s != o).any(axis=1)
-                print("spark:", s[neq].head(3).to_dict("records"))
-                print("duck :", o[neq].head(3).to_dict("records"))
-        else:
-            print(f"ok {name} ({len(s)} rows)")
+        failures += compare_frames(name, sdf, odf)
     con.close()
     return failures
 
@@ -299,6 +385,9 @@ def main() -> int:
         bad += run_round(spark, rng, f"/tmp/valar_fuzz_{seed}_{r}")
         print(f"--- round {r} (events) ---")
         bad += run_events_round(spark, rng, f"/tmp/valar_fuzz_ev_{seed}_{r}")
+        print(f"--- round {r} (transcripts) ---")
+        bad += run_transcripts_round(spark, rng,
+                                     f"/tmp/valar_fuzz_tr_{seed}_{r}")
     spark.stop()
     if bad:
         print("FAILURES:", sorted(set(bad)))

@@ -49,6 +49,7 @@ EST = {
     "embedding_cosine_pairs": 3, "ann_ivf_probe_all_embeddings": 3,
     "dedup_normalized_documents": 2, "fd_user_event_type": 3,
     "entropy_events_type": 3, "sequence_gaps_lineitem": 2,
+    "semantic_dedup_embeddings": 8,
 }
 SEGMENT_BUDGET = 50.0
 
@@ -72,7 +73,9 @@ def pack_segments(names: list[str]) -> list[list[str]]:
 def wait_until_cool(floor: float, max_wait: float = 600.0) -> float:
     spent = 0.0
     while True:
-        p = throttle_probe()
+        # min-of-2: a single probe can catch a scheduling blip (observed
+        # 13.7s between 0.05s neighbors); real budget drain affects both
+        p = min(throttle_probe(), throttle_probe())
         if p < 1.8 * floor or spent >= max_wait:
             return p
         time.sleep(min(30.0, max_wait - spent))
@@ -119,13 +122,18 @@ def main() -> None:
                       flush=True)
                 continue
             result = json.loads(line[-1])
-            probes = ([p0]
-                      + [q["probe"] for q in result["queries"].values()]
+            # cleanliness brackets the MEASUREMENT window only: each
+            # query's pre-probe plus the final probe. p0 (the start-gate
+            # probe) is recorded but excluded — when wait_until_cool gives
+            # up at max_wait it returns a hot value by construction, yet
+            # the budget can refill during the segment's JVM warm-up; the
+            # intra-window probes are the ground truth for the samples.
+            probes = ([q["probe"] for q in result["queries"].values()]
                       + [result["final_probe"]])
             clean = (max(probes) / max(min(probes), 1e-9) < 1.5
                      and max(probes) < 1.8 * floor)
             print(f"segment {i} attempt {attempt}: wall "
-                  f"{time.time() - t0:.0f}s probes {probes} "
+                  f"{time.time() - t0:.0f}s p0={p0:.3f} probes {probes} "
                   f"clean={clean}", flush=True)
             if clean:
                 break
@@ -135,7 +143,7 @@ def main() -> None:
         for n, q in result["queries"].items():
             per_query[n] = q["sec"]
         seg_meta.append({"segment": i, "names": seg, "clean": clean,
-                         "probes": probes})
+                         "p0": round(p0, 3), "probes": probes})
         all_clean = all_clean and clean
 
     artifact = {

@@ -1389,16 +1389,10 @@ def _q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_pairs_exact(emb, threshold=0.3).orderBy("id_a", "id_b")
 
 
-def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RHP-sketch + 8×8-bit chunk-blocked near-dup pairs at cosine ≥ 0.95
-    over embeddings ∪ planted near-copies (one nudged coordinate ⇒ cosine
-    ≈ 0.999). The 8-chunk split GUARANTEES (pigeonhole) every pair within
-    hamming ≤ 7 is a candidate, and at cosine ≈ 0.999 expected hamming is
-    < 1 bit — so the DuckDB oracle is the full exact cosine-pair set at
-    the same threshold (verified equal at sf0.001/0.01/0.1; the old
-    4×16-bit split measurably dropped a hamming-5 pair)."""
-    from valar_spark import ann
-
+def _emb_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ planted near-copies (one nudged coordinate ⇒ cosine
+    ≈ 0.999) — the shared corpus construction of the embedding near-dup
+    family (mirrored by the oracles' ``un`` CTE)."""
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     near = emb.filter(F.col("vec_id") % 2 == 0).select(
         (F.col("vec_id") + 100_000).alias("vec_id"),
@@ -1406,11 +1400,54 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array((F.element_at("embedding", 1) + F.lit(0.05)).cast("float")),
             F.slice("embedding", 2, 100_000),
         ).alias("embedding"))
-    # chunk_bits auto-resolves to 8 below CHUNK_BITS_CROSSOVER (hamming ≤ 7
-    # guarantee) — exercising the auto path keeps the oracle hash unchanged
-    return (ann.embedding_near_dup_pairs(emb.unionByName(near),
-                                         threshold=0.95, max_hamming=7)
-            .orderBy("id_a", "id_b"))
+    return emb.unionByName(near)
+
+
+_EMB_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _emb_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One RHP-sketch + chunk-block + exact-verify pass per (session,
+    table), shared by the pair query and semantic_dedup — the production
+    shape: sketch the corpus once, feed every consumer (the returned
+    frame is already persisted by embedding_near_dup_pairs)."""
+    from valar_spark import ann
+
+    _prune_dead_sessions(_EMB_PAIRS_CACHE, spark.sparkContext.applicationId)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_PAIRS_CACHE:
+        # chunk_bits auto-resolves to 8 below CHUNK_BITS_CROSSOVER (hamming
+        # ≤ 7 guarantee) — exercising the auto path keeps the oracle hash
+        # unchanged
+        _EMB_PAIRS_CACHE[key] = ann.embedding_near_dup_pairs(
+            _emb_with_copies(spark, sf_dir), threshold=0.95, max_hamming=7)
+    return _EMB_PAIRS_CACHE[key]
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHP-sketch + 8×8-bit chunk-blocked near-dup pairs at cosine ≥ 0.95
+    over embeddings ∪ planted near-copies. The 8-chunk split GUARANTEES
+    (pigeonhole) every pair within hamming ≤ 7 is a candidate, and at
+    cosine ≈ 0.999 expected hamming is < 1 bit — so the DuckDB oracle is
+    the full exact cosine-pair set at the same threshold (verified equal
+    at sf0.001/0.01/0.1; the old 4×16-bit split measurably dropped a
+    hamming-5 pair)."""
+    return _emb_pairs_cached(spark, sf_dir).orderBy("id_a", "id_b")
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (ann.semantic_dedup): transitive
+    cosine-≥-0.95 groups over embeddings ∪ planted near-copies, one
+    minimum-id representative kept per group. Oracle: brute-force exact
+    cosine pairs + recursive-CTE transitive closure + LEAST-id labelling —
+    a hash match proves the RHP-blocked candidate pass + large-star/
+    small-star components + keep-labelling composition end-to-end."""
+    from valar_spark import ann
+
+    return (ann.semantic_dedup(_emb_with_copies(spark, sf_dir),
+                               threshold=0.95,
+                               pairs=_emb_pairs_cached(spark, sf_dir))
+            .orderBy("vec_id"))
 
 
 _WINNOW_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -1955,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized_documents": _q_dedup_normalized,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "embedding_near_dup_pairs": _q_embedding_near_dups,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
         "ann_topk_embeddings": _q_ann_topk,
         "ann_ivf_topk_embeddings": _q_ann_ivf,
         "ann_ivf_probe_all_embeddings": _q_ann_ivf_probe_all,
@@ -2799,6 +2837,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.95
             ORDER BY id_a, id_b
+        """,
+        # SemDeDup composition oracle: brute-force exact cosine pairs →
+        # recursive-CTE transitive closure → LEAST-reachable-id label →
+        # keep = (label = own id); the Spark side is RHP-blocked candidates
+        # + large-star/small-star components, so a hash match proves the
+        # whole scale path end-to-end
+        "semantic_dedup_embeddings": """
+            WITH RECURSIVE un AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id,
+                       list_concat([CAST(embedding[1] + 0.05 AS FLOAT)],
+                                   embedding[2:]) AS embedding
+                FROM embeddings WHERE vec_id % 2 = 0
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM un a JOIN un b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) >= 0.95
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(s, d) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+            ),
+            comp AS (
+                SELECT s AS vec_id, LEAST(s, MIN(d)) AS component
+                FROM reach GROUP BY s
+            )
+            SELECT un.vec_id,
+                   CAST(COALESCE(comp.component, un.vec_id) AS BIGINT)
+                     AS component,
+                   COALESCE(comp.component, un.vec_id) = un.vec_id AS keep
+            FROM un LEFT JOIN comp ON un.vec_id = comp.vec_id
+            ORDER BY un.vec_id
         """,
         "bpe_token_count_documents": r"""
             SELECT doc_id,

@@ -332,3 +332,37 @@ def test_embedding_group_drift_displaced_group(spark):
     assert got[0]["n_vectors"] == 30 and got[1]["n_vectors"] == 30
     assert abs(got[0]["centroid_dist"] - 5.0) < 1e-4
     assert abs(got[0]["centroid_dist"] - got[1]["centroid_dist"]) < 1e-6
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    # {0,1,2} mutually near-identical (cosine > 0.95), {3} orthogonal,
+    # {4,5} a second pair — expect components {0,0,0,3,4,4} and the
+    # minimum-id member of each group marked keep
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),      # cos(v0, v1) ~ 0.99995
+        (2, [0.999, 0.02, 0.0]),
+        (3, [0.0, 0.0, 1.0]),       # orthogonal singleton
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.0, 1.0, 0.015]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r["vec_id"]: r for r in ann.semantic_dedup(df, threshold=0.95)
+           .collect()}
+    assert len(got) == 6
+    assert {k: got[k]["component"] for k in sorted(got)} == {
+        0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+    assert {k: got[k]["keep"] for k in sorted(got)} == {
+        0: True, 1: False, 2: False, 3: True, 4: True, 5: False}
+
+
+def test_semantic_dedup_accepts_shared_pairs(spark):
+    # the sets=/pairs= sharing convention: a precomputed pair frame must
+    # produce the same labelling as the internally generated one
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = ann.embedding_near_dup_pairs(df, threshold=0.95)
+    a = sorted(ann.semantic_dedup(df, threshold=0.95).collect())
+    b = sorted(ann.semantic_dedup(df, threshold=0.95, pairs=pairs).collect())
+    assert a == b
+    assert [r["keep"] for r in a] == [True, False, True]

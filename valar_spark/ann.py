@@ -679,3 +679,56 @@ def embedding_near_dup_pairs(
     out.count()
     t.unpersist()
     return out
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    chunk_bits: int | None = None,
+    max_hamming: int = 7,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): documents whose EMBEDDINGS are
+    near-identical (cosine ≥ ``threshold``) are semantic duplicates even
+    when no token-level fingerprint matches — paraphrases, template
+    rewrites, boilerplate re-renders. Groups them transitively and keeps
+    one representative per group.
+
+    Returns one row per corpus id: ``(id_col, component, keep)`` where
+    ``component`` is the minimum id reachable through cosine-≥-threshold
+    edges (its own id for semantically unique docs) and ``keep`` marks
+    the minimum-id representative of each group — the same
+    drop-set-producing shape as the MinHash text path, so the ledger's
+    ``near_dup_drop_ids`` consumes ``keep = false`` ids directly.
+
+    Shape at scale — the composition inherits both pieces' contracts:
+    candidate generation is :func:`embedding_near_dup_pairs` (RHP sketch
+    → chunk-block key-equality join, exact-cosine verify on candidates
+    only, never all-pairs) and grouping is
+    :func:`~valar_spark.textops.connected_components` (large-star/
+    small-star over the EDGE list, O(log n) rounds). The final label join
+    is corpus × (near-dup ids only) — at near-dup rates of a few percent
+    the right side is small and AQE broadcasts it. Pass a precomputed
+    ``pairs`` frame to share one candidate pass with other consumers
+    (e.g. a pair-audit query), mirroring the ``sets=`` convention of the
+    text operators."""
+    from valar_spark.textops import connected_components
+
+    p = pairs if pairs is not None else embedding_near_dup_pairs(
+        corpus, threshold=threshold, max_hamming=max_hamming,
+        id_col=id_col, vec_col=vec_col, seed=seed, chunk_bits=chunk_bits)
+    comps = connected_components(p).withColumnRenamed("id", id_col)
+    return (
+        corpus.select(F.col(id_col))
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).cast("long")
+            .alias("component"))
+        .withColumn("keep", F.col("component") == F.col(id_col))
+    )
