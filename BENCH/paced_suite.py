@@ -1,21 +1,31 @@
-"""Segmented paced suite — the only way to record a CLEAN (unthrottled)
-full-suite artifact on this burst-budgeted host.
+"""Segmented paced suite — the only way to record a comparable
+(per-query clean-start) full-suite artifact on this burst-budgeted host.
 
-A continuous 32-core suite run is ~12 min of sustained load; the host's
-CPU burst budget drains in the first 1-2 min and every later sample reads
-2-5x its clean cost (see BASELINE.md's throttle model — r5 continuous run:
-flagship 10.8 -> 34.3 -> 56.7 s monotone). This driver instead runs the
-suite in SEGMENTS of ~30-60 s of work, each in a fresh subprocess, with
-recovery idle between segments, and accepts a segment only when its
-intra-segment probe trace is flat (max/min < 1.5 AND absolute probe near
-the host floor). Dirty segments are re-run after a longer idle. The
-assembled artifact is per-query comparable round-over-round, which a
-continuous-run artifact on this host is not.
+A continuous 32-core suite run drains the host's CPU burst budget in the
+first 1-2 min and every later sample reads 2-5x its clean cost (see
+BASELINE.md's throttle model — r5 continuous run: flagship 10.8 -> 34.3
+-> 56.7 s monotone). Two observed failure modes shape this protocol:
+
+1. a single probe can blip 13s between 0.05s neighbors (scheduler), so
+   every probe here is a min-of-2;
+2. a heavy query legitimately drains the budget DURING its own run, so a
+   whole-window-flat criterion can never accept a segment containing one
+   — the honest per-query contract is a CLEAN START: the sample counts
+   when the min-of-2 probe taken immediately before the query reads at
+   the session floor. The query's own mid-run drain is part of its cost
+   on this host and is identical round-over-round for identical work.
+
+Protocol: pack queries into small segments (heavy ones solo), run each
+segment in a fresh warmed subprocess after a recovery idle, accept each
+query whose pre-probe was clean, and re-run the rest in mop-up rounds
+with growing idles. The assembled artifact records every query's
+pre-probe; ``"throttled"`` is true only if some query NEVER got a
+clean-start sample.
 
 Usage: python BENCH/paced_suite.py [out.json]
 Env:   PACED_SF_DIR (default /root/testdata/sf0.1),
-       PACED_IDLE (base inter-segment idle sec, default 150),
-       PACED_RETRIES (per segment, default 2)
+       PACED_IDLE (base inter-segment idle sec, default 240),
+       PACED_ROUNDS (mop-up rounds, default 3)
 """
 
 from __future__ import annotations
@@ -32,26 +42,27 @@ from bench import throttle_probe  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# rough per-query cost estimates (sec, clean window) used ONLY to pack
-# segments — from the r4/r5 recorded artifacts divided by the observed
-# throttle factor; anything unlisted is assumed sub-second
+# rough per-query clean-cost estimates (sec) used ONLY to pack segments —
+# from the r4 artifacts and the judge's clean-window measurements; anything
+# unlisted is assumed sub-second
 EST = {
-    "contamination_screen_documents": 45, "ann_topk_embeddings": 12,
+    "contamination_screen_documents": 45, "jaccard_pairs_documents": 40,
     "near_dup_components_documents": 22, "jaccard_lsh_gated_pairs": 15,
-    "jaccard_pairs_documents": 12, "salient_terms_documents": 12,
-    "events_verdict_summary": 10, "winnow_pairs_documents": 10,
-    "media_features_documents": 8, "top_bigram_documents": 5,
-    "minhash_near_dup_pairs": 5, "simhash_pairs_documents": 4,
-    "embedding_near_dup_pairs": 5, "ann_ivf_topk_embeddings": 4,
-    "frame_sample_documents": 7, "transcript_verdicts": 6,
-    "conversation_stats_transcripts": 6, "validate_transcripts": 5,
-    "json_valid_events": 6, "cross_field_events": 4, "validate_events": 2,
+    "semantic_dedup_embeddings": 15, "ann_topk_embeddings": 12,
+    "salient_terms_documents": 12, "events_verdict_summary": 10,
+    "winnow_pairs_documents": 10, "media_features_documents": 8,
+    "embedding_near_dup_pairs": 8, "minhash_near_dup_pairs": 6,
+    "top_bigram_documents": 5, "simhash_pairs_documents": 4,
+    "ann_ivf_topk_embeddings": 4, "frame_sample_documents": 7,
+    "transcript_verdicts": 6, "conversation_stats_transcripts": 6,
+    "validate_transcripts": 5, "json_valid_events": 6,
+    "cross_field_events": 4, "validate_events": 2,
     "embedding_cosine_pairs": 3, "ann_ivf_probe_all_embeddings": 3,
     "dedup_normalized_documents": 2, "fd_user_event_type": 3,
     "entropy_events_type": 3, "sequence_gaps_lineitem": 2,
-    "semantic_dedup_embeddings": 8,
 }
-SEGMENT_BUDGET = 50.0
+SEGMENT_BUDGET = 35.0
+SOLO_AT = 12.0  # a query this heavy drains the bucket itself: run it solo
 
 
 def pack_segments(names: list[str]) -> list[list[str]]:
@@ -60,6 +71,9 @@ def pack_segments(names: list[str]) -> list[list[str]]:
     cost = 0.0
     for n in names:
         c = EST.get(n, 1.0)
+        if c >= SOLO_AT:
+            segs.append([n])
+            continue
         if cur and cost + c > SEGMENT_BUDGET:
             segs.append(cur)
             cur, cost = [], 0.0
@@ -70,12 +84,16 @@ def pack_segments(names: list[str]) -> list[list[str]]:
     return segs
 
 
+def probe2() -> float:
+    # min-of-2: a single probe can catch a scheduling blip (observed
+    # 13.7s between 0.05s neighbors); real budget drain affects both
+    return min(throttle_probe(), throttle_probe())
+
+
 def wait_until_cool(floor: float, max_wait: float = 600.0) -> float:
     spent = 0.0
     while True:
-        # min-of-2: a single probe can catch a scheduling blip (observed
-        # 13.7s between 0.05s neighbors); real budget drain affects both
-        p = min(throttle_probe(), throttle_probe())
+        p = probe2()
         if p < 1.8 * floor or spent >= max_wait:
             return p
         time.sleep(min(30.0, max_wait - spent))
@@ -85,29 +103,34 @@ def wait_until_cool(floor: float, max_wait: float = 600.0) -> float:
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH/bench_r05_paced.json"
     sf_dir = os.environ.get("PACED_SF_DIR", "/root/testdata/sf0.1")
-    base_idle = float(os.environ.get("PACED_IDLE", "150"))
-    retries = int(os.environ.get("PACED_RETRIES", "2"))
+    base_idle = float(os.environ.get("PACED_IDLE", "240"))
+    max_rounds = int(os.environ.get("PACED_ROUNDS", "3"))
 
     import __spark_entry__ as e
 
     names = [n for n in getattr(e, "BENCH_ORDER", []) if n in e.queries()]
     names += [n for n in e.queries() if n not in names]
-    segments = pack_segments(names)
-    print(f"{len(names)} queries in {len(segments)} segments", flush=True)
 
-    throttle_probe()
+    throttle_probe()  # unrecorded warm-up
     floor = min(throttle_probe() for _ in range(3))
-    print(f"probe floor: {floor:.3f}s", flush=True)
+    thresh = 1.8 * max(floor, 0.03)
+    print(f"{len(names)} queries, probe floor {floor:.3f}s "
+          f"(clean-start threshold {thresh:.3f}s)", flush=True)
 
     per_query: dict[str, float] = {}
+    per_probe: dict[str, float] = {}
+    is_clean: dict[str, bool] = {}
     seg_meta = []
-    all_clean = True
-    for i, seg in enumerate(segments):
-        result, clean = None, False
-        for attempt in range(retries + 1):
-            idle = base_idle * (1 + attempt)
-            print(f"segment {i} attempt {attempt}: idle {idle:.0f}s "
-                  f"then {seg}", flush=True)
+    pending = list(names)
+    for rnd in range(max_rounds):
+        if not pending:
+            break
+        segments = pack_segments(pending)
+        idle = base_idle * (1.4 ** rnd)
+        print(f"round {rnd}: {len(pending)} queries in {len(segments)} "
+              f"segments, idle {idle:.0f}s", flush=True)
+        nxt: list[str] = []
+        for i, seg in enumerate(segments):
             time.sleep(idle)
             p0 = wait_until_cool(floor)
             t0 = time.time()
@@ -118,50 +141,55 @@ def main() -> None:
             line = [ln for ln in proc.stdout.splitlines()
                     if ln.startswith("{")]
             if not line:
-                print(f"segment {i} CRASHED: {proc.stderr[-500:]}",
+                print(f"round {rnd} seg {i} CRASHED: {proc.stderr[-500:]}",
                       flush=True)
+                nxt.extend(seg)
                 continue
             result = json.loads(line[-1])
-            # cleanliness brackets the MEASUREMENT window only: each
-            # query's pre-probe plus the final probe. p0 (the start-gate
-            # probe) is recorded but excluded — when wait_until_cool gives
-            # up at max_wait it returns a hot value by construction, yet
-            # the budget can refill during the segment's JVM warm-up; the
-            # intra-window probes are the ground truth for the samples.
-            probes = ([q["probe"] for q in result["queries"].values()]
-                      + [result["final_probe"]])
-            clean = (max(probes) / max(min(probes), 1e-9) < 1.5
-                     and max(probes) < 1.8 * floor)
-            print(f"segment {i} attempt {attempt}: wall "
-                  f"{time.time() - t0:.0f}s p0={p0:.3f} probes {probes} "
-                  f"clean={clean}", flush=True)
-            if clean:
-                break
-        if result is None:
-            all_clean = False
-            continue
-        for n, q in result["queries"].items():
-            per_query[n] = q["sec"]
-        seg_meta.append({"segment": i, "names": seg, "clean": clean,
-                         "p0": round(p0, 3), "probes": probes})
-        all_clean = all_clean and clean
+            accepted = []
+            for n, q in result["queries"].items():
+                ok = q["sec"] >= 0 and q["probe"] < thresh
+                # keep the best available sample: clean beats dirty;
+                # between two same-class samples keep the newer one
+                if ok or not is_clean.get(n, False):
+                    per_query[n] = q["sec"]
+                    per_probe[n] = q["probe"]
+                    is_clean[n] = ok
+                if ok:
+                    accepted.append(n)
+                elif rnd + 1 < max_rounds:
+                    nxt.append(n)
+            seg_meta.append({
+                "round": rnd, "names": seg, "p0": round(p0, 3),
+                "wall": round(time.time() - t0, 1),
+                "accepted": accepted,
+                "final_probe": result["final_probe"]})
+            print(f"round {rnd} seg {i}: wall {time.time() - t0:.0f}s "
+                  f"p0={p0:.3f} accepted {len(accepted)}/{len(seg)} "
+                  f"{[ (n, result['queries'][n]['sec'], result['queries'][n]['probe']) for n in seg ]}",
+                  flush=True)
+        pending = sorted(set(nxt))
 
+    dirty = sorted(n for n, ok in is_clean.items() if not ok)
     artifact = {
-        "metric": "dataset-rule suite, segmented paced protocol",
+        "metric": "dataset-rule suite, per-query clean-start paced protocol",
         "value": round(sum(v for v in per_query.values() if v >= 0), 3),
         "unit": "sec",
         "queries": per_query,
         "sf": 0.1,
         "cpus": 32,
-        "throttled": not all_clean,
-        "protocol": "segmented-paced",
+        "throttled": bool(dirty),
+        "protocol": "segmented-paced/clean-start-v2",
         "probe_floor": round(floor, 3),
+        "pre_probes": per_probe,
+        "dirty_queries": dirty,
         "segments": seg_meta,
     }
     with open(os.path.join(REPO, out_path), "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({k: v for k, v in artifact.items()
-                      if k != "segments"}), flush=True)
+                      if k not in ("segments", "pre_probes", "queries")}),
+          flush=True)
 
 
 if __name__ == "__main__":

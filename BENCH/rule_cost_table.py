@@ -1,0 +1,54 @@
+"""Per-rule cost attribution table for BENCH/BASELINE.md (r4 verdict
+stretch ask #8): run the flagship transcript ruleset at a given turn
+count, time each rule's compiled expression in isolation
+(ValidationRun.rule_cost), and print a markdown table joining the cost
+to each rule's violation counts — the operational view a 100-TB operator
+needs ("which rule is the expensive one, and is it earning its cost").
+
+Usage: python BENCH/rule_cost_table.py [turns] (default 2_000_000)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    turns = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    import __spark_entry__ as e
+    from valar_spark import validate
+    from valar_spark.session import get_spark
+
+    spark = get_spark(app_name="valar_rule_cost", master="local[32]",
+                      shuffle_partitions=32)
+    df = e._transcripts(spark, total_turns=turns)
+    df.count()  # materialize the persisted synth outside the timings
+    run = validate(df, e.transcript_ruleset())
+    t0 = time.perf_counter()
+    fused = run.violations.count()
+    fused_sec = time.perf_counter() - t0
+    rows = (run.summary(with_cost=True)
+            .orderBy("cost_sec", ascending=False).collect())
+    print(f"\nfused single-pass: {fused} violations in {fused_sec:.2f}s "
+          f"({turns:,} turns)\n")
+    print("| rule_id | violations | rows_checked | cost_sec (isolated) "
+          "| cost_frac |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['rule_id']} | {r['violation_count']:,} "
+              f"| {r['rows_checked']:,} | {r['cost_sec']:.2f} "
+              f"| {r['cost_frac']:.3f} |")
+    iso_total = sum(r["cost_sec"] for r in rows)
+    print(f"\nisolated-scan total {iso_total:.2f}s vs fused single pass "
+          f"{fused_sec:.2f}s — the fused projection amortizes "
+          f"{iso_total / max(fused_sec, 1e-9):.1f}x worth of per-rule "
+          "scans into one.")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

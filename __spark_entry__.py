@@ -2053,6 +2053,7 @@ BENCH_ORDER = [
     "dedup_normalized_documents",
     "embedding_cosine_pairs",
     "embedding_near_dup_pairs",
+    "semantic_dedup_embeddings",  # shares the cached pair pass above
     "ann_topk_embeddings",
     "ann_ivf_topk_embeddings",
     "ann_ivf_probe_all_embeddings",
