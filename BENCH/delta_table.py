@@ -1,0 +1,48 @@
+"""Render the r4→r5 per-query delta table for BENCH/BASELINE.md.
+
+Compares the round-4 recorded artifact (throttle-noised continuous run)
+with the round-5 clean-start paced artifact. The r4 column is labelled
+as throttled; the point of the table is the r5 clean-start baseline each
+future round can diff against, plus the sanity signal that nothing
+regressed by more than window noise.
+
+Usage: python BENCH/delta_table.py [r4.json] [r5.json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    r4_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH/bench_r04_local.json"
+    r5_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH/bench_r05_paced.json"
+    r4 = json.load(open(r4_path))
+    r5 = json.load(open(r5_path))
+    q4, q5 = r4["queries"], r5["queries"]
+    dirty = set(r5.get("dirty_queries", []))
+    rows = []
+    for n, v5 in q5.items():
+        v4 = q4.get(n)
+        rows.append((n, v4, v5))
+    rows.sort(key=lambda r: -(r[2] if r[2] is not None else 0))
+    print("| query | r4 sec (throttled window) | r5 sec (clean start) "
+          "| note |")
+    print("|---|---|---|---|")
+    for n, v4, v5 in rows:
+        if v5 < 1.0:
+            continue  # the sub-second tail is summarized below
+        note = "pre-probe hot" if n in dirty else ""
+        if v4 is None:
+            note = (note + "; " if note else "") + "new in r5"
+        print(f"| {n} | {v4 if v4 is not None else '—'} | {v5} | {note} |")
+    n_sub = sum(1 for _, _, v5 in rows if v5 < 1.0)
+    sub_total = sum(v5 for _, _, v5 in rows if v5 < 1.0)
+    print(f"\n(sub-second tail: {n_sub} queries totalling {sub_total:.1f}s)")
+    print(f"r5 suite total {r5['value']}s across {len(q5)} queries; "
+          f"throttled={r5['throttled']}, dirty={sorted(dirty)}")
+
+
+if __name__ == "__main__":
+    main()
