@@ -1,0 +1,81 @@
+"""Clean-start flagship measurement: 3 independent one-repeat bench.py
+invocations (fresh JVM each), each launched only after the min-of-2
+single-thread probe returns to the host floor — the same per-sample
+clean-start contract as the paced suite. Writes
+BENCH/flagship_r05_paced.json with per-sample pre-probes.
+
+Usage: python BENCH/flagship_paced.py [repeats] [turns]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import throttle_probe  # noqa: E402
+
+FLOOR = 0.05  # session floor on this host (paced-suite measured 0.043-0.061)
+THRESH = 1.8 * FLOOR
+
+
+def wait_until_cool(max_wait: float = 600.0) -> float:
+    spent = 0.0
+    while True:
+        p = min(throttle_probe(), throttle_probe())
+        if p < THRESH or spent >= max_wait:
+            return p
+        time.sleep(min(30.0, max_wait - spent))
+        spent += 30.0
+
+
+def main() -> None:
+    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    turns = sys.argv[2] if len(sys.argv) > 2 else "2000000"
+    samples = []
+    for r in range(repeats):
+        time.sleep(240)
+        p = wait_until_cool()
+        env = dict(os.environ,
+                   VALAR_BENCH_FLAGSHIP_ONLY="1", VALAR_BENCH_REPEAT="1",
+                   VALAR_BENCH_COOLDOWN="0", VALAR_BENCH_PACE_BUDGET="0",
+                   VALAR_BENCH_TURNS=turns)
+        out = subprocess.run([sys.executable, "bench.py"], env=env,
+                             capture_output=True, text=True, cwd=REPO)
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            print(f"sample {r} CRASHED: {out.stderr[-400:]}", flush=True)
+            continue
+        d = json.loads(lines[-1])
+        samples.append({
+            "sec": d["flagship_best"], "pre_probe": round(p, 3),
+            "clean_start": p < THRESH,
+            "turns_per_sec": d["validated_turns_per_sec_best"],
+            "post_probes": d["probe_times"]})
+        print(samples[-1], flush=True)
+    clean = [s for s in samples if s["clean_start"]]
+    pool = clean or samples
+    best = min(pool, key=lambda s: s["sec"])
+    ordered = sorted(s["sec"] for s in pool)
+    summary = {
+        "metric": "flagship validate() wall sec, clean-start protocol",
+        "turns": int(turns), "cpus": 32,
+        "samples": samples,
+        "clean_samples": len(clean),
+        "best_sec": best["sec"],
+        "median_sec": ordered[len(ordered) // 2],
+        "best_turns_per_sec": best["turns_per_sec"],
+        "throttled": len(clean) < len(samples),
+    }
+    with open(os.path.join(REPO, "BENCH/flagship_r05_paced.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
