@@ -724,6 +724,107 @@ def _q_referential_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "actual"))
 
 
+def _conv_num() -> F.Column:
+    """Recover the numeric conversation id from the ``c%08d`` conv_id —
+    lets planted mutations condition on a value BOTH engines can compute
+    (xxhash64 has no DuckDB analogue; SUBSTR+CAST does)."""
+    return F.substring("conv_id", 2, 8).cast("int")
+
+
+def _q_prefix_dedup_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branched-conversation prefix dedup (dataset_rules.py::
+    conversation_prefix_dedup) under a full DuckDB hash oracle: convs
+    with conv_num % 17 == 3 get their first 3 turns deterministically
+    rewritten to one of 5 shared branch prefixes (retry/best-of-n
+    branches), so the expected clusters — and the keeper election — are
+    exactly reproducible in SQL."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    cn = _conv_num()
+    planted = df.withColumn(
+        "text",
+        F.when((cn % 17 == 3) & F.col("turn_idx").between(0, 2),
+               F.concat(F.lit("branch-"), (cn % 5).cast("string"),
+                        F.lit(" turn-"), F.col("turn_idx").cast("string")))
+        .otherwise(F.col("text")))
+    return (D.conversation_prefix_dedup(planted, k=3)
+            .orderBy("prefix_hash", "conv"))
+
+
+def _q_loop_detection_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent loop detection (dataset_rules.py::degenerate_runs)
+    under a full DuckDB hash oracle: convs with conv_num % 23 == 7 get
+    turns 4..9 rewritten to one repeated tool-retry message — a planted
+    6-turn degenerate run (shortened only where a turn lost its index to
+    the negative-idx plant, still ≥ min_run)."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    cn = _conv_num()
+    planted = df.withColumn(
+        "text",
+        F.when((cn % 23 == 7) & F.col("turn_idx").between(4, 9),
+               F.lit("loop: retrying the same tool call."))
+        .otherwise(F.col("text")))
+    return (D.degenerate_runs(planted, min_run=3)
+            .orderBy("conv", "start_idx", "content_hash"))
+
+
+def _q_sequence_gaps_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense turn_idx completeness per conversation on the north-rule
+    table itself (no mutation needed — the synth's negative-idx plant
+    both breaks the origin and leaves a real hole at the turn it
+    relabeled), under a full DuckDB hash oracle."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    return (
+        D.sequence_gaps(df, ["conv_id"], "turn_idx", start=0)
+        .select("conv_id",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                F.col("min_idx").cast("long").alias("min_idx"),
+                F.col("max_idx").cast("long").alias("max_idx"),
+                F.col("n_missing").cast("long").alias("n_missing"))
+        .orderBy("conv_id")
+    )
+
+
+#: allowed (prev role -> role) pairs within a conversation — the intended
+#: clean machine of synth.py's role generator (system opens, user/assistant
+#: alternate, tool turns may interpose anywhere). Violations are exactly
+#: the plants: 'narrator' roles, pairs straddling a negative-idx row, and
+#: the self-pairs duplicated (conv_id, turn_idx) rows create.
+_ROLE_GRAMMAR = [
+    ("system", "user"), ("system", "tool"),
+    ("user", "assistant"), ("user", "tool"),
+    ("assistant", "user"), ("assistant", "tool"),
+    ("tool", "assistant"), ("tool", "user"), ("tool", "tool"),
+]
+
+_ROLE_GRAMMAR_SQL = ", ".join(
+    f"'{p}' || chr(1) || '{c}'" for p, c in _ROLE_GRAMMAR)
+
+
+def _q_transitions_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-alternation grammar on the transcript table (the
+    conversation-grammar face of dataset_rules.py::illegal_transitions,
+    previously hash-gated only on events), under a full DuckDB hash
+    oracle. Order closes with the state column so rows tied on
+    (turn_idx, role) stay interchangeable."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    return (
+        D.illegal_transitions(df, "conv_id", ["turn_idx", "role"], "role",
+                              _ROLE_GRAMMAR)
+        .select("conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+                "prev_state", F.col("role").alias("state"), "kind")
+        .orderBy("conv_id", "turn_idx", "prev_state", "state")
+    )
+
+
 def _mutated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with deterministic planted violations (reproducible in SQL)
     so every rule of :func:`events_ruleset` fires: every 613th event loses
@@ -1926,6 +2027,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_transcripts": _q_validate_transcripts,
         "transcript_verdicts": _q_transcript_verdicts,
         "conversation_stats_transcripts": _q_conversation_stats,
+        # -- transcript sequence-shape rules (new in r5, hash oracles) --
+        "prefix_dedup_transcripts": _q_prefix_dedup_transcripts,
+        "loop_detection_transcripts": _q_loop_detection_transcripts,
+        "sequence_gaps_transcripts": _q_sequence_gaps_transcripts,
+        "transitions_transcripts": _q_transitions_transcripts,
         # -- changed this round: cap-stage two-phase + shared winnow pass --
         "curation_ledger_documents": _q_curation_ledger,
         "contamination_screen_documents": _q_contamination_screen,
@@ -3270,6 +3376,120 @@ def oracle_sql() -> dict[str, str]:
                    'key present in reference table' AS expected,
                    conv_id AS actual
             FROM orphans ORDER BY conv_id
+        """,
+        # branched-conversation prefix dedup: same planted branch texts,
+        # same per-turn md5 content key, same (idx, hash)-ordered prefix
+        # concatenation, same min-conv keeper election
+        "prefix_dedup_transcripts": rf"""
+            WITH t AS (
+                SELECT * FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            ), m AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 17 = 3
+                                 AND turn_idx BETWEEN 0 AND 2
+                            THEN 'branch-' || CAST(CAST(SUBSTR(conv_id, 2, 8)
+                                     AS INT) % 5 AS VARCHAR)
+                                 || ' turn-' || CAST(turn_idx AS VARCHAR)
+                            ELSE text END AS text
+                FROM t
+            ), p AS (
+                SELECT conv_id AS conv,
+                       COUNT(*)::BIGINT AS n_prefix_turns,
+                       md5(string_agg(
+                           CAST(turn_idx AS VARCHAR) || ':'
+                               || md5(COALESCE(text, chr(0))), chr(2)
+                           ORDER BY turn_idx,
+                                    md5(COALESCE(text, chr(0)))))
+                         AS prefix_hash
+                FROM m WHERE turn_idx >= 0 AND turn_idx < 3
+                GROUP BY conv_id
+            ), c AS (
+                SELECT conv, prefix_hash, n_prefix_turns,
+                       COUNT(*) OVER (PARTITION BY prefix_hash)::BIGINT
+                         AS cluster_size,
+                       MIN(conv) OVER (PARTITION BY prefix_hash) AS keeper
+                FROM p WHERE n_prefix_turns >= 3
+            )
+            SELECT conv, prefix_hash, n_prefix_turns, cluster_size, keeper,
+                   conv <> keeper AS is_dup
+            FROM c WHERE cluster_size > 1
+            ORDER BY prefix_hash, conv
+        """,
+        # stuck-agent runs: identical gaps-and-islands over the identical
+        # (idx, content-hash) total order
+        "loop_detection_transcripts": rf"""
+            WITH t AS (
+                SELECT * FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            ), m AS (
+                SELECT conv_id AS conv, turn_idx::BIGINT AS i,
+                       md5(COALESCE(
+                           CASE WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 23
+                                     = 7 AND turn_idx BETWEEN 4 AND 9
+                                THEN 'loop: retrying the same tool call.'
+                                ELSE text END, chr(0))) AS h
+                FROM t
+            ), l AS (
+                SELECT conv, i, h,
+                       CASE WHEN LAG(h) OVER w IS NULL
+                                 OR LAG(h) OVER w <> h
+                            THEN 1 ELSE 0 END AS new_run
+                FROM m
+                WINDOW w AS (PARTITION BY conv
+                             ORDER BY i ASC NULLS FIRST, h ASC NULLS FIRST)
+            ), r AS (
+                SELECT conv, i, h,
+                       SUM(new_run) OVER (
+                           PARTITION BY conv
+                           ORDER BY i ASC NULLS FIRST, h ASC NULLS FIRST
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS run
+                FROM l
+            )
+            SELECT conv, MIN(i)::BIGINT AS start_idx,
+                   MAX(i)::BIGINT AS end_idx,
+                   COUNT(*)::BIGINT AS run_len, h AS content_hash
+            FROM r GROUP BY conv, run, h
+            HAVING COUNT(*) >= 3
+            ORDER BY conv, start_idx, content_hash
+        """,
+        # dense-turn_idx completeness on the raw north-rule table: the
+        # negative-idx plant both breaks the origin and leaves a hole
+        "sequence_gaps_transcripts": rf"""
+            SELECT conv_id,
+                   COUNT(*)::BIGINT AS n_rows,
+                   COUNT(DISTINCT turn_idx)::BIGINT AS n_distinct,
+                   MIN(turn_idx)::BIGINT AS min_idx,
+                   MAX(turn_idx)::BIGINT AS max_idx,
+                   GREATEST(MAX(turn_idx)::BIGINT + 1
+                       - COUNT(DISTINCT turn_idx), 0)::BIGINT AS n_missing
+            FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            WHERE turn_idx IS NOT NULL
+            GROUP BY conv_id
+            HAVING MIN(turn_idx) < 0
+                OR GREATEST(MAX(turn_idx)::BIGINT + 1
+                       - COUNT(DISTINCT turn_idx), 0) > 0
+            ORDER BY conv_id
+        """,
+        # role-alternation grammar: lag over the identical
+        # (turn_idx, role) total order, NULLS FIRST pinned
+        "transitions_transcripts": rf"""
+            WITH lagged AS (
+                SELECT conv_id, turn_idx, role,
+                       LAG(role) OVER w AS prev_state,
+                       ROW_NUMBER() OVER w AS rn
+                FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+                WINDOW w AS (PARTITION BY conv_id
+                             ORDER BY turn_idx ASC NULLS FIRST,
+                                      role ASC NULLS FIRST)
+            )
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx, prev_state,
+                   role AS state, 'transition' AS kind
+            FROM lagged
+            WHERE rn > 1
+              AND COALESCE(prev_state, chr(0)) || chr(1)
+                  || COALESCE(role, chr(0))
+                  NOT IN ({_ROLE_GRAMMAR_SQL})
+            ORDER BY conv_id, turn_idx, prev_state, state
         """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -213,3 +213,89 @@ def test_schema_violations_contract(spark):
     # clean contract → empty frame with the violation schema
     ok = D.schema_violations(df, "conv_id string, turn_idx int, extra double")
     assert ok.count() == 0 and "field_path" in ok.columns
+
+
+# ---------------------------------------------------------------------------
+# conversation prefix dedup (branched transcripts) + degenerate runs
+# ---------------------------------------------------------------------------
+
+
+def _branch_df(spark):
+    rows = [
+        # c1 and c3 share the same 3-turn prefix text; c2 diverges at t2
+        ("c1", 0, "hello"), ("c1", 1, "hi"), ("c1", 2, "task?"),
+        ("c1", 3, "c1 tail"),
+        ("c2", 0, "hello"), ("c2", 1, "hi"), ("c2", 2, "DIFFERENT"),
+        ("c3", 0, "hello"), ("c3", 1, "hi"), ("c3", 2, "task?"),
+        ("c3", 3, "c3 tail"), ("c3", 4, "more"),
+        # c4: only 2 prefix turns → skipped at k=3 even though they match
+        ("c4", 0, "hello"), ("c4", 1, "hi"),
+        # c5: unique prefix
+        ("c5", 0, "x"), ("c5", 1, "y"), ("c5", 2, "z"),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string")
+
+
+def test_prefix_dedup_clusters_and_keeper(spark):
+    got = {r["conv"]: r for r in
+           D.conversation_prefix_dedup(_branch_df(spark), k=3).collect()}
+    assert set(got) == {"c1", "c3"}          # c2 diverges, c4 short, c5 unique
+    assert got["c1"]["keeper"] == "c1" and not got["c1"]["is_dup"]
+    assert got["c3"]["keeper"] == "c1" and got["c3"]["is_dup"]
+    assert got["c1"]["cluster_size"] == 2
+    assert got["c1"]["prefix_hash"] == got["c3"]["prefix_hash"]
+    assert got["c1"]["n_prefix_turns"] == 3
+
+
+def test_prefix_dedup_duplicate_turn_changes_hash_but_is_deterministic(spark):
+    # a duplicated (conv, turn) row is part of the prefix content key:
+    # the conv no longer matches its clean twin, but repeated runs agree
+    df = _branch_df(spark).unionAll(spark.createDataFrame(
+        [("c3", 0, "hello")], "conv_id string, turn_idx int, text string"))
+    a = sorted(map(tuple, D.conversation_prefix_dedup(df, k=3).collect()))
+    b = sorted(map(tuple, D.conversation_prefix_dedup(
+        df.repartition(7), k=3).collect()))
+    assert a == b
+    # c1/c3 no longer cluster (c3's prefix now has 4 turns incl. the dup)
+    convs = {r[0] for r in a}
+    assert "c3" not in convs or "c1" not in convs
+
+
+def test_degenerate_runs_flags_repeats_and_respects_min_run(spark):
+    rows = [
+        ("c1", 0, "a"), ("c1", 1, "same"), ("c1", 2, "same"),
+        ("c1", 3, "same"), ("c1", 4, "b"),          # run of 3 at 1..3
+        ("c2", 0, "x"), ("c2", 1, "x"),             # run of 2 < min_run
+        ("c3", 0, None), ("c3", 1, None), ("c3", 2, None),  # null run of 3
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r["conv"]: r for r in
+           D.degenerate_runs(df, min_run=3).collect()}
+    assert set(got) == {"c1", "c3"}
+    assert (got["c1"]["start_idx"], got["c1"]["end_idx"],
+            got["c1"]["run_len"]) == (1, 3, 3)
+    assert got["c3"]["run_len"] == 3      # nulls are content too
+
+
+def test_degenerate_runs_duplicate_rows_extend_the_run(spark):
+    # a duplicated (conv, turn) row with the same text joins the run;
+    # result is partition-layout independent (tie closed by content hash)
+    rows = [("c1", 0, "s"), ("c1", 1, "s"), ("c1", 1, "s")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = D.degenerate_runs(df, min_run=3).collect()
+    assert len(got) == 1 and got[0]["run_len"] == 3
+    again = D.degenerate_runs(df.repartition(5), min_run=3).collect()
+    assert list(map(tuple, got)) == list(map(tuple, again))
+
+
+def test_degenerate_runs_multi_column_content_key(spark):
+    # keying on (role, text): same text under different roles breaks a run
+    rows = [("c1", 0, "u", "s"), ("c1", 1, "a", "s"), ("c1", 2, "u", "s"),
+            ("c1", 3, "u", "s"), ("c1", 4, "u", "s")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = D.degenerate_runs(df, content_cols=("role", "text"),
+                            min_run=3).collect()
+    assert len(got) == 1
+    assert (got[0]["start_idx"], got[0]["end_idx"]) == (2, 4)

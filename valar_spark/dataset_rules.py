@@ -1315,6 +1315,122 @@ def conversation_violations(df: DataFrame, min_turns: int = 2,
     )
 
 
+def _turn_content_hash(content_cols: Sequence[str]) -> Column:
+    """md5 over the \\x01-joined, \\x00-null-coalesced content columns —
+    the per-turn content key shared by :func:`conversation_prefix_dedup`
+    and :func:`degenerate_runs`. Exactly mirrorable in ANSI SQL
+    (``md5(coalesce(a, chr(0)) || chr(1) || coalesce(b, chr(0)))``), so
+    both rules carry full DuckDB hash oracles."""
+    return F.md5(F.concat_ws(
+        "\x01",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+          for c in content_cols]))
+
+
+def conversation_prefix_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    content_cols: Sequence[str] = ("text",),
+    k: int = 3,
+) -> DataFrame:
+    """Branched-conversation detection: conversations whose first ``k``
+    turns are content-identical (same ``content_cols`` at the same
+    ``turn_idx``) form one prefix cluster — the transcript analogue of
+    document near-dup. Agent logs produce these constantly (retries,
+    best-of-n sampling, A/B branches share a common prefix), and keeping
+    every branch overweights the shared prefix in training data.
+
+    Returns one row per conversation in a non-trivial cluster:
+    ``(conv, prefix_hash, n_prefix_turns, cluster_size, keeper, is_dup)``
+    with ``keeper`` = min conv id of the cluster (deterministic survivor,
+    same convention as ``textops.dedup_exact``). Conversations with fewer
+    than ``k`` prefix turns (short convs, or rows lost to a negative
+    planted ``turn_idx``) are skipped — a 2-turn prefix matching another
+    2-turn prefix is not evidence at k=3.
+
+    Cost at 10^12 turns: the prefix filter prunes to ≤k rows/conv BEFORE
+    the one conv-keyed aggregate (map-side combined); the cluster window
+    then runs over the 1-row-per-conv prefix table — 10^2–10^4× smaller
+    than the turn table — partitioned by ``prefix_hash``, whose group
+    sizes are cluster sizes (bounded, no skew amplification). No
+    all-pairs comparison anywhere: identical prefixes MEET in the hash
+    partition, the same meet-in-a-bucket shape as MinHash banding."""
+    h = _turn_content_hash(content_cols)
+    elem = F.struct(F.col(idx_col).cast("long").alias("_i"), h.alias("_h"))
+    pref = (
+        df.filter((F.col(idx_col) >= 0) & (F.col(idx_col) < k))
+        .groupBy(F.col(conv_col).alias("conv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_prefix_turns"),
+             # sort by (turn_idx, content-hash): ties are content-equal
+             # rows (planted duplicates), so the concatenation — and the
+             # hash — is tie-order invariant
+             F.md5(F.concat_ws("\x02", F.transform(
+                 F.array_sort(F.collect_list(elem)),
+                 lambda s: F.concat(s["_i"].cast("string"),
+                                    F.lit(":"), s["_h"]))))
+             .alias("prefix_hash"))
+    )
+    wc = Window.partitionBy("prefix_hash")
+    return (
+        pref.filter(F.col("n_prefix_turns") >= k)
+        .withColumn("cluster_size",
+                    F.count(F.lit(1)).over(wc).cast("long"))
+        .withColumn("keeper", F.min("conv").over(wc))
+        .filter(F.col("cluster_size") > 1)
+        .select("conv", "prefix_hash", "n_prefix_turns", "cluster_size",
+                "keeper", (F.col("conv") != F.col("keeper")).alias("is_dup"))
+    )
+
+
+def degenerate_runs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    content_cols: Sequence[str] = ("text",),
+    min_run: int = 3,
+) -> DataFrame:
+    """Stuck-agent detection: maximal runs of ≥ ``min_run`` consecutive
+    turns (in ``idx_col`` order within a conversation) whose
+    ``content_cols`` are identical — the signature of an agent loop
+    (retrying the same tool call, emitting the same apology) and of
+    degenerate sampling. Per-turn rules can't see this; it is a
+    sequence-shape invariant like the transition grammar.
+
+    Classic gaps-and-islands: one lag to mark run starts, one running
+    ``ROWS UNBOUNDED PRECEDING`` sum to number the runs, one (conv, run)
+    aggregate. Returns ``(conv, start_idx, end_idx, run_len,
+    content_hash)``. The sort key closes with the content hash, so rows
+    tied on ``idx_col`` are content-interchangeable and the run
+    assignment is partition-layout-independent (same discipline as
+    :func:`illegal_transitions`).
+
+    Cost at 10^12 turns: ONE window shuffle on the conversation key (the
+    table's natural clustering), per-row state = one lag value + one
+    running sum; skew bounded by the longest conversation."""
+    h = _turn_content_hash(content_cols)
+    w = Window.partitionBy("conv").orderBy(
+        F.col("_i").asc_nulls_first(), F.col("_h").asc_nulls_first())
+    prev = F.lag("_h").over(w)
+    runs = (
+        df.select(F.col(conv_col).alias("conv"),
+                  F.col(idx_col).cast("long").alias("_i"),
+                  h.alias("_h"))
+        .withColumn("_new", F.when(prev.isNull() | (prev != F.col("_h")),
+                                   F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("_run", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        runs.groupBy("conv", "_run", F.col("_h").alias("content_hash"))
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"),
+             F.min("_i").alias("start_idx"),
+             F.max("_i").alias("end_idx"))
+        .filter(F.col("run_len") >= min_run)
+        .select("conv", "start_idx", "end_idx", "run_len", "content_hash")
+    )
+
+
 def stats_profile(
     df: DataFrame,
     columns: Sequence[str] | None = None,
