@@ -825,6 +825,84 @@ def _q_transitions_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_template_turns_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation boilerplate detection (dataset_rules.py::
+    template_turns) under a full DuckDB hash oracle: convs with
+    conv_num % 7 == 2 get every third turn rewritten to one of 4 canned
+    template strings — the recurring refusal/scaffold texts a transcript
+    corpus accumulates. The synth's planted empty/whitespace/null texts
+    are templates too (they recur across convs by construction) and are
+    deliberately reported: an all-blank "template" is exactly the
+    missing-text signal a curation pass wants surfaced."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    cn = _conv_num()
+    planted = df.withColumn(
+        "text",
+        F.when((cn % 7 == 2) & (F.col("turn_idx") % 3 == 1),
+               F.concat(F.lit("template-"),
+                        ((cn + F.col("turn_idx")) % 4).cast("string")))
+        .otherwise(F.col("text")))
+    return (D.template_turns(planted, min_convs=25)
+            .orderBy("content_hash"))
+
+
+def _q_conv_dedup_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation exact dedup (dataset_rules.py::
+    conversation_fingerprint_dedup) under a full DuckDB hash oracle:
+    convs with conv_num % 29 == 5 get EVERY text rewritten to a pure
+    function of turn_idx, so conversations with the same turn-index
+    multiset become content-identical — replayed/re-ingested sessions.
+    The oracle reproduces the (idx, content-hash)-ordered fingerprint
+    concatenation and the min-conv keeper election in SQL."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    cn = _conv_num()
+    planted = df.withColumn(
+        "text",
+        F.when(cn % 29 == 5,
+               F.concat(F.lit("dup turn-"), F.col("turn_idx").cast("string")))
+        .otherwise(F.col("text")))
+    return (D.conversation_fingerprint_dedup(planted)
+            .orderBy("fingerprint", "conv"))
+
+
+def _q_json_contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field-contract validation (dataset_rules.py::
+    json_contract_violations — the tool-call argument validator) under a
+    full DuckDB hash oracle. Deterministic plants cover all four reasons:
+    event_id % 13 → unparseable JSON, % 17 → required key missing,
+    % 19 → non-numeric value; the natural props ``k`` range supplies
+    out-of-range rows against the [0, 80] contract. The when-chain order
+    resolves the %13/%17/%19 overlaps identically in both engines, and
+    the planted invalids sit in the Spark∩DuckDB JSON dialect subset
+    (json_parseable contract)."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    mut = ev.select(
+        "user_id", "event_id",
+        F.when(eid % 13 == 0, F.lit('{"broken":'))
+        .when(eid % 17 == 0, F.lit('{"j": 1}'))
+        .when(eid % 19 == 0, F.lit('{"k": "abc"}'))
+        .otherwise(F.col("props")).alias("props"))
+    out = D.json_contract_violations(
+        mut, "props",
+        [D.JsonField("$.k", required=True, numeric=True, lo=0, hi=80)],
+        keys=("user_id", "event_id"))
+    return (out.select(
+        "rule_id",
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.col("turn_idx").cast("long").alias("event_id"),
+        "code",
+        F.element_at("field_path", 2).alias("field"),
+        "actual")
+        .orderBy("event_id", "code"))
+
+
 def _mutated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with deterministic planted violations (reproducible in SQL)
     so every rule of :func:`events_ruleset` fires: every 613th event loses
@@ -2032,6 +2110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loop_detection_transcripts": _q_loop_detection_transcripts,
         "sequence_gaps_transcripts": _q_sequence_gaps_transcripts,
         "transitions_transcripts": _q_transitions_transcripts,
+        "template_turns_transcripts": _q_template_turns_transcripts,
+        "conv_dedup_transcripts": _q_conv_dedup_transcripts,
+        "json_contract_events": _q_json_contract_events,
         # -- changed this round: cap-stage two-phase + shared winnow pass --
         "curation_ledger_documents": _q_curation_ledger,
         "contamination_screen_documents": _q_contamination_screen,
@@ -3490,6 +3571,103 @@ def oracle_sql() -> dict[str, str]:
                   || COALESCE(role, chr(0))
                   NOT IN ({_ROLE_GRAMMAR_SQL})
             ORDER BY conv_id, turn_idx, prev_state, state
+        """,
+        # cross-conversation boilerplate: same planted canned texts, same
+        # md5 content key, same distinct-conversation threshold
+        "template_turns_transcripts": rf"""
+            WITH m AS (
+                SELECT conv_id,
+                       CASE WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 7 = 2
+                                 AND turn_idx % 3 = 1
+                            THEN 'template-' || CAST(
+                                 (CAST(SUBSTR(conv_id, 2, 8) AS INT)
+                                  + turn_idx) % 4 AS VARCHAR)
+                            ELSE text END AS text
+                FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            )
+            SELECT md5(COALESCE(text, chr(0))) AS content_hash,
+                   COUNT(DISTINCT conv_id)::BIGINT AS n_convs,
+                   COUNT(*)::BIGINT AS n_turns,
+                   MIN(text) AS sample_text
+            FROM m
+            GROUP BY md5(COALESCE(text, chr(0)))
+            HAVING COUNT(DISTINCT conv_id) >= 25
+            ORDER BY content_hash
+        """,
+        # whole-conversation fingerprint dedup: same planted rewrite, same
+        # (idx, content-hash)-ordered concatenation, same keeper election
+        "conv_dedup_transcripts": rf"""
+            WITH m AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 29 = 5
+                            THEN 'dup turn-' || CAST(turn_idx AS VARCHAR)
+                            ELSE text END AS text
+                FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            ), p AS (
+                SELECT conv_id AS conv,
+                       COUNT(*)::BIGINT AS n_turns,
+                       md5(string_agg(
+                           CAST(turn_idx AS VARCHAR) || ':'
+                               || md5(COALESCE(text, chr(0))), chr(2)
+                           ORDER BY turn_idx,
+                                    md5(COALESCE(text, chr(0)))))
+                         AS fingerprint
+                FROM m GROUP BY conv_id
+            ), c AS (
+                SELECT conv, n_turns, fingerprint,
+                       COUNT(*) OVER (PARTITION BY fingerprint)::BIGINT
+                         AS cluster_size,
+                       MIN(conv) OVER (PARTITION BY fingerprint) AS keeper
+                FROM p
+            )
+            SELECT conv, n_turns, fingerprint, cluster_size, keeper,
+                   conv <> keeper AS is_dup
+            FROM c WHERE cluster_size > 1
+            ORDER BY fingerprint, conv
+        """,
+        # JSON field contract: same planted mutations, json_valid for the
+        # parse gate (planted invalids are in the dialect-agreement
+        # subset), json_extract_string for extraction (unquoted, like
+        # get_json_object), TRY_CAST for the numeric check
+        "json_contract_events": """
+            WITH m AS (
+                SELECT user_id, event_id,
+                       CASE WHEN event_id % 13 = 0 THEN '{"broken":'
+                            WHEN event_id % 17 = 0 THEN '{"j": 1}'
+                            WHEN event_id % 19 = 0 THEN '{"k": "abc"}'
+                            ELSE props END AS props
+                FROM events
+            ), f AS (
+                SELECT user_id, event_id, props,
+                       COALESCE(json_valid(props), FALSE) AS ok,
+                       CASE WHEN COALESCE(json_valid(props), FALSE)
+                            THEN json_extract_string(props, '$.k')
+                            END AS k
+                FROM m
+            )
+            SELECT 'dataset.json_contract' AS rule_id, user_id, event_id,
+                   'validation.dataset.json_contract.invalid_json' AS code,
+                   '$' AS field, props AS actual
+            FROM f WHERE props IS NOT NULL AND NOT ok
+            UNION ALL
+            SELECT 'dataset.json_contract', user_id, event_id,
+                   'validation.dataset.json_contract.missing',
+                   '$.k', NULL
+            FROM f WHERE ok AND k IS NULL
+            UNION ALL
+            SELECT 'dataset.json_contract', user_id, event_id,
+                   'validation.dataset.json_contract.not_numeric',
+                   '$.k', k
+            FROM f WHERE ok AND k IS NOT NULL
+                      AND TRY_CAST(k AS DOUBLE) IS NULL
+            UNION ALL
+            SELECT 'dataset.json_contract', user_id, event_id,
+                   'validation.dataset.json_contract.out_of_range',
+                   '$.k', k
+            FROM f WHERE ok AND TRY_CAST(k AS DOUBLE) IS NOT NULL
+                      AND (TRY_CAST(k AS DOUBLE) < 0
+                           OR TRY_CAST(k AS DOUBLE) > 80)
+            ORDER BY event_id, code
         """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -299,3 +299,71 @@ def test_degenerate_runs_multi_column_content_key(spark):
                             min_run=3).collect()
     assert len(got) == 1
     assert (got[0]["start_idx"], got[0]["end_idx"]) == (2, 4)
+
+
+# ---------------------------------------------------------------------------
+# cross-conversation templates + whole-conversation fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+def test_template_turns_counts_distinct_convs(spark):
+    rows = [
+        ("c1", "canned"), ("c1", "canned"), ("c2", "canned"),
+        ("c3", "canned"),                       # 3 convs, 4 turns
+        ("c1", "unique a"), ("c2", "unique b"),
+        ("c4", None), ("c5", None),             # null template: 2 convs
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    got = {r["sample_text"]: r for r in
+           D.template_turns(df, min_convs=3).collect()}
+    assert set(got) == {"canned"}               # nulls below threshold
+    assert got["canned"]["n_convs"] == 3 and got["canned"]["n_turns"] == 4
+    nulls = D.template_turns(df, min_convs=2).collect()
+    assert {r["n_convs"] for r in nulls if r["sample_text"] is None} == {2}
+
+
+def test_conversation_fingerprint_dedup_exact_only(spark):
+    rows = [
+        # c1 == c2 exactly; c3 same texts but one extra turn; c4 reorders
+        ("c1", 0, "a"), ("c1", 1, "b"),
+        ("c2", 0, "a"), ("c2", 1, "b"),
+        ("c3", 0, "a"), ("c3", 1, "b"), ("c3", 2, "c"),
+        ("c4", 0, "b"), ("c4", 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r["conv"]: r for r in
+           D.conversation_fingerprint_dedup(df).collect()}
+    assert set(got) == {"c1", "c2"}
+    assert got["c1"]["keeper"] == "c1" and not got["c1"]["is_dup"]
+    assert got["c2"]["is_dup"] and got["c2"]["n_turns"] == 2
+    # partition-layout invariance (duplicate rows tie-broken by content)
+    a = sorted(map(tuple, D.conversation_fingerprint_dedup(df).collect()))
+    b = sorted(map(tuple,
+                   D.conversation_fingerprint_dedup(df.repartition(7))
+                   .collect()))
+    assert a == b
+
+
+def test_json_contract_reasons_and_layering(spark):
+    rows = [
+        (1, '{"k": 5}'),        # ok
+        (2, '{"k": 99}'),       # out of range
+        (3, '{"k": "abc"}'),    # not numeric
+        (4, '{"j": 1}'),        # missing
+        (5, '{"broken":'),      # invalid json (no field cascade)
+        (6, None),              # null value: skipped entirely
+    ]
+    df = spark.createDataFrame(rows, "event_id long, props string")
+    out = D.json_contract_violations(
+        df, "props",
+        [D.JsonField("$.k", required=True, numeric=True, lo=0, hi=80)],
+        keys=("event_id",))
+    got = {int(r["conv_id"]): r for r in out.collect()}
+    assert set(got) == {2, 3, 4, 5}             # exactly one row each
+    suffix = lambda i: got[i]["code"].rsplit(".", 1)[1]
+    assert suffix(2) == "out_of_range" and got[2]["actual"] == "99"
+    assert suffix(3) == "not_numeric" and got[3]["actual"] == "abc"
+    assert suffix(4) == "missing" and got[4]["actual"] is None
+    assert suffix(5) == "invalid_json"
+    assert got[5]["field_path"] == ["props", "$"]
+    assert got[2]["field_path"] == ["props", "$.k"]

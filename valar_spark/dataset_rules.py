@@ -1431,6 +1431,209 @@ def degenerate_runs(
     )
 
 
+def template_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    min_convs: int = 20,
+) -> DataFrame:
+    """Boilerplate-turn detection: texts that recur verbatim across many
+    DISTINCT conversations — canned refusals, system-prompt echoes,
+    scaffold headers. Unlike :func:`degenerate_runs` (within-conversation
+    loops) this is a cross-conversation frequency invariant; training on
+    a corpus where one canned reply appears in 10⁵ conversations
+    overweights it exactly like document-level duplication does.
+
+    Returns one row per templated text:
+    ``(content_hash, n_convs, n_turns, sample_text)`` for every text whose
+    hash occurs in ≥ ``min_convs`` distinct conversations (``sample_text``
+    = the text itself, ``min`` for determinism; null text hashes to the
+    \\x00 sentinel and IS reported — an all-null template is a signal).
+
+    Cost at 10^12 turns: ONE aggregate on the text hash. Spark plans the
+    ``count(distinct conv)`` as two-phase partial aggregation on
+    (hash, conv) then (hash) — map-side combine collapses each
+    partition's repeats before the shuffle, so bytes shuffled are bounded
+    by distinct (hash, conv) pairs per partition, not rows. No window, no
+    join, no skew amplification (a hot template is exactly ONE reduce-side
+    group key with pre-combined partial counts)."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("\x00")))
+    return (
+        df.groupBy(h.alias("content_hash"))
+        .agg(F.countDistinct(conv_col).cast("long").alias("n_convs"),
+             F.count(F.lit(1)).cast("long").alias("n_turns"),
+             F.min(text_col).alias("sample_text"))
+        .filter(F.col("n_convs") >= min_convs)
+    )
+
+
+def conversation_fingerprint_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    content_cols: Sequence[str] = ("text",),
+) -> DataFrame:
+    """Whole-conversation exact dedup: conversations whose ENTIRE turn
+    sequence is content-identical (same ``content_cols`` at the same
+    ``turn_idx``, all turns) collapse to one fingerprint — re-ingested
+    logs, replayed sessions, mirrored exports. The full-length companion
+    of :func:`conversation_prefix_dedup` (k-prefix branches) and the
+    conversation-level analogue of ``textops.dedup_exact``.
+
+    Returns one row per conversation in a non-trivial cluster:
+    ``(conv, n_turns, fingerprint, cluster_size, keeper, is_dup)`` with
+    ``keeper`` = min conv id (deterministic survivor election).
+
+    Cost at 10^12 turns: one conv-keyed aggregate (map-side combined;
+    per-conv state bounded by the longest conversation — same bound every
+    conversation-reconstruction pass in this engine carries), then the
+    cluster window over the 1-row-per-conv fingerprint table, partitioned
+    by ``fingerprint`` whose group sizes are cluster sizes. Identical
+    conversations MEET in the hash partition — never an all-pairs
+    compare. The (idx, content-hash) sort inside ``array_sort`` makes the
+    fingerprint invariant to partition layout AND to planted duplicate
+    rows (ties are content-equal, hence interchangeable)."""
+    h = _turn_content_hash(content_cols)
+    elem = F.struct(F.col(idx_col).cast("long").alias("_i"), h.alias("_h"))
+    fp = (
+        df.groupBy(F.col(conv_col).alias("conv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+             F.md5(F.concat_ws("\x02", F.transform(
+                 F.array_sort(F.collect_list(elem)),
+                 lambda s: F.concat(s["_i"].cast("string"),
+                                    F.lit(":"), s["_h"]))))
+             .alias("fingerprint"))
+    )
+    wc = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("cluster_size",
+                      F.count(F.lit(1)).over(wc).cast("long"))
+        .withColumn("keeper", F.min("conv").over(wc))
+        .filter(F.col("cluster_size") > 1)
+        .select("conv", "n_turns", "fingerprint", "cluster_size",
+                "keeper", (F.col("conv") != F.col("keeper")).alias("is_dup"))
+    )
+
+
+class JsonField:
+    """One field of a :func:`json_contract_violations` contract —
+    ``path`` is a ``$.name`` JSONPath; checks are layered (presence →
+    numeric → range) so each row emits the FIRST applicable failure per
+    field, never a cascade."""
+
+    def __init__(self, path: str, required: bool = True,
+                 numeric: bool = False,
+                 lo: float | None = None, hi: float | None = None):
+        self.path = path
+        self.required = required
+        self.numeric = numeric
+        self.lo = lo
+        self.hi = hi
+
+
+def json_contract_violations(
+    df: DataFrame,
+    json_col: str,
+    fields: Sequence[JsonField],
+    keys: Sequence[str],
+    rule_id: str = "dataset.json_contract",
+) -> DataFrame:
+    """Schema contract INSIDE a JSON string column — the tool-call
+    argument validator agent transcripts need: ``props``/args payloads
+    must parse, carry their required keys, and hold typed in-range
+    values. Extends the ``json_parseable`` leaf (rules.py) from "is it
+    JSON" to "is it the RIGHT JSON", still entirely JVM-side
+    (``try_parse_json`` + ``get_json_object`` + ``try_cast`` — codegen'd
+    path expressions, no Python, no UDF).
+
+    Checks per row, one violation struct per failed check, assembled in
+    ONE projection (array → filter-nulls → explode; the same single-scan
+    shape ``validate()`` compiles rulesets to):
+
+    - ``invalid_json`` — non-null value fails ``try_parse_json`` (same
+      dialect contract as the ``json_parseable`` leaf; see its docstring
+      for the Spark∩DuckDB subset).
+    - ``missing`` — parseable JSON but ``get_json_object`` finds nothing
+      at ``path`` (a JSON ``null`` is reported as missing too — extract
+      semantics, mirrored by DuckDB ``json_extract_string``).
+    - ``not_numeric`` — present but ``try_cast(double)`` fails.
+    - ``out_of_range`` — numeric but outside ``[lo, hi]``.
+
+    Codes are ``validation.dataset.json_contract.<reason>``. Output is
+    the standard violation schema with ``keys`` aliased into the
+    (conv_id, turn_idx) slots and ``field_path = [json_col, path]``.
+
+    Cost at 10^12 turns: a pure narrow map over the scan — no shuffle,
+    no state; violations stream out at scan speed exactly like row
+    rules."""
+    c = F.col(json_col).cast("string")
+    parse_ok = F.try_parse_json(c).isNotNull()
+    code = "validation." + rule_id
+
+    def v(cond: Column, reason: str, path: str, message: str,
+          expected: str, actual: Column) -> Column:
+        return F.when(cond, F.struct(
+            F.lit(reason).alias("reason"),
+            F.lit(path).alias("path"),
+            F.lit(message).alias("message"),
+            F.lit(expected).alias("expected"),
+            actual.cast("string").alias("actual")))
+
+    items = [v(c.isNotNull() & ~parse_ok, "invalid_json", "$",
+               f"{json_col} is not parseable JSON", "parseable JSON", c)]
+    for fs in fields:
+        ex = F.get_json_object(c, fs.path)
+        num = ex.try_cast("double")
+        base = c.isNotNull() & parse_ok
+        if fs.required:
+            items.append(v(
+                base & ex.isNull(), "missing", fs.path,
+                f"required JSON field {fs.path} is missing",
+                "field present", F.lit(None).cast("string")))
+        if fs.numeric:
+            items.append(v(
+                base & ex.isNotNull() & num.isNull(), "not_numeric",
+                fs.path, f"JSON field {fs.path} must be numeric",
+                "numeric value", ex))
+        if fs.lo is not None or fs.hi is not None:
+            lo = float("-inf") if fs.lo is None else float(fs.lo)
+            hi = float("inf") if fs.hi is None else float(fs.hi)
+            if fs.lo is None:
+                want = f"value <= {fs.hi}"
+            elif fs.hi is None:
+                want = f"value >= {fs.lo}"
+            else:
+                want = f"value in [{fs.lo}, {fs.hi}]"
+            items.append(v(
+                base & num.isNotNull() & ((num < lo) | (num > hi)),
+                "out_of_range", fs.path,
+                f"JSON field {fs.path} out of range ({want})", want, ex))
+
+    arr = F.filter(F.array(*items), lambda x: x.isNotNull())
+    exploded = (
+        df.select(*[F.col(k) for k in keys], arr.alias("_v"))
+        .filter(F.size("_v") > 0)
+        .select(*keys, F.explode("_v").alias("_e"))
+    )
+    key_cols = []
+    aliases = ("conv_id", "turn_idx")
+    for i, alias in enumerate(aliases):
+        src = (F.col(keys[i]).cast("string") if i < len(keys)
+               else F.lit(None).cast("string"))
+        key_cols.append(src.alias(alias))
+    return exploded.select(
+        F.lit(rule_id).alias("rule_id"),
+        *key_cols,
+        F.lit(None).cast("int").alias("partition_id"),
+        F.array(F.lit(json_col), F.col("_e.path")).alias("field_path"),
+        F.col("_e.message").alias("message"),
+        F.concat(F.lit(code + "."), F.col("_e.reason")).alias("code"),
+        F.lit(None).cast("string").alias("severity"),
+        F.col("_e.expected").alias("expected"),
+        F.col("_e.actual").alias("actual"),
+    )
+
+
 def stats_profile(
     df: DataFrame,
     columns: Sequence[str] | None = None,
