@@ -903,6 +903,55 @@ def _q_json_contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id", "code"))
 
 
+def _near_dup_planted_transcripts(spark: SparkSession) -> DataFrame:
+    """Transcripts with planted near-dup conversations: convs with
+    conv_num % 97 == 13 get every text rewritten to a pure function of
+    turn_idx; % 97 == 14 convs get the SAME rewrite except every 4th turn
+    is perturbed — re-ingested sessions with a few regenerated turns.
+    Same-class pairs score jaccard = min_len/max_len; cross-class pairs
+    ~0.75·min/(union). Both engines apply the identical when-chain."""
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    cn = _conv_num()
+    nd = F.concat(F.lit("nd-"), F.col("turn_idx").cast("string"))
+    return df.withColumn(
+        "text",
+        F.when(cn % 97 == 13, nd)
+        .when((cn % 97 == 14) & (F.col("turn_idx") % 4 == 1),
+              F.concat(nd, F.lit("-alt")))
+        .when(cn % 97 == 14, nd)
+        .otherwise(F.col("text")))
+
+
+def _q_conv_near_dup_transcripts(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Conversation near-dup, brute-force path (dataset_rules.py::
+    conversation_near_dup_pairs use_lsh=False) under a full DuckDB
+    all-pairs hash oracle at threshold 0.5 — pins the turn-token model
+    (positional (idx, content-hash) identity, duplicate-row collapse)
+    and the exact Jaccard arithmetic."""
+    from valar_spark import dataset_rules as D
+
+    return (D.conversation_near_dup_pairs(
+                _near_dup_planted_transcripts(spark),
+                threshold=0.5, use_lsh=False, allow_all_pairs=True)
+            .orderBy("id_a", "id_b"))
+
+
+def _q_conv_near_dup_lsh_transcripts(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Conversation near-dup, LSH scale path (MinHash over turn tokens →
+    32×2 banding → candidate-only verification) against the SAME
+    brute-force DuckDB oracle at threshold 0.8: banding must surface
+    every pair at j ≥ 0.8 (P(miss) ≈ (1−0.64)³² ≈ 6e-15) — the
+    conversation-level twin of the hash-proven
+    ``minhash_near_dup_pairs`` equality on documents."""
+    from valar_spark import dataset_rules as D
+
+    return (D.conversation_near_dup_pairs(
+                _near_dup_planted_transcripts(spark), threshold=0.8)
+            .orderBy("id_a", "id_b"))
+
+
 def _mutated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with deterministic planted violations (reproducible in SQL)
     so every rule of :func:`events_ruleset` fires: every 613th event loses
@@ -2113,6 +2162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_turns_transcripts": _q_template_turns_transcripts,
         "conv_dedup_transcripts": _q_conv_dedup_transcripts,
         "json_contract_events": _q_json_contract_events,
+        "conv_near_dup_transcripts": _q_conv_near_dup_transcripts,
+        "conv_near_dup_lsh_transcripts": _q_conv_near_dup_lsh_transcripts,
         # -- changed this round: cap-stage two-phase + shared winnow pass --
         "curation_ledger_documents": _q_curation_ledger,
         "contamination_screen_documents": _q_contamination_screen,
@@ -2315,6 +2366,45 @@ _MUTATED_EVENTS_SQL = """WITH m0 AS (
                             ELSE props END AS props
                 FROM m0
             )"""
+
+
+# all-pairs conversation turn-token Jaccard over the planted near-dup
+# transcripts — the shared oracle of both conv_near_dup gate queries
+# (brute path at {th}=0.5, LSH path at {th}=0.8)
+_CONV_NEAR_DUP_SQL = """
+    WITH m AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) %% 97 = 13
+                    THEN 'nd-' || CAST(turn_idx AS VARCHAR)
+                    WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) %% 97 = 14
+                         AND turn_idx %% 4 = 1
+                    THEN 'nd-' || CAST(turn_idx AS VARCHAR) || '-alt'
+                    WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) %% 97 = 14
+                    THEN 'nd-' || CAST(turn_idx AS VARCHAR)
+                    ELSE text END AS text
+        FROM '%s/*.parquet'
+    ), tok AS (
+        SELECT DISTINCT conv_id,
+               CAST(turn_idx AS VARCHAR) || ':'
+                   || md5(COALESCE(text, chr(0))) AS tk
+        FROM m
+    ), sz AS (
+        SELECT conv_id, COUNT(*) AS n FROM tok GROUP BY conv_id
+    ), pc AS (
+        SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+               COUNT(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.tk = b.tk AND a.conv_id < b.conv_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pc
+    JOIN sz sa ON sa.conv_id = id_a
+    JOIN sz sb ON sb.conv_id = id_b
+    WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= {th}
+    ORDER BY id_a, id_b
+""" % _GATE_TRANSCRIPTS_PATH
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3625,6 +3715,14 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE cluster_size > 1
             ORDER BY fingerprint, conv
         """,
+        # conversation near-dup: same planted rewrite; token = positional
+        # (idx, content-hash) identity; DISTINCT mirrors collect_set's
+        # duplicate-row collapse; all-pairs token join + exact Jaccard.
+        # Spark's brute path (threshold 0.5) must equal this exactly; the
+        # LSH path (threshold 0.8) must too — banding misses a j>=0.8
+        # pair with P ~ 6e-15 (32 bands x 2 rows).
+        "conv_near_dup_transcripts": _CONV_NEAR_DUP_SQL.format(th=0.5),
+        "conv_near_dup_lsh_transcripts": _CONV_NEAR_DUP_SQL.format(th=0.8),
         # JSON field contract: same planted mutations, json_valid for the
         # parse gate (planted invalids are in the dialect-agreement
         # subset), json_extract_string for extraction (unquoted, like

@@ -367,3 +367,60 @@ def test_json_contract_reasons_and_layering(spark):
     assert suffix(5) == "invalid_json"
     assert got[5]["field_path"] == ["props", "$"]
     assert got[2]["field_path"] == ["props", "$.k"]
+
+
+# ---------------------------------------------------------------------------
+# conversation-level near-dup (positional turn-token Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _near_dup_frame(spark):
+    rows = [
+        # c1 = [a b c d]; c2 = c1 with ONE regenerated turn (the retry
+        # shape that defeats both fingerprint and prefix dedup);
+        # c3 = 2-turn prefix of c1; c4 unrelated
+        ("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "c"), ("c1", 3, "d"),
+        ("c2", 0, "a"), ("c2", 1, "b"), ("c2", 2, "c"), ("c2", 3, "X"),
+        ("c3", 0, "a"), ("c3", 1, "b"),
+        ("c4", 0, "p"), ("c4", 1, "q"),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string")
+
+
+def test_conversation_near_dup_exact_jaccard(spark):
+    df = _near_dup_frame(spark)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           D.conversation_near_dup_pairs(
+               df, threshold=0.5, use_lsh=False,
+               allow_all_pairs=True).collect()}
+    # (c1,c2): 3 common / 5 union; (c1,c3),(c2,c3): 2/4; c4 nowhere
+    assert got == {("c1", "c2"): 0.6,
+                   ("c1", "c3"): 0.5, ("c2", "c3"): 0.5}
+
+
+def test_conversation_near_dup_lsh_matches_brute(spark):
+    df = _near_dup_frame(spark)
+    brute = sorted(map(tuple, D.conversation_near_dup_pairs(
+        df, threshold=0.5, use_lsh=False, allow_all_pairs=True).collect()))
+    lsh = sorted(map(tuple, D.conversation_near_dup_pairs(
+        df, threshold=0.5).collect()))
+    assert lsh == brute and len(lsh) == 3
+    # exact-dup pair always survives banding (identical signatures)
+    dup = df.union(df.filter(F.col("conv_id") == "c1")
+                   .withColumn("conv_id", F.lit("c9")))
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             D.conversation_near_dup_pairs(dup, threshold=0.9).collect()}
+    assert pairs == {("c1", "c9"): 1.0}
+
+
+def test_conversation_near_dup_duplicate_rows_collapse(spark):
+    # planted duplicate (conv, idx, text) rows must not change jaccard
+    df = _near_dup_frame(spark)
+    doubled = df.union(df)
+    a = sorted(map(tuple, D.conversation_near_dup_pairs(
+        df, threshold=0.5, use_lsh=False, allow_all_pairs=True).collect()))
+    b = sorted(map(tuple, D.conversation_near_dup_pairs(
+        doubled, threshold=0.5, use_lsh=False,
+        allow_all_pairs=True).collect()))
+    assert a == b

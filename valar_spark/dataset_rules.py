@@ -1515,6 +1515,87 @@ def conversation_fingerprint_dedup(
     )
 
 
+def conversation_turn_token_sets(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    content_cols: Sequence[str] = ("text",),
+) -> DataFrame:
+    """``(_id, _sh: array<bigint>, n_sh)`` — per-conversation distinct
+    turn-token sets, where a token is ``xxhash64(turn_idx ':'
+    content-hash)``: the positional turn identity. The conversation-level
+    analogue of ``textops.shingle_hash_sets`` (a conversation's "shingles"
+    are its turns), so every document-side set operator — MinHash
+    signatures, LSH banding, exact array-intersect Jaccard — works on
+    conversations unchanged.
+
+    One conv-keyed aggregate (map-side combined ``collect_set``; per-conv
+    state bounded by conversation length). Planted duplicate rows collapse
+    in the set exactly as ``DISTINCT`` does in the SQL oracle."""
+    h = _turn_content_hash(content_cols)
+    token = F.xxhash64(
+        F.concat(F.col(idx_col).cast("string"), F.lit(":"), h))
+    return (
+        df.groupBy(F.col(conv_col).alias("_id"))
+        .agg(F.collect_set(token).alias("_sh"))
+        .withColumn("n_sh", F.size("_sh"))
+    )
+
+
+def conversation_near_dup_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    content_cols: Sequence[str] = ("text",),
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
+    use_lsh: bool = True,
+    allow_all_pairs: bool = False,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """Conversation-level NEAR-dup pairs ``(id_a, id_b, jaccard)`` —
+    Jaccard over positional turn-token sets. Catches what the exact tools
+    miss by construction: :func:`conversation_fingerprint_dedup` needs
+    every turn identical, :func:`conversation_prefix_dedup` needs a shared
+    exact k-prefix; a re-ingested session with ONE edited/regenerated turn
+    (the common retry shape in agent logs) defeats both but scores
+    Jaccard (n−1)/(n+1) here.
+
+    Pure composition of the document near-dup machinery over
+    :func:`conversation_turn_token_sets`:
+
+    - ``use_lsh=True`` (scale path): MinHash signature per conversation →
+      ``bands``-band LSH candidate join (key-equality on band hash, never
+      all-pairs) → exact ``array_intersect`` Jaccard on candidates only.
+      At 32 bands × 2 rows, P(missing a pair at j ≥ 0.8) ≈ (1−j²)³² ≈
+      6e-15 — the same banding argument ``minhash_near_dup_pairs``
+      hash-proves against brute force on documents.
+    - ``use_lsh=False``: the exact token-equality self-join — inherits
+      ``textops.jaccard_pairs``'s ALL_PAIRS_MAX_DOCS size guard (here:
+      conversations), oracle/recall use only. A hot token (a template
+      turn shared by 10⁵ conversations — see :func:`template_turns`)
+      makes this path O(Σ convs_per_token²); the LSH path is immune
+      because banding requires agreement on a full signature band, not
+      one shared turn.
+
+    Cost at 10^12 turns (LSH path): one conv-keyed aggregate, one narrow
+    MinHash projection, one band-hash equi-join whose group sizes are
+    near-dup cluster sizes, then O(|candidates|) verification joins."""
+    from . import textops as X
+
+    if sets is None:
+        sets = conversation_turn_token_sets(df, conv_col, idx_col,
+                                            content_cols)
+    if use_lsh:
+        cand = X.minhash_candidates(sets, num_hashes=num_hashes,
+                                    bands=bands, sets=sets)
+        return X.jaccard_pairs(sets, threshold=threshold, candidates=cand,
+                               sets=sets)
+    return X.jaccard_pairs(sets, threshold=threshold, sets=sets,
+                           allow_all_pairs=allow_all_pairs)
+
+
 class JsonField:
     """One field of a :func:`json_contract_violations` contract —
     ``path`` is a ``$.name`` JSONPath; checks are layered (presence →
