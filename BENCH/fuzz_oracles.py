@@ -292,6 +292,10 @@ EVENTS_QUERIES = [
     # categorical slice drift: sentinel-encoded null categories + the
     # 0*ln0 JS terms must agree under case-shifted/empty/null types
     "js_by_cohort_events",
+    # JSON field contract (round 5): the fuzz props pool sits inside the
+    # Spark∩DuckDB dialect-agreement subset (same pool json_valid_events
+    # relies on), so parse/extract/cast/range layering must agree
+    "json_contract_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]
@@ -311,6 +315,121 @@ def make_events(rng: random.Random, n: int = 300) -> list[tuple]:
         props = rng.choice([None, "", " ", "\t", '{"k": 1}', "{}"])
         rows.append((user, eid, rng.choice(_ETYPES), val, ts, props))
     return rows
+
+
+# round-5 transcript-shape operators fuzzed DIRECTLY (operator vs inline
+# SQL over the same adversarial parquet) rather than through the gate
+# queries, whose planted CASEs assume the synth's c%08d conv ids. Rows
+# with null turn_idx are filtered identically on both sides for the two
+# positional operators: the operators cast the index through long and the
+# engines disagree on null ordering inside sort keys — the input-hint
+# schema pins turn_idx non-null, and nulls are a validate()-layer catch.
+_TR_TOKEN_SQL = """
+    WITH tok AS (
+        SELECT DISTINCT conv_id,
+               CAST(turn_idx AS VARCHAR) || ':'
+                   || md5(COALESCE(text, chr(0))) AS tk
+        FROM read_parquet('{path}/*.parquet') WHERE turn_idx IS NOT NULL
+    ), sz AS (
+        SELECT conv_id, COUNT(*) AS n FROM tok GROUP BY conv_id
+    ), pc AS (
+        SELECT a.conv_id AS id_a, b.conv_id AS id_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b ON a.tk = b.tk AND a.conv_id < b.conv_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pc JOIN sz sa ON sa.conv_id = id_a
+            JOIN sz sb ON sb.conv_id = id_b
+    WHERE ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= {th}
+"""
+
+_TR_FP_SQL = """
+    WITH p AS (
+        SELECT conv_id AS conv, COUNT(*)::BIGINT AS n_turns,
+               md5(string_agg(
+                   CAST(turn_idx AS VARCHAR) || ':'
+                       || md5(COALESCE(text, chr(0))), chr(2)
+                   ORDER BY turn_idx, md5(COALESCE(text, chr(0)))))
+                 AS fingerprint
+        FROM read_parquet('{path}/*.parquet') WHERE turn_idx IS NOT NULL
+        GROUP BY conv_id
+    ), c AS (
+        SELECT conv, n_turns, fingerprint,
+               COUNT(*) OVER (PARTITION BY fingerprint)::BIGINT
+                 AS cluster_size,
+               MIN(conv) OVER (PARTITION BY fingerprint) AS keeper
+        FROM p
+    )
+    SELECT conv, n_turns, fingerprint, cluster_size, keeper,
+           conv <> keeper AS is_dup
+    FROM c WHERE cluster_size > 1
+"""
+
+_TR_TEMPLATE_SQL = """
+    SELECT md5(COALESCE(text, chr(0))) AS content_hash,
+           COUNT(DISTINCT conv_id)::BIGINT AS n_convs,
+           COUNT(*)::BIGINT AS n_turns,
+           MIN(text) AS sample_text
+    FROM read_parquet('{path}/*.parquet')
+    GROUP BY md5(COALESCE(text, chr(0)))
+    HAVING COUNT(DISTINCT conv_id) >= 2
+"""
+
+
+def run_transcript_ops_round(spark, rng: random.Random,
+                             work: str) -> list[str]:
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from valar_spark import dataset_rules as D
+
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    path = f"{work}/transcripts_ops"
+    rows = make_transcripts(rng, n_convs=60)
+    # duplicate a random slice of conversations under fresh ids so exact
+    # and near clusters actually occur in random data
+    extra = []
+    for conv, i, role, text, tool, ts in rows:
+        if int(conv.rsplit("-", 1)[1]) % 5 == 0:
+            mutate = rng.random() < 0.4 and i == 0
+            extra.append((conv + "-dup", i, role,
+                          "EDITED" if mutate else text, tool, ts))
+    df = spark.createDataFrame(
+        rows + extra,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts_epoch bigint",
+    ).select("conv_id", "turn_idx", "role", "text", "tool",
+             F.timestamp_seconds("ts_epoch").alias("ts"))
+    df.coalesce(2).write.parquet(path)
+    nn = df.filter(F.col("turn_idx").isNotNull())
+
+    con = duckdb.connect()
+    failures: list[str] = []
+    pairs = [
+        ("fuzz.template_turns",
+         D.template_turns(df, min_convs=2),
+         _TR_TEMPLATE_SQL.format(path=path)),
+        ("fuzz.conversation_fingerprint_dedup",
+         D.conversation_fingerprint_dedup(nn),
+         _TR_FP_SQL.format(path=path)),
+        ("fuzz.conv_near_dup_brute",
+         D.conversation_near_dup_pairs(nn, threshold=0.3, use_lsh=False,
+                                       allow_all_pairs=True),
+         _TR_TOKEN_SQL.format(path=path, th=0.3)),
+        # LSH vs the brute oracle at 0.9: random non-identical convs this
+        # close are vanishingly rare, identical token sets band always —
+        # P(divergence) per pair < 1e-18, deterministic given the table
+        ("fuzz.conv_near_dup_lsh",
+         D.conversation_near_dup_pairs(nn, threshold=0.9),
+         _TR_TOKEN_SQL.format(path=path, th=0.9)),
+    ]
+    for name, sdf, sql in pairs:
+        failures += compare_frames(name, sdf.toPandas(),
+                                   con.execute(sql).fetchdf())
+    con.close()
+    return failures
 
 
 def run_events_round(spark, rng: random.Random, work: str) -> list[str]:
@@ -388,6 +507,9 @@ def main() -> int:
         print(f"--- round {r} (transcripts) ---")
         bad += run_transcripts_round(spark, rng,
                                      f"/tmp/valar_fuzz_tr_{seed}_{r}")
+        print(f"--- round {r} (transcript ops) ---")
+        bad += run_transcript_ops_round(spark, rng,
+                                        f"/tmp/valar_fuzz_to_{seed}_{r}")
     spark.stop()
     if bad:
         print("FAILURES:", sorted(set(bad)))
