@@ -825,6 +825,29 @@ def _q_transitions_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_boundary_transitions_transcripts(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Grammar check WITH boundary states (dataset_rules.py::
+    illegal_transitions initial=/terminal=) under a full DuckDB hash
+    oracle: conversations must open with system and close with assistant.
+    The terminal arm is the dangling-tool-call detector — a conversation
+    whose adjacent pairs are all legal but that ends mid-exchange is only
+    visible to a boundary check. kind priority (initial > terminal >
+    transition, one row per offending turn) is pinned by the oracle's
+    CASE."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    return (
+        D.illegal_transitions(df, "conv_id", ["turn_idx", "role"], "role",
+                              _ROLE_GRAMMAR, initial=("system",),
+                              terminal=("assistant",))
+        .select("conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+                "prev_state", F.col("role").alias("state"), "kind")
+        .orderBy("conv_id", "turn_idx", "kind", "prev_state", "state")
+    )
+
+
 def _q_template_turns_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-conversation boilerplate detection (dataset_rules.py::
     template_turns) under a full DuckDB hash oracle: convs with
@@ -2159,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loop_detection_transcripts": _q_loop_detection_transcripts,
         "sequence_gaps_transcripts": _q_sequence_gaps_transcripts,
         "transitions_transcripts": _q_transitions_transcripts,
+        "boundary_transitions_transcripts": _q_boundary_transitions_transcripts,
         "template_turns_transcripts": _q_template_turns_transcripts,
         "conv_dedup_transcripts": _q_conv_dedup_transcripts,
         "json_contract_events": _q_json_contract_events,
@@ -3661,6 +3685,38 @@ def oracle_sql() -> dict[str, str]:
                   || COALESCE(role, chr(0))
                   NOT IN ({_ROLE_GRAMMAR_SQL})
             ORDER BY conv_id, turn_idx, prev_state, state
+        """,
+        # boundary grammar: same lag pairing as transitions_transcripts
+        # plus first/last-row state membership; CASE mirrors the engine's
+        # initial > terminal > transition kind priority
+        "boundary_transitions_transcripts": rf"""
+            WITH lagged AS (
+                SELECT conv_id, turn_idx, role,
+                       LAG(role) OVER w AS prev_state,
+                       ROW_NUMBER() OVER w AS rn,
+                       COUNT(*) OVER (PARTITION BY conv_id) AS cnt
+                FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+                WINDOW w AS (PARTITION BY conv_id
+                             ORDER BY turn_idx ASC NULLS FIRST,
+                                      role ASC NULLS FIRST)
+            ), f AS (
+                SELECT *,
+                       (rn > 1 AND COALESCE(prev_state, chr(0)) || chr(1)
+                            || COALESCE(role, chr(0))
+                            NOT IN ({_ROLE_GRAMMAR_SQL})) AS bad_tr,
+                       (rn = 1 AND COALESCE(role, chr(0))
+                            NOT IN ('system')) AS bad_init,
+                       (rn = cnt AND COALESCE(role, chr(0))
+                            NOT IN ('assistant')) AS bad_term
+                FROM lagged
+            )
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx, prev_state,
+                   role AS state,
+                   CASE WHEN bad_init THEN 'initial'
+                        WHEN bad_term THEN 'terminal'
+                        ELSE 'transition' END AS kind
+            FROM f WHERE bad_tr OR bad_init OR bad_term
+            ORDER BY conv_id, turn_idx, kind, prev_state, state
         """,
         # cross-conversation boilerplate: same planted canned texts, same
         # md5 content key, same distinct-conversation threshold

@@ -110,6 +110,40 @@ def test_illegal_transitions_initial_set(spark):
     assert len(kinds) == 4
 
 
+def test_illegal_transitions_terminal_set(spark):
+    # conversations must END with assistant; kind priority is
+    # initial > terminal > transition, each offending row returned ONCE
+    got = D.illegal_transitions(
+        _conv_df(spark), "conv_id", ["turn_idx"], "role", _GRAMMAR,
+        initial=["user"], terminal=["assistant"]).collect()
+    kinds = {(r["conv_id"], r["turn_idx"]): r["kind"] for r in got}
+    assert kinds == {
+        ("c1", 4): "terminal",     # legal chain, wrong final state
+        ("c2", 1): "terminal",     # bad transition AND bad last: terminal
+        ("c3", 0): "initial",      # 1-turn conv: initial outranks terminal
+        ("c4", 1): "transition",
+        ("c4", 2): "terminal",
+    }
+    # dangling tool call: adjacent pairs all legal, boundary check fires
+    dang = spark.createDataFrame(
+        [("d1", 0, "user"), ("d1", 1, "assistant"), ("d1", 2, "tool")],
+        "conv_id string, turn_idx int, role string")
+    out = D.illegal_transitions(
+        dang, "conv_id", ["turn_idx"], "role", _GRAMMAR,
+        terminal=["assistant", "user"]).collect()
+    assert [(r["turn_idx"], r["kind"]) for r in out] == [(2, "terminal")]
+
+
+def test_transition_violations_terminal_message(spark):
+    v = D.transition_violations(
+        _conv_df(spark), "conv_id", ["turn_idx"], "role", _GRAMMAR,
+        terminal=["user"]).collect()
+    msgs = {(r["conv_id"], r["turn_idx"]): r["message"] for r in v}
+    # only c3 ends on a non-user state (assistant)
+    assert msgs[("c3", "0")] == "Illegal terminal role: assistant"
+    assert sum("terminal" in m for m in msgs.values()) == 1
+
+
 def test_transition_violations_message(spark):
     v = D.transition_violations(
         _conv_df(spark), "conv_id", ["turn_idx"], "role", _GRAMMAR,

@@ -1070,15 +1070,22 @@ def illegal_transitions(
     state_col: str,
     allowed: Sequence[tuple[str, str]],
     initial: Sequence[str] | None = None,
+    terminal: Sequence[str] | None = None,
 ) -> DataFrame:
     """Rows that break the state-transition grammar: within each
     ``part_col`` group ordered by ``order_cols``, the pair
     ``(previous state, state)`` must be in ``allowed``; if ``initial`` is
     given, each group's FIRST state must be in it (otherwise first rows
-    pass). Returns the offending rows plus ``prev_state`` and ``kind``
-    (``transition`` | ``initial``). The conversation-grammar invariant —
-    e.g. assistant never follows assistant, tool output only follows an
-    assistant tool call.
+    pass); if ``terminal`` is given, each group's LAST state must be in
+    it — the dangling-tool-call detector: a conversation that ends on a
+    tool invocation with no result (truncated/crashed session) satisfies
+    every ADJACENT pair yet is structurally incomplete, and only a
+    boundary check sees it. Returns the offending rows plus
+    ``prev_state`` and ``kind`` (``initial`` | ``terminal`` |
+    ``transition``, first applicable in that order for rows failing more
+    than one check — each offending row is returned exactly once). The
+    conversation-grammar invariant — e.g. assistant never follows
+    assistant, tool output only follows an assistant tool call.
 
     NULL states never match ``allowed`` (a null-state row, and the row
     after it, are both illegal transitions unless explicitly allowed via a
@@ -1088,10 +1095,15 @@ def illegal_transitions(
 
     Cost at 10^12 rows: ONE window shuffle on the group key; the grammar
     check compiles to an ``IN`` over encoded pair literals — whole-stage
-    codegen, per-row state is one lag value. Skew is bounded by the
+    codegen, per-row state is one lag value (the ``terminal`` check adds
+    an unordered count window over the SAME partitioning, planned after
+    the same single Exchange — no second shuffle). Skew is bounded by the
     longest single group."""
     def enc_val(c: Column) -> Column:
         return F.coalesce(c.cast("string"), F.lit(_PAIR_NULL))
+
+    def enc_set(vals: Sequence[str | None]) -> list[str]:
+        return [_PAIR_NULL if v is None else str(v) for v in vals]
 
     enc_pairs = [
         _enc_pair_literal(p, c) for (p, c) in allowed
@@ -1104,6 +1116,11 @@ def illegal_transitions(
         df.withColumn("prev_state", F.lag(state_col).over(w))
         .withColumn("_first", F.row_number().over(w) == 1)
     )
+    if terminal is not None:
+        lagged = lagged.withColumn(
+            "_last",
+            F.row_number().over(w)
+            == F.count(F.lit(1)).over(Window.partitionBy(part_col)))
     pair = F.concat(enc_val(F.col("prev_state")), F.lit(_PAIR_SEP),
                     enc_val(F.col(state_col)))
     bad_transition = ~F.col("_first") & ~pair.isin(enc_pairs)
@@ -1111,12 +1128,21 @@ def illegal_transitions(
         bad_initial = F.lit(False)
     else:
         bad_initial = F.col("_first") & ~enc_val(F.col(state_col)).isin(
-            [_PAIR_NULL if v is None else str(v) for v in initial])
+            enc_set(initial))
+    if terminal is None:
+        bad_terminal = F.lit(False)
+    else:
+        bad_terminal = F.col("_last") & ~enc_val(F.col(state_col)).isin(
+            enc_set(terminal))
+    kind = (
+        F.when(bad_initial, F.lit("initial"))
+        .when(bad_terminal, F.lit("terminal"))
+        .otherwise(F.lit("transition"))
+    )
     return (
-        lagged.filter(bad_transition | bad_initial)
-        .withColumn("kind", F.when(F.col("_first"), F.lit("initial"))
-                    .otherwise(F.lit("transition")))
-        .drop("_first")
+        lagged.filter(bad_transition | bad_initial | bad_terminal)
+        .withColumn("kind", kind)
+        .drop("_first", "_last")
     )
 
 
@@ -1136,10 +1162,11 @@ def transition_violations(
     state_col: str,
     allowed: Sequence[tuple[str, str]],
     initial: Sequence[str] | None = None,
+    terminal: Sequence[str] | None = None,
     rule_id: str = "dataset.illegal_transition",
 ) -> DataFrame:
     bad = illegal_transitions(df, part_col, order_cols, state_col,
-                              allowed, initial)
+                              allowed, initial, terminal)
     return _as_violations(
         bad,
         rule_id,
@@ -1148,6 +1175,10 @@ def transition_violations(
                F.concat(F.lit(f"Illegal initial {state_col}: "),
                         F.coalesce(F.col(state_col).cast("string"),
                                    F.lit("null"))))
+        .when(F.col("kind") == "terminal",
+              F.concat(F.lit(f"Illegal terminal {state_col}: "),
+                       F.coalesce(F.col(state_col).cast("string"),
+                                  F.lit("null"))))
         .otherwise(F.concat(F.lit(f"Illegal {state_col} transition: "),
                             F.coalesce(F.col("prev_state").cast("string"),
                                        F.lit("null")),
