@@ -110,6 +110,13 @@ def main() -> None:
 
     names = [n for n in getattr(e, "BENCH_ORDER", []) if n in e.queries()]
     names += [n for n in e.queries() if n not in names]
+    # PACED_ONLY=a,b,c records a delta artifact for a query subset (used
+    # to extend an existing full-suite artifact with newly added queries
+    # without re-burning hours of recovery idles on the unchanged ones)
+    only = os.environ.get("PACED_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
 
     throttle_probe()  # unrecorded warm-up
     floor = min(throttle_probe() for _ in range(3))

@@ -524,3 +524,49 @@ def test_stream_curate_to_sink_routes_and_partitions(spark, tmp_path):
     assert any(d.startswith("split=")
                for d in os.listdir(str(tmp_path / "kept")))
     assert {r["doc_id"] for r in quar.collect()} == {100, 101}
+
+
+def test_streaming_terminal_on_idle_timeout(spark, tmp_path):
+    """With terminal= the grammar monitor closes a conversation after
+    close_after of (processing-time) silence and checks its stored last
+    state: a session dying on a dangling tool call surfaces one timeout
+    later with order_col null (no row carries the violation); a
+    conversation ending on an allowed state closes silently. Timeout
+    sweeps ride the micro-batch trigger, so the test polls the sink
+    rather than processAllAvailable (which never settles while
+    processing-time timeouts are armed)."""
+    import time as _time
+
+    from valar_spark.streaming import stream_transition_violations
+
+    grammar = [("user", "assistant"), ("assistant", "user"),
+               ("assistant", "tool"), ("tool", "assistant")]
+    src = str(tmp_path / "src")
+    schema = "conv_id string, turn_idx int, role string"
+    # A dies on a tool call; B completes on assistant (legal terminal)
+    spark.createDataFrame(
+        [("A", 0, "user"), ("A", 1, "assistant"), ("A", 2, "tool"),
+         ("B", 0, "user"), ("B", 1, "assistant")], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    stream = spark.readStream.schema(schema).parquet(f"{src}/b*")
+    q = (stream_transition_violations(
+            stream, "conv_id", "turn_idx", "role", grammar,
+            terminal=["assistant", "user"], close_after="2 seconds")
+         .writeStream.format("memory").queryName("terminal_mem")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 second")
+         .outputMode("append").start())
+    try:
+        deadline = _time.time() + 60
+        rows = []
+        while _time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM terminal_mem WHERE kind='terminal'"
+            ).collect()
+            if rows:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    assert [(r["conv_id"], r["state"]) for r in rows] == [("A", "tool")]
+    assert rows[0]["turn_idx"] is None and rows[0]["prev_state"] is None

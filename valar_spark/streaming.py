@@ -416,6 +416,8 @@ def stream_transition_violations(
     state_col: str = "role",
     allowed: Sequence[tuple[str, str]] = (),
     initial: Sequence[str] | None = None,
+    terminal: Sequence[str] | None = None,
+    close_after: str = "30 minutes",
 ) -> DataFrame:
     """CROSS-micro-batch state-transition grammar monitor — the streaming
     face of :func:`valar_spark.dataset_rules.illegal_transitions`: each
@@ -433,13 +435,37 @@ def stream_transition_violations(
     stored last state seeding the first comparison. First-ever turn per
     conversation checks against ``initial`` when given, else passes. NULL
     states never match the grammar (both the null row and its successor
-    flag) — same stance as the batch operator."""
+    flag) — same stance as the batch operator.
+
+    With ``terminal`` the monitor also runs the batch operator's
+    boundary check under stream semantics: a stream never KNOWS a turn
+    is a conversation's last, so closure is declared by idle timeout — a
+    conversation silent for ``close_after`` (processing time) is closed,
+    its stored last state checked against ``terminal`` (kind
+    ``terminal``, ``order_col`` null — no row carries the violation),
+    and its state evicted. The dangling-tool-call detector for live
+    pipelines: a session that dies on a tool invocation surfaces one
+    timeout later. Eviction also BOUNDS state at ~active conversations
+    (without ``terminal`` the store grows with all conversations ever
+    seen); a turn arriving after closure re-opens the conversation as
+    new — it re-checks ``initial`` and may re-flag, the standard
+    stream-sessionization late-arrival caveat."""
     import pandas as pd
 
     allowed_set = {(None if p is None else str(p),
                     None if c is None else str(c)) for p, c in allowed}
     initial_set = None if initial is None else {
         None if v is None else str(v) for v in initial}
+    terminal_set = None if terminal is None else {
+        None if v is None else str(v) for v in terminal}
+    close_ms = None
+    if terminal is not None:
+        qty, unit = close_after.split()
+        close_ms = int(float(qty) * {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000}[unit])
     conv_t = stream_df.schema[conv_col].dataType.simpleString()
     order_t = stream_df.schema[order_col].dataType.simpleString()
     out_cols = [conv_col, order_col, "prev_state", "state", "kind",
@@ -453,11 +479,21 @@ def stream_transition_violations(
         return None if pd.isna(v) else str(v)
 
     def fn(key, pdf_iter, state):
+        conv = key[0]
+        if state.hasTimedOut:
+            last_state, seen = state.get
+            state.remove()
+            if terminal_set is not None and last_state not in terminal_set:
+                yield pd.DataFrame(
+                    [(conv, None, None, last_state, "terminal",
+                      "dataset.illegal_transition",
+                      "validation.dataset.illegal_transition")],
+                    columns=out_cols)
+            return
         if state.exists:
             last_state, seen = state.get
         else:
             last_state, seen = None, 0
-        conv = key[0]
         out = []
         chunks = [pdf for pdf in pdf_iter]
         pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
@@ -476,9 +512,11 @@ def stream_transition_violations(
             last_state = cur
             seen += 1
         state.update((last_state, seen))
+        if close_ms is not None:
+            state.setTimeoutDuration(close_ms)
         if out:
             yield pd.DataFrame(out, columns=out_cols)
 
     return stream_df.groupBy(conv_col).applyInPandasWithState(
         fn, out_ddl, state_ddl, "append",
-        "NoTimeout")
+        "NoTimeout" if close_ms is None else "ProcessingTimeTimeout")
