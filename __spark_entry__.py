@@ -926,6 +926,27 @@ def _q_json_contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id", "code"))
 
 
+def _q_json_key_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON key inventory (dataset_rules.py::json_key_profile — the
+    contract-discovery companion of json_contract_violations) under a
+    full DuckDB hash oracle. Plants cover the object filter (invalid
+    JSON, a top-level array, an empty object in the denominator) and
+    presence semantics (``"k": null`` still counts as present; ``j``
+    lands at partial coverage)."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    mut = ev.select(
+        F.when(eid % 13 == 0, F.lit('{"broken":'))
+        .when(eid % 17 == 0, F.lit('{"j": 1, "extra": true}'))
+        .when(eid % 19 == 0, F.lit('{"k": null, "j": 2}'))
+        .when(eid % 23 == 0, F.lit('[1, 2]'))
+        .when(eid % 29 == 0, F.lit('{}'))
+        .otherwise(F.col("props")).alias("props"))
+    return D.json_key_profile(mut, "props").orderBy("key")
+
+
 def _near_dup_planted_transcripts(spark: SparkSession) -> DataFrame:
     """Transcripts with planted near-dup conversations: convs with
     conv_num % 97 == 13 get every text rewritten to a pure function of
@@ -2188,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_contract_events": _q_json_contract_events,
         "conv_near_dup_transcripts": _q_conv_near_dup_transcripts,
         "conv_near_dup_lsh_transcripts": _q_conv_near_dup_lsh_transcripts,
+        "json_key_profile_events": _q_json_key_profile_events,
         # -- changed this round: cap-stage two-phase + shared winnow pass --
         "curation_ledger_documents": _q_curation_ledger,
         "contamination_screen_documents": _q_contamination_screen,
@@ -3779,6 +3801,37 @@ def oracle_sql() -> dict[str, str]:
         # pair with P ~ 6e-15 (32 bands x 2 rows).
         "conv_near_dup_transcripts": _CONV_NEAR_DUP_SQL.format(th=0.5),
         "conv_near_dup_lsh_transcripts": _CONV_NEAR_DUP_SQL.format(th=0.8),
+        # JSON key inventory: same planted mutations; object filter =
+        # json_valid + json_type OBJECT (Spark: json_object_keys null for
+        # invalid/non-object); presence counts JSON-null values
+        "json_key_profile_events": """
+            WITH m AS (
+                SELECT CASE WHEN event_id % 13 = 0 THEN '{"broken":'
+                            WHEN event_id % 17 = 0
+                                 THEN '{"j": 1, "extra": true}'
+                            WHEN event_id % 19 = 0
+                                 THEN '{"k": null, "j": 2}'
+                            WHEN event_id % 23 = 0 THEN '[1, 2]'
+                            WHEN event_id % 29 = 0 THEN '{}'
+                            ELSE props END AS props
+                FROM events
+            ), o AS (
+                -- CASE forces json_type to evaluate only on valid JSON
+                -- (DuckDB raises on malformed input; AND order is not
+                -- guaranteed to short-circuit)
+                SELECT json_keys(props) AS ks FROM m
+                WHERE CASE
+                    WHEN props IS NULL THEN FALSE
+                    WHEN NOT COALESCE(json_valid(props), FALSE) THEN FALSE
+                    ELSE json_type(props) = 'OBJECT' END
+            ), tot AS (SELECT COUNT(*) AS n FROM o)
+            SELECT key, COUNT(*)::BIGINT AS n_present,
+                   ROUND(COUNT(*) * 1.0 / (SELECT n FROM tot), 6)
+                     AS coverage
+            FROM (SELECT unnest(ks) AS key FROM o)
+            GROUP BY key
+            ORDER BY key
+        """,
         # JSON field contract: same planted mutations, json_valid for the
         # parse gate (planted invalids are in the dialect-agreement
         # subset), json_extract_string for extraction (unquoted, like

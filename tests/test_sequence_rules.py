@@ -458,3 +458,20 @@ def test_conversation_near_dup_duplicate_rows_collapse(spark):
         doubled, threshold=0.5, use_lsh=False,
         allow_all_pairs=True).collect()))
     assert a == b
+
+
+def test_json_key_profile(spark):
+    rows = [
+        (1, '{"a": 1, "b": 2}'),
+        (2, '{"a": null}'),          # null VALUE still counts as present
+        (3, '{"a": 3, "c": {"x": 1}}'),
+        (4, '{}'),                   # object row: in denominator, no keys
+        (5, '[1, 2]'),               # not an object: excluded entirely
+        (6, '{"broken":'),           # invalid: excluded
+        (7, None),                   # null: excluded
+    ]
+    df = spark.createDataFrame(rows, "id long, props string")
+    got = {r["key"]: r for r in
+           D.json_key_profile(df, "props").collect()}
+    assert {k: (v["n_present"], v["coverage"]) for k, v in got.items()} \
+        == {"a": (3, 0.75), "b": (1, 0.25), "c": (1, 0.25)}

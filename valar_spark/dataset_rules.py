@@ -1627,6 +1627,38 @@ def conversation_near_dup_pairs(
                            allow_all_pairs=allow_all_pairs)
 
 
+def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Key inventory of a JSON string column — the contract-DISCOVERY
+    companion of :func:`json_contract_violations`: before you can assert
+    "``$.k`` required, numeric, in range" you need to know which keys the
+    corpus actually carries and how consistently. Returns one row per
+    top-level key: ``(key, n_present, coverage)`` where ``coverage`` =
+    fraction of parseable JSON OBJECT rows carrying the key (a key at
+    coverage 0.999 is a `required` candidate; at 0.01 it's schema noise
+    or an emerging field). Presence counts the key even when its value is
+    JSON null — extract-based checks see those as missing, which is
+    exactly the gap a profile-vs-contract comparison surfaces.
+
+    Entirely JVM-side: ``json_object_keys`` (null for invalid JSON and
+    non-objects — the object filter), one explode, one key aggregate,
+    and a broadcast 1-row denominator. Cost at 10^12 rows: one narrow
+    map + one aggregate whose key space is the corpus's distinct key
+    set (map-side combine collapses repeats before the shuffle)."""
+    c = F.col(json_col).cast("string")
+    objs = (df.select(F.json_object_keys(c).alias("_ks"))
+            .filter(F.col("_ks").isNotNull()))
+    n_obj = objs.agg(F.count(F.lit(1)).cast("long").alias("_n_objects"))
+    return (
+        objs.select(F.explode("_ks").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_present"))
+        .crossJoin(F.broadcast(n_obj))
+        .select("key", "n_present",
+                F.round(F.col("n_present") / F.col("_n_objects"), 6)
+                .alias("coverage"))
+    )
+
+
 class JsonField:
     """One field of a :func:`json_contract_violations` contract —
     ``path`` is a ``$.name`` JSONPath; checks are layered (presence →
