@@ -996,6 +996,38 @@ def _q_conv_near_dup_lsh_transcripts(spark: SparkSession,
             .orderBy("id_a", "id_b"))
 
 
+def _q_conv_curation_transcripts(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Conversation curation ledger (dataset_rules.py::
+    conversation_curation_ledger: degenerate → exact fingerprint →
+    transitive near-dup, survivor-scoped) under a full DuckDB hash
+    oracle. Plants: conv_num % 89 == 3 → all-'loop' texts (degenerate
+    at len ≥ 4; shorter ones fall through to the EXACT stage — the
+    stage-interplay case), % 29 == 5 → replayed sessions (exact dups),
+    % 97 ∈ {13, 14} → near-dup classes whose equal-length members drop
+    at the exact stage and whose different-length survivors chain
+    j = n/m ≥ 0.8 transitively (the recursive-CTE closure in the
+    oracle mirrors the engine's connected components)."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    cn = _conv_num()
+    idx_s = F.col("turn_idx").cast("string")
+    nd = F.concat(F.lit("nd-"), idx_s)
+    planted = df.withColumn(
+        "text",
+        F.when(cn % 89 == 3, F.lit("loop"))
+        .when(cn % 29 == 5, F.concat(F.lit("dup turn-"), idx_s))
+        .when(cn % 97 == 13, nd)
+        .when((cn % 97 == 14) & (F.col("turn_idx") % 4 == 1),
+              F.concat(nd, F.lit("-alt")))
+        .when(cn % 97 == 14, nd)
+        .otherwise(F.col("text")))
+    return (D.conversation_curation_ledger(
+                planted, min_degenerate_run=4, near_dup_threshold=0.8)
+            .orderBy("conv"))
+
+
 def _mutated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with deterministic planted violations (reproducible in SQL)
     so every rule of :func:`events_ruleset` fires: every 613th event loses
@@ -2210,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_near_dup_transcripts": _q_conv_near_dup_transcripts,
         "conv_near_dup_lsh_transcripts": _q_conv_near_dup_lsh_transcripts,
         "json_key_profile_events": _q_json_key_profile_events,
+        "conv_curation_transcripts": _q_conv_curation_transcripts,
         # -- changed this round: cap-stage two-phase + shared winnow pass --
         "curation_ledger_documents": _q_curation_ledger,
         "contamination_screen_documents": _q_contamination_screen,
@@ -3801,6 +3834,116 @@ def oracle_sql() -> dict[str, str]:
         # pair with P ~ 6e-15 (32 bands x 2 rows).
         "conv_near_dup_transcripts": _CONV_NEAR_DUP_SQL.format(th=0.5),
         "conv_near_dup_lsh_transcripts": _CONV_NEAR_DUP_SQL.format(th=0.8),
+        # conversation curation ledger: same plants; degenerate via the
+        # row_number-difference islands trick (tie order (turn_idx, ch)
+        # matches the engine), exact keepers elected among non-degenerate
+        # convs only, near-dup pairs among survivors closed transitively
+        # by the recursive CTE (mirrors connected components)
+        "conv_curation_transcripts": rf"""
+            WITH RECURSIVE m AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 89 = 3
+                            THEN 'loop'
+                            WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 29 = 5
+                            THEN 'dup turn-' || CAST(turn_idx AS VARCHAR)
+                            WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 97 = 13
+                            THEN 'nd-' || CAST(turn_idx AS VARCHAR)
+                            WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 97 = 14
+                                 AND turn_idx % 4 = 1
+                            THEN 'nd-' || CAST(turn_idx AS VARCHAR) || '-alt'
+                            WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 97 = 14
+                            THEN 'nd-' || CAST(turn_idx AS VARCHAR)
+                            ELSE text END AS text
+                FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            ), h AS (
+                SELECT conv_id, turn_idx,
+                       md5(COALESCE(text, chr(0))) AS ch
+                FROM m
+            ), hd AS (
+                -- collapse duplicate (idx, ch) rows BEFORE the islands
+                -- trick: distinct (idx, ch) is a total order, so the two
+                -- row_numbers are deterministic (raw rows tied on
+                -- (idx, ch) would let them disagree); duplicates extend
+                -- a run but can never break one, so run length = SUM of
+                -- multiplicities — exactly the engine's lag semantics
+                SELECT conv_id, turn_idx, ch, COUNT(*) AS cnt
+                FROM h GROUP BY 1, 2, 3
+            ), isl AS (
+                SELECT conv_id, ch, cnt,
+                       ROW_NUMBER() OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx, ch)
+                     - ROW_NUMBER() OVER (PARTITION BY conv_id, ch
+                                          ORDER BY turn_idx, ch) AS grp
+                FROM hd
+            ), runs AS (
+                SELECT conv_id, MAX(len)::BIGINT AS max_run
+                FROM (SELECT conv_id, ch, grp, SUM(cnt) AS len
+                      FROM isl GROUP BY 1, 2, 3)
+                WHERE len >= 4 GROUP BY conv_id
+            ), base AS (
+                SELECT conv_id AS conv, COUNT(*)::BIGINT AS n_turns,
+                       md5(string_agg(
+                           CAST(turn_idx AS VARCHAR) || ':' || ch, chr(2)
+                           ORDER BY turn_idx, ch)) AS fp
+                FROM h GROUP BY conv_id
+            ), led AS (
+                SELECT b.conv, b.n_turns, b.fp, r.max_run
+                FROM base b LEFT JOIN runs r ON r.conv_id = b.conv
+            ), ex AS (
+                SELECT conv, n_turns, fp, max_run,
+                       MIN(CASE WHEN max_run IS NULL THEN conv END)
+                           OVER (PARTITION BY fp) AS fk
+                FROM led
+            ), ex2 AS (
+                SELECT conv, n_turns, max_run,
+                       CASE WHEN max_run IS NULL AND fk <> conv
+                            THEN fk END AS exact_keeper
+                FROM ex
+            ), s AS (
+                SELECT conv FROM ex2
+                WHERE max_run IS NULL AND exact_keeper IS NULL
+            ), tok AS (
+                SELECT DISTINCT h.conv_id,
+                       CAST(h.turn_idx AS VARCHAR) || ':' || h.ch AS tk
+                FROM h JOIN s ON s.conv = h.conv_id
+            ), sz AS (
+                SELECT conv_id, COUNT(*) AS n FROM tok GROUP BY conv_id
+            ), pc AS (
+                SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+                       COUNT(*) AS c
+                FROM tok a JOIN tok b
+                  ON a.tk = b.tk AND a.conv_id < b.conv_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM pc
+                JOIN sz sa ON sa.conv_id = id_a
+                JOIN sz sb ON sb.conv_id = id_b
+                WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
+            ), edges AS (
+                SELECT id_a AS es, id_b AS ed FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(es, ed) AS (
+                SELECT es, ed FROM edges
+                UNION
+                SELECT r.es, e.ed FROM reach r JOIN edges e ON r.ed = e.es
+            ), lab AS (
+                SELECT es AS conv, LEAST(es, MIN(ed)) AS label
+                FROM reach GROUP BY es
+            )
+            SELECT e.conv, e.n_turns, e.max_run, e.exact_keeper,
+                   CASE WHEN e.max_run IS NULL AND e.exact_keeper IS NULL
+                             AND lab.label IS NOT NULL
+                             AND lab.label <> e.conv
+                        THEN lab.label END AS near_keeper,
+                   (e.max_run IS NULL AND e.exact_keeper IS NULL
+                    AND (lab.label IS NULL OR lab.label = e.conv)) AS keep,
+                   CASE WHEN e.max_run IS NOT NULL THEN 'degenerate'
+                        WHEN e.exact_keeper IS NOT NULL THEN 'exact_dup'
+                        WHEN lab.label IS NOT NULL AND lab.label <> e.conv
+                             THEN 'near_dup' END AS drop_reason
+            FROM ex2 e LEFT JOIN lab ON lab.conv = e.conv
+            ORDER BY e.conv
+        """,
         # JSON key inventory: same planted mutations; object filter =
         # json_valid + json_type OBJECT (Spark: json_object_keys null for
         # invalid/non-object); presence counts JSON-null values

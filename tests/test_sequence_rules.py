@@ -475,3 +475,74 @@ def test_json_key_profile(spark):
            D.json_key_profile(df, "props").collect()}
     assert {k: (v["n_present"], v["coverage"]) for k, v in got.items()} \
         == {"a": (3, 0.75), "b": (1, 0.25), "c": (1, 0.25)}
+
+
+# ---------------------------------------------------------------------------
+# conversation curation ledger
+# ---------------------------------------------------------------------------
+
+
+def _ledger_frame(spark):
+    rows = []
+    # c01 == c02 exactly (2 turns)
+    for c in ("c01", "c02"):
+        rows += [(c, 0, "a"), (c, 1, "b")]
+    # near-dup chain: c10 base; c11 = c10 with t0 edited; c12 = c11 with
+    # t9 edited. j(c10,c11)=j(c11,c12)=9/11≈0.818, j(c10,c12)=8/12≈0.667
+    for c, e0, e9 in (("c10", "t0", "t9"), ("c11", "E0", "t9"),
+                      ("c12", "E0", "E9")):
+        rows += [(c, 0, e0)] + [(c, i, f"t{i}") for i in range(1, 9)] \
+            + [(c, 9, e9)]
+    # c20 degenerate (run of 4); c21 content-identical to c20 (also
+    # degenerate: both drop as degenerate, neither as exact_dup)
+    for c in ("c20", "c21"):
+        rows += [(c, i, "r") for i in range(4)]
+    # c30 run of 3 only: survives min_run=4
+    rows += [("c30", i, "r") for i in range(3)]
+    rows += [("c40", 0, "unique")]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string")
+
+
+def test_conversation_curation_ledger_stages(spark):
+    got = {r["conv"]: r for r in D.conversation_curation_ledger(
+        _ledger_frame(spark), min_degenerate_run=4, near_dup_threshold=0.8,
+        use_lsh=False, allow_all_pairs=True).collect()}
+    assert len(got) == 9
+    reasons = {c: r["drop_reason"] for c, r in got.items()}
+    assert reasons == {
+        "c01": None, "c02": "exact_dup",
+        "c10": None, "c11": "near_dup", "c12": "near_dup",  # transitive
+        "c20": "degenerate", "c21": "degenerate",  # NOT exact_dup
+        "c30": None, "c40": None,
+    }
+    assert got["c02"]["exact_keeper"] == "c01"
+    # transitivity: c12 labels to the CLUSTER min c10 even though
+    # j(c10, c12) < threshold
+    assert got["c11"]["near_keeper"] == "c10"
+    assert got["c12"]["near_keeper"] == "c10"
+    assert got["c20"]["max_run"] == 4 and got["c30"]["max_run"] is None
+    kept = {c for c, r in got.items() if r["keep"]}
+    assert kept == {"c01", "c10", "c30", "c40"}
+    # every keeper is itself kept (survivor invariant)
+    keepers = {r["exact_keeper"] for r in got.values() if r["exact_keeper"]} \
+        | {r["near_keeper"] for r in got.values() if r["near_keeper"]}
+    assert keepers <= kept
+
+
+def test_conversation_curation_ledger_lsh_matches_brute(spark):
+    df = _ledger_frame(spark)
+    brute = sorted(map(tuple, D.conversation_curation_ledger(
+        df, use_lsh=False, allow_all_pairs=True).collect()))
+    lsh = sorted(map(tuple, D.conversation_curation_ledger(df).collect()))
+    assert lsh == brute
+
+
+def test_conversation_curation_ledger_stages_disable(spark):
+    df = _ledger_frame(spark)
+    got = {r["conv"]: r for r in D.conversation_curation_ledger(
+        df, min_degenerate_run=None, near_dup_threshold=None).collect()}
+    # degenerate stage off: c20/c21 now meet in the exact stage
+    assert got["c20"]["drop_reason"] is None
+    assert got["c21"]["drop_reason"] == "exact_dup"
+    assert got["c11"]["drop_reason"] is None      # near stage off

@@ -1627,6 +1627,130 @@ def conversation_near_dup_pairs(
                            allow_all_pairs=allow_all_pairs)
 
 
+def conversation_curation_ledger(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    content_cols: Sequence[str] = ("text",),
+    min_degenerate_run: int | None = 4,
+    near_dup_threshold: float | None = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
+    use_lsh: bool = True,
+    allow_all_pairs: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """One-pass curation ledger over a TRANSCRIPT corpus — the
+    conversation-level analogue of ``textops.curation_ledger``: degenerate
+    filter → exact fingerprint dedup → near-dup clustering, with per-
+    conversation provenance. Returns one row per conversation:
+    ``(conv, n_turns, max_run, exact_keeper, near_keeper, keep,
+    drop_reason)`` where ``drop_reason`` ∈ {degenerate, exact_dup,
+    near_dup, NULL} reports the FIRST stage that dropped it.
+
+    Stage semantics follow the document ledger's survivor invariant
+    (later stages only consider prior survivors — the r4-ADVICE contract:
+    a keeper is always itself kept):
+
+    1. **degenerate** — any ≥ ``min_degenerate_run`` consecutive
+       content-identical turns (:func:`degenerate_runs`); ``max_run``
+       records the longest run for flagged conversations.
+    2. **exact_dup** — identical full fingerprint
+       (:func:`conversation_fingerprint_dedup` semantics) among
+       non-degenerate conversations; keeper = min conv id.
+    3. **near_dup** — turn-token Jaccard ≥ ``near_dup_threshold``
+       (:func:`conversation_near_dup_pairs`) among survivors, closed
+       TRANSITIVELY via large-star/small-star connected components
+       (``textops.connected_components``); keeper = the cluster's min
+       conv id, which by min-label transitivity is itself a survivor.
+
+    Pass ``None`` for ``min_degenerate_run`` / ``near_dup_threshold`` to
+    disable a stage.
+
+    Cost at 10^12 turns: ONE conv-keyed aggregate builds fingerprint +
+    token set together (per-conv state bounded by conversation length;
+    token sets for soon-dropped convs are computed and discarded — the
+    price of sharing the pass), one turn-level window pass for the
+    degenerate stage, then everything downstream operates on the
+    1-row-per-conversation table: fingerprint cluster window, LSH band
+    join over survivors (never all-pairs with ``use_lsh=True``), and
+    O(log n) component rounds over the candidate EDGE list only."""
+    from . import textops as X
+
+    h = _turn_content_hash(content_cols)
+    token = F.xxhash64(
+        F.concat(F.col(idx_col).cast("string"), F.lit(":"), h))
+    elem = F.struct(F.col(idx_col).cast("long").alias("_i"), h.alias("_h"))
+    base = (
+        df.groupBy(F.col(conv_col).alias("conv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+             F.md5(F.concat_ws("\x02", F.transform(
+                 F.array_sort(F.collect_list(elem)),
+                 lambda s: F.concat(s["_i"].cast("string"),
+                                    F.lit(":"), s["_h"]))))
+             .alias("_fp"),
+             F.collect_set(token).alias("_sh"))
+    )
+
+    if min_degenerate_run is not None:
+        deg = (degenerate_runs(df, conv_col, idx_col, content_cols,
+                               min_run=min_degenerate_run)
+               .groupBy("conv")
+               .agg(F.max("run_len").cast("long").alias("max_run")))
+        base = base.join(deg, "conv", "left")
+    else:
+        base = base.withColumn("max_run", F.lit(None).cast("long"))
+    degenerate = F.col("max_run").isNotNull()
+
+    w_fp = Window.partitionBy("_fp_key")
+    led = (
+        base
+        # degenerate convs get a unique fp key so they can't elect or
+        # block a keeper (survivor invariant)
+        .withColumn("_fp_key", F.when(degenerate, F.col("conv"))
+                    .otherwise(F.col("_fp")))
+        .withColumn("_exact_keeper", F.min("conv").over(w_fp))
+        .withColumn(
+            "exact_keeper",
+            F.when(~degenerate & (F.col("_exact_keeper") != F.col("conv")),
+                   F.col("_exact_keeper")))
+    )
+
+    if near_dup_threshold is not None:
+        surv = led.filter(~degenerate & F.col("exact_keeper").isNull())
+        sets = surv.select(F.col("conv").alias("_id"), "_sh",
+                           F.size("_sh").alias("n_sh"))
+        pairs = conversation_near_dup_pairs(
+            surv, threshold=near_dup_threshold, num_hashes=num_hashes,
+            bands=bands, use_lsh=use_lsh, allow_all_pairs=allow_all_pairs,
+            sets=sets)
+        comp = X.connected_components(pairs.select("id_a", "id_b"),
+                                      checkpoint_dir=checkpoint_dir)
+        led = led.join(
+            comp.select(F.col("id").alias("conv"),
+                        F.col("component").alias("_near_label")),
+            "conv", "left")
+        near_keeper = F.when(
+            F.col("exact_keeper").isNull() & ~degenerate
+            & F.col("_near_label").isNotNull()
+            & (F.col("_near_label") != F.col("conv")),
+            F.col("_near_label"))
+    else:
+        near_keeper = F.lit(None).cast("string")
+
+    drop_reason = (
+        F.when(degenerate, F.lit("degenerate"))
+        .when(F.col("exact_keeper").isNotNull(), F.lit("exact_dup"))
+        .when(near_keeper.isNotNull(), F.lit("near_dup"))
+    )
+    return led.select(
+        "conv", "n_turns", "max_run", "exact_keeper",
+        near_keeper.alias("near_keeper"),
+        drop_reason.isNull().alias("keep"),
+        drop_reason.alias("drop_reason"),
+    )
+
+
 def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
     """Key inventory of a JSON string column — the contract-DISCOVERY
     companion of :func:`json_contract_violations`: before you can assert
