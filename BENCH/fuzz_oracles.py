@@ -377,6 +377,89 @@ _TR_TEMPLATE_SQL = """
 """
 
 
+# the full three-stage ledger (degenerate -> exact -> transitive
+# near-dup) over raw fuzz transcripts: the duplicate-(idx, hash)-row
+# collapse before the islands trick is load-bearing here — fuzz plants
+# duplicate turn indices, the exact case that broke the first oracle
+_TR_LEDGER_SQL = """
+    WITH RECURSIVE h AS (
+        SELECT conv_id, turn_idx, md5(COALESCE(text, chr(0))) AS ch
+        FROM read_parquet('{path}/*.parquet') WHERE turn_idx IS NOT NULL
+    ), hd AS (
+        SELECT conv_id, turn_idx, ch, COUNT(*) AS cnt
+        FROM h GROUP BY 1, 2, 3
+    ), isl AS (
+        SELECT conv_id, ch, cnt,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx, ch)
+             - ROW_NUMBER() OVER (PARTITION BY conv_id, ch
+                                  ORDER BY turn_idx, ch) AS grp
+        FROM hd
+    ), runs AS (
+        SELECT conv_id, MAX(len)::BIGINT AS max_run
+        FROM (SELECT conv_id, ch, grp, SUM(cnt) AS len
+              FROM isl GROUP BY 1, 2, 3)
+        WHERE len >= {min_run} GROUP BY conv_id
+    ), base AS (
+        SELECT conv_id AS conv, COUNT(*)::BIGINT AS n_turns,
+               md5(string_agg(CAST(turn_idx AS VARCHAR) || ':' || ch,
+                              chr(2) ORDER BY turn_idx, ch)) AS fp
+        FROM h GROUP BY conv_id
+    ), led AS (
+        SELECT b.conv, b.n_turns, b.fp, r.max_run
+        FROM base b LEFT JOIN runs r ON r.conv_id = b.conv
+    ), ex AS (
+        SELECT conv, n_turns, fp, max_run,
+               MIN(CASE WHEN max_run IS NULL THEN conv END)
+                   OVER (PARTITION BY fp) AS fk
+        FROM led
+    ), ex2 AS (
+        SELECT conv, n_turns, max_run,
+               CASE WHEN max_run IS NULL AND fk <> conv
+                    THEN fk END AS exact_keeper
+        FROM ex
+    ), s AS (
+        SELECT conv FROM ex2
+        WHERE max_run IS NULL AND exact_keeper IS NULL
+    ), tok AS (
+        SELECT DISTINCT h.conv_id,
+               CAST(h.turn_idx AS VARCHAR) || ':' || h.ch AS tk
+        FROM h JOIN s ON s.conv = h.conv_id
+    ), sz AS (SELECT conv_id, COUNT(*) AS n FROM tok GROUP BY conv_id),
+    pc AS (
+        SELECT a.conv_id AS id_a, b.conv_id AS id_b, COUNT(*) AS c
+        FROM tok a JOIN tok b ON a.tk = b.tk AND a.conv_id < b.conv_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM pc
+        JOIN sz sa ON sa.conv_id = id_a
+        JOIN sz sb ON sb.conv_id = id_b
+        WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= {th}
+    ), edges AS (
+        SELECT id_a AS es, id_b AS ed FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(es, ed) AS (
+        SELECT es, ed FROM edges
+        UNION
+        SELECT r.es, e.ed FROM reach r JOIN edges e ON r.ed = e.es
+    ), lab AS (
+        SELECT es AS conv, LEAST(es, MIN(ed)) AS label
+        FROM reach GROUP BY es
+    )
+    SELECT e.conv, e.n_turns, e.max_run, e.exact_keeper,
+           CASE WHEN e.max_run IS NULL AND e.exact_keeper IS NULL
+                     AND lab.label IS NOT NULL AND lab.label <> e.conv
+                THEN lab.label END AS near_keeper,
+           (e.max_run IS NULL AND e.exact_keeper IS NULL
+            AND (lab.label IS NULL OR lab.label = e.conv)) AS keep,
+           CASE WHEN e.max_run IS NOT NULL THEN 'degenerate'
+                WHEN e.exact_keeper IS NOT NULL THEN 'exact_dup'
+                WHEN lab.label IS NOT NULL AND lab.label <> e.conv
+                     THEN 'near_dup' END AS drop_reason
+    FROM ex2 e LEFT JOIN lab ON lab.conv = e.conv
+"""
+
+
 def run_transcript_ops_round(spark, rng: random.Random,
                              work: str) -> list[str]:
     import duckdb
@@ -424,6 +507,14 @@ def run_transcript_ops_round(spark, rng: random.Random,
         ("fuzz.conv_near_dup_lsh",
          D.conversation_near_dup_pairs(nn, threshold=0.9),
          _TR_TOKEN_SQL.format(path=path, th=0.9)),
+        # brute pair path (exact): LSH at j>=0.6 would miss a borderline
+        # pair w.p. ~6e-7 — true on fixed gate data, not a property every
+        # random draw must satisfy (same stance as minhash_near_dup)
+        ("fuzz.conversation_curation_ledger",
+         D.conversation_curation_ledger(
+             nn, min_degenerate_run=3, near_dup_threshold=0.6,
+             use_lsh=False, allow_all_pairs=True),
+         _TR_LEDGER_SQL.format(path=path, min_run=3, th=0.6)),
     ]
     for name, sdf, sql in pairs:
         failures += compare_frames(name, sdf.toPandas(),
