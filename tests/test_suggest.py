@@ -76,3 +76,31 @@ def test_suggest_charset_and_conversation_candidates(spark):
     rows = {(r["column"], r["rule"]) for r in report.collect()}
     assert ("conv_id,turn_idx", "conversation_shape_candidate") in rows
     assert any(rule == "charset_clean_candidate" for _, rule in rows)
+
+
+def test_suggest_json_rules_and_contract_candidate(spark):
+    """A fully-JSON string column gets the json_parseable leaf (and the
+    suggested set passes the profiled data); a fully-OBJECT column also
+    reports full-coverage keys as a json_contract candidate. A column
+    with one non-JSON value gets neither."""
+    from valar_spark import validate
+    from valar_spark.suggest import suggest_rules
+
+    rows = [
+        ('{"k": 1, "j": "x"}', '[1, 2]', "plain text"),
+        ('{"k": 2}',           '7',      '{"also": "json"}'),
+        ('{"k": 3, "j": "y"}', None,     "not json"),
+    ]
+    df = spark.createDataFrame(rows, "props string, jv string, s string")
+    rules, report = suggest_rules(df)
+    got = {(r["column"], r["rule"]) for r in report.collect()}
+    assert ("props", "json_parseable") in got
+    assert ("jv", "json_parseable") in got          # scalars/arrays parse
+    assert ("s", "json_parseable") not in got
+    # contract candidate only for the all-OBJECT column, only key "k"
+    # (coverage 1.0); "j" at 2/3 stays out
+    cand = {r["column"]: r["params"] for r in report.collect()
+            if r["rule"] == "json_contract_candidate"}
+    assert cand == {"props": "['k']"}
+    run = validate(df, rules, keys=("props",))
+    assert run.verdicts.filter("pass = false").count() == 0

@@ -63,6 +63,8 @@ def suggest_rules(
     string_cols = [c for c in columns if dtypes[c] == "string"]
     blanks: dict[str, int] = {}
     ctrls: dict[str, int] = {}
+    jsons: dict[str, int] = {}
+    jobjs: dict[str, int] = {}
     if string_cols:
         from .textops import CTRL_CLASS
 
@@ -76,9 +78,15 @@ def suggest_rules(
                                                   "")))
                      .cast("long")).alias(f"__ctrl_{c}")
                for c in string_cols]
+            + [F.sum(F.try_parse_json(F.col(c)).isNotNull().cast("long"))
+               .alias(f"__json_{c}") for c in string_cols]
+            + [F.sum(F.json_object_keys(F.col(c)).isNotNull().cast("long"))
+               .alias(f"__jobj_{c}") for c in string_cols]
         )).first()
         blanks = {c: int(row[c] or 0) for c in string_cols}
         ctrls = {c: int(row[f"__ctrl_{c}"] or 0) for c in string_cols}
+        jsons = {c: int(row[f"__json_{c}"] or 0) for c in string_cols}
+        jobjs = {c: int(row[f"__jobj_{c}"] or 0) for c in string_cols}
 
     rules: dict = {}
     report_rows: list[tuple] = []
@@ -109,6 +117,11 @@ def suggest_rules(
                         repr(sorted(vals)),
                         f"{len(vals)} distinct values observed "
                         f"(HLL estimate {est})"))
+            nn_s = (p["rows"] or 0) - (p["null_count"] or 0)
+            if nn_s > 0 and jsons.get(c, 0) == nn_s:
+                leaves.append((
+                    R.json_parseable(), "json_parseable", "",
+                    f"all {nn_s} non-null values parse as JSON"))
             for rule, name, params, reason in leaves:
                 core = (core & rule) if core is not None else rule
                 report_rows.append((c, name, params, reason))
@@ -207,6 +220,28 @@ def suggest_rules(
                 c, "charset_clean_candidate", "",
                 "0 non-whitespace control chars observed — monitor with "
                 "textops.charset_features (n_control == 0)"))
+
+    # JSON contracts: a string column whose every non-null value is a
+    # JSON OBJECT gets its key inventory profiled; keys at coverage 1.0
+    # are required-field candidates (report-only — maps to
+    # dataset_rules.json_contract_violations; value typing/ranges need a
+    # human). The key_profile pass is bounded: only fully-object columns
+    # qualify, and only the first 20 full-coverage keys are listed.
+    for c in string_cols:
+        nn = (prof[c]["rows"] or 0) - (prof[c]["null_count"] or 0)
+        if nn > 0 and jobjs.get(c, 0) == nn:
+            from .dataset_rules import json_key_profile
+
+            keys = [r["key"] for r in
+                    json_key_profile(df, c)
+                    .filter(F.col("coverage") >= 1.0)
+                    .orderBy("key").limit(21).collect()]
+            if 0 < len(keys) <= 20:
+                report_rows.append((
+                    c, "json_contract_candidate", repr(keys),
+                    f"all {nn} non-null values are JSON objects; "
+                    f"{len(keys)} key(s) at coverage 1.0 — candidate "
+                    "dataset_rules.json_contract_violations(required=…)"))
 
     # conversation shape: the transcript pair (conv-like key + dense
     # per-group index) proposes the conversation-level gate
