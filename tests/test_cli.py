@@ -84,3 +84,25 @@ def test_cli_curate_writes_ledger(spark, tmp_path, monkeypatch, capsys):
     assert set(led.columns) == {"doc_id", "drop_stage", "drop_reasons",
                                 "split"}
     assert led.count() == 500
+
+
+def test_cli_curate_conversations(spark, tmp_path, monkeypatch, capsys):
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:20000",
+        "--work-dir", str(tmp_path), "--run-id", "cc1",
+        "--curate-conversations"])
+    assert rc == 0
+    path = _json_line(out)["conv_ledger"]
+    assert path.endswith("conv_ledger_cc1")
+    led = spark.read.parquet(path)
+    assert set(led.columns) == {"conv", "n_turns", "max_run",
+                                "exact_keeper", "near_keeper", "keep",
+                                "drop_reason"}
+    # one row per conversation, keepers kept (survivor invariant)
+    assert led.count() == led.select("conv").distinct().count()
+    kept = {r["conv"] for r in led.filter("keep").collect()}
+    keepers = {r["exact_keeper"] for r in
+               led.filter("exact_keeper IS NOT NULL").collect()} \
+        | {r["near_keeper"] for r in
+           led.filter("near_keeper IS NOT NULL").collect()}
+    assert keepers <= kept

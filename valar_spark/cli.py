@@ -51,6 +51,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="per-source document cap for --curate")
     p.add_argument("--minhash", action="store_true",
                    help="add the MinHash near-dup stage to --curate")
+    p.add_argument("--curate-conversations", action="store_true",
+                   help="run the CONVERSATION curation ledger over the "
+                        "transcript input (degenerate -> exact "
+                        "fingerprint -> transitive near-dup, survivor-"
+                        "scoped): writes the per-conversation ledger "
+                        "parquet to the work-dir and prints the "
+                        "per-stage yield")
+    p.add_argument("--min-degenerate-run", type=int, default=4,
+                   help="degenerate-stage run length for "
+                        "--curate-conversations (0 disables)")
+    p.add_argument("--near-dup-threshold", type=float, default=0.8,
+                   help="turn-token Jaccard threshold for "
+                        "--curate-conversations (0 disables)")
     p.add_argument("--auto", action="store_true",
                    help="end-to-end pipeline: profile the input and PROPOSE "
                         "a rule set (Deequ-style suggestion), validate with "
@@ -93,6 +106,28 @@ def main(argv: list[str] | None = None) -> int:
         led.write.mode("overwrite").parquet(out)
         X.curation_report(spark.read.parquet(out)).show(50, truncate=False)
         print(json.dumps({"run_id": args.run_id, "ledger": out}))
+        spark.stop()
+        return 0
+
+    if args.curate_conversations:
+        import os
+
+        from pyspark.sql import functions as F
+
+        led = D.conversation_curation_ledger(
+            df,
+            min_degenerate_run=args.min_degenerate_run or None,
+            near_dup_threshold=args.near_dup_threshold or None,
+            checkpoint_dir=os.path.join(args.work_dir, "_cc_ck"))
+        out = os.path.join(args.work_dir, f"conv_ledger_{args.run_id}")
+        led.write.mode("overwrite").parquet(out)
+        led = spark.read.parquet(out)
+        (led.groupBy("drop_reason")
+         .agg(F.count(F.lit(1)).alias("n_conversations"),
+              F.sum("n_turns").alias("n_turns"))
+         .orderBy(F.col("drop_reason").asc_nulls_first())
+         .show(truncate=False))
+        print(json.dumps({"run_id": args.run_id, "conv_ledger": out}))
         spark.stop()
         return 0
 
