@@ -1717,6 +1717,15 @@ def conversation_curation_ledger(
     )
 
     if near_dup_threshold is not None:
+        # the exact-stage frame is referenced by BOTH sides of the pair
+        # join, the component rounds, and the final output — persist it
+        # so the turn-level aggregate runs ONCE, not once per reference
+        # (connected_components materializes eagerly, which populates the
+        # cache inside this call). Stays persisted with the returned
+        # frame, same lifecycle contract as textops.jaccard_pairs.
+        from pyspark import StorageLevel
+
+        led = led.persist(StorageLevel.MEMORY_AND_DISK)
         surv = led.filter(~degenerate & F.col("exact_keeper").isNull())
         sets = surv.select(F.col("conv").alias("_id"), "_sh",
                            F.size("_sh").alias("n_sh"))
