@@ -383,7 +383,10 @@ _TR_TEMPLATE_SQL = """
 # duplicate turn indices, the exact case that broke the first oracle
 _TR_LEDGER_SQL = """
     WITH RECURSIVE h AS (
-        SELECT conv_id, turn_idx, md5(COALESCE(text, chr(0))) AS ch
+        SELECT conv_id, turn_idx, md5(COALESCE(text, chr(0))) AS ch,
+               CASE WHEN text IS NULL OR regexp_replace(
+                        text, '[\\x00-\\x20]', '', 'g') = ''
+                    THEN 1.0 ELSE 0.0 END AS blank
         FROM read_parquet('{path}/*.parquet') WHERE turn_idx IS NOT NULL
     ), hd AS (
         SELECT conv_id, turn_idx, ch, COUNT(*) AS cnt
@@ -402,25 +405,31 @@ _TR_LEDGER_SQL = """
         WHERE len >= {min_run} GROUP BY conv_id
     ), base AS (
         SELECT conv_id AS conv, COUNT(*)::BIGINT AS n_turns,
+               ROUND(AVG(blank), 6) AS blank_frac,
                md5(string_agg(CAST(turn_idx AS VARCHAR) || ':' || ch,
                               chr(2) ORDER BY turn_idx, ch)) AS fp
         FROM h GROUP BY conv_id
     ), led AS (
-        SELECT b.conv, b.n_turns, b.fp, r.max_run
+        SELECT b.conv, b.n_turns, b.blank_frac, b.fp, r.max_run,
+               (b.n_turns < {min_turns}
+                OR b.blank_frac > {max_blank}) AS quality,
+               (b.n_turns < {min_turns} OR b.blank_frac > {max_blank}
+                OR r.max_run IS NOT NULL) AS dropped_early
         FROM base b LEFT JOIN runs r ON r.conv_id = b.conv
     ), ex AS (
-        SELECT conv, n_turns, fp, max_run,
-               MIN(CASE WHEN max_run IS NULL THEN conv END)
+        SELECT conv, n_turns, blank_frac, fp, max_run, quality,
+               dropped_early,
+               MIN(CASE WHEN NOT dropped_early THEN conv END)
                    OVER (PARTITION BY fp) AS fk
         FROM led
     ), ex2 AS (
-        SELECT conv, n_turns, max_run,
-               CASE WHEN max_run IS NULL AND fk <> conv
+        SELECT conv, n_turns, blank_frac, max_run, quality, dropped_early,
+               CASE WHEN NOT dropped_early AND fk <> conv
                     THEN fk END AS exact_keeper
         FROM ex
     ), s AS (
         SELECT conv FROM ex2
-        WHERE max_run IS NULL AND exact_keeper IS NULL
+        WHERE NOT dropped_early AND exact_keeper IS NULL
     ), tok AS (
         SELECT DISTINCT h.conv_id,
                CAST(h.turn_idx AS VARCHAR) || ':' || h.ch AS tk
@@ -446,13 +455,14 @@ _TR_LEDGER_SQL = """
         SELECT es AS conv, LEAST(es, MIN(ed)) AS label
         FROM reach GROUP BY es
     )
-    SELECT e.conv, e.n_turns, e.max_run, e.exact_keeper,
-           CASE WHEN e.max_run IS NULL AND e.exact_keeper IS NULL
+    SELECT e.conv, e.n_turns, e.blank_frac, e.max_run, e.exact_keeper,
+           CASE WHEN NOT e.dropped_early AND e.exact_keeper IS NULL
                      AND lab.label IS NOT NULL AND lab.label <> e.conv
                 THEN lab.label END AS near_keeper,
-           (e.max_run IS NULL AND e.exact_keeper IS NULL
+           (NOT e.dropped_early AND e.exact_keeper IS NULL
             AND (lab.label IS NULL OR lab.label = e.conv)) AS keep,
-           CASE WHEN e.max_run IS NOT NULL THEN 'degenerate'
+           CASE WHEN e.quality THEN 'quality'
+                WHEN e.max_run IS NOT NULL THEN 'degenerate'
                 WHEN e.exact_keeper IS NOT NULL THEN 'exact_dup'
                 WHEN lab.label IS NOT NULL AND lab.label <> e.conv
                      THEN 'near_dup' END AS drop_reason
@@ -512,9 +522,10 @@ def run_transcript_ops_round(spark, rng: random.Random,
         # random draw must satisfy (same stance as minhash_near_dup)
         ("fuzz.conversation_curation_ledger",
          D.conversation_curation_ledger(
-             nn, min_degenerate_run=3, near_dup_threshold=0.6,
-             use_lsh=False, allow_all_pairs=True),
-         _TR_LEDGER_SQL.format(path=path, min_run=3, th=0.6)),
+             nn, min_turns=2, max_blank_frac=0.4, min_degenerate_run=3,
+             near_dup_threshold=0.6, use_lsh=False, allow_all_pairs=True),
+         _TR_LEDGER_SQL.format(path=path, min_turns=2, max_blank=0.4,
+                               min_run=3, th=0.6)),
     ]
     for name, sdf, sql in pairs:
         failures += compare_frames(name, sdf.toPandas(),

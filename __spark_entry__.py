@@ -1007,7 +1007,11 @@ def _q_conv_curation_transcripts(spark: SparkSession,
     % 97 ∈ {13, 14} → near-dup classes whose equal-length members drop
     at the exact stage and whose different-length survivors chain
     j = n/m ≥ 0.8 transitively (the recursive-CTE closure in the
-    oracle mirrors the engine's connected components)."""
+    oracle mirrors the engine's connected components), % 83 == 11 →
+    every even turn blanked (blank_frac ≈ 0.5 > the 0.2 gate — the
+    QUALITY stage; applied FIRST so it overrides the other plants,
+    CASE order mirrored). min_turns=3 also quality-drops the synth's
+    2-turn conversations."""
     from valar_spark import dataset_rules as D
 
     df = spark.read.parquet(_transcripts_parquet(spark))
@@ -1016,7 +1020,8 @@ def _q_conv_curation_transcripts(spark: SparkSession,
     nd = F.concat(F.lit("nd-"), idx_s)
     planted = df.withColumn(
         "text",
-        F.when(cn % 89 == 3, F.lit("loop"))
+        F.when((cn % 83 == 11) & (F.col("turn_idx") % 2 == 0), F.lit(""))
+        .when(cn % 89 == 3, F.lit("loop"))
         .when(cn % 29 == 5, F.concat(F.lit("dup turn-"), idx_s))
         .when(cn % 97 == 13, nd)
         .when((cn % 97 == 14) & (F.col("turn_idx") % 4 == 1),
@@ -1024,7 +1029,8 @@ def _q_conv_curation_transcripts(spark: SparkSession,
         .when(cn % 97 == 14, nd)
         .otherwise(F.col("text")))
     return (D.conversation_curation_ledger(
-                planted, min_degenerate_run=4, near_dup_threshold=0.8)
+                planted, min_turns=3, max_blank_frac=0.2,
+                min_degenerate_run=4, near_dup_threshold=0.8)
             .orderBy("conv"))
 
 
@@ -3842,7 +3848,10 @@ def oracle_sql() -> dict[str, str]:
         "conv_curation_transcripts": rf"""
             WITH RECURSIVE m AS (
                 SELECT conv_id, turn_idx,
-                       CASE WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 89 = 3
+                       CASE WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 83 = 11
+                                 AND turn_idx % 2 = 0
+                            THEN ''
+                            WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 89 = 3
                             THEN 'loop'
                             WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 29 = 5
                             THEN 'dup turn-' || CAST(turn_idx AS VARCHAR)
@@ -3857,7 +3866,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
             ), h AS (
                 SELECT conv_id, turn_idx,
-                       md5(COALESCE(text, chr(0))) AS ch
+                       md5(COALESCE(text, chr(0))) AS ch,
+                       CASE WHEN text IS NULL OR regexp_replace(
+                                text, '[\x00-\x20]', '', 'g') = ''
+                            THEN 1.0 ELSE 0.0 END AS blank
                 FROM m
             ), hd AS (
                 -- collapse duplicate (idx, ch) rows BEFORE the islands
@@ -3882,26 +3894,32 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len >= 4 GROUP BY conv_id
             ), base AS (
                 SELECT conv_id AS conv, COUNT(*)::BIGINT AS n_turns,
+                       ROUND(AVG(blank), 6) AS blank_frac,
                        md5(string_agg(
                            CAST(turn_idx AS VARCHAR) || ':' || ch, chr(2)
                            ORDER BY turn_idx, ch)) AS fp
                 FROM h GROUP BY conv_id
             ), led AS (
-                SELECT b.conv, b.n_turns, b.fp, r.max_run
+                SELECT b.conv, b.n_turns, b.blank_frac, b.fp, r.max_run,
+                       (b.n_turns < 3 OR b.blank_frac > 0.2) AS quality,
+                       (b.n_turns < 3 OR b.blank_frac > 0.2
+                        OR r.max_run IS NOT NULL) AS dropped_early
                 FROM base b LEFT JOIN runs r ON r.conv_id = b.conv
             ), ex AS (
-                SELECT conv, n_turns, fp, max_run,
-                       MIN(CASE WHEN max_run IS NULL THEN conv END)
+                SELECT conv, n_turns, blank_frac, fp, max_run, quality,
+                       dropped_early,
+                       MIN(CASE WHEN NOT dropped_early THEN conv END)
                            OVER (PARTITION BY fp) AS fk
                 FROM led
             ), ex2 AS (
-                SELECT conv, n_turns, max_run,
-                       CASE WHEN max_run IS NULL AND fk <> conv
+                SELECT conv, n_turns, blank_frac, max_run, quality,
+                       dropped_early,
+                       CASE WHEN NOT dropped_early AND fk <> conv
                             THEN fk END AS exact_keeper
                 FROM ex
             ), s AS (
                 SELECT conv FROM ex2
-                WHERE max_run IS NULL AND exact_keeper IS NULL
+                WHERE NOT dropped_early AND exact_keeper IS NULL
             ), tok AS (
                 SELECT DISTINCT h.conv_id,
                        CAST(h.turn_idx AS VARCHAR) || ':' || h.ch AS tk
@@ -3930,14 +3948,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT es AS conv, LEAST(es, MIN(ed)) AS label
                 FROM reach GROUP BY es
             )
-            SELECT e.conv, e.n_turns, e.max_run, e.exact_keeper,
-                   CASE WHEN e.max_run IS NULL AND e.exact_keeper IS NULL
+            SELECT e.conv, e.n_turns, e.blank_frac, e.max_run,
+                   e.exact_keeper,
+                   CASE WHEN NOT e.dropped_early
+                             AND e.exact_keeper IS NULL
                              AND lab.label IS NOT NULL
                              AND lab.label <> e.conv
                         THEN lab.label END AS near_keeper,
-                   (e.max_run IS NULL AND e.exact_keeper IS NULL
+                   (NOT e.dropped_early AND e.exact_keeper IS NULL
                     AND (lab.label IS NULL OR lab.label = e.conv)) AS keep,
-                   CASE WHEN e.max_run IS NOT NULL THEN 'degenerate'
+                   CASE WHEN e.quality THEN 'quality'
+                        WHEN e.max_run IS NOT NULL THEN 'degenerate'
                         WHEN e.exact_keeper IS NOT NULL THEN 'exact_dup'
                         WHEN lab.label IS NOT NULL AND lab.label <> e.conv
                              THEN 'near_dup' END AS drop_reason

@@ -95,7 +95,7 @@ def test_cli_curate_conversations(spark, tmp_path, monkeypatch, capsys):
     path = _json_line(out)["conv_ledger"]
     assert path.endswith("conv_ledger_cc1")
     led = spark.read.parquet(path)
-    assert set(led.columns) == {"conv", "n_turns", "max_run",
+    assert set(led.columns) == {"conv", "n_turns", "blank_frac", "max_run",
                                 "exact_keeper", "near_keeper", "keep",
                                 "drop_reason"}
     # one row per conversation, keepers kept (survivor invariant)

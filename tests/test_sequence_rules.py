@@ -546,3 +546,35 @@ def test_conversation_curation_ledger_stages_disable(spark):
     assert got["c20"]["drop_reason"] is None
     assert got["c21"]["drop_reason"] == "exact_dup"
     assert got["c11"]["drop_reason"] is None      # near stage off
+
+
+def test_conversation_curation_ledger_quality_stage(spark):
+    rows = (
+        [("q1", 0, "ok"), ("q1", 1, ""), ("q1", 2, " \t"), ("q1", 3, None)]
+        # 3/4 blank → quality; q2 too short; q3 clean twin of q1's shape
+        + [("q2", 0, "only turn")]
+        + [("q3", i, f"t{i}") for i in range(4)]
+        # q4 == q5 exactly, both fine on quality → exact stage still works
+        + [("q4", 0, "x"), ("q4", 1, "y"), ("q4", 2, "z")]
+        + [("q5", 0, "x"), ("q5", 1, "y"), ("q5", 2, "z")]
+    )
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                     "text string")
+    got = {r["conv"]: r for r in D.conversation_curation_ledger(
+        df, min_turns=2, max_blank_frac=0.5, min_degenerate_run=3,
+        near_dup_threshold=0.8, use_lsh=False,
+        allow_all_pairs=True).collect()}
+    assert {c: r["drop_reason"] for c, r in got.items()} == {
+        "q1": "quality", "q2": "quality", "q3": None,
+        "q4": None, "q5": "exact_dup"}
+    assert got["q1"]["blank_frac"] == 0.75 and got["q3"]["blank_frac"] == 0.0
+    # quality-dropped convs can't elect keepers: a clean conv whose only
+    # exact twin is quality-dropped stays kept
+    dup_of_q1 = df.filter(F.col("conv_id") == "q1") \
+        .withColumn("conv_id", F.lit("q0"))   # q0 < q1 would win election
+    got2 = {r["conv"]: r["drop_reason"] for r in
+            D.conversation_curation_ledger(
+                df.union(dup_of_q1), min_turns=2, max_blank_frac=0.5,
+                min_degenerate_run=3, near_dup_threshold=0.8,
+                use_lsh=False, allow_all_pairs=True).collect()}
+    assert got2["q0"] == "quality" and got2["q1"] == "quality"

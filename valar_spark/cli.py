@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
                         "scoped): writes the per-conversation ledger "
                         "parquet to the work-dir and prints the "
                         "per-stage yield")
+    p.add_argument("--min-turns", type=int, default=0,
+                   help="quality-stage minimum conversation length for "
+                        "--curate-conversations (0 disables)")
+    p.add_argument("--max-blank-frac", type=float, default=0.0,
+                   help="quality-stage blank-turn fraction ceiling for "
+                        "--curate-conversations (0 disables)")
     p.add_argument("--min-degenerate-run", type=int, default=4,
                    help="degenerate-stage run length for "
                         "--curate-conversations (0 disables)")
@@ -116,6 +122,8 @@ def main(argv: list[str] | None = None) -> int:
 
         led = D.conversation_curation_ledger(
             df,
+            min_turns=args.min_turns or None,
+            max_blank_frac=args.max_blank_frac or None,
             min_degenerate_run=args.min_degenerate_run or None,
             near_dup_threshold=args.near_dup_threshold or None,
             checkpoint_dir=os.path.join(args.work_dir, "_cc_ck"))

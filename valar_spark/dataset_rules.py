@@ -1632,6 +1632,9 @@ def conversation_curation_ledger(
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
     content_cols: Sequence[str] = ("text",),
+    min_turns: int | None = None,
+    max_blank_frac: float | None = None,
+    blank_col: str = "text",
     min_degenerate_run: int | None = 4,
     near_dup_threshold: float | None = 0.8,
     num_hashes: int = 64,
@@ -1641,31 +1644,35 @@ def conversation_curation_ledger(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """One-pass curation ledger over a TRANSCRIPT corpus — the
-    conversation-level analogue of ``textops.curation_ledger``: degenerate
-    filter → exact fingerprint dedup → near-dup clustering, with per-
-    conversation provenance. Returns one row per conversation:
-    ``(conv, n_turns, max_run, exact_keeper, near_keeper, keep,
-    drop_reason)`` where ``drop_reason`` ∈ {degenerate, exact_dup,
-    near_dup, NULL} reports the FIRST stage that dropped it.
+    conversation-level analogue of ``textops.curation_ledger``: quality
+    gate → degenerate filter → exact fingerprint dedup → near-dup
+    clustering, with per-conversation provenance. Returns one row per
+    conversation: ``(conv, n_turns, blank_frac, max_run, exact_keeper,
+    near_keeper, keep, drop_reason)`` where ``drop_reason`` ∈ {quality,
+    degenerate, exact_dup, near_dup, NULL} reports the FIRST stage that
+    dropped it.
 
     Stage semantics follow the document ledger's survivor invariant
     (later stages only consider prior survivors — the r4-ADVICE contract:
     a keeper is always itself kept):
 
+    0. **quality** — fewer than ``min_turns`` turns, or more than
+       ``max_blank_frac`` of turns blank in ``blank_col`` (Java-trim
+       blank: null or only ``[\\x00-\\x20]`` — the ``non_empty`` leaf's
+       class). Rides the base aggregate: zero extra passes.
     1. **degenerate** — any ≥ ``min_degenerate_run`` consecutive
        content-identical turns (:func:`degenerate_runs`); ``max_run``
        records the longest run for flagged conversations.
     2. **exact_dup** — identical full fingerprint
-       (:func:`conversation_fingerprint_dedup` semantics) among
-       non-degenerate conversations; keeper = min conv id.
+       (:func:`conversation_fingerprint_dedup` semantics) among quality
+       survivors; keeper = min conv id.
     3. **near_dup** — turn-token Jaccard ≥ ``near_dup_threshold``
        (:func:`conversation_near_dup_pairs`) among survivors, closed
        TRANSITIVELY via large-star/small-star connected components
        (``textops.connected_components``); keeper = the cluster's min
        conv id, which by min-label transitivity is itself a survivor.
 
-    Pass ``None`` for ``min_degenerate_run`` / ``near_dup_threshold`` to
-    disable a stage.
+    Pass ``None`` for a stage's threshold(s) to disable it.
 
     Cost at 10^12 turns: ONE conv-keyed aggregate builds fingerprint +
     token set together (per-conv state bounded by conversation length;
@@ -1681,9 +1688,13 @@ def conversation_curation_ledger(
     token = F.xxhash64(
         F.concat(F.col(idx_col).cast("string"), F.lit(":"), h))
     elem = F.struct(F.col(idx_col).cast("long").alias("_i"), h.alias("_h"))
+    blank = (F.col(blank_col).isNull()
+             | (F.regexp_replace(F.col(blank_col).cast("string"),
+                                 r"[\x00-\x20]", "") == ""))
     base = (
         df.groupBy(F.col(conv_col).alias("conv"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+             F.round(F.avg(blank.cast("double")), 6).alias("blank_frac"),
              F.md5(F.concat_ws("\x02", F.transform(
                  F.array_sort(F.collect_list(elem)),
                  lambda s: F.concat(s["_i"].cast("string"),
@@ -1691,6 +1702,11 @@ def conversation_curation_ledger(
              .alias("_fp"),
              F.collect_set(token).alias("_sh"))
     )
+    quality = F.lit(False)
+    if min_turns is not None:
+        quality = quality | (F.col("n_turns") < min_turns)
+    if max_blank_frac is not None:
+        quality = quality | (F.col("blank_frac") > max_blank_frac)
 
     if min_degenerate_run is not None:
         deg = (degenerate_runs(df, conv_col, idx_col, content_cols,
@@ -1705,14 +1721,17 @@ def conversation_curation_ledger(
     w_fp = Window.partitionBy("_fp_key")
     led = (
         base
-        # degenerate convs get a unique fp key so they can't elect or
-        # block a keeper (survivor invariant)
-        .withColumn("_fp_key", F.when(degenerate, F.col("conv"))
+        # quality-dropped and degenerate convs get a unique fp key so
+        # they can't elect or block a keeper (survivor invariant)
+        .withColumn("_dropped_early", quality | degenerate)
+        .withColumn("_fp_key", F.when(F.col("_dropped_early"),
+                                      F.col("conv"))
                     .otherwise(F.col("_fp")))
         .withColumn("_exact_keeper", F.min("conv").over(w_fp))
         .withColumn(
             "exact_keeper",
-            F.when(~degenerate & (F.col("_exact_keeper") != F.col("conv")),
+            F.when(~F.col("_dropped_early")
+                   & (F.col("_exact_keeper") != F.col("conv")),
                    F.col("_exact_keeper")))
     )
 
@@ -1726,7 +1745,8 @@ def conversation_curation_ledger(
         from pyspark import StorageLevel
 
         led = led.persist(StorageLevel.MEMORY_AND_DISK)
-        surv = led.filter(~degenerate & F.col("exact_keeper").isNull())
+        surv = led.filter(~F.col("_dropped_early")
+                          & F.col("exact_keeper").isNull())
         sets = surv.select(F.col("conv").alias("_id"), "_sh",
                            F.size("_sh").alias("n_sh"))
         pairs = conversation_near_dup_pairs(
@@ -1740,7 +1760,7 @@ def conversation_curation_ledger(
                         F.col("component").alias("_near_label")),
             "conv", "left")
         near_keeper = F.when(
-            F.col("exact_keeper").isNull() & ~degenerate
+            F.col("exact_keeper").isNull() & ~F.col("_dropped_early")
             & F.col("_near_label").isNotNull()
             & (F.col("_near_label") != F.col("conv")),
             F.col("_near_label"))
@@ -1748,12 +1768,13 @@ def conversation_curation_ledger(
         near_keeper = F.lit(None).cast("string")
 
     drop_reason = (
-        F.when(degenerate, F.lit("degenerate"))
+        F.when(quality, F.lit("quality"))
+        .when(degenerate, F.lit("degenerate"))
         .when(F.col("exact_keeper").isNotNull(), F.lit("exact_dup"))
         .when(near_keeper.isNotNull(), F.lit("near_dup"))
     )
     return led.select(
-        "conv", "n_turns", "max_run", "exact_keeper",
+        "conv", "n_turns", "blank_frac", "max_run", "exact_keeper",
         near_keeper.alias("near_keeper"),
         drop_reason.isNull().alias("keep"),
         drop_reason.alias("drop_reason"),
