@@ -60,6 +60,7 @@ EST = {
     "embedding_cosine_pairs": 3, "ann_ivf_probe_all_embeddings": 3,
     "dedup_normalized_documents": 2, "fd_user_event_type": 3,
     "entropy_events_type": 3, "sequence_gaps_lineitem": 2,
+    "conv_curation_transcripts": 16,
 }
 SEGMENT_BUDGET = 35.0
 SOLO_AT = 12.0  # a query this heavy drains the bucket itself: run it solo
