@@ -518,6 +518,45 @@ def _q_ks_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emd_events_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Wasserstein-1 / earth-mover's distance between even/odd
+    event_id halves on the same fixed-width bins as the PSI/KS/JS
+    queries: ``W1 = 50 · Σ |ECDF_p − ECDF_q|`` over the 10 bucket edges
+    (drift.emd_from_counts is the mergeable library form; this is its
+    oracle-checkable fixed-bin projection). The statistic KS/PSI/JS
+    lack: it reads in VALUE UNITS and grows with how far the mass
+    moved, not just that it moved. The cumulative window runs over ≤10
+    post-aggregation rows — fixed-size regardless of input scale. Null
+    event_ids are filtered on both engines (see
+    _q_js_events_value_halves)."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull())
+    bucket = F.least(F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)),
+                     F.lit(9)).cast("int")
+    side = (F.pmod(F.col("event_id"), F.lit(2)) == 0).cast("int")
+    hist = (
+        ev.select(bucket.alias("bucket"), side.alias("side"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("side")).cast("double").alias("p_n"),
+            F.sum(1 - F.col("side")).cast("double").alias("q_n"),
+        )
+    )
+    tot = hist.agg(F.sum("p_n").alias("pt"), F.sum("q_n").alias("qt"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("p_n").over(w).alias("cp"),
+        F.sum("q_n").over(w).alias("cq"),
+    )
+    return cum.crossJoin(tot).agg(
+        F.round(F.sum(F.abs(F.col("cp") / F.col("pt")
+                            - F.col("cq") / F.col("qt"))) * 50.0, 9)
+        .alias("emd")
+    )
+
+
 def _q_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization (NFC + lowercase + whitespace-run
     collapse) hashed per doc — DuckDB's ``nfc_normalize`` reproduces the
@@ -822,6 +861,29 @@ def _q_transitions_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
                 "prev_state", F.col("role").alias("state"), "kind")
         .orderBy("conv_id", "turn_idx", "prev_state", "state")
+    )
+
+
+def _q_response_latency_transcripts(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """AS-OF response-latency check on the transcript table
+    (dataset_rules.py::response_latency_violations) under a full DuckDB
+    hash oracle: for each assistant turn, seconds since the latest user
+    turn at-or-before it (one cumulative-MAX window — the as-of join a
+    naive plan would do as a range join). Flags are exactly the synth's
+    plants: ``negative_latency`` = the out-of-order ts plant landing on
+    an assistant turn, ``no_prior_request`` = assistant turns dragged
+    to turn_idx −1 before any user turn (plus conversations whose early
+    user turns were relabeled), ``too_slow`` = latencies stretched past
+    60s where interposed narrator/tool plants pushed the last user turn
+    far behind. RANGE-frame (peer-inclusive) window keeps duplicated
+    (conv, turn_idx) plants order-insensitive on both engines."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    return (
+        D.response_latency_violations(df, max_latency_s=60)
+        .orderBy("conv", "turn_idx", "latency_s", "reason")
     )
 
 
@@ -1357,6 +1419,27 @@ def _q_hll_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("_est") - F.col("exact_users"))
         / F.col("exact_users") <= 0.05)
     return agg.select("exact_users", within.alias("within_5pct"))
+
+
+def _q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy-hitter sketch under the hash gate (the HLL
+    tolerance pattern, applied to the frequency sketch): event_type is
+    deterministically remapped so two values ('click' for user_id%5 in
+    (0,1), 'view' for (2,3)) each carry ~40% of the rows — above the
+    capacity-4 sketch's a-priori bound N/5, exactly the values
+    Misra–Gries provably cannot drop. The oracle computes the same
+    candidate set exactly and asserts ``within_bound`` TRUE; a sketch
+    that drops or over/under-counts a guaranteed heavy hitter
+    hash-mismatches without DuckDB reproducing the estimator."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    mod = F.col("user_id") % 5
+    remapped = ev.select(
+        F.when(mod.isin(0, 1), F.lit("click"))
+        .when(mod.isin(2, 3), F.lit("view"))
+        .otherwise(F.col("event_type")).alias("etype"))
+    return D.heavy_hitters_guarantee(remapped, "etype", capacity=4)
 
 
 # ---------------------------------------------------------------------------
@@ -2249,6 +2332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_near_dup_lsh_transcripts": _q_conv_near_dup_lsh_transcripts,
         "json_key_profile_events": _q_json_key_profile_events,
         "conv_curation_transcripts": _q_conv_curation_transcripts,
+        # -- r5 session C: as-of latency, MG heavy hitters, EMD drift --
+        "response_latency_transcripts": _q_response_latency_transcripts,
+        "heavy_hitters_events": _q_heavy_hitters_events,
+        "emd_events_value_halves": _q_emd_events_value_halves,
         # -- changed this round: cap-stage two-phase + shared winnow pass --
         "curation_ledger_documents": _q_curation_ledger,
         "contamination_screen_documents": _q_contamination_screen,
@@ -2906,6 +2993,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ROUND(MAX(ABS(cp / pt - cq / qt)), 9) AS ks
             FROM cum, tot
+        """,
+        # binned Wasserstein-1: same fixed bins, SUM of |ECDF gaps| × the
+        # 50-unit bin width instead of the KS max
+        "emd_events_value_halves": """
+            WITH binned AS (
+                SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9)
+                         AS bucket,
+                       CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS side
+                FROM events
+                WHERE value IS NOT NULL AND event_id IS NOT NULL
+            ), hist AS (
+                SELECT bucket,
+                       CAST(SUM(side) AS DOUBLE) AS p_n,
+                       CAST(SUM(1 - side) AS DOUBLE) AS q_n
+                FROM binned GROUP BY bucket
+            ), tot AS (
+                SELECT SUM(p_n) AS pt, SUM(q_n) AS qt FROM hist
+            ), cum AS (
+                SELECT SUM(p_n) OVER (ORDER BY bucket) AS cp,
+                       SUM(q_n) OVER (ORDER BY bucket) AS cq
+                FROM hist
+            )
+            SELECT ROUND(SUM(ABS(cp / pt - cq / qt)) * 50.0, 9) AS emd
+            FROM cum, tot
+        """,
+        # Misra-Gries guarantee gate: the oracle computes the candidate
+        # set EXACTLY (values whose frequency exceeds N/(capacity+1) under
+        # the deterministic remap) and states within_bound TRUE — the
+        # sketch side has no DuckDB analogue, but a sketch that drops or
+        # miscounts a guaranteed heavy hitter hash-mismatches
+        "heavy_hitters_events": """
+            WITH remap AS (
+                SELECT CASE WHEN user_id % 5 IN (0, 1) THEN 'click'
+                            WHEN user_id % 5 IN (2, 3) THEN 'view'
+                            ELSE event_type END AS value
+                FROM events
+            ), cnt AS (
+                SELECT value, COUNT(*) AS exact_n
+                FROM remap WHERE value IS NOT NULL GROUP BY value
+            ), tot AS (
+                SELECT SUM(exact_n) AS n FROM cnt
+            )
+            SELECT value, CAST(exact_n AS BIGINT) AS exact_n,
+                   TRUE AS within_bound
+            FROM cnt, tot
+            WHERE exact_n * 5 > n
+            ORDER BY value
         """,
         "fingerprint_documents": r"""
             SELECT doc_id,
@@ -3746,6 +3880,30 @@ def oracle_sql() -> dict[str, str]:
                   || COALESCE(role, chr(0))
                   NOT IN ({_ROLE_GRAMMAR_SQL})
             ORDER BY conv_id, turn_idx, prev_state, state
+        """,
+        # as-of response latency: cumulative MAX over the default
+        # RANGE frame (peer-inclusive, so duplicate (conv, turn_idx)
+        # plants are order-insensitive); all synth ts are whole seconds,
+        # so the BIGINT epoch subtraction is exact on both engines
+        "response_latency_transcripts": rf"""
+            WITH lat AS (
+                SELECT conv_id AS conv,
+                       CAST(turn_idx AS BIGINT) AS turn_idx, role,
+                       CAST(epoch(ts) AS BIGINT)
+                         - CAST(epoch(MAX(CASE WHEN role = 'user' THEN ts
+                                          END) OVER
+                             (PARTITION BY conv_id ORDER BY turn_idx))
+                             AS BIGINT) AS latency_s
+                FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            )
+            SELECT conv, turn_idx, latency_s,
+                   CASE WHEN latency_s IS NULL THEN 'no_prior_request'
+                        WHEN latency_s < 0 THEN 'negative_latency'
+                        WHEN latency_s > 60 THEN 'too_slow' END AS reason
+            FROM lat
+            WHERE role = 'assistant'
+              AND (latency_s IS NULL OR latency_s < 0 OR latency_s > 60)
+            ORDER BY conv, turn_idx, latency_s, reason
         """,
         # boundary grammar: same lag pairing as transitions_transcripts
         # plus first/last-row state membership; CASE mirrors the engine's

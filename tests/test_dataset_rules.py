@@ -593,3 +593,88 @@ def test_flagship_gate_queries_fire(spark):
               t.select("conv_id").distinct()
                .join(reg, "conv_id", "left_anti").collect()}
     assert expect and {r["conv_id"] for r in ref} == expect
+
+
+def test_emd_from_counts():
+    import pytest as _pytest
+
+    from valar_spark.drift import emd_from_counts as emd
+
+    assert emd([5, 5], [5, 5]).statistic == 0.0
+    # all mass moved one bin -> exactly one bin width
+    assert abs(emd([10, 0, 0], [0, 10, 0], bin_width=50.0).statistic
+               - 50.0) < 1e-12
+    # two bins -> twice the distance (linear in displacement, unlike
+    # PSI/JS which saturate once supports disjoin)
+    assert abs(emd([10, 0, 0], [0, 0, 10], bin_width=50.0).statistic
+               - 100.0) < 1e-12
+    # symmetric
+    a, b = [8, 2, 0], [3, 3, 4]
+    assert abs(emd(a, b).statistic - emd(b, a).statistic) < 1e-15
+    with _pytest.raises(ValueError):
+        emd([1, 2], [1, 2, 3])
+
+
+def test_heavy_hitters_sketch_exact_when_capacity_suffices(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [(None,)],
+        "v string").repartition(3)
+    got = {r["value"]: r["est"]
+           for r in D.heavy_hitters_sketch(df, "v", capacity=4).collect()}
+    # no cuts ever happen below capacity: estimates are exact and the
+    # merged decrement sentinel (NULL key) is zero
+    assert got == {"a": 5, "b": 3, "c": 2, None: 0}
+
+
+def test_heavy_hitters_sketch_bound_and_guarantee(spark):
+    # zipf-ish: value k appears 200//(k+1) times, 40 distinct values,
+    # spread over 8 partitions; capacity 6 forces real decrements
+    rows = [(f"v{k:02d}",) for k in range(40) for _ in range(200 // (k + 1))]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    exact = {r["v"]: r["n"] for r in
+             df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(exact.values())
+    cap = 6
+    sk = {r["value"]: r["est"]
+          for r in D.heavy_hitters_sketch(df, "v", capacity=cap).collect()}
+    assert sk.pop(None) >= 0  # merged decrement total
+    for v, est in sk.items():
+        # Misra-Gries invariant: undercount only, by at most N/(cap+1)
+        assert est <= exact[v]
+        assert (exact[v] - est) * (cap + 1) <= n
+    g = D.heavy_hitters_guarantee(df, "v", capacity=cap).collect()
+    expect = sorted(v for v, c in exact.items() if c * (cap + 1) > n)
+    assert [r["value"] for r in g] == expect and len(expect) >= 1
+    assert all(r["within_bound"] for r in g)
+    assert all(r["exact_n"] == exact[r["value"]] for r in g)
+
+
+def test_response_latency(spark):
+    rows = [
+        # c1: normal exchange, then an out-of-order assistant turn
+        ("c1", 0, "system", 0),
+        ("c1", 1, "user", 10),
+        ("c1", 2, "assistant", 13),     # latency 3
+        ("c1", 3, "user", 20),
+        ("c1", 4, "assistant", 15),     # latency -5 (causality violation)
+        # c2: assistant speaks before any user turn
+        ("c2", 0, "assistant", 5),      # latency NULL
+        # c3: user and assistant tied on turn_idx -> RANGE frame includes
+        # the peer user row regardless of tie order
+        ("c3", 1, "user", 100),
+        ("c3", 1, "assistant", 90),     # latency -10
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, sec long"
+    ).select("conv_id", "turn_idx", "role",
+             F.lit("x").alias("text"), F.lit(None).cast("string").alias("tool"),
+             F.timestamp_seconds("sec").alias("ts"))
+    lat = {(r["conv"], r["turn_idx"]): r["latency_s"]
+           for r in D.response_latency(df).collect()}
+    assert lat == {("c1", 2): 3, ("c1", 4): -5, ("c2", 0): None,
+                   ("c3", 1): -10}
+    v = D.response_latency_violations(df, max_latency_s=60).collect()
+    reasons = {(r["conv"], r["turn_idx"]): r["reason"] for r in v}
+    assert reasons == {("c1", 4): "negative_latency",
+                       ("c2", 0): "no_prior_request",
+                       ("c3", 1): "negative_latency"}

@@ -451,6 +451,97 @@ def group_distinct_tolerance(df: DataFrame, col: str, group_col: str,
                       within.alias("within_tol"))
 
 
+def heavy_hitters_sketch(df: DataFrame, col: str,
+                         capacity: int = 64) -> DataFrame:
+    """Mergeable Misra–Gries frequency summary of ``col`` — the
+    heavy-hitter companion to the HLL cardinality sketch (reference
+    semantics: the frequency-profile analyzer family of
+    ValidationHelpers.scala:358-390, re-expressed as a sketch so it
+    stays bounded at 10^12 rows). Each partition keeps ≤ ``capacity``
+    counters, merging per-Arrow-batch exact counts with the summary
+    merge of Agarwal et al., *Mergeable Summaries* (PODS'12): add
+    counters pointwise, keep the top-``capacity``, subtract the
+    (capacity+1)-th largest from the survivors and accumulate it into
+    the partition's decrement total. Output: one row per surviving
+    counter ``(value, est)`` plus ONE sentinel row per partition
+    ``(NULL, dec)`` carrying that partition's decrement total; summing
+    ``est`` by value across partitions yields the global estimate with
+    the classic guarantee
+
+        exact(v) − N/(capacity+1)  ≤  est(v)  ≤  exact(v)
+
+    (undercount only; the N/(c+1) bound is the sum of the sentinel
+    rows' upper bound). Scale shape: one narrow ``mapInPandas`` pass —
+    per-partition output is ≤ capacity+1 rows, so the downstream
+    group-by-value merge aggregates partitions × (capacity+1) rows, not
+    data. Unlike :func:`frequent_values` (exact, needs the full
+    (value, count) table to exist somewhere), this never materializes
+    more than ``capacity`` counters per task, which is the operator you
+    run FIRST on an unknown 100-TB key column. Nulls in ``col`` are
+    excluded (the null-rate stat owns them; NULL is the sentinel tag)."""
+    if capacity < 1:
+        raise ValueError(f"heavy_hitters_sketch: capacity must be >= 1, "
+                         f"got {capacity}")
+    src = (df.filter(F.col(col).isNotNull())
+           .select(F.col(col).cast("string").alias("value")))
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        dec = 0
+        for pdf in batches:
+            # exact per-batch counts, then one mergeable-summaries merge
+            for v, c in pdf["value"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                ranked = sorted(counters.values(), reverse=True)
+                cut = ranked[capacity]  # (capacity+1)-th largest
+                dec += cut
+                counters = {v: c - cut for v, c in counters.items()
+                            if c > cut}
+        rows = [(v, c) for v, c in counters.items()]
+        rows.append((None, dec))
+        yield pd.DataFrame(rows, columns=["value", "est"])
+
+    per_part = src.mapInPandas(_mg, schema="value string, est long")
+    return (per_part.groupBy("value")
+            .agg(F.sum("est").cast("long").alias("est")))
+
+
+def heavy_hitters_guarantee(df: DataFrame, col: str,
+                            capacity: int = 64) -> DataFrame:
+    """Hash-checkable companion of :func:`heavy_hitters_sketch` (the
+    pattern the HLL tolerance gate established): for every value whose
+    EXACT frequency exceeds the sketch's a-priori error bound
+    ``N/(capacity+1)`` — exactly the values Misra–Gries provably cannot
+    drop — emit ``(value, exact_n, within_bound)`` where
+    ``within_bound`` asserts the merged estimate exists and sits inside
+    ``[exact − N/(capacity+1), exact]``. A DuckDB oracle states the
+    same rows with ``TRUE`` (the threshold is integer arithmetic both
+    engines share: ``exact·(capacity+1) > N``), so a buggy sketch
+    hash-mismatches without the oracle reproducing the estimator. The
+    exact per-value counts here are gate-time verification only — the
+    production path at 10^12 rows is the sketch alone."""
+    sk = heavy_hitters_sketch(df, col, capacity=capacity)
+    exact = (df.filter(F.col(col).isNotNull())
+             .groupBy(F.col(col).cast("string").alias("value"))
+             .agg(F.count(F.lit(1)).alias("exact_n")))
+    tot = exact.agg(F.sum("exact_n").alias("_n"))
+    cand = (exact.crossJoin(F.broadcast(tot))
+            .filter(F.col("exact_n") * (capacity + 1) > F.col("_n")))
+    est = sk.filter(F.col("value").isNotNull())
+    within = (
+        F.col("est").isNotNull()
+        & (F.col("est") <= F.col("exact_n"))
+        & ((F.col("exact_n") - F.col("est")) * (capacity + 1) <= F.col("_n"))
+    )
+    return (cand.join(est, "value", "left")
+            .select("value", F.col("exact_n").cast("long").alias("exact_n"),
+                    within.alias("within_bound"))
+            .orderBy("value"))
+
+
 def schema_violations(
     df: DataFrame,
     expected_ddl: str,
@@ -1190,6 +1281,65 @@ def transition_violations(
         expected="transition in allowed grammar",
         actual=F.col(state_col),
     )
+
+
+def response_latency(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    role_col: str = "role",
+    responder: str = "assistant",
+    requester: str = "user",
+) -> DataFrame:
+    """Per-turn response latency via an AS-OF self-join expressed as ONE
+    window: for every ``responder`` turn, the seconds elapsed since the
+    latest ``requester`` turn at-or-before it in the conversation
+    (``MAX(CASE WHEN role=requester THEN ts END)`` over the default
+    RANGE frame — tie-insensitive, so duplicated (conv, turn_idx) plants
+    can't make the result order-dependent). Output:
+    ``(conv, turn_idx, latency_s nullable)`` for every responder turn.
+
+    This is the timestamp-causality profile of the transcript shape: a
+    NULL latency means the responder spoke before any request (protocol
+    violation), a negative one means its timestamp precedes the request
+    it answers (the out-of-order ingest plant), and a large one is a
+    stale/hung response. Scale shape: one Exchange on ``conv_col``, one
+    window pass, no join — the as-of lookup a naive implementation
+    would do as a range join collapses into the running MAX because the
+    frame is cumulative."""
+    w = Window.partitionBy(conv_col).orderBy(F.col(order_col))
+    prior_req = F.max(
+        F.when(F.col(role_col) == requester, F.col(ts_col))).over(w)
+    return (
+        df.withColumn("_req_ts", prior_req)
+        .filter(F.col(role_col) == responder)
+        .select(
+            F.col(conv_col).alias("conv"),
+            F.col(order_col).cast("long").alias(order_col),
+            (F.col(ts_col).cast("long") - F.col("_req_ts").cast("long"))
+            .cast("long").alias("latency_s"),
+        )
+    )
+
+
+def response_latency_violations(
+    df: DataFrame,
+    max_latency_s: int = 60,
+    **kwargs,
+) -> DataFrame:
+    """Flagged rows from :func:`response_latency`:
+    ``no_prior_request`` (responder with no requester at-or-before it),
+    ``negative_latency`` (causality violation — the out-of-order plant),
+    ``too_slow`` (> ``max_latency_s``). One window pass, then a filter."""
+    lat = response_latency(df, **kwargs)
+    reason = (
+        F.when(F.col("latency_s").isNull(), F.lit("no_prior_request"))
+        .when(F.col("latency_s") < 0, F.lit("negative_latency"))
+        .when(F.col("latency_s") > max_latency_s, F.lit("too_slow"))
+    )
+    return (lat.withColumn("reason", reason)
+            .filter(F.col("reason").isNotNull()))
 
 
 # ---------------------------------------------------------------------------
