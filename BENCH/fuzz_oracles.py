@@ -151,6 +151,11 @@ TRANSCRIPTS_QUERIES = [
     # (conversations are kept ≤13 turns so the average can never terminate
     # at exactly 7 decimal digits — no cross-engine rounding-tie exposure)
     "conversation_stats_transcripts",
+    # as-of latency (round 5 session C): cumulative-MAX window under null
+    # turn_idx (NULLS FIRST pinned both sides), duplicate-index peer
+    # groups, non-monotone ts, and exotic role strings that must NOT
+    # match the exact 'user'/'assistant' literals
+    "response_latency_transcripts",
 ]
 
 
@@ -296,6 +301,14 @@ EVENTS_QUERIES = [
     # Spark∩DuckDB dialect-agreement subset (same pool json_valid_events
     # relies on), so parse/extract/cast/range layering must agree
     "json_contract_events",
+    # round-5 session C drift + sketch pairs: binned W1 shares the null-
+    # filtered fixed-bin construction with KS/PSI/JS; the Misra-Gries
+    # guarantee is an ALGORITHM invariant (every value above N/(cap+1)
+    # found within bound) that must hold on ANY table — negative user_ids
+    # route to ELSE identically (% sign-of-dividend both engines), null
+    # remapped values filtered both sides, threshold strict-> in integers
+    "emd_events_value_halves",
+    "heavy_hitters_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]

@@ -3892,7 +3892,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(epoch(ts) AS BIGINT)
                          - CAST(epoch(MAX(CASE WHEN role = 'user' THEN ts
                                           END) OVER
-                             (PARTITION BY conv_id ORDER BY turn_idx))
+                             (PARTITION BY conv_id
+                              ORDER BY turn_idx ASC NULLS FIRST))
                              AS BIGINT) AS latency_s
                 FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
             )
