@@ -570,3 +570,60 @@ def test_streaming_terminal_on_idle_timeout(spark, tmp_path):
         q.stop()
     assert [(r["conv_id"], r["state"]) for r in rows] == [("A", "tool")]
     assert rows[0]["turn_idx"] is None and rows[0]["prev_state"] is None
+
+
+def test_stream_heavy_hitters_bounded_state_across_batches(spark, tmp_path):
+    """Streaming Misra-Gries: counters survive micro-batches in the state
+    store, per-shard state stays <= capacity counters, and the per-shard
+    decrement total bounds every value's undercount (the invariant the
+    batch operator proves, here across batches)."""
+    import time as _time
+
+    from valar_spark.streaming import stream_heavy_hitters
+
+    src = str(tmp_path / "hh_src")
+    # zipf-ish, split across two batches so cross-batch accumulation is
+    # actually exercised (value k appears 120//(k+1) times in total)
+    rows = [(f"v{k:02d}",) for k in range(30) for _ in range(120 // (k + 1))]
+    half = len(rows) // 2
+    schema = "value string"
+    spark.createDataFrame(rows[:half], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/b1")
+    _time.sleep(1.1)  # file-source orders by mtime
+    spark.createDataFrame(rows[half:], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/b2")
+
+    cap, shards = 4, 8
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{src}/b*"))
+    q = (stream_heavy_hitters(stream, "value", capacity=cap, shards=shards)
+         .writeStream.format("memory").queryName("hh_mem")
+         .option("checkpointLocation", str(tmp_path / "hh_ck"))
+         .outputMode("update").start())
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.sql("SELECT * FROM hh_mem").collect()
+    # latest generation per shard = the rows carrying its max rows_seen
+    latest_seen = {}
+    for r in out:
+        latest_seen[r["shard"]] = max(latest_seen.get(r["shard"], 0),
+                                      r["rows_seen"])
+    final = [r for r in out if r["rows_seen"] == latest_seen[r["shard"]]]
+    exact = {}
+    for (v,) in rows:
+        exact[v] = exact.get(v, 0) + 1
+    by_shard = {}
+    for r in final:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        assert len(rs) <= cap                       # bounded state
+        dec, seen = rs[0]["dec"], rs[0]["rows_seen"]
+        assert dec * (cap + 1) <= seen              # MG mass bound
+        for r in rs:
+            assert r["est"] <= exact[r["value"]]    # undercount only
+            assert exact[r["value"]] - r["est"] <= dec  # shard-local bound
+    # the heavy head must be present: v00's 120 occurrences dominate any
+    # shard's rows_seen/(cap+1) a-priori bound, so MG cannot drop it
+    got_values = {r["value"] for r in final}
+    assert "v00" in got_values and exact["v00"] == 120

@@ -107,6 +107,78 @@ def stream_value_histogram(
     )
 
 
+def stream_heavy_hitters(
+    stream_df: DataFrame,
+    col: str,
+    capacity: int = 64,
+    shards: int = 32,
+) -> DataFrame:
+    """CROSS-micro-batch Misra–Gries heavy-hitter monitor — the streaming
+    face of :func:`valar_spark.dataset_rules.heavy_hitters_sketch`:
+    values hash into ``shards`` groups (``pmod(xxhash64(value), shards)``)
+    and each shard keeps ONE Misra–Gries summary of ≤ ``capacity``
+    counters in the state store, merged per micro-batch with the same
+    Agarwal-et-al. summary merge as the batch operator. Because a value
+    lives in exactly one shard, its estimate error is bounded by ITS
+    shard's decrement total ``dec ≤ rows_seen(shard)/(capacity+1)`` —
+    sharding makes the streaming bound TIGHTER than the batch one
+    (≈ N/(shards·(capacity+1)) under hash balance). Total state is
+    ``shards × capacity`` counters — fixed, independent of stream volume
+    and of the column's cardinality, which is the property a plain
+    streaming ``groupBy(value).count()`` (state per distinct value ever
+    seen) fatally lacks on a 100-TB key column.
+
+    Emits, per shard per micro-batch ("update" semantics), the shard's
+    full current summary: ``(shard, value, est, dec, rows_seen)`` —
+    ``dec``/``rows_seen`` are the shard's running totals, so a consumer
+    takes each shard's latest generation (max ``rows_seen``), sums
+    ``est`` by value, and reads the per-value error bound off the
+    owning shard's ``dec``. Nulls are excluded (the null-rate stat owns
+    them)."""
+    if capacity < 1:
+        raise ValueError(f"stream_heavy_hitters: capacity must be >= 1, "
+                         f"got {capacity}")
+    src = (stream_df.filter(F.col(col).isNotNull())
+           .select(F.col(col).cast("string").alias("value"))
+           .withColumn("_shard",
+                       F.pmod(F.xxhash64("value"), F.lit(shards))
+                       .cast("int")))
+
+    def fn(key, pdf_iter, state):
+        import json as _json
+
+        import pandas as pd
+
+        if state.exists:
+            sketch_json, dec, rows_seen = state.get
+            counters = {k: int(v)
+                        for k, v in _json.loads(sketch_json).items()}
+        else:
+            counters, dec, rows_seen = {}, 0, 0
+        for pdf in pdf_iter:
+            rows_seen += len(pdf)
+            for v, c in pdf["value"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                ranked = sorted(counters.values(), reverse=True)
+                cut = ranked[capacity]  # (capacity+1)-th largest
+                dec += cut
+                counters = {v: c - cut for v, c in counters.items()
+                            if c > cut}
+        state.update((_json.dumps(counters), int(dec), int(rows_seen)))
+        shard = int(key[0])
+        yield pd.DataFrame(
+            [(shard, v, c, dec, rows_seen) for v, c in counters.items()],
+            columns=["shard", "value", "est", "dec", "rows_seen"])
+
+    return src.groupBy("_shard").applyInPandasWithState(
+        fn,
+        "shard int, value string, est long, dec long, rows_seen long",
+        "sketch string, dec long, rows_seen long",
+        "update",
+        "NoTimeout")
+
+
 def stream_dedup_exact(
     stream_df: DataFrame,
     text_col: str = "text",
