@@ -309,6 +309,10 @@ EVENTS_QUERIES = [
     # remapped values filtered both sides, threshold strict-> in integers
     "emd_events_value_halves",
     "heavy_hitters_events",
+    # sliced W1: clamped fixed binning + per-group cumulative window vs
+    # the oracle's replay — same null-filter + round-9 contract as the
+    # sliced PSI pair above it
+    "emd_by_type_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]

@@ -2254,6 +2254,20 @@ def _q_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      range(50, 451, 50)])
 
 
+def _q_emd_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced Wasserstein-1: each event_type's value distribution vs the
+    whole corpus on the shared fixed bins (floor(v/50) clamped to
+    [0,10) — the clamped rule, not the strictly-below-edge one, so lo/
+    width/nbins parameterization matches drift.emd_by_group). The
+    value-units slice monitor: PSI says a slice's mix shifted, this says
+    by how many value units."""
+    from valar_spark import drift
+
+    ev = _read(spark, sf_dir, "events")
+    return drift.emd_by_group(ev, "value", "event_type",
+                              lo=0.0, width=50.0, nbins=10)
+
+
 def _q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew profile of a deliberately skewed key: user 7's rows are
     tripled (construction both engines replay), so the profile must
@@ -2336,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_latency_transcripts": _q_response_latency_transcripts,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "emd_events_value_halves": _q_emd_events_value_halves,
+        "emd_by_type_events": _q_emd_by_type,
         # -- changed this round: cap-stage two-phase + shared winnow pass --
         "curation_ledger_documents": _q_curation_ledger,
         "contamination_screen_documents": _q_contamination_screen,
@@ -4756,6 +4771,42 @@ def oracle_sql() -> dict[str, str]:
                               / GREATEST(q_n * 1.0 / qt, 1e-6))), 9)
                  AS psi
         FROM dense, qt GROUP BY grp ORDER BY event_type
+    """
+    o["emd_by_type_events"] = """
+        WITH base AS (
+            SELECT event_type AS grp,
+                   LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9)
+                     AS bucket
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ), gb AS (
+            SELECT grp, bucket, COUNT(*) AS g_n FROM base
+            GROUP BY grp, bucket
+        ), gl AS (
+            SELECT bucket, SUM(g_n) AS q_n FROM gb GROUP BY bucket
+        ), gt AS (
+            SELECT grp, SUM(g_n) AS gt FROM gb GROUP BY grp
+        ), qt AS (
+            SELECT SUM(q_n) AS qt FROM gl
+        ), dense AS (
+            SELECT gt.grp, b.bucket, gt.gt,
+                   COALESCE(gb.g_n, 0) AS g_n,
+                   COALESCE(gl.q_n, 0) AS q_n
+            FROM gt CROSS JOIN (SELECT unnest(generate_series(0, 9))
+                                  AS bucket) b
+            LEFT JOIN gb ON gb.grp = gt.grp AND gb.bucket = b.bucket
+            LEFT JOIN gl ON gl.bucket = b.bucket
+        ), cum AS (
+            SELECT grp, gt,
+                   SUM(g_n) OVER (PARTITION BY grp ORDER BY bucket)
+                     * 1.0 / gt AS cp,
+                   SUM(q_n) OVER (PARTITION BY grp ORDER BY bucket)
+                     * 1.0 / qt AS cq
+            FROM dense, qt
+        )
+        SELECT grp AS event_type, CAST(MIN(gt) AS BIGINT) AS n_rows,
+               ROUND(SUM(ABS(cp - cq)) * 50.0, 9) AS emd
+        FROM cum GROUP BY grp ORDER BY event_type
     """
     o["js_by_cohort_events"] = """
         WITH base AS (

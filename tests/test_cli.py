@@ -106,3 +106,26 @@ def test_cli_curate_conversations(spark, tmp_path, monkeypatch, capsys):
         | {r["near_keeper"] for r in
            led.filter("near_keeper IS NOT NULL").collect()}
     assert keepers <= kept
+
+
+def test_cli_latency_and_heavy_hitters(spark, tmp_path, monkeypatch, capsys):
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:20000",
+        "--work-dir", str(tmp_path), "--run-id", "lat1",
+        "--latency", "--max-latency-s", "60"])
+    assert rc == 0
+    path = _json_line(out)["latency"]
+    viol = spark.read.parquet(path)
+    assert set(viol.columns) == {"conv", "turn_idx", "latency_s", "reason"}
+    reasons = {r["reason"] for r in viol.select("reason").distinct().collect()}
+    # the synth's out-of-order plant lands on assistant turns
+    assert "negative_latency" in reasons and viol.count() > 0
+
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:20000",
+        "--work-dir", str(tmp_path), "--run-id", "hh1",
+        "--heavy-hitters", "role", "--sketch-capacity", "8"])
+    assert rc == 0
+    assert "undercount bound" in out
+    # capacity 8 > |role domain|: top counters are the exact role counts
+    assert "assistant" in out and "user" in out

@@ -678,3 +678,17 @@ def test_response_latency(spark):
     assert reasons == {("c1", 4): "negative_latency",
                        ("c2", 0): "no_prior_request",
                        ("c3", 1): "negative_latency"}
+
+
+def test_emd_by_group_planted_shift(spark):
+    # corpus = group a at bin 0 + group b at bin 2 (width 50): each
+    # group's CDF differs from the 50/50 corpus CDF by 0.5 across two
+    # bucket steps -> W1 = 50 * (0.5 + 0.5) = 50 value units for both
+    rows = [("a", 10.0)] * 10 + [("b", 110.0)] * 10 + [("a", None),
+                                                       (None, 10.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {r["grp"]: (r["n_rows"], r["emd"])
+           for r in drift.emd_by_group(df, "value", "grp",
+                                       lo=0.0, width=50.0,
+                                       nbins=10).collect()}
+    assert got == {"a": (10, 50.0), "b": (10, 50.0)}

@@ -70,6 +70,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--near-dup-threshold", type=float, default=0.8,
                    help="turn-token Jaccard threshold for "
                         "--curate-conversations (0 disables)")
+    p.add_argument("--latency", action="store_true",
+                   help="as-of response-latency check: per assistant turn, "
+                        "seconds since the latest user turn at-or-before "
+                        "it; writes flagged rows and prints a per-reason "
+                        "rollup")
+    p.add_argument("--max-latency-s", type=int, default=60,
+                   help="latency above this flags too_slow (--latency)")
+    p.add_argument("--heavy-hitters", metavar="COL", default=None,
+                   help="mergeable Misra-Gries frequency sketch of COL: "
+                        "prints the top surviving counters and the "
+                        "undercount bound (use on key columns too wide "
+                        "for an exact value-count table)")
+    p.add_argument("--sketch-capacity", type=int, default=64,
+                   help="counters per partition for --heavy-hitters")
     p.add_argument("--auto", action="store_true",
                    help="end-to-end pipeline: profile the input and PROPOSE "
                         "a rule set (Deequ-style suggestion), validate with "
@@ -136,6 +150,39 @@ def main(argv: list[str] | None = None) -> int:
          .orderBy(F.col("drop_reason").asc_nulls_first())
          .show(truncate=False))
         print(json.dumps({"run_id": args.run_id, "conv_ledger": out}))
+        spark.stop()
+        return 0
+
+    if args.latency:
+        import os
+
+        from pyspark.sql import functions as F
+
+        viol = D.response_latency_violations(
+            df, max_latency_s=args.max_latency_s)
+        out = os.path.join(args.work_dir, f"latency_{args.run_id}")
+        viol.write.mode("overwrite").parquet(out)
+        viol = spark.read.parquet(out)
+        (viol.groupBy("reason")
+         .agg(F.count(F.lit(1)).alias("n_turns"),
+              F.min("latency_s").alias("min_latency_s"),
+              F.max("latency_s").alias("max_latency_s"))
+         .orderBy("reason").show(truncate=False))
+        print(json.dumps({"run_id": args.run_id, "latency": out}))
+        spark.stop()
+        return 0
+
+    if args.heavy_hitters:
+        from pyspark.sql import functions as F
+
+        sk = D.heavy_hitters_sketch(df, args.heavy_hitters,
+                                    capacity=args.sketch_capacity)
+        dec = sk.filter(F.col("value").isNull()).agg(
+            F.coalesce(F.sum("est"), F.lit(0)).alias("d")).first()["d"]
+        print(f"undercount bound (sum of partition decrements): {dec}")
+        (sk.filter(F.col("value").isNotNull())
+         .orderBy(F.col("est").desc(), "value").limit(20)
+         .show(truncate=False))
         spark.stop()
         return 0
 

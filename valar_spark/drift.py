@@ -187,6 +187,65 @@ def js_by_group(
     )
 
 
+def emd_by_group(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    lo: float = 0.0,
+    width: float = 50.0,
+    nbins: int = 10,
+) -> DataFrame:
+    """Per-slice Wasserstein-1 drift: the W1 distance of each group's
+    ``col`` distribution from the WHOLE corpus over fixed-width bins —
+    ``(group, n_rows, emd)`` with ``emd = width · Σ_k |CDF_g(k) −
+    CDF_corpus(k)|``, one row per slice. The value-units companion of
+    :func:`psi_by_group` / :func:`js_by_group`: PSI/JS tell you a slice's
+    mix SHIFTED, W1 tells you by HOW MUCH in the column's own units
+    (the "this language's length distribution sits 120 chars above the
+    corpus" alert). Binning is ``floor((v − lo)/width)`` clamped to
+    ``[0, nbins)`` — the same rule both fixed-bin gate projections use,
+    so a DuckDB oracle bins identically.
+
+    Shape at scale: one (group, bucket) map-side-combined aggregate over
+    the data; everything after — densify (groups × nbins cross join of
+    two tiny frames), the per-group cumulative window (≤nbins rows per
+    group), the final per-group sum — is cardinality-sized. Null values
+    and null groups drop."""
+    v = F.col(col).cast("double")
+    bucket = F.least(F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)),
+                                F.lit(0)),
+                     F.lit(nbins - 1)).cast("int")
+    base = (df.filter(v.isNotNull() & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("grp"), bucket.alias("bucket")))
+    gb = base.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("g_n"))
+    glob = gb.groupBy("bucket").agg(F.sum("g_n").alias("q_n"))
+    gt = gb.groupBy("grp").agg(F.sum("g_n").alias("gt"))
+    qt = glob.agg(F.sum("q_n").alias("qt"))
+    buckets = df.sparkSession.range(nbins) \
+        .select(F.col("id").cast("int").alias("bucket"))
+    dense = (gt.crossJoin(F.broadcast(buckets))
+             .join(gb, ["grp", "bucket"], "left")
+             .join(F.broadcast(glob), "bucket", "left")
+             .crossJoin(F.broadcast(qt)))
+    w = (Window.partitionBy("grp").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = dense.select(
+        "grp", "gt",
+        (F.sum(F.coalesce(F.col("g_n"), F.lit(0))).over(w)
+         / F.col("gt")).alias("cp"),
+        (F.sum(F.coalesce(F.col("q_n"), F.lit(0))).over(w)
+         / F.col("qt")).alias("cq"),
+    )
+    return (
+        cum.groupBy("grp")
+        .agg(F.min("gt").cast("long").alias("n_rows"),
+             F.round(F.sum(F.abs(F.col("cp") - F.col("cq")))
+                     * F.lit(width), 9).alias("emd"))
+        .withColumnRenamed("grp", group_col)
+        .orderBy(group_col)
+    )
+
+
 def counts_from_pairs(pairs, bins: int) -> list[int]:
     """Zero-filled histogram list from sparse ``(bucket, n)`` pairs — the
     densify step between ``streaming.stream_value_histogram`` output

@@ -250,6 +250,17 @@ def suggest_rules(
             "conv_id,turn_idx", "conversation_shape_candidate", "",
             "transcript-shaped key pair present — candidate "
             "dataset_rules.conversation_violations(min_turns, dense)"))
+        # the full transcript shape (+role +ts) also supports the as-of
+        # latency causality check — worth proposing because the
+        # out-of-order-ingest failure mode is invisible to every
+        # per-column rule
+        if {"role", "ts"} <= set(columns):
+            report_rows.append((
+                "conv_id,turn_idx,role,ts", "response_latency_candidate",
+                "max_latency_s=60",
+                "conversation key + order + role + timestamp present — "
+                "candidate dataset_rules.response_latency_violations "
+                "(no_prior_request / negative_latency / too_slow)"))
 
     report = spark.createDataFrame(report_rows, REPORT_SCHEMA)
     return rules, report
