@@ -2314,26 +2314,40 @@ def _q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = the DRIVER'S GATE ORDER: the driver verifies a 50-query
-    # prefix of this dict against the DuckDB oracles, so the first 50 keys
-    # are (a) the r4 additions that had never appeared in a driver
-    # CORRECTNESS artifact (flagship validate_events family, transcripts
-    # trio, analyzers, sampling/packing) and (b) every query whose
-    # implementation changed this round (curation ledger cap rewrite,
-    # shared winnow pass). Long-stable r2/r3 oracles rotate behind
-    # position 50 — they keep their judge-verified green history.
-    # BENCH execution order is a SEPARATE concern (throttled-tail
-    # protection wants heavy queries first) — see BENCH_ORDER below.
+    # prefix of this dict against the DuckDB oracles. The window (recomputed
+    # each round against the union of CORRECTNESS_r01..r04 keys — see
+    # tests/test_packaging.py::test_gate_window_covers_never_gated) holds:
+    #   0-3   the flagship validate() path (judge-verified only, never
+    #         driver-gated),
+    #   4-8   the transcripts trio (rows-only in r04, hash oracles since
+    #         r5) + the flagship-shape integrity/RI jobs (new r5),
+    #   9-25  every r5-new transcript/JSON/session-C/semantic-dedup query,
+    #   26-28 the three queries whose implementation changed this round
+    #         (two-phase ledger cap, shared winnow pass),
+    #   29-49 the r4 analyzers/sampling/packing that have only the r4
+    #         judge's own gate run as evidence.
+    # Rotated behind position 50: six never-driver-gated analyzers whose
+    # in-family companions ARE driver-gated green (psi/js halves r04,
+    # quantiles r04, hll_cardinality r04, embedding_profile in-window,
+    # stratified_sample in-window), then the long-stable r2/r3 oracles and
+    # the rows-only-by-contract pair queries whose hash-green companions
+    # sit in-window. BENCH execution order is a SEPARATE concern
+    # (throttled-tail protection wants heavy queries first) — see
+    # BENCH_ORDER below.
     return {
-        # -- flagship validate() path (first driver gating) --
+        # -- flagship validate() path --
         "validate_events": _q_validate_events,
         "json_valid_events": _q_json_valid_events,
         "events_verdict_summary": _q_events_verdict_summary,
         "cross_field_events": _q_cross_field_events,
-        # -- transcripts trio (hash oracles new in r5) --
+        # -- transcripts trio (hash oracles since r5) --
         "validate_transcripts": _q_validate_transcripts,
         "transcript_verdicts": _q_transcript_verdicts,
         "conversation_stats_transcripts": _q_conversation_stats,
-        # -- transcript sequence-shape rules (new in r5, hash oracles) --
+        # -- flagship-shape integrity + RI on the transcript table --
+        "transcript_integrity_transcripts": _q_transcript_integrity,
+        "referential_transcripts": _q_referential_transcripts,
+        # -- r5 transcript sequence/JSON family --
         "prefix_dedup_transcripts": _q_prefix_dedup_transcripts,
         "loop_detection_transcripts": _q_loop_detection_transcripts,
         "sequence_gaps_transcripts": _q_sequence_gaps_transcripts,
@@ -2351,12 +2365,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_events": _q_heavy_hitters_events,
         "emd_events_value_halves": _q_emd_events_value_halves,
         "emd_by_type_events": _q_emd_by_type,
-        # -- changed this round: cap-stage two-phase + shared winnow pass --
+        # -- r5 embedding curation --
+        "semantic_dedup_embeddings": _q_semantic_dedup,
+        # -- implementation changed this round: re-gate --
         "curation_ledger_documents": _q_curation_ledger,
         "contamination_screen_documents": _q_contamination_screen,
         "winnow_planted_recall_documents": _q_winnow_planted_recall,
-        # -- r4 analyzers / curation / sampling, never driver-gated in r04 --
-        "frame_sample_documents": _q_frame_sample,
+        # -- r4 analyzers/curation/sampling, never driver-gated --
         "entropy_events_type": _q_entropy_events_type,
         "corr_events_value_user": _q_corr_events_value_user,
         "fd_user_event_type": _q_fd_user_event_type,
@@ -2366,11 +2381,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_events": _q_mutual_info_events,
         "compliance_events": _q_compliance_events,
         "distinctness_events": _q_distinctness_events,
-        "hll_cardinality_events": _q_hll_cardinality_events,
         "hll_tolerance_events": _q_hll_tolerance_events,
-        "dedup_exact_documents": _q_dedup_exact,
         "repeated_lines_documents": _q_repeated_lines,
         "line_dedup_documents": _q_line_dedup,
+        "charset_documents": _q_charset_documents,
+        "cap_per_source_documents": _q_cap_per_source,
+        "stratified_sample_documents": _q_stratified_sample,
+        "embedding_profile_embeddings": _q_embedding_profile,
+        "zscore_outliers_by_user_events": _q_zscore_outliers_by_user,
+        "reconciliation_orders_lineitem": _q_reconciliation_orders,
+        "embedding_group_drift_embeddings": _q_embedding_group_drift,
+        "key_skew_events": _q_key_skew_events,
+        "pack_shards_documents": _q_pack_shards,
+        # ==== position 51+: never-driver-gated analyzers with driver-gated
+        # in-family companions, then long-stable r2/r3 oracles and the
+        # rows-only-by-contract pair queries ====
+        "embedding_dim_stats_embeddings": _q_embedding_dim_stats,
+        # in-family companions, then long-stable r2/r3 oracles and the
+        "hll_by_group_events": _q_hll_by_group,
+        # rows-only-by-contract pair queries ====
+        "psi_by_type_events": _q_psi_by_type,
+        "quantiles_by_type_events": _q_quantiles_by_type,
+        "weighted_sample_documents": _q_weighted_sample,
+        "js_by_cohort_events": _q_js_by_cohort,
+        "frame_sample_documents": _q_frame_sample,
+        "hll_cardinality_events": _q_hll_cardinality_events,
+        "dedup_exact_documents": _q_dedup_exact,
         "token_count_documents": _q_token_count,
         "quality_documents": _q_quality,
         "en_marker_hits_documents": _q_en_marker_hits,
@@ -2379,32 +2415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_documents": _q_corpus_filter,
         "pii_scrub_documents": _q_pii_scrub,
         "hash_split_documents": _q_hash_split,
-        "charset_documents": _q_charset_documents,
-        "cap_per_source_documents": _q_cap_per_source,
-        "stratified_sample_documents": _q_stratified_sample,
-        "embedding_profile_embeddings": _q_embedding_profile,
-        "embedding_dim_stats_embeddings": _q_embedding_dim_stats,
-        "zscore_outliers_by_user_events": _q_zscore_outliers_by_user,
-        "reconciliation_orders_lineitem": _q_reconciliation_orders,
-        "embedding_group_drift_embeddings": _q_embedding_group_drift,
-        "hll_by_group_events": _q_hll_by_group,
-        "key_skew_events": _q_key_skew_events,
-        "psi_by_type_events": _q_psi_by_type,
-        "quantiles_by_type_events": _q_quantiles_by_type,
-        "weighted_sample_documents": _q_weighted_sample,
-        "pack_shards_documents": _q_pack_shards,
-        "js_by_cohort_events": _q_js_by_cohort,
-        # -- slots 49-50: NEW in r5 — the flagship's integrity-window and
-        # RI anti-join jobs hash-gated on the north-rule transcript shape
-        # (displacing minhash/near-dup-components, driver-gated green in
-        # r04 and unchanged since) --
-        "transcript_integrity_transcripts": _q_transcript_integrity,
-        "referential_transcripts": _q_referential_transcripts,
         "minhash_near_dup_pairs": _q_minhash_near_dups,
         "near_dup_components_documents": _q_near_dup_components,
-        # ==== position 51+: long-stable r2/r3 oracles (driver-gated green
-        # in CORRECTNESS_r0{1..4}.json) and the rows-only-by-contract pair
-        # queries whose hash-green planted-recall companions sit above ====
         "jaccard_pairs_documents": _q_jaccard_pairs,
         "jaccard_lsh_gated_pairs": _q_jaccard_lsh_gated,
         "simhash_pairs_documents": _q_simhash_pairs,
@@ -2417,7 +2429,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized_documents": _q_dedup_normalized,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "embedding_near_dup_pairs": _q_embedding_near_dups,
-        "semantic_dedup_embeddings": _q_semantic_dedup,
         "ann_topk_embeddings": _q_ann_topk,
         "ann_ivf_topk_embeddings": _q_ann_ivf,
         "ann_ivf_probe_all_embeddings": _q_ann_ivf_probe_all,
