@@ -887,6 +887,43 @@ def _q_response_latency_transcripts(spark: SparkSession,
     )
 
 
+def _q_context_overflow_transcripts(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Context-window budget check on the transcript table
+    (dataset_rules.py::context_overflow) under a full DuckDB hash
+    oracle: conversations whose RUNNING whitespace-token total crosses
+    400, with the first offending turn and the cumulative total at it.
+    Token semantics are the token_count_documents contract
+    (null/blank ⇒ 0); the cumulative window uses the default RANGE
+    frame with NULLS FIRST pinned on both engines so duplicated
+    (conv, turn_idx) plants are tie-insensitive peers."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    return D.context_overflow(df, max_tokens=400)
+
+
+def _q_referential_bloom_transcripts(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Bloom-filter RI pre-screen (dataset_rules.py::bloom_orphan_keys)
+    on conv_id ⊆ registry, under the EXACT anti-join as its DuckDB
+    oracle: detected orphans are a guaranteed subset of the exact set
+    (no false negatives on "definitely absent"), and at this sizing
+    (2^20 bits, 7 hashes, ~5k parent keys ⇒ per-orphan miss probability
+    ≈ (7·5k/2^20)^7 ≈ 5e-11, deterministic for the fixed seed) the
+    subset is the whole set — so the hash oracle doubles as a planted-
+    recall gate for the screen. The at-scale RI path: the parent bitmap
+    broadcasts where the key set cannot, and the fact table never
+    shuffles against the parent."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    reg = spark.read.parquet(_registry_parquet(spark))
+    return (D.bloom_orphan_keys(df, "conv_id", reg,
+                                num_bits=1 << 20, num_hashes=7)
+            .orderBy("conv_id"))
+
+
 def _q_boundary_transitions_transcripts(spark: SparkSession,
                                         sf_dir: str) -> DataFrame:
     """Grammar check WITH boundary states (dataset_rules.py::
@@ -2254,6 +2291,21 @@ def _q_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      range(50, 451, 50)])
 
 
+def _q_psi_timeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling drift timeline (drift.py::psi_timeline): PSI of each
+    DAY's value distribution against the preceding present day on the
+    shared FIXED edges 50..450 — the did-yesterday's-ingest-drift
+    monitor the fixed-baseline/halves checks can't express. One
+    data-sized (day, bin) aggregate; the lag window runs on the
+    cardinality-sized densified frame (days × 10 bins)."""
+    from valar_spark import drift
+
+    ev = _read(spark, sf_dir, "events")
+    return drift.psi_timeline(ev, "value", "ts", granularity="day",
+                              edges=[float(e) for e in
+                                     range(50, 451, 50)])
+
+
 def _q_emd_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliced Wasserstein-1: each event_type's value distribution vs the
     whole corpus on the shared fixed bins (floor(v/50) clamped to
@@ -2365,6 +2417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_events": _q_heavy_hitters_events,
         "emd_events_value_halves": _q_emd_events_value_halves,
         "emd_by_type_events": _q_emd_by_type,
+        # -- r5 session D: context budget, rolling drift, bloom RI screen --
+        "context_overflow_transcripts": _q_context_overflow_transcripts,
+        "psi_timeline_events": _q_psi_timeline_events,
+        "referential_bloom_transcripts": _q_referential_bloom_transcripts,
         # -- r5 embedding curation --
         "semantic_dedup_embeddings": _q_semantic_dedup,
         # -- implementation changed this round: re-gate --
@@ -2376,14 +2432,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_events_value_user": _q_corr_events_value_user,
         "fd_user_event_type": _q_fd_user_event_type,
         "freshness_events": _q_freshness_events,
-        "sequence_gaps_lineitem": _q_sequence_gaps_lineitem,
-        "transitions_events": _q_transitions_events,
         "mutual_info_events": _q_mutual_info_events,
         "compliance_events": _q_compliance_events,
         "distinctness_events": _q_distinctness_events,
         "hll_tolerance_events": _q_hll_tolerance_events,
         "repeated_lines_documents": _q_repeated_lines,
-        "line_dedup_documents": _q_line_dedup,
         "charset_documents": _q_charset_documents,
         "cap_per_source_documents": _q_cap_per_source,
         "stratified_sample_documents": _q_stratified_sample,
@@ -2396,6 +2449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== position 51+: never-driver-gated analyzers with driver-gated
         # in-family companions, then long-stable r2/r3 oracles and the
         # rows-only-by-contract pair queries ====
+        "sequence_gaps_lineitem": _q_sequence_gaps_lineitem,
+        "transitions_events": _q_transitions_events,
+        "line_dedup_documents": _q_line_dedup,
         "embedding_dim_stats_embeddings": _q_embedding_dim_stats,
         # in-family companions, then long-stable r2/r3 oracles and the
         "hll_by_group_events": _q_hll_by_group,
@@ -3793,6 +3849,57 @@ def oracle_sql() -> dict[str, str]:
                    conv_id AS actual
             FROM orphans ORDER BY conv_id
         """,
+        # Bloom RI pre-screen: the oracle is the EXACT anti-join — the
+        # screen's detected orphans are a guaranteed subset, and at the
+        # gate sizing (2^20 bits / 7 hashes / ~5k parent keys) the
+        # deterministic seeded filter detects every orphan, so subset
+        # == set and the hash oracle doubles as a recall gate.
+        "referential_bloom_transcripts": rf"""
+            WITH t AS (
+                SELECT * FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            ), reg AS (
+                SELECT * FROM '{_GATE_REGISTRY_PATH}/*.parquet'
+            )
+            SELECT conv_id, COUNT(*) AS orphan_rows
+            FROM t GROUP BY conv_id
+            HAVING conv_id NOT IN (SELECT conv_id FROM reg)
+            ORDER BY conv_id
+        """,
+        # context-window budget: whitespace token count per turn (the
+        # token_count_documents contract), cumulative RANGE-frame sum
+        # per conversation (NULLS FIRST pinned; duplicated turn_idx
+        # plants are peers sharing one cumulative value), first
+        # overflow turn via MIN over the nondecreasing running total
+        "context_overflow_transcripts": rf"""
+            WITH t AS (
+                SELECT * FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            ), tok AS (
+                SELECT conv_id AS conv, CAST(turn_idx AS BIGINT) AS idx,
+                       CAST(CASE WHEN text IS NULL OR regexp_replace(text,
+                                 '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)',
+                                 '', 'g') = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                 regexp_replace(text,
+                                 '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)',
+                                 '', 'g'), '[ \t\n\f\r\x0B]+'))
+                            END AS BIGINT) AS n_tok
+                FROM t
+            ), cum AS (
+                SELECT conv, idx, n_tok,
+                       SUM(n_tok) OVER (PARTITION BY conv
+                                        ORDER BY idx NULLS FIRST) AS cum
+                FROM tok
+            )
+            SELECT conv, CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   MIN(CASE WHEN cum > 400 THEN idx END)
+                     AS overflow_turn_idx,
+                   MIN(CASE WHEN cum > 400 THEN cum END)
+                     AS tokens_at_overflow
+            FROM cum GROUP BY conv
+            HAVING MIN(CASE WHEN cum > 400 THEN idx END) IS NOT NULL
+            ORDER BY conv
+        """,
         # branched-conversation prefix dedup: same planted branch texts,
         # same per-turn md5 content key, same (idx, hash)-ordered prefix
         # concatenation, same min-conv keeper election
@@ -4782,6 +4889,41 @@ def oracle_sql() -> dict[str, str]:
                               / GREATEST(q_n * 1.0 / qt, 1e-6))), 9)
                  AS psi
         FROM dense, qt GROUP BY grp ORDER BY event_type
+    """
+    o["psi_timeline_events"] = """
+        WITH base AS (
+            SELECT date_trunc('day', ts) AS tb,
+                   len(list_filter([50.0,100.0,150.0,200.0,250.0,300.0,
+                                    350.0,400.0,450.0],
+                                   e -> value > e)) AS bucket
+            FROM events
+            WHERE value IS NOT NULL AND ts IS NOT NULL
+        ), gb AS (
+            SELECT tb, bucket, COUNT(*) AS g_n FROM base
+            GROUP BY tb, bucket
+        ), gt AS (
+            SELECT tb, SUM(g_n) AS gt FROM gb GROUP BY tb
+        ), dense AS (
+            SELECT gt.tb, b.bucket, gt.gt, COALESCE(gb.g_n, 0) AS g_n
+            FROM gt CROSS JOIN (SELECT unnest(generate_series(0, 9))
+                                  AS bucket) b
+            LEFT JOIN gb ON gb.tb = gt.tb AND gb.bucket = b.bucket
+        ), lagged AS (
+            SELECT tb, bucket, gt, g_n * 1.0 / gt AS p,
+                   LAG(g_n * 1.0 / gt)
+                     OVER (PARTITION BY bucket ORDER BY tb) AS q
+            FROM dense
+        ), agg AS (
+            SELECT tb AS bucket_ts, CAST(MIN(gt) AS BIGINT) AS n_rows,
+                   ROUND(SUM((GREATEST(p, 1e-6) - GREATEST(q, 1e-6))
+                             * LN(GREATEST(p, 1e-6)
+                                  / GREATEST(q, 1e-6))), 9) AS psi
+            FROM lagged WHERE q IS NOT NULL
+            GROUP BY tb
+        )
+        SELECT CAST(bucket_ts AS TIMESTAMP) AS bucket_ts,
+               n_rows, psi, psi > 0.2 AS drifted
+        FROM agg ORDER BY bucket_ts
     """
     o["emd_by_type_events"] = """
         WITH base AS (

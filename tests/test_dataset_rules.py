@@ -692,3 +692,121 @@ def test_emd_by_group_planted_shift(spark):
                                        lo=0.0, width=50.0,
                                        nbins=10).collect()}
     assert got == {"a": (10, 50.0), "b": (10, 50.0)}
+
+
+def test_context_overflow(spark):
+    rows = [
+        # conv A: 3+3+3 tokens, budget 7 -> overflows at idx 2 (cum 9)
+        ("a", 0, "one two three"), ("a", 1, "x y z"), ("a", 2, "p q r"),
+        # conv B: under budget
+        ("b", 0, "hello world"), ("b", 1, "ok"),
+        # conv C: null + blank turns cost 0; overflow at idx 3 (cum 8)
+        ("c", 0, None), ("c", 1, "   "),
+        ("c", 2, "a b c d"), ("c", 3, "e f g h"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = {r.conv: r for r in
+           D.context_overflow(df, max_tokens=7).collect()}
+    assert set(out) == {"a", "c"}
+    assert out["a"].overflow_turn_idx == 2
+    assert out["a"].tokens_at_overflow == 9
+    assert out["a"].total_tokens == 9
+    assert out["a"].n_turns == 3
+    assert out["c"].overflow_turn_idx == 3
+    assert out["c"].tokens_at_overflow == 8
+
+
+def test_context_overflow_duplicate_turn_peers(spark):
+    # duplicated (conv, turn_idx) rows are RANGE-frame peers: both share
+    # the cumulative total including BOTH their costs, so the overflow
+    # turn/total is order-insensitive.
+    rows = [("a", 0, "t1 t2 t3"), ("a", 1, "u1 u2 u3"),
+            ("a", 1, "v1 v2 v3")]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    r = D.context_overflow(df, max_tokens=5).collect()[0]
+    assert r.overflow_turn_idx == 1
+    assert r.tokens_at_overflow == 9  # both peers included
+    assert r.total_tokens == 9
+
+
+def test_bloom_orphans_match_exact(spark):
+    child = spark.createDataFrame(
+        [("k%03d" % (i % 40), i) for i in range(200)], ["key", "v"])
+    parent = spark.createDataFrame(
+        [("k%03d" % i,) for i in range(0, 40, 2)], ["key"])
+    exact = {(r.key, r.orphan_rows)
+             for r in D.orphan_keys(child, "key", parent).collect()}
+    got = {(r.key, r.orphan_rows)
+           for r in D.bloom_orphan_keys(child, "key", parent,
+                                        num_bits=1 << 16,
+                                        num_hashes=5).collect()}
+    assert got == exact and len(exact) == 20
+
+
+def test_bloom_orphans_subset_under_saturation(spark):
+    # adversarially tiny filter: false positives may HIDE orphans but a
+    # detected orphan must always be real (no false negatives on
+    # "definitely absent")
+    child = spark.createDataFrame(
+        [("k%03d" % i,) for i in range(100)], ["key"])
+    parent = spark.createDataFrame(
+        [("k%03d" % i,) for i in range(50)], ["key"])
+    exact = {r.key for r in D.orphan_keys(child, "key", parent).collect()}
+    got = {r.key for r in D.bloom_orphan_keys(
+        child, "key", parent, num_bits=64, num_hashes=2).collect()}
+    assert got <= exact
+
+
+def test_bloom_orphans_null_key_flagged(spark):
+    child = spark.createDataFrame(
+        [("k1",), (None,), (None,)], ["key"])
+    parent = spark.createDataFrame([("k1",), ("k2",)], ["key"])
+    got = {r.key: r.orphan_rows
+           for r in D.bloom_orphan_keys(child, "key", parent,
+                                        num_bits=1 << 12,
+                                        num_hashes=3).collect()}
+    assert got == {None: 2}
+
+
+def test_bloom_parameters_sizing():
+    m, k = D.bloom_parameters(1_000_000, 1e-6)
+    assert m % 8 == 0
+    assert 28 * 1_000_000 < m < 30 * 1_000_000  # ~28.8 bits/key at 1e-6
+    assert k == 20 or k == 21
+
+
+def test_psi_timeline_flags_shifted_day(spark):
+    import datetime as dt
+
+    rows = []
+    for d in range(4):
+        day = dt.datetime(2024, 1, 1 + d)
+        for i in range(200):
+            # days 0-2: uniform over [0, 100); day 3: shifted to [300, 400)
+            v = float(300 + (i % 100)) if d == 3 else float(i % 100)
+            rows.append((day + dt.timedelta(seconds=i), v))
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = drift.psi_timeline(
+        df, "value", "ts",
+        edges=[float(e) for e in range(50, 451, 50)]).collect()
+    assert [r.bucket_ts.day for r in out] == [2, 3, 4]
+    assert out[0].psi == 0.0 and not out[0].drifted
+    assert out[1].psi == 0.0
+    assert out[2].psi > 0.2 and out[2].drifted
+    assert all(r.n_rows == 200 for r in out)
+
+
+def test_psi_timeline_gap_compares_to_previous_present_bucket(spark):
+    import datetime as dt
+
+    # days 1 and 5 only: day 5's q is day 1 (previous PRESENT bucket),
+    # not an empty day 4
+    rows = [(dt.datetime(2024, 1, 1), float(v % 100)) for v in range(100)]
+    rows += [(dt.datetime(2024, 1, 5), float(v % 100)) for v in range(100)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = drift.psi_timeline(
+        df, "value", "ts",
+        edges=[float(e) for e in range(50, 451, 50)]).collect()
+    assert len(out) == 1
+    assert out[0].bucket_ts.day == 5
+    assert out[0].psi == 0.0

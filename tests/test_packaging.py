@@ -95,6 +95,9 @@ def test_gate_window_covers_never_gated():
         if p.exists():
             gated |= set(json.load(open(p)))
     companions = {
+        "sequence_gaps_lineitem": "sequence_gaps_transcripts",
+        "transitions_events": "transitions_transcripts",
+        "line_dedup_documents": "repeated_lines_documents",
         "embedding_dim_stats_embeddings": "embedding_profile_embeddings",
         "hll_by_group_events": "hll_cardinality_events",
         "psi_by_type_events": "psi_events_value_halves",

@@ -149,6 +149,141 @@ def referential_violations(
     )
 
 
+def bloom_parameters(n_keys: int, fpp: float = 1e-6) -> tuple[int, int]:
+    """Standard Bloom sizing (Bloom 1970): optimal bit count
+    ``m = ⌈−n·ln(fpp)/ln²2⌉`` rounded up to a whole byte, and hash count
+    ``k = round(m/n·ln 2)``, clamped to ≥ 1."""
+    import math
+
+    n = max(int(n_keys), 1)
+    m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 7) // 8) * 8
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int,
+                     seed: int) -> list[Column]:
+    """The ``num_hashes`` bit positions of a key: independent JVM-side
+    ``xxhash64`` draws (one per seed), reduced mod ``num_bits``. Keys
+    are hashed as strings so child/parent dtype mismatches (int vs
+    string ids) can't silently hash to disjoint positions."""
+    return [
+        F.pmod(F.xxhash64(key.cast("string"), F.lit(seed + i)),
+               F.lit(num_bits)).alias(f"_bp{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def build_key_bloom(df: DataFrame, key_col: str, num_bits: int,
+                    num_hashes: int, seed: int = 1105) -> bytes:
+    """Distributed Bloom-filter build over a key column: each partition
+    reduces to ONE ``num_bits/8``-byte bitmap row inside a single
+    ``mapInPandas`` pass (positions are computed JVM-side by
+    ``xxhash64``; the Python side is pure numpy bit-OR — no per-row
+    Python), and the driver ORs the per-partition bitmaps. This is the
+    same shape as Spark's own injected runtime bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``,
+    BloomFilterAggregate): insertion is bitwise OR, hence
+    order-independent and DETERMINISTIC for fixed (num_bits,
+    num_hashes, seed) regardless of partitioning. Driver traffic is
+    bounded by partitions × num_bits/8 bytes — a 10⁹-bit filter for
+    10⁸ dim keys is 125 MB, broadcastable where the key SET is not."""
+    nb = int(num_bits)
+    if nb % 8:
+        raise ValueError(f"num_bits must be a multiple of 8, got {nb}")
+    pos = _bloom_positions(F.col(key_col), nb, num_hashes, seed)
+    slim = df.filter(F.col(key_col).isNotNull()).select(*pos)
+
+    def _part(it):
+        import numpy as np
+        import pandas as pd
+
+        bm = np.zeros(nb // 8, dtype=np.uint8)
+        seen = False
+        for pdf in it:
+            seen = True
+            for c in pdf.columns:
+                p = pdf[c].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(
+                    bm, p >> 3,
+                    np.left_shift(np.uint8(1), (p & 7).astype(np.uint8)))
+        if seen:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    import numpy as np
+
+    parts = slim.mapInPandas(_part, schema="bm binary").collect()
+    out = np.zeros(nb // 8, dtype=np.uint8)
+    for r in parts:
+        out |= np.frombuffer(r.bm, dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_orphan_keys(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str | None = None,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 7,
+    seed: int = 1105,
+) -> DataFrame:
+    """Referential-integrity PRE-SCREEN via a Bloom filter of the parent
+    keys: distinct child keys the filter PROVES absent from the parent —
+    ``(child_key, orphan_rows)``, a guaranteed SUBSET of
+    :func:`orphan_keys` (Bloom filters have no false negatives on
+    membership, so a "definitely not present" verdict is exact; a false
+    positive only ever HIDES an orphan, never invents one). NULL child
+    keys are force-flagged (the non-null parent side can never contain
+    them), matching the exact path's anti-join semantics.
+
+    This is the 100-TB RI shape when the parent key set is too large to
+    broadcast as a set and a full shuffled anti-join of the fact table
+    is the cost you are trying to avoid: the bitmap (125 MB per 10⁸
+    keys at ~9.6 bits/key) broadcasts where the key set cannot, the
+    fact side reduces map-side to distinct keys, and the probe is a
+    narrow projection — NO shuffle of the fact table against the
+    parent. Run it continuously; escalate to :func:`orphan_keys` only
+    when the screen fires or for periodic exactness audits. Miss
+    probability per orphan ≈ (1−e^{−kn/m})^k — size with
+    :func:`bloom_parameters`. Deterministic for fixed parameters (seeded
+    xxhash64, order-independent build). Mirrors the design of Spark's
+    injected runtime bloom-filter join pre-filter, surfaced as a data-
+    quality verdict instead of a physical-plan rewrite."""
+    pk = child_key if parent_key is None else parent_key
+    bitmap = build_key_bloom(parent, pk, num_bits, num_hashes, seed)
+    bc = child.sparkSession.sparkContext.broadcast(bitmap)
+    ktype = dict(zip(child.schema.names,
+                     [f.dataType.simpleString() for f in child.schema]))
+    child_keys = (child.groupBy(child_key)
+                  .agg(F.count(F.lit(1)).alias("orphan_rows")))
+    pos = _bloom_positions(F.col(child_key), int(num_bits), num_hashes,
+                           seed)
+    probe = child_keys.select(
+        F.col(child_key), F.col("orphan_rows"),
+        F.col(child_key).isNull().alias("_knull"), *pos)
+    pcols = [f"_bp{i}" for i in range(num_hashes)]
+
+    def _screen(it):
+        import numpy as np
+
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in it:
+            hit = np.ones(len(pdf), dtype=bool)
+            for c in pcols:
+                p = pdf[c].to_numpy(dtype=np.int64)
+                hit &= ((bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1) \
+                    .astype(bool)
+            hit &= ~pdf["_knull"].to_numpy(dtype=bool)
+            out = pdf.loc[~hit, [child_key, "orphan_rows"]]
+            if len(out):
+                yield out
+
+    schema = f"`{child_key}` {ktype[child_key]}, orphan_rows long"
+    return probe.mapInPandas(_screen, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # Domain membership at dataset grain (role/tool checks as a report)
 # ---------------------------------------------------------------------------
@@ -1340,6 +1475,62 @@ def response_latency_violations(
     )
     return (lat.withColumn("reason", reason)
             .filter(F.col("reason").isNotNull()))
+
+
+def context_overflow(
+    df: DataFrame,
+    max_tokens: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    tokens: Column | None = None,
+) -> DataFrame:
+    """Context-window budget validation: conversations whose RUNNING
+    token total (cumulative over turn order) exceeds ``max_tokens``,
+    with the first offending turn —
+    ``(conv, n_turns, total_tokens, overflow_turn_idx,
+    tokens_at_overflow)``, one row per overflowing conversation. For a
+    training corpus this is the turn at which a fixed-context model
+    stops seeing the conversation's tail; rows past it silently truncate
+    or crash the packer downstream, so it's a data contract, not a
+    statistic. ``tokens`` overrides the per-turn cost expression
+    (default: whitespace token count of ``text_col``, the
+    :func:`valar_spark.textops.token_count` contract — null/blank ⇒ 0).
+
+    Both the first overflow turn and its running total come out of plain
+    MIN aggregates, no argmin juggling: token costs are ≥ 0, so the
+    cumulative sum is nondecreasing, making MIN(turn where cum > B) the
+    FIRST overflow and MIN(cum where cum > B) the total AT that turn.
+    The window uses the default RANGE frame, so duplicated
+    (conv, turn_idx) rows (the uniqueness-violation plant) are peers
+    sharing one cumulative value — tie-insensitive on both engines.
+
+    Shape at scale: the token cost is projected BEFORE the shuffle, so
+    the single Exchange on ``conv_col`` carries (conv, idx, int) — not
+    the text bytes — and the groupBy reuses the window's partitioning
+    (no second Exchange). Same one-shuffle profile as the flagship
+    integrity pass."""
+    from .textops import token_count
+
+    if tokens is None:
+        tokens = token_count(F.col(text_col))
+    slim = df.select(F.col(conv_col).alias("conv"),
+                     F.col(order_col).cast("long").alias("idx"),
+                     tokens.cast("long").alias("n_tok"))
+    cum = slim.withColumn("cum", F.sum("n_tok").over(
+        Window.partitionBy("conv").orderBy(F.col("idx"))))
+    over = F.col("cum") > F.lit(int(max_tokens))
+    return (
+        cum.groupBy("conv")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+             F.sum("n_tok").cast("long").alias("total_tokens"),
+             F.min(F.when(over, F.col("idx"))).cast("long")
+             .alias("overflow_turn_idx"),
+             F.min(F.when(over, F.col("cum"))).cast("long")
+             .alias("tokens_at_overflow"))
+        .filter(F.col("overflow_turn_idx").isNotNull())
+        .orderBy("conv")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,73 @@ def psi_by_group(
     )
 
 
+def psi_timeline(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    granularity: str = "day",
+    bins: int = 10,
+    eps: float = 1e-6,
+    edges: list[float] | None = None,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Rolling drift: PSI of each TIME BUCKET's ``col`` distribution
+    against the IMMEDIATELY PRECEDING bucket —
+    ``(bucket_ts, n_rows, psi, drifted)``, one row per bucket from the
+    second onward, ordered. This is the operational drift question the
+    snapshot monitors (:func:`psi` vs a fixed baseline, halves splits)
+    don't answer: *did yesterday's ingest walk away from the day
+    before* — the alert you page on, because a slow week-long migration
+    never trips a fixed-baseline threshold until it's already large.
+
+    Binning matches :func:`histogram` / :func:`psi_by_group` exactly
+    (bucket = #edges strictly below the value); pass caller-fixed
+    ``edges`` for cross-engine reproducibility, else global quantile
+    edges are derived once (NOT per bucket — per-bucket edges would make
+    consecutive PSIs incomparable). ``q`` is the previous PRESENT
+    bucket's share (lag over buckets that actually contain rows), so a
+    calendar gap compares across it rather than against an empty day.
+
+    Shape at scale: ONE data-sized (time-bucket, bin) aggregate
+    (map-side combined); the per-bucket totals, the (#buckets × #bins)
+    densify cross join of two tiny frames, and the lag window
+    (partitioned by bin — ≤ bins+1 window partitions of #time-buckets
+    rows each) all run on that cardinality-sized frame. At 10^12 rows ×
+    daily buckets over a year the post-aggregate state is 365 × 11 rows.
+    Counts are additive, so a streaming deployment maintains the same
+    (bucket, bin) histogram incrementally and re-derives the timeline
+    from counts alone (:func:`psi_from_counts` per adjacent pair)."""
+    if edges is None:
+        edges = quantile_edges(df, col, bins)
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    v = F.col(col).cast("double")
+    bucket = F.size(F.filter(arr, lambda e: v > e))
+    base = (df.filter(v.isNotNull() & F.col(ts_col).isNotNull())
+            .select(F.date_trunc(granularity, F.col(ts_col)).alias("tb"),
+                    bucket.alias("bucket")))
+    gb = base.groupBy("tb", "bucket").agg(F.count(F.lit(1)).alias("g_n"))
+    gt = gb.groupBy("tb").agg(F.sum("g_n").alias("gt"))
+    nb = df.sparkSession.range(len(edges) + 1) \
+        .select(F.col("id").cast("int").alias("bucket"))
+    dense = (gt.crossJoin(F.broadcast(nb))
+             .join(gb, ["tb", "bucket"], "left"))
+    share = F.coalesce(F.col("g_n"), F.lit(0)) / F.col("gt")
+    w = Window.partitionBy("bucket").orderBy("tb")
+    lagged = dense.select(
+        "tb", "gt", share.alias("p"), F.lag(share).over(w).alias("q"))
+    p = F.greatest(F.col("p"), F.lit(eps))
+    q = F.greatest(F.col("q"), F.lit(eps))
+    return (
+        lagged.filter(F.col("q").isNotNull())
+        .groupBy("tb")
+        .agg(F.min("gt").cast("long").alias("n_rows"),
+             F.round(F.sum((p - q) * F.log(p / q)), 9).alias("psi"))
+        .withColumn("drifted", F.col("psi") > F.lit(threshold))
+        .withColumnRenamed("tb", "bucket_ts")
+        .orderBy("bucket_ts")
+    )
+
+
 def js_by_group(
     df: DataFrame,
     cat_col: str,
