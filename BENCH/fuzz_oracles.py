@@ -156,6 +156,12 @@ TRANSCRIPTS_QUERIES = [
     # groups, non-monotone ts, and exotic role strings that must NOT
     # match the exact 'user'/'assistant' literals
     "response_latency_transcripts",
+    # context budget (round 5 session D): whitespace token counts over
+    # adversarial text (null/blank/unicode-ws/8k pads), RANGE-frame
+    # cumsum under duplicate AND null turn indices (NULLS FIRST pinned
+    # both sides; the running total is nondecreasing so the MIN-based
+    # first-overflow stays order-insensitive)
+    "context_overflow_transcripts",
 ]
 
 
@@ -313,6 +319,10 @@ EVENTS_QUERIES = [
     # the oracle's replay — same null-filter + round-9 contract as the
     # sliced PSI pair above it
     "emd_by_type_events",
+    # rolling drift timeline (round 5 session D): fuzz ts spans 1-2 day
+    # buckets, exercising the previous-present-bucket lag, densify and
+    # eps floors on sparse adversarial histograms
+    "psi_timeline_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]
@@ -547,6 +557,54 @@ def run_transcript_ops_round(spark, rng: random.Random,
     for name, sdf, sql in pairs:
         failures += compare_frames(name, sdf.toPandas(),
                                    con.execute(sql).fetchdf())
+    # context budget at a budget the short fuzz texts actually cross
+    # (the gate-route pair runs at 400, which random 1-8-word turns
+    # never reach — 0-row runs verify nothing)
+    overflow_sql = """
+        WITH tok AS (
+            SELECT conv_id AS conv, CAST(turn_idx AS BIGINT) AS idx,
+                   CAST(CASE WHEN text IS NULL OR regexp_replace(text,
+                             '(^[ \\t\\n\\f\\r\\x0B]+)|([ \\t\\n\\f\\r\\x0B]+$)',
+                             '', 'g') = '' THEN 0
+                        ELSE len(regexp_split_to_array(
+                             regexp_replace(text,
+                             '(^[ \\t\\n\\f\\r\\x0B]+)|([ \\t\\n\\f\\r\\x0B]+$)',
+                             '', 'g'), '[ \\t\\n\\f\\r\\x0B]+'))
+                        END AS BIGINT) AS n_tok
+            FROM read_parquet('{path}/*.parquet')
+        ), cum AS (
+            SELECT conv, idx, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY conv
+                                    ORDER BY idx NULLS FIRST) AS cum
+            FROM tok
+        )
+        SELECT conv, CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(MIN(CASE WHEN cum > {budget} THEN idx END)
+                    AS BIGINT) AS overflow_turn_idx,
+               CAST(MIN(CASE WHEN cum > {budget} THEN cum END)
+                    AS BIGINT) AS tokens_at_overflow
+        FROM cum GROUP BY conv
+        HAVING MIN(CASE WHEN cum > {budget} THEN idx END) IS NOT NULL
+    """
+    failures += compare_frames(
+        "fuzz.context_overflow_budget15",
+        D.context_overflow(df, max_tokens=15).toPandas(),
+        con.execute(overflow_sql.format(path=path, budget=15)).fetchdf())
+    # bloom RI pre-screen vs the exact anti-join, operator-vs-operator:
+    # at this sizing (2^16 bits / 5 hashes / ≤~120 parent keys) the
+    # per-orphan miss probability is ~1e-11, so detected == exact on
+    # every draw; a sizing regression or hash drift fails loudly
+    parent = (df.select("conv_id")
+              .filter(F.substring("conv_id", 6, 6).cast("int") % 3 != 0)
+              .distinct())
+    exact_pdf = (D.orphan_keys(df, "conv_id", parent)
+                 .toPandas())
+    bloom_pdf = (D.bloom_orphan_keys(df, "conv_id", parent,
+                                     num_bits=1 << 16, num_hashes=5)
+                 .toPandas())
+    failures += compare_frames("fuzz.bloom_orphans_vs_exact",
+                               bloom_pdf, exact_pdf)
     con.close()
     return failures
 

@@ -3892,10 +3892,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv, CAST(COUNT(*) AS BIGINT) AS n_turns,
                    CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-                   MIN(CASE WHEN cum > 400 THEN idx END)
-                     AS overflow_turn_idx,
-                   MIN(CASE WHEN cum > 400 THEN cum END)
-                     AS tokens_at_overflow
+                   CAST(MIN(CASE WHEN cum > 400 THEN idx END)
+                        AS BIGINT) AS overflow_turn_idx,
+                   CAST(MIN(CASE WHEN cum > 400 THEN cum END)
+                        AS BIGINT) AS tokens_at_overflow
             FROM cum GROUP BY conv
             HAVING MIN(CASE WHEN cum > 400 THEN idx END) IS NOT NULL
             ORDER BY conv
