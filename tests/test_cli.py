@@ -129,3 +129,43 @@ def test_cli_latency_and_heavy_hitters(spark, tmp_path, monkeypatch, capsys):
     assert "undercount bound" in out
     # capacity 8 > |role domain|: top counters are the exact role counts
     assert "assistant" in out and "user" in out
+
+
+def test_cli_context_budget_and_drift_timeline(spark, tmp_path, monkeypatch,
+                                               capsys):
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:20000",
+        "--work-dir", str(tmp_path), "--run-id", "cb1",
+        "--context-budget", "400"])
+    assert rc == 0
+    res = _json_line(out)
+    assert res["n_over"] > 0
+    over = spark.read.parquet(res["context_overflow"])
+    assert set(over.columns) == {"conv", "n_turns", "total_tokens",
+                                 "overflow_turn_idx", "tokens_at_overflow"}
+    assert over.count() == res["n_over"]
+
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:20000",
+        "--work-dir", str(tmp_path), "--run-id", "dt1",
+        "--drift-timeline", "turn_idx", "--ts-col", "ts"])
+    assert rc == 0
+    assert "bucket_ts" in out and "psi" in out
+
+
+def test_cli_ri_bloom(spark, tmp_path, monkeypatch, capsys):
+    from valar_spark.synth import synth_registry
+
+    reg_path = str(tmp_path / "registry")
+    # registry derived from a SMALLER synth: conversations beyond its
+    # range are orphans the screen must surface
+    synth_registry(spark, total_turns=10_000, seed=42) \
+        .write.parquet(reg_path)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:20000",
+        "--work-dir", str(tmp_path), "--run-id", "rb1",
+        "--registry", reg_path, "--ri-bloom"])
+    assert rc == 0
+    assert "bloom RI screen:" in out
+    n = int(out.split("bloom RI screen:")[1].split()[0])
+    assert n > 0

@@ -627,3 +627,40 @@ def test_stream_heavy_hitters_bounded_state_across_batches(spark, tmp_path):
     # shard's rows_seen/(cap+1) a-priori bound, so MG cannot drop it
     got_values = {r["value"] for r in final}
     assert "v00" in got_values and exact["v00"] == 120
+
+
+def test_stream_orphan_flags_bloom(spark, tmp_path):
+    """Streaming RI screen against a batch-built parent Bloom filter:
+    turns referencing unregistered conversations flag across TWO
+    micro-batches (stateless — no state store, no watermark); every
+    flag is a real orphan, null keys force-flag."""
+    from valar_spark import dataset_rules as D
+    from valar_spark.streaming import stream_orphan_flags
+
+    parent = spark.createDataFrame(
+        [("c%03d" % i,) for i in range(50)], "conv_id string")
+    bm = D.build_key_bloom(parent, "conv_id", num_bits=1 << 16,
+                           num_hashes=5)
+
+    src = str(tmp_path / "ri_src")
+    b0 = spark.createDataFrame(
+        [("c001", 0), ("c999", 0), (None, 1)],
+        "conv_id string, turn_idx int")
+    b1 = spark.createDataFrame(
+        [("c002", 1), ("c888", 2)], "conv_id string, turn_idx int")
+    b0.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(b0.schema).parquet(src)
+    out = stream_orphan_flags(stream, "conv_id", bm,
+                              num_bits=1 << 16, num_hashes=5)
+    q = (out.writeStream.format("memory").queryName("ri_mem")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        b1.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ri_mem").collect()
+    finally:
+        q.stop()
+    got = {(r.conv_id, r.turn_idx) for r in rows}
+    assert got == {("c999", 0), (None, 1), ("c888", 2)}

@@ -76,6 +76,13 @@ def test_suggest_charset_and_conversation_candidates(spark):
     rows = {(r["column"], r["rule"]) for r in report.collect()}
     assert ("conv_id,turn_idx", "conversation_shape_candidate") in rows
     assert any(rule == "charset_clean_candidate" for _, rule in rows)
+    assert ("conv_id,turn_idx,role,ts", "response_latency_candidate") in rows
+    over = [r for r in report.collect()
+            if r["rule"] == "context_overflow_candidate"]
+    assert len(over) == 1
+    # budget is a power of two derived from the observed p99
+    budget = int(over[0]["params"].split("=")[1])
+    assert budget & (budget - 1) == 0 and budget >= 16
 
 
 def test_suggest_json_rules_and_contract_candidate(spark):

@@ -84,6 +84,23 @@ def main(argv: list[str] | None = None) -> int:
                         "for an exact value-count table)")
     p.add_argument("--sketch-capacity", type=int, default=64,
                    help="counters per partition for --heavy-hitters")
+    p.add_argument("--context-budget", type=int, default=None,
+                   metavar="TOKENS",
+                   help="context-window budget check: conversations whose "
+                        "running whitespace-token total crosses TOKENS, "
+                        "with the first offending turn; writes the "
+                        "overflow table and prints the worst offenders")
+    p.add_argument("--drift-timeline", metavar="COL", default=None,
+                   help="rolling drift: PSI of each day's COL distribution "
+                        "vs the previous present day (quantile edges "
+                        "derived once over the whole input)")
+    p.add_argument("--ts-col", default="ts",
+                   help="timestamp column for --drift-timeline")
+    p.add_argument("--ri-bloom", action="store_true",
+                   help="Bloom-filter RI pre-screen of conv_id against "
+                        "--registry: orphans the parent-key filter PROVES "
+                        "absent, without shuffling the input against the "
+                        "registry (sized by bloom_parameters at fpp 1e-6)")
     p.add_argument("--auto", action="store_true",
                    help="end-to-end pipeline: profile the input and PROPOSE "
                         "a rule set (Deequ-style suggestion), validate with "
@@ -169,6 +186,50 @@ def main(argv: list[str] | None = None) -> int:
               F.max("latency_s").alias("max_latency_s"))
          .orderBy("reason").show(truncate=False))
         print(json.dumps({"run_id": args.run_id, "latency": out}))
+        spark.stop()
+        return 0
+
+    if args.context_budget is not None:
+        import os
+
+        from pyspark.sql import functions as F
+
+        over = D.context_overflow(df, max_tokens=args.context_budget)
+        out = os.path.join(args.work_dir, f"context_overflow_{args.run_id}")
+        over.write.mode("overwrite").parquet(out)
+        over = spark.read.parquet(out)
+        n = over.count()
+        print(f"conversations over {args.context_budget} tokens: {n}")
+        (over.orderBy(F.col("total_tokens").desc(), "conv").limit(20)
+         .show(truncate=False))
+        print(json.dumps({"run_id": args.run_id, "context_overflow": out,
+                          "n_over": n}))
+        spark.stop()
+        return 0
+
+    if args.drift_timeline:
+        from valar_spark import drift
+
+        tl = drift.psi_timeline(df, args.drift_timeline, args.ts_col)
+        tl.show(100, truncate=False)
+        spark.stop()
+        return 0
+
+    if args.ri_bloom:
+        if not args.registry:
+            print("--ri-bloom requires --registry", file=sys.stderr)
+            spark.stop()
+            return 2
+        reg = spark.read.parquet(args.registry)
+        n_parent = reg.select("conv_id").distinct().count()
+        m, k = D.bloom_parameters(n_parent, 1e-6)
+        orphans = D.bloom_orphan_keys(df, "conv_id", reg,
+                                      num_bits=m, num_hashes=k)
+        got = orphans.orderBy("conv_id").collect()
+        print(f"bloom RI screen: {len(got)} orphan conv_ids "
+              f"({m} bits, {k} hashes over {n_parent} parent keys)")
+        for r in got[:20]:
+            print(f"  {r['conv_id']}  ({r['orphan_rows']} rows)")
         spark.stop()
         return 0
 

@@ -220,6 +220,50 @@ def build_key_bloom(df: DataFrame, key_col: str, num_bits: int,
     return out.tobytes()
 
 
+def bloom_absent_rows(
+    df: DataFrame,
+    key_col: str,
+    bitmap: bytes,
+    num_bits: int,
+    num_hashes: int,
+    seed: int = 1105,
+) -> DataFrame:
+    """Rows of ``df`` whose ``key_col`` the Bloom ``bitmap`` PROVES
+    absent (all original columns preserved; NULL keys included — a
+    non-null-keyed filter can never contain them). Stateless — a
+    broadcast read plus a numpy gather per Arrow batch — so it runs
+    identically over a batch frame or a STREAMING frame (no state
+    store, no watermark): the shared probe under
+    :func:`bloom_orphan_keys` and
+    :func:`valar_spark.streaming.stream_orphan_flags`."""
+    bc = df.sparkSession.sparkContext.broadcast(bitmap)
+    cols = df.columns
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in df.schema.fields)
+    pos = _bloom_positions(F.col(key_col), int(num_bits), num_hashes,
+                           seed)
+    probe = df.select(*cols, F.col(key_col).isNull().alias("_knull"),
+                      *pos)
+    pcols = [f"_bp{i}" for i in range(num_hashes)]
+
+    def _screen(it):
+        import numpy as np
+
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in it:
+            hit = np.ones(len(pdf), dtype=bool)
+            for c in pcols:
+                p = pdf[c].to_numpy(dtype=np.int64)
+                hit &= ((bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1) \
+                    .astype(bool)
+            hit &= ~pdf["_knull"].to_numpy(dtype=bool)
+            out = pdf.loc[~hit, cols]
+            if len(out):
+                yield out
+
+    return probe.mapInPandas(_screen, schema=ddl)
+
+
 def bloom_orphan_keys(
     child: DataFrame,
     child_key: str,
@@ -253,35 +297,10 @@ def bloom_orphan_keys(
     quality verdict instead of a physical-plan rewrite."""
     pk = child_key if parent_key is None else parent_key
     bitmap = build_key_bloom(parent, pk, num_bits, num_hashes, seed)
-    bc = child.sparkSession.sparkContext.broadcast(bitmap)
-    ktype = dict(zip(child.schema.names,
-                     [f.dataType.simpleString() for f in child.schema]))
     child_keys = (child.groupBy(child_key)
                   .agg(F.count(F.lit(1)).alias("orphan_rows")))
-    pos = _bloom_positions(F.col(child_key), int(num_bits), num_hashes,
-                           seed)
-    probe = child_keys.select(
-        F.col(child_key), F.col("orphan_rows"),
-        F.col(child_key).isNull().alias("_knull"), *pos)
-    pcols = [f"_bp{i}" for i in range(num_hashes)]
-
-    def _screen(it):
-        import numpy as np
-
-        bm = np.frombuffer(bc.value, dtype=np.uint8)
-        for pdf in it:
-            hit = np.ones(len(pdf), dtype=bool)
-            for c in pcols:
-                p = pdf[c].to_numpy(dtype=np.int64)
-                hit &= ((bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1) \
-                    .astype(bool)
-            hit &= ~pdf["_knull"].to_numpy(dtype=bool)
-            out = pdf.loc[~hit, [child_key, "orphan_rows"]]
-            if len(out):
-                yield out
-
-    schema = f"`{child_key}` {ktype[child_key]}, orphan_rows long"
-    return probe.mapInPandas(_screen, schema=schema)
+    return bloom_absent_rows(child_keys, child_key, bitmap,
+                             num_bits, num_hashes, seed)
 
 
 # ---------------------------------------------------------------------------

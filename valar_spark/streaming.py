@@ -592,3 +592,35 @@ def stream_transition_violations(
     return stream_df.groupBy(conv_col).applyInPandasWithState(
         fn, out_ddl, state_ddl, "append",
         "NoTimeout" if close_ms is None else "ProcessingTimeTimeout")
+
+
+def stream_orphan_flags(
+    stream_df: DataFrame,
+    key_col: str,
+    bitmap: bytes,
+    num_bits: int,
+    num_hashes: int = 7,
+    seed: int = 1105,
+) -> DataFrame:
+    """Ingest-time referential-integrity screening — the streaming face
+    of :func:`valar_spark.dataset_rules.bloom_orphan_keys`: flag
+    incoming rows whose ``key_col`` the parent-key Bloom ``bitmap``
+    (built by :func:`valar_spark.dataset_rules.build_key_bloom`,
+    typically refreshed by the batch pipeline alongside the LSH band
+    table :func:`stream_near_dup_flags` consumes) PROVES absent. Every
+    emitted row is a REAL orphan (Bloom filters have no false negatives
+    on membership); a false positive only delays detection to the next
+    exact batch audit. NULL keys are force-flagged.
+
+    Entirely stateless — a broadcast bitmap read plus a numpy gather
+    per Arrow batch, no state store, no watermark, append-mode safe —
+    so state never grows with stream volume OR parent cardinality: the
+    property a stream-static anti-join lacks (it re-scans the parent
+    per micro-batch) and a stateful "seen keys" set can't afford at
+    10^8 parent keys. This is the standard shape for "does this
+    incoming turn reference a conversation the registry knows" at
+    ingest time; route flags to quarantine with the curation sink."""
+    from .dataset_rules import bloom_absent_rows
+
+    return bloom_absent_rows(stream_df, key_col, bitmap,
+                             num_bits, num_hashes, seed)

@@ -261,6 +261,29 @@ def suggest_rules(
                 "conversation key + order + role + timestamp present — "
                 "candidate dataset_rules.response_latency_violations "
                 "(no_prior_request / negative_latency / too_slow)"))
+        # conv key + order + text supports the context-budget contract;
+        # propose a budget from the observed conversation token totals
+        # (p99 rounded up to the next power of two — a trainer's context
+        # window is a power of two and the suggestion must FLAG the tail,
+        # not the bulk)
+        if "text" in columns:
+            from .dataset_rules import context_overflow
+            from .textops import token_count
+
+            totals = (df.groupBy("conv_id")
+                      .agg(F.sum(token_count(F.col("text")))
+                           .alias("tot")))
+            p99 = (totals.agg(F.percentile_approx("tot", 0.99))
+                   .first()[0]) or 0
+            budget = 1 << max(int(p99).bit_length(), 4)
+            n_over = context_overflow(df, max_tokens=budget).count()
+            report_rows.append((
+                "conv_id,turn_idx,text", "context_overflow_candidate",
+                f"max_tokens={budget}",
+                f"conversation token totals: p99≈{int(p99)}; next "
+                f"power-of-two budget {budget} flags {n_over} "
+                "conversation(s) — candidate "
+                "dataset_rules.context_overflow"))
 
     report = spark.createDataFrame(report_rows, REPORT_SCHEMA)
     return rules, report
