@@ -31,6 +31,11 @@ FUZZ_QUERIES = [
     "repetition_documents",
     "bpe_token_count_documents",
     "pii_scrub_documents",
+    # PII-reuse concentration (round 5 session E): same Java∩RE2 pattern
+    # contract as pii_scrub; the doc_id%7 shared-email injection holds
+    # on any table, and random unicode text fuzzes extract-all/UNNEST +
+    # distinct-count agreement
+    "pii_reuse_documents",
     "corpus_filter_documents",
     "top_bigram_documents",
     "frame_sample_documents",
@@ -323,6 +328,18 @@ EVENTS_QUERIES = [
     # buckets, exercising the previous-present-bucket lag, densify and
     # eps floors on sparse adversarial histograms
     "psi_timeline_events",
+    # round-5 session E velocity/funnel/cohort family: the ts pool's
+    # heavy 0/60s repeats make exact-tie and sub-minute echo pairs
+    # common (exercising the event_id tie pin + integer-µs gap math);
+    # the 1-2 day span keeps volume_anomaly in its n<2/std-0 null
+    # regime (the exact cross-engine NaN-vs-NULL pin) while rate caps
+    # and day-0/1 retention offsets fire; funnel equal-ts first touches
+    # exercise the non-strict ordering contract
+    "echo_events",
+    "rate_anomaly_events",
+    "volume_anomaly_events",
+    "funnel_events",
+    "retention_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]

@@ -2364,6 +2364,90 @@ def _q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.dedup_normalized(u).select("doc_id").orderBy("doc_id")
 
 
+def _q_echo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-fire / retry-storm detection (dataset_rules.py::
+    echo_duplicates): consecutive events in the same (user, type) stream
+    ≤ 6h apart, gap in exact integer microseconds, ties pinned by
+    event_id. ONE window Exchange — the lag and filter ride the same
+    sort, no join."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return (D.echo_duplicates(ev, group_cols=("user_id", "event_type"),
+                              max_gap_seconds=21_600,
+                              tie_cols=("event_id",))
+            .orderBy("user_id", "event_type", "event_id"))
+
+
+def _q_rate_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily rate cap (dataset_rules.py::rate_violations):
+    (user, day) pairs with > 5 events — the runaway-agent/abuse alert.
+    One map-side-combined aggregate, HAVING prunes to the tail."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return (D.rate_violations(ev, ["user_id"], max_events=5,
+                              granularity="day")
+            .orderBy("user_id", "bucket_ts"))
+
+
+def _q_volume_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly timeline (drift.py::volume_anomaly): each
+    day's row count z-scored against the trailing 7 present days — the
+    volume twin of the psi_timeline mix monitor. One data-sized count
+    per day; the rolling window runs on the ~30-row bucket frame."""
+    from valar_spark import drift
+
+    ev = _read(spark, sf_dir, "events")
+    return drift.volume_anomaly(ev, "ts", granularity="day",
+                                trailing=7, z_threshold=3.0)
+
+
+def _q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel rollup (dataset_rules.py::funnel_counts) over
+    signup → click → purchase: per-stage reach counts + step
+    conversion, where a stage counts only if its first touch does not
+    precede the previous stage's. ONE data-sized aggregate (conditional
+    MINs per user); the rollup is a 3-row frame."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return D.funnel_counts(ev, ["signup", "click", "purchase"])
+
+
+def _q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (dataset_rules.py::retention_cohorts):
+    users bucketed by first active day × day offset — the
+    activity-retention profile as a validation surface (a zero column
+    is an ingest gap). Distinct (user, day) is the one data-sized pass;
+    the cohort min reuses its partitioning."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return D.retention_cohorts(ev)
+
+
+def _q_pii_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document PII reuse (textops.py::pii_reuse): identifiers
+    recurring in ≥ 2 distinct docs — the memorization-risk concentration
+    profile a scrub-only pass never reports. Every 7th doc gets one of
+    three SHARED emails plus a per-doc unique one (reproducible in SQL):
+    exactly the shared three must surface; the unique ones fall under
+    min_ids. JVM regexp projection, explode, one aggregate."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    inj = docs.select(
+        "doc_id",
+        F.when(d % 7 == 0, F.concat(
+            F.col("text"), F.lit(" mail shared"), (d % 3).cast("string"),
+            F.lit("@example.com or user"), d.cast("string"),
+            F.lit("@example.com")))
+        .otherwise(F.col("text")).alias("text"))
+    return X.pii_reuse(inj, min_ids=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = the DRIVER'S GATE ORDER: the driver verifies a 50-query
     # prefix of this dict against the DuckDB oracles. The window (recomputed
@@ -2401,17 +2485,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_transcripts": _q_referential_transcripts,
         # -- r5 transcript sequence/JSON family --
         "prefix_dedup_transcripts": _q_prefix_dedup_transcripts,
-        "loop_detection_transcripts": _q_loop_detection_transcripts,
         "sequence_gaps_transcripts": _q_sequence_gaps_transcripts,
         "transitions_transcripts": _q_transitions_transcripts,
-        "boundary_transitions_transcripts": _q_boundary_transitions_transcripts,
-        "template_turns_transcripts": _q_template_turns_transcripts,
-        "conv_dedup_transcripts": _q_conv_dedup_transcripts,
         "json_contract_events": _q_json_contract_events,
         "conv_near_dup_transcripts": _q_conv_near_dup_transcripts,
-        "conv_near_dup_lsh_transcripts": _q_conv_near_dup_lsh_transcripts,
         "json_key_profile_events": _q_json_key_profile_events,
         "conv_curation_transcripts": _q_conv_curation_transcripts,
+        # -- r5 session E: velocity / funnel / cohort / PII-reuse --
+        "echo_events": _q_echo_events,
+        "rate_anomaly_events": _q_rate_anomaly_events,
+        "volume_anomaly_events": _q_volume_anomaly_events,
+        "funnel_events": _q_funnel_events,
+        "retention_events": _q_retention_events,
+        "pii_reuse_documents": _q_pii_reuse,
         # -- r5 session C: as-of latency, MG heavy hitters, EMD drift --
         "response_latency_transcripts": _q_response_latency_transcripts,
         "heavy_hitters_events": _q_heavy_hitters_events,
@@ -2441,14 +2527,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_documents": _q_cap_per_source,
         "stratified_sample_documents": _q_stratified_sample,
         "embedding_profile_embeddings": _q_embedding_profile,
-        "zscore_outliers_by_user_events": _q_zscore_outliers_by_user,
         "reconciliation_orders_lineitem": _q_reconciliation_orders,
         "embedding_group_drift_embeddings": _q_embedding_group_drift,
         "key_skew_events": _q_key_skew_events,
         "pack_shards_documents": _q_pack_shards,
         # ==== position 51+: never-driver-gated analyzers with driver-gated
-        # in-family companions, then long-stable r2/r3 oracles and the
-        # rows-only-by-contract pair queries ====
+        # or in-window SAME-OPERATOR companions (documented in
+        # tests/test_packaging.py::companions), then long-stable r2/r3
+        # oracles and the rows-only-by-contract pair queries ====
+        # rotated out for the session-E additions — each one's operator
+        # stays gated through its companion: boundary arms share
+        # transitions' window; the LSH path is fuzz-proven equal to the
+        # in-window brute pair query; fingerprint-dedup and
+        # degenerate-runs ARE the ledger's exact/degenerate stages;
+        # template_turns is the turn-granularity twin of repeated_lines;
+        # per-entity z-score shares the outlier-fence family with the
+        # r04-gated bucket_outliers
+        "loop_detection_transcripts": _q_loop_detection_transcripts,
+        "boundary_transitions_transcripts": _q_boundary_transitions_transcripts,
+        "template_turns_transcripts": _q_template_turns_transcripts,
+        "conv_dedup_transcripts": _q_conv_dedup_transcripts,
+        "conv_near_dup_lsh_transcripts": _q_conv_near_dup_lsh_transcripts,
+        "zscore_outliers_by_user_events": _q_zscore_outliers_by_user,
         "sequence_gaps_lineitem": _q_sequence_gaps_lineitem,
         "transitions_events": _q_transitions_events,
         "line_dedup_documents": _q_line_dedup,
@@ -4924,6 +5024,130 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(bucket_ts AS TIMESTAMP) AS bucket_ts,
                n_rows, psi, psi > 0.2 AS drifted
         FROM agg ORDER BY bucket_ts
+    """
+    o["echo_events"] = """
+        WITH o AS (
+            SELECT user_id, event_type, event_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id NULLS FIRST)
+                     AS prev
+            FROM events WHERE ts IS NOT NULL
+        )
+        SELECT user_id, event_type, event_id, ts,
+               CAST(epoch_us(ts) - epoch_us(prev) AS BIGINT) AS gap_us
+        FROM o
+        WHERE prev IS NOT NULL
+          AND epoch_us(ts) - epoch_us(prev)
+              <= CAST(21600 AS BIGINT) * 1000000
+        ORDER BY user_id, event_type, event_id
+    """
+    o["rate_anomaly_events"] = """
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+               COUNT(*)::BIGINT AS n_events, CAST(5 AS BIGINT) AS limit_
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY user_id, date_trunc('day', ts)
+        HAVING COUNT(*) > 5
+        ORDER BY user_id, bucket_ts
+    """
+    o["volume_anomaly_events"] = """
+        WITH c AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+                   COUNT(*)::BIGINT AS n_rows
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ), w AS (
+            SELECT bucket_ts, n_rows,
+                   COUNT(n_rows) OVER win AS bn,
+                   AVG(n_rows) OVER win AS mean,
+                   STDDEV_SAMP(n_rows) OVER win AS std
+            FROM c
+            WINDOW win AS (ORDER BY bucket_ts
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        ), z AS (
+            SELECT bucket_ts, n_rows,
+                   ROUND(mean, 6) AS base_mean,
+                   CASE WHEN bn >= 2 THEN ROUND(std, 6) END AS base_std,
+                   CASE WHEN bn >= 2 AND std > 0
+                        THEN ROUND((n_rows - mean) / std, 6) END AS z
+            FROM w
+        )
+        SELECT bucket_ts, n_rows, base_mean, base_std, z,
+               COALESCE(ABS(z) > 3.0, FALSE) AS anomalous
+        FROM z ORDER BY bucket_ts
+    """
+    o["funnel_events"] = """
+        WITH ft AS (
+            SELECT user_id,
+                MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+                MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+                MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ), d AS (
+            SELECT CASE WHEN t1 IS NULL THEN 0
+                        WHEN t2 IS NULL OR t2 < t1 THEN 1
+                        WHEN t3 IS NULL OR t3 < t2 THEN 2
+                        ELSE 3 END AS depth
+            FROM ft
+        ), n AS (
+            SELECT SUM(CASE WHEN depth >= 1 THEN 1 ELSE 0 END)::BIGINT n1,
+                   SUM(CASE WHEN depth >= 2 THEN 1 ELSE 0 END)::BIGINT n2,
+                   SUM(CASE WHEN depth >= 3 THEN 1 ELSE 0 END)::BIGINT n3
+            FROM d
+        )
+        SELECT 1 AS stage_idx, 'signup' AS stage, n1 AS n_reached,
+               CAST(NULL AS DOUBLE) AS conversion FROM n
+        UNION ALL
+        SELECT 2, 'click', n2, ROUND(n2 * 1.0 / NULLIF(n1, 0), 6) FROM n
+        UNION ALL
+        SELECT 3, 'purchase', n3, ROUND(n3 * 1.0 / NULLIF(n2, 0), 6)
+        FROM n
+        ORDER BY stage_idx
+    """
+    o["retention_events"] = """
+        WITH a AS (
+            SELECT DISTINCT user_id AS grp, date_trunc('day', ts) AS day
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ), c AS (
+            SELECT grp, MIN(day) AS cohort_day FROM a GROUP BY grp
+        )
+        SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+               CAST(date_diff('day', c.cohort_day, a.day) AS INT)
+                 AS day_offset,
+               COUNT(*)::BIGINT AS n_active
+        FROM a JOIN c USING (grp)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    o["pii_reuse_documents"] = r"""
+        WITH inj AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' mail shared'
+                             || CAST(doc_id % 3 AS VARCHAR)
+                             || '@example.com or user'
+                             || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE text END AS text
+            FROM documents
+        ), m AS (
+            SELECT 'email' AS category, doc_id,
+                   UNNEST(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS token
+            FROM inj
+            UNION ALL
+            SELECT 'ipv4', doc_id,
+                   UNNEST(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+            FROM inj
+            UNION ALL
+            SELECT 'phone', doc_id,
+                   UNNEST(regexp_extract_all(text, '\+\d[\d\- ]{7,}\d'))
+            FROM inj
+        )
+        SELECT category, token, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+               COUNT(*)::BIGINT AS n_hits, MIN(doc_id) AS sample_id
+        FROM m GROUP BY 1, 2
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY 1, 2
     """
     o["emd_by_type_events"] = """
         WITH base AS (

@@ -810,3 +810,119 @@ def test_psi_timeline_gap_compares_to_previous_present_bucket(spark):
     assert len(out) == 1
     assert out[0].bucket_ts.day == 5
     assert out[0].psi == 0.0
+
+
+def test_echo_duplicates_gap_and_ties(spark):
+    """Pairs ≤ max_gap flag on the LATER event with exact µs gaps; ties
+    are pinned by tie_cols; stream boundaries (group change) and
+    null-ts rows never pair."""
+    from datetime import datetime as T
+
+    rows = [
+        ("u1", "click", 1, T(2026, 1, 1, 10, 0, 0)),
+        ("u1", "click", 2, T(2026, 1, 1, 10, 0, 30)),   # 30s — echo
+        ("u1", "click", 3, T(2026, 1, 1, 12, 0, 0)),    # 2h — not
+        ("u1", "view", 4, T(2026, 1, 1, 10, 0, 31)),    # other stream
+        ("u2", "click", 5, T(2026, 1, 1, 10, 0, 32)),   # other user
+        ("u2", "click", 6, T(2026, 1, 1, 10, 0, 32)),   # exact tie — 0µs
+        ("u2", "click", 7, None),                        # dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, event_id int, "
+              "ts timestamp")
+    out = {r["event_id"]: r["gap_us"]
+           for r in D.echo_duplicates(df, max_gap_seconds=60).collect()}
+    assert out == {2: 30_000_000, 6: 0}
+
+
+def test_rate_violations_threshold(spark):
+    from datetime import datetime as T
+
+    rows = ([("hot", T(2026, 1, 1, 0, i, 0)) for i in range(4)]
+            + [("cold", T(2026, 1, 1, 0, 0, 0))]
+            + [("hot", T(2026, 1, 2, 0, 0, 0))])       # next day resets
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = D.rate_violations(df, ["user_id"], max_events=3,
+                            granularity="day").collect()
+    assert len(out) == 1
+    assert out[0].user_id == "hot" and out[0].n_events == 4
+    assert out[0].limit_ == 3
+
+
+def test_volume_anomaly_rolling_z(spark):
+    """First bucket has no baseline (all null), second has a 1-sample
+    baseline (std pinned to NULL, not NaN), a constant stretch gives
+    std 0 ⇒ z null, and a spike day z-scores against the trailing
+    window."""
+    from datetime import datetime as T
+
+    rows = []
+    counts = [10, 10, 10, 10, 40]
+    for d, n in enumerate(counts):
+        rows += [(T(2026, 1, d + 1),)] * n
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = drift.volume_anomaly(df, "ts", trailing=7,
+                               z_threshold=3.0).collect()
+    assert [r.n_rows for r in out] == counts
+    assert out[0].base_mean is None and out[0].base_std is None
+    assert out[1].base_mean == 10.0 and out[1].base_std is None
+    assert out[2].base_std == 0.0 and out[2].z is None   # constant
+    assert out[4].base_mean == 10.0 and out[4].base_std == 0.0
+    assert out[4].z is None and not out[4].anomalous     # std-0 guard
+    # make the window non-constant: day 6 spikes over a varied baseline
+    rows += [(T(2026, 1, 6),)] * 100
+    df2 = spark.createDataFrame(rows, "ts timestamp")
+    out2 = drift.volume_anomaly(df2, "ts", trailing=7,
+                                z_threshold=2.0).collect()
+    last = out2[-1]
+    assert last.n_rows == 100 and last.z is not None and last.anomalous
+
+
+def test_funnel_first_touch_depth_and_counts(spark):
+    """Depth counts ordered first-touches only: a purchase whose first
+    touch precedes the first click is NOT a conversion; equal
+    timestamps count (non-strict order)."""
+    from datetime import datetime as T
+
+    rows = [
+        # full funnel in order
+        ("a", "signup", T(2026, 1, 1)), ("a", "click", T(2026, 1, 2)),
+        ("a", "purchase", T(2026, 1, 3)),
+        # purchase BEFORE first click — depth 2
+        ("b", "signup", T(2026, 1, 1)), ("b", "purchase", T(2026, 1, 2)),
+        ("b", "click", T(2026, 1, 3)),
+        # never signed up — depth 0 even with later stages
+        ("c", "click", T(2026, 1, 1)),
+        # signup only — depth 1
+        ("d", "signup", T(2026, 1, 5)),
+        # simultaneous signup+click — non-strict, depth 2
+        ("e", "signup", T(2026, 1, 1)), ("e", "click", T(2026, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp")
+    stages = ["signup", "click", "purchase"]
+    depth = {r["user_id"]: r["depth"]
+             for r in D.funnel_first_touch(df, stages).collect()}
+    assert depth == {"a": 3, "b": 2, "c": 0, "d": 1, "e": 2}
+    counts = {r["stage_idx"]: (r["n_reached"], r["conversion"])
+              for r in D.funnel_counts(df, stages).collect()}
+    assert counts[1] == (4, None)
+    assert counts[2] == (3, 0.75)
+    assert counts[3] == (1, round(1 / 3, 6))
+
+
+def test_retention_cohorts_offsets(spark):
+    """Offset 0 is cohort size; multiple same-day events dedupe; a
+    second cohort starts at its own first day."""
+    from datetime import datetime as T
+
+    rows = [
+        ("u1", T(2026, 1, 1, 9)), ("u1", T(2026, 1, 1, 17)),  # dedup
+        ("u1", T(2026, 1, 3)),
+        ("u2", T(2026, 1, 1)),
+        ("u3", T(2026, 1, 2)), ("u3", T(2026, 1, 3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {(r["cohort_day"].day, r["day_offset"]): r["n_active"]
+           for r in D.retention_cohorts(df).collect()}
+    assert out == {(1, 0): 2, (1, 2): 1, (2, 0): 1, (2, 1): 1}

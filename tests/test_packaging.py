@@ -81,6 +81,9 @@ def test_gate_window_covers_never_gated():
         # implementation changed in r5
         "curation_ledger_documents", "contamination_screen_documents",
         "winnow_planted_recall_documents",
+        # r5 session-E velocity/funnel/cohort/PII-reuse family
+        "echo_events", "rate_anomaly_events", "volume_anomaly_events",
+        "funnel_events", "retention_events", "pii_reuse_documents",
     }
     out = must_gate - set(window)
     assert not out, f"priority queries outside the 50-entry gate window: {out}"
@@ -104,6 +107,20 @@ def test_gate_window_covers_never_gated():
         "quantiles_by_type_events": "quantiles_events_value",
         "weighted_sample_documents": "stratified_sample_documents",
         "js_by_cohort_events": "js_events_value_halves",
+        # session-E rotations — same-operator companions stay in-window
+        # (or are driver-gated): boundary arms share transitions' single
+        # window; the LSH path is fuzz-proven equal to the in-window
+        # brute pair query; fingerprint-dedup and degenerate-runs ARE
+        # the conv-curation ledger's exact/degenerate stages;
+        # template_turns is the turn-granularity twin of repeated_lines;
+        # per-entity z-score shares the fence family with the r04-gated
+        # bucket_outliers
+        "boundary_transitions_transcripts": "transitions_transcripts",
+        "conv_near_dup_lsh_transcripts": "conv_near_dup_transcripts",
+        "conv_dedup_transcripts": "conv_curation_transcripts",
+        "loop_detection_transcripts": "conv_curation_transcripts",
+        "template_turns_transcripts": "repeated_lines_documents",
+        "zscore_outliers_by_user_events": "bucket_outliers_events",
     }
     orphans = [
         k for k in keys[50:]

@@ -836,3 +836,31 @@ def test_pack_token_shards_balanced_and_order_invariant(spark):
             X.pack_token_shards(df.orderBy(F.rand(3)), "n_tok", 2000)
             .collect()}
     assert got == got2
+
+
+def test_pii_reuse_concentration(spark):
+    """Tokens in ≥ min_ids distinct docs surface with distinct-doc and
+    total-hit counts; singletons and repeats-within-one-doc fall under
+    the threshold; categories keep separate ledgers."""
+    from valar_spark.textops import pii_reuse
+
+    rows = [
+        (1, "mail a@x.com and again a@x.com plus 10.0.0.1"),
+        (2, "a@x.com from 10.0.0.1"),
+        (3, "only b@y.org here"),                     # singleton email
+        (4, "b@y.org again, and 10.0.0.1 too"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {(r["category"], r["token"]): (r["n_docs"], r["n_hits"],
+                                         r["sample_id"])
+           for r in pii_reuse(df, min_ids=2).collect()}
+    assert out == {
+        ("email", "a@x.com"): (2, 3, 1),
+        ("email", "b@y.org"): (2, 2, 3),
+        ("ipv4", "10.0.0.1"): (3, 3, 1),
+    }
+    # raising the bar drops the 2-doc tokens
+    out3 = {r["token"]
+            for r in pii_reuse(df, min_ids=3).collect()}
+    assert out3 == {"10.0.0.1"}

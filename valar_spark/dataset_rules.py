@@ -1553,6 +1553,204 @@ def context_overflow(
 
 
 # ---------------------------------------------------------------------------
+# Velocity / funnel / cohort analyzers — the operational event-stream
+# profile (double-fire detection, rate caps, ordered funnels, retention)
+# a transcript/event pipeline reports alongside the data-quality rules
+# ---------------------------------------------------------------------------
+
+
+def echo_duplicates(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    max_gap_seconds: int = 60,
+    tie_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Double-fire / retry-storm detection: consecutive events in the same
+    ``group_cols`` stream closer than ``max_gap_seconds`` apart — the
+    ingest pathology (client retries, at-least-once replays, webhook
+    echoes) that exact-duplicate checks miss because the payload differs
+    while the *event* is the same. One row per offending pair's LATER
+    event: ``(*group_cols, *tie_cols, ts, gap_us)``.
+
+    ``tie_cols`` pin a TOTAL order under duplicate timestamps (same
+    contract as :func:`sessionize` — without it an external replay can
+    disagree on which element of a tie group is "previous"). Gap math is
+    exact integer microseconds via ``timestamp_diff`` (NTZ-safe, see
+    :func:`sessionize`); null-``ts`` rows drop (a validate()-layer catch).
+
+    Shape at scale: ONE window Exchange on ``group_cols`` — the lag and
+    the filter ride the same sort; no join, no second shuffle. Output is
+    bounded by the input and in practice is the retry tail."""
+    order_cols = [F.col(ts_col).asc()] + [
+        F.col(c).asc_nulls_first() for c in tie_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("_gap_us", gap_us)
+        .filter(F.col("_gap_us").isNotNull()
+                & (F.col("_gap_us") <= int(max_gap_seconds) * 1_000_000))
+        .select(*group_cols, *tie_cols, ts_col,
+                F.col("_gap_us").cast("long").alias("gap_us"))
+    )
+
+
+def rate_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> DataFrame:
+    """Event counts per (``group_cols``, time bucket) —
+    ``(*group_cols, bucket_ts, n_events)``. One map-side-combined
+    aggregate; the building block of :func:`rate_violations` and the
+    batch twin of ``streaming.stream_rate_anomaly``'s windowed counts."""
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*group_cols,
+                 F.date_trunc(granularity, F.col(ts_col)).alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+def rate_violations(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    max_events: int,
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> DataFrame:
+    """Rate-cap screen: (group, bucket) pairs whose event count exceeds
+    ``max_events`` — the abuse/runaway-agent alert (one conversation or
+    user emitting far above the contract rate). Adds ``limit_`` so the
+    violation row carries its threshold. Same single-aggregate shape as
+    :func:`rate_counts`; HAVING prunes before anything else runs."""
+    return (
+        rate_counts(df, group_cols, ts_col, granularity)
+        .filter(F.col("n_events") > int(max_events))
+        .withColumn("limit_", F.lit(int(max_events)).cast("long"))
+    )
+
+
+def funnel_first_touch(
+    df: DataFrame,
+    stages: Sequence[str],
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """First-touch funnel per group: for each entity, the FIRST timestamp
+    of every stage event and the funnel ``depth`` — the largest k such
+    that stages 1..k all occurred with non-decreasing first-touch times
+    (stage k+1 either never happened or its first touch precedes stage
+    k's, i.e. out of order ⇒ not a conversion). Output:
+    ``(group, t_<stage>..., depth)``.
+
+    ONE aggregate pass — the per-stage first touches are conditional
+    MINs, so no self-join per stage and no window; depth is a pure
+    projection over the aggregate row. The when-chain is ordered, so the
+    ``t_i < t_{i-1}`` comparison only evaluates where the prefix is
+    already non-null."""
+    aggs = [
+        F.min(F.when(F.col(event_col) == s, F.col(ts_col))).alias(f"t_{s}")
+        for s in stages
+    ]
+    out = (df.filter(F.col(group_col).isNotNull())
+           .groupBy(F.col(group_col).alias("grp")).agg(*aggs))
+    depth = F.when(F.col(f"t_{stages[0]}").isNull(), F.lit(0))
+    for i in range(1, len(stages)):
+        cur, prev = f"t_{stages[i]}", f"t_{stages[i - 1]}"
+        depth = depth.when(
+            F.col(cur).isNull() | (F.col(cur) < F.col(prev)), F.lit(i))
+    depth = depth.otherwise(F.lit(len(stages)))
+    return out.select(
+        F.col("grp").alias(group_col),
+        *[F.col(f"t_{s}") for s in stages],
+        depth.cast("int").alias("depth"),
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: Sequence[str],
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion rollup over :func:`funnel_first_touch`:
+    ``(stage_idx, stage, n_reached, conversion)`` — one row per stage,
+    where ``n_reached`` counts groups whose depth ≥ that stage and
+    ``conversion`` is the step ratio vs the previous stage (rounded 6;
+    null at stage 1). The per-group aggregate is the only data-sized
+    pass; the rollup is a single row of conditional sums, exploded to
+    #stages rows and lagged over that tiny frame."""
+    ft = funnel_first_touch(df, stages, group_col, ts_col, event_col)
+    row = ft.agg(*[
+        F.sum(F.when(F.col("depth") >= i + 1, 1).otherwise(0))
+        .cast("long").alias(f"n_{i}")
+        for i in range(len(stages))
+    ])
+    pairs = F.array(*[
+        F.struct(F.lit(i + 1).cast("int").alias("stage_idx"),
+                 F.lit(s).alias("stage"),
+                 F.col(f"n_{i}").alias("n_reached"))
+        for i, s in enumerate(stages)
+    ])
+    w = Window.orderBy("stage_idx")  # #stages rows — cardinality-sized
+    return (
+        row.select(F.explode(pairs).alias("e")).select("e.*")
+        .withColumn(
+            "conversion",
+            F.round(F.col("n_reached").cast("double")
+                    / F.lag("n_reached").over(w), 6))
+        .orderBy("stage_idx")
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-granularity cohort retention: entities bucketed by their FIRST
+    active day; for each (cohort day, day offset ≥ 0) the number of
+    cohort members active that day —
+    ``(cohort_day, day_offset, n_active)``. ``day_offset = 0`` is the
+    cohort size. The classic activity-retention matrix, as validation:
+    a sudden column of zeros is an ingest gap, a cohort whose offset-0
+    count disagrees with signup counts is an id-space leak.
+
+    Shape at scale: TWO data Exchanges total — one per-entity
+    ``collect_set(day)`` aggregate (map-side partial sets dedupe within
+    partitions before the shuffle; per-entity state is bounded by the
+    calendar, ≤365 entries/year, NOT by the entity's row count), from
+    which the cohort is ``array_min`` — no join back, no separate
+    distinct pass — then the cardinality-sized (#days² / 2 cells)
+    rollup. A naive distinct + groupBy + join-back costs 5 Exchanges
+    because a groupBy on a PREFIX of the distinct key cannot reuse
+    hash(entity, day) partitioning."""
+    per_user = (
+        df.filter(F.col(ts_col).isNotNull()
+                  & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.collect_set(
+            F.date_trunc("day", F.col(ts_col))).alias("days"))
+    )
+    return (
+        per_user
+        .select(F.array_min("days").alias("cohort_day"),
+                F.explode("days").alias("day"))
+        .groupBy("cohort_day",
+                 F.datediff(F.col("day"), F.col("cohort_day"))
+                 .cast("int").alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-column stats profile (BASELINE.json:6: null rate, min/max, HLL
 # cardinality, quantile sketches)
 # ---------------------------------------------------------------------------

@@ -209,6 +209,60 @@ def psi_timeline(
     )
 
 
+def volume_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    granularity: str = "day",
+    trailing: int = 7,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Ingest-volume anomaly timeline: each time bucket's row count
+    z-scored against the TRAILING ``trailing`` present buckets —
+    ``(bucket_ts, n_rows, base_mean, base_std, z, anomalous)``, ordered.
+    The volume twin of :func:`psi_timeline` (which watches the value
+    *mix*; this watches the *mass*): a half-volume day is a dead
+    upstream partition, a 5× day is a replay storm — neither moves a
+    distribution monitor. ``z`` is null until ≥2 trailing buckets exist
+    or when the trailing window is constant (std 0); ``anomalous`` fires
+    on |z| > ``z_threshold``.
+
+    Baseline is the trailing PRESENT buckets (same stance as
+    :func:`psi_timeline`'s lag-over-present-days): a calendar gap is
+    itself the anomaly to page on, and an RDB-style zero-fill would need
+    a generated calendar spine. Sample stddev, rounded 6 (integer counts
+    at double precision — engine-order differences live far below 1e-6).
+
+    Shape at scale: ONE data-sized map-side-combined count per bucket;
+    the rolling window runs over the cardinality-sized bucket frame
+    (365 rows/year at daily granularity) — its single-partition sort is
+    deliberate and bounded, the same stance as the drift timelines."""
+    counts = (df.filter(F.col(ts_col).isNotNull())
+              .groupBy(F.date_trunc(granularity, F.col(ts_col))
+                       .alias("bucket_ts"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+    w = (Window.orderBy("bucket_ts")
+         .rowsBetween(-int(trailing), -1))
+    base_n = F.count("n_rows").over(w)
+    mean = F.avg("n_rows").over(w)
+    std = F.stddev_samp("n_rows").over(w)
+    z = F.when(
+        (base_n >= 2) & std.isNotNull() & (std > 0),
+        F.round((F.col("n_rows").cast("double") - mean) / std, 6))
+    return (
+        counts
+        .select("bucket_ts", "n_rows",
+                F.round(mean, 6).alias("base_mean"),
+                # n=1 sample stddev is NaN on Spark but NULL on DuckDB —
+                # pin the cross-engine contract to NULL
+                F.when(base_n >= 2, F.round(std, 6)).alias("base_std"),
+                z.alias("z"))
+        .withColumn("anomalous",
+                    F.coalesce(F.abs(F.col("z")) > float(z_threshold),
+                               F.lit(False)))
+        .orderBy("bucket_ts")
+    )
+
+
 def js_by_group(
     df: DataFrame,
     cat_col: str,

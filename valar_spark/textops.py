@@ -19,6 +19,9 @@ aggregate.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1901,6 +1904,51 @@ def scrub_pii(col: Column) -> Column:
                      ("phone", "<PHONE>")):
         out = F.regexp_replace(out, PII_PATTERNS[k], token)
     return out
+
+
+def pii_reuse(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_ids: int = 2,
+    categories: Sequence[str] = _PII_ORDER,
+) -> DataFrame:
+    """Cross-document PII reuse: identifiers (emails / IPv4s / phones,
+    the :data:`PII_PATTERNS` contract) appearing in ≥ ``min_ids``
+    DISTINCT documents — ``(category, token, n_docs, n_hits,
+    sample_id)``. A single person's email recurring across many training
+    documents is the memorization-risk profile a scrub-only pass never
+    surfaces (scrubbing redacts each occurrence but reports nothing
+    about concentration), and in transcripts it flags identity leakage
+    across supposedly-independent conversations.
+
+    Shape at scale: one JVM ``regexp_extract_all`` projection per
+    category (no Python), exploded — the exploded frame is
+    match-count-sized, a sliver of the corpus — then ONE aggregate on
+    (category, token). ``n_docs`` is a distinct count of ids,
+    ``n_hits`` total occurrences, ``sample_id`` the MIN id
+    (deterministic)."""
+    parts = [
+        df.select(
+            F.lit(cat).alias("category"),
+            F.col(id_col).alias("_id"),
+            F.explode(
+                # idx=0 — whole match (Spark defaults to group 1)
+                F.regexp_extract_all(F.col(text_col),
+                                     F.lit(PII_PATTERNS[cat]), 0)
+            ).alias("token"),
+        )
+        for cat in categories
+    ]
+    allm = reduce(DataFrame.unionAll, parts)
+    return (
+        allm.groupBy("category", "token")
+        .agg(F.countDistinct("_id").cast("long").alias("n_docs"),
+             F.count(F.lit(1)).cast("long").alias("n_hits"),
+             F.min("_id").alias("sample_id"))
+        .filter(F.col("n_docs") >= int(min_ids))
+        .orderBy("category", "token")
+    )
 
 
 # ---------------------------------------------------------------------------
