@@ -2448,6 +2448,79 @@ def _q_pii_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.pii_reuse(inj, min_ids=2)
 
 
+def _snapshot_pair(spark: SparkSession, sf_dir: str):
+    """Deterministic old/new snapshot pair derived from orders for the
+    snapshot-diff queries: 'old' drops keys %11==0 (⇒ added in new),
+    'new' drops keys %13==0 (⇒ removed), bumps o_totalprice on %7==0
+    and rewrites o_orderstatus on %5==0 (⇒ changed, column-attributed).
+    Reproducible verbatim in SQL."""
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    old = orders.where(k % 11 != 0)
+    new = (
+        orders.where(k % 13 != 0)
+        .withColumn("o_totalprice",
+                    F.when(k % 7 == 0, F.col("o_totalprice") + 1.5)
+                    .otherwise(F.col("o_totalprice")))
+        .withColumn("o_orderstatus",
+                    F.when(k % 5 == 0, F.lit("X"))
+                    .otherwise(F.col("o_orderstatus")))
+    )
+    return old, new
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed row diff between two table versions
+    (dataset_rules.py::snapshot_diff): one full-outer join on the key,
+    null-safe per-column comparison, column-attributed 'changed' rows.
+    Unchanged rows filtered (they dominate at scale; the summary query
+    counts them)."""
+    from valar_spark import dataset_rules as D
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    d = D.snapshot_diff(old, new, ["o_orderkey"],
+                        ["o_orderstatus", "o_totalprice"])
+    return (d.where(F.col("status") != "unchanged")
+            .select("o_orderkey", "status",
+                    F.array_join("changed_cols", ",").alias("changed_cols"))
+            .orderBy("o_orderkey"))
+
+
+def _q_snapshot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation verdict
+    (dataset_rules.py::snapshot_diff_summary): fixed status counts plus
+    per-column changed counts from ONE singleton aggregate over the
+    diff join."""
+    from valar_spark import dataset_rules as D
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return (D.snapshot_diff_summary(old, new, ["o_orderkey"],
+                                    ["o_orderstatus", "o_totalprice"])
+            .orderBy("kind", "name"))
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average surprise under the corpus's own unigram LM
+    (textops.py::unigram_logprob) — the CCNet-style relative-typicality
+    quality signal, reduced to exact counts arithmetic so DuckDB
+    evaluates the identical expression."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return X.unigram_logprob(docs).orderBy("doc_id")
+
+
+def _q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency conformity of the corpus
+    (textops.py::zipf_profile): ln-ln least-squares over the top-k
+    terms via distributed TakeOrdered; one verdict row."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return X.zipf_profile(docs, k=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = the DRIVER'S GATE ORDER: the driver verifies a 50-query
     # prefix of this dict against the DuckDB oracles. The window (recomputed
@@ -2618,6 +2691,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_documents": _q_normalized_documents,
         "language_id_documents": _q_language_id_documents,
         "media_features_documents": _q_media_features,
+        # -- r5 session F: snapshot diff + corpus LM statistics --
+        "snapshot_diff_orders": _q_snapshot_diff,
+        "snapshot_summary_orders": _q_snapshot_summary,
+        "unigram_logprob_documents": _q_unigram_logprob,
+        "zipf_profile_documents": _q_zipf_profile,
     }
 
 
@@ -5345,5 +5423,126 @@ def oracle_sql() -> dict[str, str]:
            OR (o.o_totalprice IS NULL AND rec IS NOT NULL)
            OR ABS(o.o_totalprice - rec) > 0.01
         ORDER BY o_orderkey
+    """
+    _snap_j = """
+        WITH os AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey % 11 <> 0
+        ), ns AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 13 <> 0
+        ), j AS (
+            SELECT COALESCE(os.o_orderkey, ns.o_orderkey) AS o_orderkey,
+                   os.o_orderkey IS NOT NULL AS in_o,
+                   ns.o_orderkey IS NOT NULL AS in_n,
+                   (os.o_orderstatus IS DISTINCT FROM ns.o_orderstatus)
+                     AS d1,
+                   (os.o_totalprice IS DISTINCT FROM ns.o_totalprice) AS d2
+            FROM os FULL OUTER JOIN ns ON os.o_orderkey = ns.o_orderkey
+        )
+    """
+    o["snapshot_diff_orders"] = _snap_j + """
+        SELECT o_orderkey,
+               CASE WHEN in_o AND NOT in_n THEN 'removed'
+                    WHEN in_n AND NOT in_o THEN 'added'
+                    ELSE 'changed' END AS status,
+               CASE WHEN in_o AND in_n THEN concat_ws(',',
+                    CASE WHEN d1 THEN 'o_orderstatus' END,
+                    CASE WHEN d2 THEN 'o_totalprice' END) END
+                 AS changed_cols
+        FROM j
+        WHERE NOT (in_o AND in_n AND NOT d1 AND NOT d2)
+        ORDER BY o_orderkey
+    """
+    o["snapshot_summary_orders"] = _snap_j + """
+        SELECT kind, name, n FROM (
+            SELECT 'status' AS kind, 'added' AS name,
+                   CAST(SUM(CASE WHEN in_n AND NOT in_o THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n FROM j
+            UNION ALL
+            SELECT 'status', 'removed',
+                   CAST(SUM(CASE WHEN in_o AND NOT in_n THEN 1 ELSE 0 END)
+                     AS BIGINT) FROM j
+            UNION ALL
+            SELECT 'status', 'changed',
+                   CAST(SUM(CASE WHEN in_o AND in_n AND (d1 OR d2)
+                            THEN 1 ELSE 0 END) AS BIGINT) FROM j
+            UNION ALL
+            SELECT 'status', 'unchanged',
+                   CAST(SUM(CASE WHEN in_o AND in_n AND NOT d1 AND NOT d2
+                            THEN 1 ELSE 0 END) AS BIGINT) FROM j
+            UNION ALL
+            SELECT 'column', 'o_orderstatus',
+                   CAST(SUM(CASE WHEN in_o AND in_n AND d1
+                            THEN 1 ELSE 0 END) AS BIGINT) FROM j
+            UNION ALL
+            SELECT 'column', 'o_totalprice',
+                   CAST(SUM(CASE WHEN in_o AND in_n AND d2
+                            THEN 1 ELSE 0 END) AS BIGINT) FROM j
+        ) ORDER BY kind, name
+    """
+    o["unigram_logprob_documents"] = r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(regexp_replace(LOWER(text), '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+            FROM documents
+            WHERE text IS NOT NULL AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+        ), ex AS (
+            SELECT doc_id, unnest(t) AS term FROM toks
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS c FROM ex GROUP BY doc_id, term
+        ), corpus AS (
+            SELECT term, SUM(c) AS ct FROM tf GROUP BY term
+        ), tot AS (
+            SELECT CAST(SUM(ct) AS DOUBLE) AS nn,
+                   CAST(COUNT(*) AS DOUBLE) AS vv
+            FROM corpus
+        )
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(LN(nn + vv)
+                     - SUM(c * LN(ct + 1.0)) / SUM(c), 6) AS avg_neg_logp,
+               ROUND(SUM(CASE WHEN ct <= 2 THEN c ELSE 0 END)
+                     * 1.0 / SUM(c), 9) AS rare_frac
+        FROM tf JOIN corpus USING (term), tot
+        GROUP BY doc_id, nn, vv ORDER BY doc_id
+    """
+    o["zipf_profile_documents"] = r"""
+        WITH toks AS (
+            SELECT regexp_split_to_array(regexp_replace(LOWER(text), '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+            FROM documents
+            WHERE text IS NOT NULL AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+        ), cnts AS (
+            SELECT term, COUNT(*) AS cnt
+            FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+        ), topk AS (
+            SELECT term, cnt FROM cnts ORDER BY cnt DESC, term LIMIT 200
+        ), pts AS (
+            SELECT term, cnt,
+                   LN(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term)
+                           AS DOUBLE)) AS x,
+                   LN(CAST(cnt AS DOUBLE)) AS y
+            FROM topk
+        ), a AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+                   SUM(x * y) AS sxy, SUM(y * y) AS syy,
+                   MAX(CASE WHEN x = 0.0 THEN term END) AS top_term,
+                   MAX(CASE WHEN x = 0.0 THEN cnt END) AS top_count
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                 AS slope,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 6) AS intercept,
+               ROUND(CASE WHEN (n * syy - sy * sy) > 0
+                          THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                               / ((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)) END, 6) AS r2,
+               top_term, CAST(top_count AS BIGINT) AS top_count
+        FROM a
     """
     return o

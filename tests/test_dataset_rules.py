@@ -926,3 +926,42 @@ def test_retention_cohorts_offsets(spark):
     out = {(r["cohort_day"].day, r["day_offset"]): r["n_active"]
            for r in D.retention_cohorts(df).collect()}
     assert out == {(1, 0): 2, (1, 2): 1, (2, 0): 1, (2, 1): 1}
+
+
+def test_snapshot_diff_statuses_and_columns(spark):
+    """Added/removed/changed/unchanged attribution, null-safe compares:
+    null→value is a change, null==null is not."""
+    old = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", None), (3, "C", 30.0), (4, None, 40.0)],
+        "k int, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (4, None, 41.0), (5, "E", 50.0)],
+        "k int, s string, v double")
+    out = {r["k"]: (r["status"], r["changed_cols"])
+           for r in D.snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    assert out[1] == ("unchanged", [])
+    assert out[2] == ("changed", ["v"])       # None -> 20.0 IS a change
+    assert out[3][0] == "removed"
+    assert out[3][1] is None
+    assert out[4] == ("changed", ["v"])       # None == None for s
+    assert out[5][0] == "added"
+    assert out[5][1] is None
+
+
+def test_snapshot_diff_summary_fixed_rows(spark):
+    """All four status rows present (0 when empty) plus one row per
+    compare column counting both-side diffs only."""
+    old = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)],
+        "k int, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "X", 99.0), (3, "C", 31.0)],
+        "k int, s string, v double")
+    out = {(r["kind"], r["name"]): r["n"]
+           for r in D.snapshot_diff_summary(
+               old, new, ["k"], ["s", "v"]).collect()}
+    assert out == {
+        ("status", "added"): 0, ("status", "removed"): 0,
+        ("status", "changed"): 2, ("status", "unchanged"): 1,
+        ("column", "s"): 1, ("column", "v"): 2,
+    }

@@ -121,6 +121,15 @@ def test_gate_window_covers_never_gated():
         "loop_detection_transcripts": "conv_curation_transcripts",
         "template_turns_transcripts": "repeated_lines_documents",
         "zscore_outliers_by_user_events": "bucket_outliers_events",
+        # session-F rotations: the snapshot diff/summary pair is the
+        # keyed two-table reconciliation family (same full-outer-join
+        # compare machinery as the in-window reconciliation query);
+        # unigram surprise and the Zipf fit reuse salient_terms'
+        # tokenize→tf→corpus-count pipeline verbatim (r04 driver-gated)
+        "snapshot_diff_orders": "reconciliation_orders_lineitem",
+        "snapshot_summary_orders": "reconciliation_orders_lineitem",
+        "unigram_logprob_documents": "salient_terms_documents",
+        "zipf_profile_documents": "salient_terms_documents",
     }
     orphans = [
         k for k in keys[50:]

@@ -864,3 +864,59 @@ def test_pii_reuse_concentration(spark):
     out3 = {r["token"]
             for r in pii_reuse(df, min_ids=3).collect()}
     assert out3 == {"10.0.0.1"}
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus, exact arithmetic: corpus counts a=3 b=1 c=1,
+    N=5, V=3; doc surprise = ln(N+V) - sum(c*ln(C+1))/n."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, None), (4, "   ")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in X.unigram_logprob(df).collect()}
+    assert set(out) == {1, 2}          # null/blank docs excluded
+    assert out[1]["n_tokens"] == 3
+    exp1 = math.log(8) - (2 * math.log(4) + math.log(2)) / 3
+    assert out[1]["avg_neg_logp"] == round(exp1, 6)
+    assert out[1]["rare_frac"] == round(1 / 3, 9)   # b has corpus count 1
+    exp2 = math.log(8) - (math.log(4) + math.log(2)) / 2
+    assert out[2]["avg_neg_logp"] == round(exp2, 6)
+    assert out[2]["rare_frac"] == 0.5               # c rare, a common
+
+
+def test_unigram_logprob_flags_atypical_doc(spark):
+    """A doc made of corpus-unique gibberish scores strictly higher
+    surprise and rare_frac 1.0 vs a doc of common tokens."""
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((99, "zxqv wopl brrk jjjx"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in X.unigram_logprob(df).collect()}
+    common = max(v["avg_neg_logp"] for k, v in out.items() if k != 99)
+    assert out[99]["avg_neg_logp"] > common
+    assert out[99]["rare_frac"] == 1.0
+
+
+def test_zipf_profile_fit_and_ties(spark):
+    """Fit matches the closed-form normal equations (numpy check);
+    rank ties break on term; r2 is NULL at zero count variance."""
+    import math
+
+    import numpy as np
+
+    # counts: x 6, a 3, b 3 -> ranks (count desc, term asc): x,a,b
+    df = spark.createDataFrame(
+        [(1, "x x x a b"), (2, "x x b a"), (3, "a b x")],
+        "doc_id int, text string")
+    r = X.zipf_profile(df, k=10).collect()[0]
+    assert r["n_terms"] == 3
+    assert (r["top_term"], r["top_count"]) == ("x", 6)
+    xs = np.log(np.array([1.0, 2.0, 3.0]))
+    ys = np.log(np.array([6.0, 3.0, 3.0]))
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert r["slope"] == pytest.approx(slope, abs=2e-6)
+    assert r["intercept"] == pytest.approx(intercept, abs=2e-6)
+    assert 0.0 < r["r2"] < 1.0
+    # zero variance in y -> r2 undefined, not a crash
+    flat = spark.createDataFrame([(1, "p q r")], "doc_id int, text string")
+    assert X.zipf_profile(flat, k=10).collect()[0]["r2"] is None

@@ -2134,3 +2134,123 @@ def winnow_contamination(corpus: DataFrame, eval_df: DataFrame,
     out.count()
     ce.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Corpus language-model statistics — unigram surprise + Zipf conformity
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    rare_max_count: int = 2) -> DataFrame:
+    """Per-document average surprise under the corpus's own unigram LM
+    (add-one smoothing) — ``(id, n_tokens, avg_neg_logp, rare_frac)``.
+    The CCNet-style quality signal: documents whose tokens are uniformly
+    improbable under the corpus distribution (gibberish, OCR noise, wrong
+    language, base64 blobs) score high; boilerplate scores low. Because
+    the model is fit on the corpus itself, the score is a RELATIVE
+    typicality measure — the standard first-stage perplexity filter in
+    training-data pipelines (CCNet, Gopher/MassiveText rules) with the LM
+    reduced to its exact-arithmetic unigram core so the verdict is
+    oracle-reproducible.
+
+    ``avg_neg_logp = ln(N + V) − (Σ_t c_t·ln(C_t + 1)) / n_doc`` where
+    ``c_t`` is the in-doc count, ``C_t`` the corpus count, ``N`` total
+    corpus tokens and ``V`` vocabulary size — the counts-only
+    formulation (same trick as :func:`~valar_spark.dataset_rules.entropy`)
+    so both engines evaluate the identical expression over identical
+    integers. ``rare_frac`` is the fraction of doc tokens whose corpus
+    count ≤ ``rare_max_count`` — an integer-exact hapax/gibberish signal.
+
+    Shape at scale: explode is immediately reduced by a (doc, term)
+    partial-combine aggregate; corpus counts are a vocab-sized second
+    aggregate joined back on ``term`` (AQE broadcasts when it fits — hot
+    terms skew only pre-combined partials); the final per-doc aggregate
+    re-keys on the id. Two data-sized shuffles, one vocab-sized join,
+    no Python."""
+    c = F.col(text_col)
+    toks = df.filter(
+        c.isNotNull() & (F.regexp_replace(c, WS_STRIP, "") != "")
+    ).select(F.col(id_col), F.explode(tokens(F.lower(c))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("c"))
+    corpus = tf.groupBy("term").agg(F.sum("c").alias("ct"))
+    totals = corpus.agg(F.sum("ct").alias("_tot"),
+                        F.count(F.lit(1)).cast("double").alias("_vocab"))
+    return (
+        tf.join(corpus, "term")
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("_n"),
+             F.sum(F.col("c") * F.log(F.col("ct") + 1.0)).alias("_sl"),
+             F.sum(F.when(F.col("ct") <= float(rare_max_count), F.col("c"))
+                   .otherwise(F.lit(0.0))).alias("_nr"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.round(F.log(F.col("_tot") + F.col("_vocab"))
+                    - F.col("_sl") / F.col("_n"), 6).alias("avg_neg_logp"),
+            F.round(F.col("_nr") / F.col("_n"), 9).alias("rare_frac"))
+    )
+
+
+def zipf_profile(df: DataFrame, text_col: str = "text",
+                 k: int = 200) -> DataFrame:
+    """Zipf rank–frequency conformity of the corpus over its top-``k``
+    terms: one row ``(n_terms, slope, intercept, r2, top_term,
+    top_count)`` from the least-squares fit of ``ln(count)`` on
+    ``ln(rank)``. Natural text sits near slope −1 (Zipf's law); a corpus
+    poisoned by template spam or machine-generated filler flattens or
+    steepens the curve, and a collapsing ``r2`` means the rank law broke
+    entirely — a one-row corpus-health verdict to trend per snapshot
+    alongside the distribution-drift checks.
+
+    Ranking is the exact integer order ``(count DESC, term ASC)``. The
+    fit uses the explicit-sums normal equations over the k points so the
+    oracle evaluates the identical expression; ``r2`` is NULL when all
+    top-k counts are equal (zero variance).
+
+    Shape at scale: one explode + vocab-sized aggregate, a distributed
+    TakeOrdered (``orderBy().limit(k)`` — never a full-domain window;
+    same fix as ``frequent_values``), then a k-row fit on the driver
+    plan side. No Python."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    cnt = (
+        df.filter(c.isNotNull()
+                  & (F.regexp_replace(c, WS_STRIP, "") != ""))
+        .select(F.explode(tokens(F.lower(c))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = cnt.orderBy(F.desc("cnt"), F.asc("term")).limit(int(k))
+    # the rank window runs over ≤ k rows (post-TakeOrdered), not the domain
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    pts = top.select(
+        "term", "cnt",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"))
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.max(F.when(F.col("x") == 0.0, F.col("term"))).alias("top_term"),
+        F.max(F.when(F.col("x") == 0.0, F.col("cnt"))).alias("top_count"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    slope = (n * sxy - sx * sy) / dx
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(F.when(dy > 0.0,
+                       (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / (dx * dy)),
+                6).alias("r2"),
+        "top_term",
+        F.col("top_count").cast("long").alias("top_count"))
