@@ -2511,6 +2511,26 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.unigram_logprob(docs).orderBy("doc_id")
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage (textops.py::vocab_coverage)
+    against a deterministic reference vocab — the corpus's top-20
+    terms (count desc, term asc), reproducible in SQL — so the
+    synthetic corpus yields real OOV mass."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    stripped = F.regexp_replace(c, X.WS_STRIP, "")
+    vocab = (
+        docs.filter(c.isNotNull() & (stripped != ""))
+        .select(F.explode(X.tokens(F.lower(c))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term")).limit(20)
+        .select("term")
+    )
+    return X.vocab_coverage(docs, vocab).orderBy("doc_id")
+
+
 def _q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency conformity of the corpus
     (textops.py::zipf_profile): ln-ln least-squares over the top-k
@@ -2696,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_summary_orders": _q_snapshot_summary,
         "unigram_logprob_documents": _q_unigram_logprob,
         "zipf_profile_documents": _q_zipf_profile,
+        "vocab_coverage_documents": _q_vocab_coverage,
     }
 
 
@@ -5508,6 +5529,31 @@ def oracle_sql() -> dict[str, str]:
                      * 1.0 / SUM(c), 9) AS rare_frac
         FROM tf JOIN corpus USING (term), tot
         GROUP BY doc_id, nn, vv ORDER BY doc_id
+    """
+    o["vocab_coverage_documents"] = r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(regexp_replace(LOWER(text), '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+            FROM documents
+            WHERE text IS NOT NULL AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+        ), ex AS (
+            SELECT doc_id, unnest(t) AS term FROM toks
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS c FROM ex GROUP BY doc_id, term
+        ), vocab AS (
+            SELECT term FROM (
+                SELECT term, COUNT(*) AS cnt FROM ex GROUP BY term
+                ORDER BY cnt DESC, term LIMIT 20
+            )
+        )
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN c ELSE 0 END)
+                 AS BIGINT) AS n_oov,
+               ROUND(SUM(CASE WHEN v.term IS NULL THEN c ELSE 0 END)
+                     * 1.0 / SUM(c), 9) AS oov_frac,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_oov_distinct
+        FROM tf LEFT JOIN vocab v USING (term)
+        GROUP BY doc_id ORDER BY doc_id
     """
     o["zipf_profile_documents"] = r"""
         WITH toks AS (

@@ -965,3 +965,18 @@ def test_snapshot_diff_summary_fixed_rows(spark):
         ("status", "changed"): 2, ("status", "unchanged"): 1,
         ("column", "s"): 1, ("column", "v"): 2,
     }
+
+
+def test_schema_evolution_statuses(spark):
+    """Added/removed/type_changed/unchanged over the union of both
+    schemas; deterministic old-then-new order; nullability ignored."""
+    old = spark.createDataFrame([(1, "a", 1.0)], "k int, s string, v double")
+    new = spark.createDataFrame([(1, 2, True)], "k bigint, s string, b boolean")
+    out = [(r["column"], r["status"], r["old_type"], r["new_type"])
+           for r in D.schema_evolution(old, new).collect()]
+    assert out == [
+        ("k", "type_changed", "int", "bigint"),
+        ("s", "unchanged", "string", "string"),
+        ("v", "removed", "double", None),
+        ("b", "added", None, "boolean"),
+    ]

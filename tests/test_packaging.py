@@ -130,6 +130,7 @@ def test_gate_window_covers_never_gated():
         "snapshot_summary_orders": "reconciliation_orders_lineitem",
         "unigram_logprob_documents": "salient_terms_documents",
         "zipf_profile_documents": "salient_terms_documents",
+        "vocab_coverage_documents": "salient_terms_documents",
     }
     orphans = [
         k for k in keys[50:]

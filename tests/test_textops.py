@@ -920,3 +920,20 @@ def test_zipf_profile_fit_and_ties(spark):
     # zero variance in y -> r2 undefined, not a crash
     flat = spark.createDataFrame([(1, "p q r")], "doc_id int, text string")
     assert X.zipf_profile(flat, k=10).collect()[0]["r2"] is None
+
+
+def test_vocab_coverage_counts(spark):
+    """Exact OOV token and distinct-type counts against a fixed vocab;
+    null/blank docs excluded; case-folded before the probe."""
+    df = spark.createDataFrame(
+        [(1, "The cat saw the ZXQ zxq"), (2, "cat cat cat"), (3, None)],
+        "doc_id int, text string")
+    vocab = spark.createDataFrame([("the",), ("cat",), ("saw",)],
+                                  "term string")
+    out = {r["doc_id"]: r for r in X.vocab_coverage(df, vocab).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_oov"], r1["n_oov_distinct"]) == (6, 2, 1)
+    assert r1["oov_frac"] == round(2 / 6, 9)
+    r2 = out[2]
+    assert (r2["n_oov"], r2["oov_frac"]) == (0, 0.0)

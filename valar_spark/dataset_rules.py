@@ -2911,3 +2911,37 @@ def snapshot_diff_summary(
         agg.select(F.explode(F.array(*parts)).alias("s"))
         .select("s.*")
     )
+
+
+def schema_evolution(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema diff between two versions of a table —
+    ``(column, status, old_type, new_type)`` with status ∈ added /
+    removed / type_changed / unchanged. The metadata companion of
+    :func:`snapshot_diff` (which diffs VALUES under a fixed schema):
+    run both between a baseline snapshot and the current ingest, and a
+    silently widened column (int→bigint), a dropped field, or a new
+    unvalidated column surfaces BEFORE any rule compiles against the
+    wrong shape. Output order follows the old schema, then new-only
+    columns in new-schema order (deterministic).
+
+    Pure metadata: built from the two catalyst schemas alone — no scan,
+    no job, identical cost at 10^3 and 10^12 rows. Nullability is
+    deliberately ignored (parquet/Iceberg round-trips flip it);
+    :func:`schema_violations` owns nullability under its opt-in flag."""
+    spark = old.sparkSession
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows: list[tuple] = []
+    for name, ot in o.items():
+        if name not in n:
+            rows.append((name, "removed", ot, None))
+        elif n[name] != ot:
+            rows.append((name, "type_changed", ot, n[name]))
+        else:
+            rows.append((name, "unchanged", ot, ot))
+    for name, nt in n.items():
+        if name not in o:
+            rows.append((name, "added", None, nt))
+    return spark.createDataFrame(
+        rows, "column string, status string, old_type string, "
+              "new_type string")

@@ -2254,3 +2254,45 @@ def zipf_profile(df: DataFrame, text_col: str = "text",
                 6).alias("r2"),
         "top_term",
         F.col("top_count").cast("long").alias("top_count"))
+
+
+def vocab_coverage(df: DataFrame, vocab: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   term_col: str = "term") -> DataFrame:
+    """Per-document tokenizer-vocabulary coverage — ``(id, n_tokens,
+    n_oov, oov_frac, n_oov_distinct)`` where OOV means the whitespace
+    token is absent from the reference ``vocab`` table. The
+    pre-training sanity check that catches a corpus/tokenizer mismatch
+    (wrong language, mojibake, code dumped into a prose vocab) BEFORE a
+    run burns compute mapping half its tokens to <unk>: documents with
+    high ``oov_frac`` either need a different tokenizer or don't belong
+    in the corpus. Exact-count formulation so the verdict is
+    oracle-reproducible.
+
+    Shape at scale: explode is immediately reduced by a (doc, term)
+    partial-combined aggregate, so the vocab probe touches DISTINCT
+    doc-terms, not raw tokens; the vocab join is a left join against a
+    tokenizer-sized table (≤ a few 10^5 rows — AQE broadcasts it, no
+    data-sized shuffle); one per-doc aggregate closes. Distinct-OOV
+    needs no extra shuffle: the (doc, term) grain is already distinct."""
+    c = F.col(text_col)
+    toks = df.filter(
+        c.isNotNull() & (F.regexp_replace(c, WS_STRIP, "") != "")
+    ).select(F.col(id_col), F.explode(tokens(F.lower(c))).alias("_t"))
+    tf = toks.groupBy(id_col, "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"))
+    v = F.broadcast(vocab.select(F.col(term_col).alias("_t"),
+                                 F.lit(1).alias("_in_v")).distinct())
+    return (
+        tf.join(v, "_t", "left")
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("n_tokens"),
+             F.sum(F.when(F.col("_in_v").isNull(), F.col("_c"))
+                   .otherwise(F.lit(0))).alias("n_oov"),
+             F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0))
+             .cast("long").alias("n_oov_distinct"))
+        .select(id_col, "n_tokens", "n_oov",
+                F.round(F.col("n_oov") / F.col("n_tokens"), 9)
+                .alias("oov_frac"),
+                "n_oov_distinct")
+    )
