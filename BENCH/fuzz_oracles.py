@@ -79,6 +79,13 @@ FUZZ_QUERIES = [
     # single-window replay (token counts over adversarial whitespace)
     "weighted_sample_documents",
     "pack_shards_documents",
+    # round-5 session-F corpus-LM pairs: unigram surprise (counts-only
+    # smoothing arithmetic + LOWER dialect), the Zipf ln-ln fit (top-k
+    # tie ordering across engines on unicode terms), and the vocab/OOV
+    # probe (top-20 vocab derived from the same adversarial table)
+    "unigram_logprob_documents",
+    "zipf_profile_documents",
+    "vocab_coverage_documents",
 ]
 
 _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",

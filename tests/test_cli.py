@@ -169,3 +169,58 @@ def test_cli_ri_bloom(spark, tmp_path, monkeypatch, capsys):
     assert "bloom RI screen:" in out
     n = int(out.split("bloom RI screen:")[1].split()[0])
     assert n > 0
+
+
+def test_cli_diff_against(spark, tmp_path, monkeypatch, capsys):
+    """--diff-against prints the schema evolution + status verdict and
+    writes the non-unchanged row diff."""
+    base = str(tmp_path / "base")
+    cur = str(tmp_path / "cur")
+    spark.createDataFrame(
+        [("c1", 0, "hi"), ("c1", 1, "yo"), ("c2", 0, "x")],
+        "conv_id string, turn_idx int, text string",
+    ).write.parquet(base)
+    spark.createDataFrame(
+        [("c1", 0, "hi"), ("c1", 1, "EDITED"), ("c3", 0, "new")],
+        "conv_id string, turn_idx int, text string",
+    ).write.parquet(cur)
+    work = str(tmp_path / "w")
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", cur, "--work-dir", work, "--run-id", "r0",
+        "--diff-against", base,
+    ])
+    assert rc == 0
+    assert "schema evolution" in out and "changed" in out
+    res = _json_line(out)
+    rows = {(r["conv_id"], r["turn_idx"]): r["status"]
+            for r in spark.read.parquet(res["snapshot_diff"]).collect()}
+    assert rows == {("c1", 1): "changed", ("c2", 0): "removed",
+                    ("c3", 0): "added"}
+
+
+def test_cli_corpus_lm_and_vocab(spark, tmp_path, monkeypatch, capsys):
+    """--corpus-lm prints the Zipf fit + surprise table; --vocab prints
+    corpus OOV mass against a vocab parquet."""
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)]
+        + [(99, "zxqv wopl brrk")],
+        "doc_id int, text string",
+    ).write.parquet(docs)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", docs, "--work-dir", str(tmp_path / "w1"),
+        "--corpus-lm",
+    ])
+    assert rc == 0
+    assert "Zipf" in out and "avg_neg_logp" in out
+
+    vocab = str(tmp_path / "vocab")
+    spark.createDataFrame(
+        [("the",), ("cat",), ("sat",), ("on",), ("mat",)], "term string",
+    ).write.parquet(vocab)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", docs, "--work-dir", str(tmp_path / "w2"),
+        "--vocab", vocab,
+    ])
+    assert rc == 0
+    assert "corpus OOV mass: 3/63 tokens" in out

@@ -101,6 +101,30 @@ def main(argv: list[str] | None = None) -> int:
                         "--registry: orphans the parent-key filter PROVES "
                         "absent, without shuffling the input against the "
                         "registry (sized by bloom_parameters at fpp 1e-6)")
+    p.add_argument("--diff-against", metavar="PATH", default=None,
+                   help="snapshot reconciliation: exact keyed diff of the "
+                        "input vs a baseline snapshot at PATH — prints the "
+                        "schema evolution, the added/removed/changed/"
+                        "unchanged verdict and per-column changed counts, "
+                        "and writes the row-attributed diff (non-unchanged "
+                        "rows) to the work-dir")
+    p.add_argument("--diff-keys", default="conv_id,turn_idx",
+                   help="comma-separated key columns for --diff-against")
+    p.add_argument("--diff-cols", default=None,
+                   help="comma-separated compare columns for "
+                        "--diff-against (default: all shared non-key "
+                        "columns)")
+    p.add_argument("--corpus-lm", action="store_true",
+                   help="corpus language-model statistics over a "
+                        "documents-shaped input: Zipf rank-frequency fit "
+                        "(slope/r2) + the 20 most atypical docs by unigram "
+                        "surprise (high avg_neg_logp = gibberish/OCR noise/"
+                        "wrong language under the corpus's own LM)")
+    p.add_argument("--vocab", metavar="PATH", default=None,
+                   help="tokenizer-vocabulary coverage: parquet with a "
+                        "'term' column; prints corpus OOV mass and the 20 "
+                        "worst-covered docs (high oov_frac = corpus/"
+                        "tokenizer mismatch)")
     p.add_argument("--auto", action="store_true",
                    help="end-to-end pipeline: profile the input and PROPOSE "
                         "a rule set (Deequ-style suggestion), validate with "
@@ -244,6 +268,62 @@ def main(argv: list[str] | None = None) -> int:
         (sk.filter(F.col("value").isNotNull())
          .orderBy(F.col("est").desc(), "value").limit(20)
          .show(truncate=False))
+        spark.stop()
+        return 0
+
+    if args.diff_against:
+        import os
+
+        from pyspark.sql import functions as F
+
+        old = spark.read.parquet(args.diff_against)
+        keys = [k.strip() for k in args.diff_keys.split(",") if k.strip()]
+        if args.diff_cols:
+            cols = [c.strip() for c in args.diff_cols.split(",")
+                    if c.strip()]
+        else:
+            cols = [c for c in old.columns
+                    if c in df.columns and c not in keys]
+        print("schema evolution (baseline -> input):")
+        D.schema_evolution(old, df).show(200, truncate=False)
+        print(f"value diff on keys {keys}, columns {cols}:")
+        D.snapshot_diff_summary(old, df, keys, cols).show(truncate=False)
+        out = os.path.join(args.work_dir, f"snapshot_diff_{args.run_id}")
+        (D.snapshot_diff(old, df, keys, cols)
+         .where(F.col("status") != "unchanged")
+         .write.mode("overwrite").parquet(out))
+        print(json.dumps({"run_id": args.run_id, "snapshot_diff": out}))
+        spark.stop()
+        return 0
+
+    if args.corpus_lm:
+        from pyspark.sql import functions as F
+
+        from valar_spark import textops as X
+
+        print("Zipf rank-frequency fit (natural text: slope near -1):")
+        X.zipf_profile(df).show(truncate=False)
+        print("20 most atypical docs by unigram surprise:")
+        (X.unigram_logprob(df)
+         .orderBy(F.col("avg_neg_logp").desc(), "doc_id").limit(20)
+         .show(truncate=False))
+        spark.stop()
+        return 0
+
+    if args.vocab:
+        from pyspark.sql import functions as F
+
+        from valar_spark import textops as X
+
+        cov = X.vocab_coverage(df, spark.read.parquet(args.vocab))
+        tot = cov.agg(F.sum("n_tokens").alias("t"),
+                      F.sum("n_oov").alias("o")).first()
+        frac = (tot["o"] / tot["t"]) if tot["t"] else 0.0
+        print(f"corpus OOV mass: {tot['o']}/{tot['t']} tokens "
+              f"({frac:.4f})")
+        (cov.orderBy(F.col("oov_frac").desc(),
+                     F.col("n_tokens").desc(), "doc_id")
+         .limit(20).show(truncate=False))
         spark.stop()
         return 0
 
