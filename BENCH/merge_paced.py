@@ -1,0 +1,65 @@
+"""Assemble the consolidated round-5 paced artifact: union of the
+full-suite paced run and every delta artifact (newops*/sessionEF),
+keeping for each query its best available sample (clean beats dirty;
+between same-class samples the NEWER file wins). Verifies coverage
+against the live queries() registry so a silently unsampled query fails
+the build instead of vanishing from the artifact.
+
+Usage: python BENCH/merge_paced.py out.json base.json delta1.json ...
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    out_path, paths = sys.argv[1], sys.argv[2:]
+    per_query: dict[str, float] = {}
+    per_probe: dict[str, float] = {}
+    is_clean: dict[str, bool] = {}
+    floor = None
+    for p in paths:  # later files override on equal cleanliness
+        d = json.load(open(p))
+        dirty = set(d.get("dirty_queries", []))
+        floor = d.get("probe_floor", floor)
+        for n, sec in d["queries"].items():
+            ok = n not in dirty
+            if ok or not is_clean.get(n, False):
+                per_query[n] = sec
+                per_probe[n] = d.get("pre_probes", {}).get(n)
+                is_clean[n] = ok
+
+    import __spark_entry__ as e
+
+    missing = [n for n in e.queries() if n not in per_query]
+    if missing:
+        print(f"UNSAMPLED queries: {missing}", file=sys.stderr)
+        return 1
+    dirty = sorted(n for n, ok in is_clean.items() if not ok)
+    artifact = {
+        "metric": "dataset-rule suite, per-query clean-start paced protocol",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": 0.1,
+        "cpus": 32,
+        "throttled": bool(dirty),
+        "protocol": "segmented-paced/clean-start-v2 (merged)",
+        "probe_floor": floor,
+        "pre_probes": per_probe,
+        "dirty_queries": dirty,
+        "sources": paths,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({k: v for k, v in artifact.items()
+                      if k not in ("pre_probes", "queries")}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
