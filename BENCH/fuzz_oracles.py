@@ -86,6 +86,7 @@ FUZZ_QUERIES = [
     "unigram_logprob_documents",
     "zipf_profile_documents",
     "vocab_coverage_documents",
+    "lm_score_documents",
 ]
 
 _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",

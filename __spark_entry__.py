@@ -2531,6 +2531,21 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.vocab_coverage(docs, vocab).orderBy("doc_id")
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-LM scoring (textops.py::fit_unigram_lm +
+    score_unigram_logprob): fit the reference unigram LM on the
+    even-doc_id half, score the odd half — the new-ingest-vs-reference
+    quality/vocabulary-shift check, with OOV terms carrying the full
+    smoothed surprise."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    lm, n, v = X.fit_unigram_lm(ref)
+    return X.score_unigram_logprob(new, lm, n, v).orderBy("doc_id")
+
+
 def _q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency conformity of the corpus
     (textops.py::zipf_profile): ln-ln least-squares over the top-k
@@ -2717,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_documents": _q_unigram_logprob,
         "zipf_profile_documents": _q_zipf_profile,
         "vocab_coverage_documents": _q_vocab_coverage,
+        "lm_score_documents": _q_lm_score,
     }
 
 
@@ -5554,6 +5570,37 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS n_oov_distinct
         FROM tf LEFT JOIN vocab v USING (term)
         GROUP BY doc_id ORDER BY doc_id
+    """
+    o["lm_score_documents"] = r"""
+        WITH rtoks AS (
+            SELECT regexp_split_to_array(regexp_replace(LOWER(text), '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+            FROM documents
+            WHERE doc_id % 2 = 0 AND text IS NOT NULL
+              AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+        ), lm AS (
+            SELECT term, COUNT(*) AS ct
+            FROM (SELECT unnest(t) AS term FROM rtoks) GROUP BY term
+        ), tot AS (
+            SELECT CAST(COALESCE(SUM(ct), 0) + COUNT(*) AS DOUBLE)
+              AS denom FROM lm
+        ), ntoks AS (
+            SELECT doc_id, regexp_split_to_array(regexp_replace(LOWER(text), '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+            FROM documents
+            WHERE doc_id % 2 = 1 AND text IS NOT NULL
+              AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS term FROM ntoks)
+            GROUP BY doc_id, term
+        )
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(LN(denom)
+                     - SUM(c * LN(COALESCE(ct, 0) + 1.0)) / SUM(c), 6)
+                 AS avg_neg_logp,
+               ROUND(SUM(CASE WHEN ct IS NULL THEN c ELSE 0 END)
+                     * 1.0 / SUM(c), 9) AS oov_frac
+        FROM tf LEFT JOIN lm USING (term), tot
+        GROUP BY doc_id, denom ORDER BY doc_id
     """
     o["zipf_profile_documents"] = r"""
         WITH toks AS (

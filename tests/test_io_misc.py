@@ -664,3 +664,45 @@ def test_stream_orphan_flags_bloom(spark, tmp_path):
         q.stop()
     got = {(r.conv_id, r.turn_idx) for r in rows}
     assert got == {("c999", 0), (None, 1), ("c888", 2)}
+
+
+def test_stream_lm_surprise_matches_batch_scorer(spark, tmp_path):
+    """The stateless streaming scorer is bit-identical (after the shared
+    6/9-decimal rounding) to the batch frozen-LM scorer on the same
+    rows; null/blank text scores NULL."""
+    from valar_spark import textops as X
+    from valar_spark.streaming import stream_lm_surprise
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)]
+        + [(9, "der hund und die katze")],
+        "doc_id bigint, text string")
+    lm, n, v = X.fit_unigram_lm(ref)
+    counts = {r["term"]: r["ct"] for r in lm.collect()}
+
+    rows = [(100, "the cat zzz"), (101, "der die und"), (102, None),
+            (103, "   "), (104, "totally novel words here")]
+    incoming = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src = str(tmp_path / "lm_src")
+    incoming.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(incoming.schema).parquet(src)
+
+    out = stream_lm_surprise(stream, counts, n, v)
+    q = (out.writeStream.format("memory").queryName("lm_mem")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: (r["n_tokens"], r["avg_neg_logp"],
+                             r["oov_frac"])
+               for r in spark.sql("SELECT * FROM lm_mem").collect()}
+    finally:
+        q.stop()
+
+    batch = {r["doc_id"]: (r["n_tokens"], r["avg_neg_logp"], r["oov_frac"])
+             for r in X.score_unigram_logprob(
+                 incoming, lm, n, v).collect()}
+    for d, vals in batch.items():
+        assert got[d] == vals, (d, got[d], vals)
+    assert got[102] == (None, None, None)
+    assert got[103] == (None, None, None)
+    assert got[104][2] == 1.0                   # all OOV

@@ -131,6 +131,7 @@ def test_gate_window_covers_never_gated():
         "unigram_logprob_documents": "salient_terms_documents",
         "zipf_profile_documents": "salient_terms_documents",
         "vocab_coverage_documents": "salient_terms_documents",
+        "lm_score_documents": "salient_terms_documents",
     }
     orphans = [
         k for k in keys[50:]

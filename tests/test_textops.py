@@ -937,3 +937,27 @@ def test_vocab_coverage_counts(spark):
     assert r1["oov_frac"] == round(2 / 6, 9)
     r2 = out[2]
     assert (r2["n_oov"], r2["oov_frac"]) == (0, 0.0)
+
+
+def test_fit_and_score_unigram_lm_with_oov(spark):
+    """Frozen-LM scoring: OOV terms carry the full smoothed surprise
+    ln(N+V); hand-checked arithmetic; truncated fit keeps exact totals."""
+    import math
+
+    ref = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id int, text string")
+    lm, n, v = X.fit_unigram_lm(ref)          # a=3 b=1 c=1, N=5, V=3
+    assert (n, v) == (5, 3)
+    new = spark.createDataFrame(
+        [(10, "a zz"), (11, None)], "doc_id int, text string")
+    out = {r["doc_id"]: r
+           for r in X.score_unigram_logprob(new, lm, n, v).collect()}
+    assert set(out) == {10}
+    exp = math.log(8) - (math.log(4) + 0.0) / 2   # zz is OOV: ln(0+1)=0
+    assert out[10]["avg_neg_logp"] == round(exp, 6)
+    assert out[10]["oov_frac"] == 0.5
+
+    # max_vocab truncation drops tail terms into OOV but keeps N,V exact
+    lm2, n2, v2 = X.fit_unigram_lm(ref, max_vocab=1)
+    assert (n2, v2) == (5, 3)
+    assert [r["term"] for r in lm2.collect()] == ["a"]

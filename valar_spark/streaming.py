@@ -9,10 +9,12 @@ reuses the exact Column expressions, so parity holds by construction.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .config import DEFAULT, ValidationConfig
 from .rules import Rule
@@ -624,3 +626,74 @@ def stream_orphan_flags(
 
     return bloom_absent_rows(stream_df, key_col, bitmap,
                              num_bits, num_hashes, seed)
+
+
+def stream_lm_surprise(
+    stream_df: DataFrame,
+    lm_counts: dict[str, int],
+    n_tokens: int,
+    vocab_size: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time quality scoring against a FROZEN unigram LM — the
+    streaming face of :func:`valar_spark.textops.score_unigram_logprob`:
+    append ``(n_tokens, avg_neg_logp, oov_frac)`` to every incoming row,
+    scoring its text under the reference model fit by
+    :func:`valar_spark.textops.fit_unigram_lm` (pass
+    ``dict(lm.collect())`` — bounded by the fit's ``max_vocab``, the
+    same bounded-driver-state contract as the Bloom bitmap and the LSH
+    band table the other ingest screens broadcast). Unseen terms carry
+    the full smoothed surprise ``ln(N+V)``; a stream whose
+    ``avg_neg_logp``/``oov_frac`` drifts up is changing register or
+    language relative to the reference corpus.
+
+    Entirely stateless — one broadcast dict lookup per Arrow batch
+    (vectorized token split + counts in numpy/pandas), no state store,
+    no watermark, append-mode safe — so it composes with the curation
+    sink as another gate column. Null/blank text scores NULL (the
+    quality gate owns emptiness).
+
+    Exact-parity contract with the batch scorer: identical tokenizer
+    (ASCII-whitespace runs, lowercased), identical add-one smoothing,
+    identical 6/9-decimal rounding — pinned by a batch-equality test."""
+    import re
+
+    denom_log = math.log(float(n_tokens + vocab_size))
+    out_schema = T.StructType(
+        stream_df.schema.fields
+        + [T.StructField("n_tokens", T.LongType()),
+           T.StructField("avg_neg_logp", T.DoubleType()),
+           T.StructField("oov_frac", T.DoubleType())])
+    ws = re.compile(r"\S+", re.ASCII)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_toks, surprise, oov = [], [], []
+            for t in pdf[text_col]:
+                if t is None or not isinstance(t, str) or not ws.search(t):
+                    n_toks.append(None)
+                    surprise.append(None)
+                    oov.append(None)
+                    continue
+                toks = ws.findall(t.lower())
+                sl = 0.0
+                n_oov = 0
+                for tok in toks:
+                    ct = lm_counts.get(tok)
+                    if ct is None:
+                        n_oov += 1
+                    else:
+                        sl += math.log(ct + 1.0)
+                n = len(toks)
+                n_toks.append(n)
+                surprise.append(round(denom_log - sl / n, 6))
+                oov.append(round(n_oov / n, 9))
+            pdf = pdf.copy()
+            pdf["n_tokens"] = pd.array(n_toks, dtype="Int64")
+            pdf["avg_neg_logp"] = pd.array(surprise, dtype="float64")
+            pdf["oov_frac"] = pd.array(oov, dtype="float64")
+            yield pdf
+
+    return stream_df.mapInPandas(score, out_schema)

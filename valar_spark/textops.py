@@ -19,6 +19,7 @@ aggregate.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 from functools import reduce
 
@@ -2295,4 +2296,76 @@ def vocab_coverage(df: DataFrame, vocab: DataFrame,
                 F.round(F.col("n_oov") / F.col("n_tokens"), 9)
                 .alias("oov_frac"),
                 "n_oov_distinct")
+    )
+
+
+def fit_unigram_lm(corpus: DataFrame, text_col: str = "text",
+                   max_vocab: int = 1 << 18):
+    """Fit a bounded add-one-smoothed unigram LM on a REFERENCE corpus:
+    returns ``(lm_df, n_tokens, vocab_size)`` where ``lm_df`` is the
+    ``(term, ct)`` table of the top ``max_vocab`` terms (count desc,
+    term asc — deterministic truncation) and the two totals are EXACT
+    over the full corpus (so truncation only moves tail terms into the
+    OOV/smoothed mass, it never changes the denominator). The
+    fit-once/score-many shape of the CCNet quality filter:
+    :func:`unigram_logprob` scores a corpus against itself;
+    :func:`score_unigram_logprob` and the streaming scorer rate NEW
+    documents against this frozen model.
+
+    Shape at scale: one explode + vocab-sized aggregate; the top-K cut
+    is a distributed TakeOrdered. Driver state is bounded by
+    ``max_vocab`` (the same FAISS-guideline bounded-fit contract as the
+    IVF index), never by corpus size."""
+    c = F.col(text_col)
+    cnt = (
+        corpus.filter(c.isNotNull()
+                      & (F.regexp_replace(c, WS_STRIP, "") != ""))
+        .select(F.explode(tokens(F.lower(c))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = cnt.agg(F.sum("ct").alias("n"),
+                  F.count(F.lit(1)).alias("v")).first()
+    lm = cnt.orderBy(F.desc("ct"), F.asc("term")).limit(int(max_vocab))
+    return lm, int(tot["n"] or 0), int(tot["v"] or 0)
+
+
+def score_unigram_logprob(df: DataFrame, lm: DataFrame, n_tokens: int,
+                          vocab_size: int, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Score documents against a FROZEN unigram LM (from
+    :func:`fit_unigram_lm`) — ``(id, n_tokens, avg_neg_logp,
+    oov_frac)``. Unlike :func:`unigram_logprob` (corpus scores itself)
+    the model here is a reference distribution, so unseen terms are
+    real: an OOV term carries the full smoothed surprise
+    ``ln(N + V) − ln(1)`` and ``oov_frac`` is the direct
+    new-data-vs-reference vocabulary-shift signal — the batch twin of
+    the streaming scorer, and the drift check you run when a new ingest
+    source claims to be "the same kind of text".
+
+    Shape at scale: explode → (doc, term) partial-combined tf → LEFT
+    join against the vocab-sized LM (AQE-broadcast) → per-doc
+    aggregate. Same two data-sized shuffles as the self-scored
+    variant."""
+    c = F.col(text_col)
+    toks = df.filter(
+        c.isNotNull() & (F.regexp_replace(c, WS_STRIP, "") != "")
+    ).select(F.col(id_col), F.explode(tokens(F.lower(c))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("c"))
+    denom = float(n_tokens + vocab_size)
+    return (
+        tf.join(lm.select("term", "ct"), "term", "left")
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("_n"),
+             F.sum(F.col("c")
+                   * F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1.0))
+             .alias("_sl"),
+             F.sum(F.when(F.col("ct").isNull(), F.col("c"))
+                   .otherwise(F.lit(0.0))).alias("_oov"))
+        .select(
+            id_col,
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.round(F.lit(math.log(denom)) - F.col("_sl") / F.col("_n"), 6)
+            .alias("avg_neg_logp"),
+            F.round(F.col("_oov") / F.col("_n"), 9).alias("oov_frac"))
     )
