@@ -2546,6 +2546,22 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.score_unigram_logprob(new, lm, n, v).orderBy("doc_id")
 
 
+def _q_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility quality signal
+    (textops.py::compression_features) — the RefinedWeb/Dolma-lineage
+    boilerplate gate the n-gram repetition features approximate.
+    Rows-only by contract: DuckDB exposes no compression function, so
+    there is no SQL twin; the arithmetic is pinned by exact unit tests
+    (direct-zlib parity on known strings, planted-repetition
+    monotonicity, null/empty semantics) and the in-family repetition
+    machinery (`repetition_documents`, `dup_ngram_fraction_documents`)
+    is hash-oracled."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return X.compression_features(docs).orderBy("doc_id")
+
+
 def _q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency conformity of the corpus
     (textops.py::zipf_profile): ln-ln least-squares over the top-k
@@ -2733,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_profile_documents": _q_zipf_profile,
         "vocab_coverage_documents": _q_vocab_coverage,
         "lm_score_documents": _q_lm_score,
+        "compression_documents": _q_compression,
     }
 
 

@@ -224,3 +224,19 @@ def test_cli_corpus_lm_and_vocab(spark, tmp_path, monkeypatch, capsys):
     ])
     assert rc == 0
     assert "corpus OOV mass: 3/63 tokens" in out
+
+
+def test_cli_compression(spark, tmp_path, monkeypatch, capsys):
+    """--compression prints both extremes of the zlib ratio screen."""
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "spam " * 300), (2, "a varied sentence with many distinct "
+                                 "words and no obvious repetition at all")],
+        "doc_id int, text string",
+    ).write.parquet(docs)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", docs, "--work-dir", str(tmp_path / "w"),
+        "--compression",
+    ])
+    assert rc == 0
+    assert "most compressible" in out and "compression_ratio" in out

@@ -961,3 +961,31 @@ def test_fit_and_score_unigram_lm_with_oov(spark):
     lm2, n2, v2 = X.fit_unigram_lm(ref, max_vocab=1)
     assert (n2, v2) == (5, 3)
     assert [r["term"] for r in lm2.collect()] == ["a"]
+
+
+def test_compression_features_pinned(spark):
+    """zlib ratio plumbing pinned: exact parity with direct zlib on the
+    same strings, repetition monotonicity, null/empty -> null."""
+    import zlib
+
+    def ref(t, level=6):
+        c = zlib.compressobj(level, zlib.DEFLATED, -15)
+        return len(c.compress(t.encode("utf-8")) + c.flush())
+
+    rep = "spam " * 200
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "recites an entirely different sentence about barometers")
+    rows = [(1, rep), (2, prose), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in X.compression_features(df).collect()}
+
+    for d, t in [(1, rep), (2, prose)]:
+        assert out[d]["n_bytes"] == len(t.encode("utf-8"))
+        assert out[d]["n_deflate"] == ref(t)
+        assert out[d]["compression_ratio"] == round(
+            ref(t) / len(t.encode("utf-8")), 9)
+    assert out[1]["compression_ratio"] < 0.1          # planted repetition
+    assert out[2]["compression_ratio"] > out[1]["compression_ratio"]
+    for d in (3, 4):
+        assert (out[d]["n_bytes"], out[d]["n_deflate"],
+                out[d]["compression_ratio"]) == (None, None, None)

@@ -125,6 +125,12 @@ def main(argv: list[str] | None = None) -> int:
                         "'term' column; prints corpus OOV mass and the 20 "
                         "worst-covered docs (high oov_frac = corpus/"
                         "tokenizer mismatch)")
+    p.add_argument("--compression", action="store_true",
+                   help="zlib compressibility screen over a "
+                        "documents-shaped input: prints the 20 most "
+                        "compressible docs (ratio <~0.3 = boilerplate/"
+                        "template repetition) and the 20 least (ratio "
+                        ">~1.0 = already-compressed or binary-ish text)")
     p.add_argument("--auto", action="store_true",
                    help="end-to-end pipeline: profile the input and PROPOSE "
                         "a rule set (Deequ-style suggestion), validate with "
@@ -307,6 +313,23 @@ def main(argv: list[str] | None = None) -> int:
         (X.unigram_logprob(df)
          .orderBy(F.col("avg_neg_logp").desc(), "doc_id").limit(20)
          .show(truncate=False))
+        spark.stop()
+        return 0
+
+    if args.compression:
+        from pyspark.sql import functions as F
+
+        from valar_spark import textops as X
+
+        feats = X.compression_features(df).where(
+            F.col("compression_ratio").isNotNull()).cache()
+        print("20 most compressible docs (boilerplate suspects):")
+        (feats.orderBy("compression_ratio", "doc_id").limit(20)
+         .show(truncate=False))
+        print("20 least compressible docs (binary/pre-compressed "
+              "suspects):")
+        (feats.orderBy(F.col("compression_ratio").desc(), "doc_id")
+         .limit(20).show(truncate=False))
         spark.stop()
         return 0
 

@@ -2369,3 +2369,56 @@ def score_unigram_logprob(df: DataFrame, lm: DataFrame, n_tokens: int,
             .alias("avg_neg_logp"),
             F.round(F.col("_oov") / F.col("_n"), 9).alias("oov_frac"))
     )
+
+
+def compression_features(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         level: int = 6) -> DataFrame:
+    """Per-document zlib compressibility — ``(id, n_bytes, n_deflate,
+    compression_ratio)`` with ``ratio = deflate_bytes / utf8_bytes``.
+    The classic cheap quality gate the n-gram features approximate:
+    machine-generated/boilerplate text compresses far below prose
+    (ratio ≲ 0.3 ⇒ near-pure repetition; ≳ 1.0 ⇒ already-compressed or
+    random bytes masquerading as text), used as a corpus filter in the
+    RefinedWeb/Dolma/Gopher lineage of pretraining pipelines.
+
+    Determinism contract: raw DEFLATE stream (``wbits=-15`` — no
+    zlib/gzip container, so no OS/header variance), pinned ``level``,
+    default ``memLevel``/strategy; zlib's output for a given (input,
+    parameters) is stable across CPython builds because it vendors a
+    single zlib implementation. Null/empty text ⇒ null metrics (the
+    quality gate owns emptiness).
+
+    No SQL twin exists (DuckDB exposes no compression function), so the
+    gate entry is rows-only by contract; the arithmetic is pinned by
+    exact unit tests (known strings, planted repetition monotonicity,
+    batch-shape invariance) and the UDF is the same Arrow-batched
+    one-pass projection shape as :func:`charset_features` — shuffle-free,
+    runs at scan speed."""
+    import zlib
+
+    @F.pandas_udf("long")
+    def deflate_len(s):  # pd.Series[str] -> pd.Series[Int64]
+        import pandas as pd
+
+        def one(t):
+            if t is None or not isinstance(t, str) or t == "":
+                return None
+            c = zlib.compressobj(level, zlib.DEFLATED, -15)
+            return len(c.compress(t.encode("utf-8")) + c.flush())
+
+        return pd.Series([one(t) for t in s], dtype="Int64")
+
+    c = F.col(text_col)
+    n_bytes = F.octet_length(c)
+    base = df.select(
+        id_col,
+        F.when(c.isNull() | (n_bytes == 0), F.lit(None))
+        .otherwise(n_bytes).cast("long").alias("n_bytes"),
+        deflate_len(c).alias("n_deflate"),
+    )
+    return base.select(
+        id_col, "n_bytes", "n_deflate",
+        F.round(F.col("n_deflate").cast("double") / F.col("n_bytes"), 9)
+        .alias("compression_ratio"),
+    )
