@@ -648,52 +648,58 @@ def stream_lm_surprise(
     language relative to the reference corpus.
 
     Entirely stateless — one broadcast dict lookup per Arrow batch
-    (vectorized token split + counts in numpy/pandas), no state store,
-    no watermark, append-mode safe — so it composes with the curation
-    sink as another gate column. Null/blank text scores NULL (the
-    quality gate owns emptiness).
+    (vectorized: pandas str split/explode, ``Series.map`` against the
+    counts dict, index-grouped sums), no state store, no watermark,
+    append-mode safe — so it composes with the curation sink as another
+    gate column. Null/blank text scores NULL (the quality gate owns
+    emptiness).
 
-    Exact-parity contract with the batch scorer: identical tokenizer
-    (ASCII-whitespace runs, lowercased), identical add-one smoothing,
-    identical 6/9-decimal rounding — pinned by a batch-equality test."""
+    Exact-parity contract with the batch scorer BY CONSTRUCTION: the
+    pandas stage emits only raw sums (token count, Σ ln(ct+1), OOV
+    count); the final projection applies the SAME ``F.round`` Column
+    expressions as :func:`~valar_spark.textops.score_unigram_logprob`,
+    so rounding semantics (Spark HALF_UP, never Python banker's) cannot
+    diverge — pinned by a batch-equality test."""
     import re
 
-    denom_log = math.log(float(n_tokens + vocab_size))
-    out_schema = T.StructType(
+    denom = float(n_tokens + vocab_size)
+    inter_schema = T.StructType(
         stream_df.schema.fields
-        + [T.StructField("n_tokens", T.LongType()),
-           T.StructField("avg_neg_logp", T.DoubleType()),
-           T.StructField("oov_frac", T.DoubleType())])
+        + [T.StructField("_n", T.DoubleType()),
+           T.StructField("_sl", T.DoubleType()),
+           T.StructField("_oov", T.DoubleType())])
+    # \S under re.ASCII == [^ \t\n\r\f\v]: the Java-whitespace token
+    # contract of textops.tokens (WS_CLASS), NBSP etc. stay token chars
     ws = re.compile(r"\S+", re.ASCII)
 
     def score(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            n_toks, surprise, oov = [], [], []
-            for t in pdf[text_col]:
-                if t is None or not isinstance(t, str) or not ws.search(t):
-                    n_toks.append(None)
-                    surprise.append(None)
-                    oov.append(None)
-                    continue
-                toks = ws.findall(t.lower())
-                sl = 0.0
-                n_oov = 0
-                for tok in toks:
-                    ct = lm_counts.get(tok)
-                    if ct is None:
-                        n_oov += 1
-                    else:
-                        sl += math.log(ct + 1.0)
-                n = len(toks)
-                n_toks.append(n)
-                surprise.append(round(denom_log - sl / n, 6))
-                oov.append(round(n_oov / n, 9))
+            toks = pdf[text_col].str.lower().str.findall(ws)
+            n = toks.str.len().astype("float64")
+            mask = n.notna() & (n > 0)
+            sl = pd.Series(0.0, index=pdf.index)
+            oov = pd.Series(0.0, index=pdf.index)
+            if mask.any():
+                ex = toks[mask].explode()
+                ct = ex.map(lm_counts)
+                lg = np.log(pd.to_numeric(ct, errors="coerce")
+                            .fillna(0.0) + 1.0)
+                sl.update(lg.groupby(level=0).sum())
+                oov.update(ct.isna().astype("float64")
+                           .groupby(level=0).sum())
             pdf = pdf.copy()
-            pdf["n_tokens"] = pd.array(n_toks, dtype="Int64")
-            pdf["avg_neg_logp"] = pd.array(surprise, dtype="float64")
-            pdf["oov_frac"] = pd.array(oov, dtype="float64")
+            pdf["_n"] = n.where(mask)
+            pdf["_sl"] = sl.where(mask)
+            pdf["_oov"] = oov.where(mask)
             yield pdf
 
-    return stream_df.mapInPandas(score, out_schema)
+    raw = stream_df.mapInPandas(score, inter_schema)
+    return raw.select(
+        *stream_df.columns,
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.round(F.lit(math.log(denom)) - F.col("_sl") / F.col("_n"), 6)
+        .alias("avg_neg_logp"),
+        F.round(F.col("_oov") / F.col("_n"), 9).alias("oov_frac"))
