@@ -791,6 +791,35 @@ def _q_prefix_dedup_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("prefix_hash", "conv"))
 
 
+def _q_divergent_dups_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key triage (dataset_rules.py::divergent_duplicates)
+    under a full DuckDB hash oracle: beyond the synth's own verbatim
+    duplicate plant (all ``exact_replay`` by construction,
+    synth.py::p_dup), convs with conv_num % 29 == 11 gain a DIVERGENT
+    copy of turn 1 (same key, rewritten text — a branched regeneration)
+    and convs with conv_num % 29 == 12 gain one more verbatim copy of
+    turn 1, so both kinds — and their interaction with the pre-existing
+    plants (a turn-1 row that is NULL, oversized, or already duplicated)
+    — are exercised and exactly reproducible in SQL."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark)) \
+        .select("conv_id", "turn_idx", "text")
+    cn = _conv_num()
+    divergent = (df.filter((cn % 29 == 11) & (F.col("turn_idx") == 1))
+                 .withColumn("text",
+                             F.lit("regen: alternative continuation.")))
+    replay = df.filter((cn % 29 == 12) & (F.col("turn_idx") == 1))
+    planted = df.unionAll(divergent).unionAll(replay)
+    return (D.divergent_duplicates(planted)
+            .select("conv_id",
+                    F.col("turn_idx").cast("long").alias("turn_idx"),
+                    F.col("dup_count").cast("long").alias("dup_count"),
+                    F.col("n_variants").cast("long").alias("n_variants"),
+                    "kind")
+            .orderBy("conv_id", "turn_idx"))
+
+
 def _q_loop_detection_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stuck-agent loop detection (dataset_rules.py::degenerate_runs)
     under a full DuckDB hash oracle: convs with conv_num % 23 == 7 get
@@ -2750,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_documents": _q_vocab_coverage,
         "lm_score_documents": _q_lm_score,
         "compression_documents": _q_compression,
+        "divergent_dups_transcripts": _q_divergent_dups_transcripts,
     }
 
 
@@ -4209,6 +4239,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # dense-turn_idx completeness on the raw north-rule table: the
         # negative-idx plant both breaks the origin and leaves a hole
+        # duplicate-key triage: the synth's verbatim dup plant plus the
+        # query's own divergent (%29==11) / replay (%29==12) turn-1 copies
+        "divergent_dups_transcripts": rf"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, text
+                FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            ), planted AS (
+                SELECT conv_id, turn_idx, text FROM t
+                UNION ALL
+                SELECT conv_id, turn_idx,
+                       'regen: alternative continuation.' AS text
+                FROM t
+                WHERE CAST(SUBSTR(conv_id, 2, 8) AS INT) % 29 = 11
+                  AND turn_idx = 1
+                UNION ALL
+                SELECT conv_id, turn_idx, text
+                FROM t
+                WHERE CAST(SUBSTR(conv_id, 2, 8) AS INT) % 29 = 12
+                  AND turn_idx = 1
+            ), g AS (
+                SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+                       COUNT(*)::BIGINT AS dup_count,
+                       COUNT(DISTINCT md5(COALESCE(text, chr(0))))::BIGINT
+                           AS n_variants
+                FROM planted
+                GROUP BY conv_id, turn_idx
+                HAVING COUNT(*) > 1
+            )
+            SELECT conv_id, turn_idx, dup_count, n_variants,
+                   CASE WHEN n_variants > 1 THEN 'divergent'
+                        ELSE 'exact_replay' END AS kind
+            FROM g
+            ORDER BY conv_id, turn_idx
+        """,
         "sequence_gaps_transcripts": rf"""
             SELECT conv_id,
                    COUNT(*)::BIGINT AS n_rows,

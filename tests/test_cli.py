@@ -240,3 +240,22 @@ def test_cli_compression(spark, tmp_path, monkeypatch, capsys):
     ])
     assert rc == 0
     assert "most compressible" in out and "compression_ratio" in out
+
+
+def test_cli_divergent_dups(spark, tmp_path, monkeypatch, capsys):
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:20000",
+        "--work-dir", str(tmp_path), "--run-id", "dd1",
+        "--divergent-dups"])
+    assert rc == 0
+    path = _json_line(out)["divergent_dups"]
+    flagged = spark.read.parquet(path)
+    assert set(flagged.columns) == {
+        "conv_id", "turn_idx", "dup_count", "n_variants", "kind"}
+    # the synth's dup plant copies rows verbatim (exact_replay); the only
+    # divergent groups possible are negative-idx collisions, where two
+    # DIFFERENT original turns of one conv both get rewritten to -1
+    rows = flagged.select("turn_idx", "kind").collect()
+    kinds = {r["kind"] for r in rows}
+    assert "exact_replay" in kinds and flagged.count() > 0
+    assert all(r["turn_idx"] < 0 for r in rows if r["kind"] == "divergent")

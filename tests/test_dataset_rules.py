@@ -980,3 +980,33 @@ def test_schema_evolution_statuses(spark):
         ("v", "removed", "double", None),
         ("b", "added", None, "boolean"),
     ]
+
+
+def test_divergent_duplicates_triage(spark):
+    """Duplicate groups classify as exact_replay only when every copy's
+    content agrees byte-for-byte; NULL is its own variant; singletons
+    never appear."""
+    rows = [
+        ("a", 1, "same"), ("a", 1, "same"),            # exact replay ×2
+        ("b", 1, "left"), ("b", 1, "right"),           # divergent
+        ("c", 1, None), ("c", 1, "text"),              # NULL vs text
+        ("d", 1, None), ("d", 1, None),                # NULL replay
+        ("e", 1, "single"),                            # not duplicated
+        ("f", 2, "x"), ("f", 2, "x"), ("f", 2, "y"),   # 3 copies, 2 variants
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string")
+    got = {(r["conv_id"], r["turn_idx"]):
+           (r["dup_count"], r["n_variants"], r["kind"])
+           for r in D.divergent_duplicates(df).collect()}
+    assert got == {
+        ("a", 1): (2, 1, "exact_replay"),
+        ("b", 1): (2, 2, "divergent"),
+        ("c", 1): (2, 2, "divergent"),
+        ("d", 1): (2, 1, "exact_replay"),
+        ("f", 2): (3, 2, "divergent"),
+    }
+    # flagged keys == duplicate_keys' keys, counts agree
+    dk = {(r["conv_id"], r["turn_idx"]): r["dup_count"]
+          for r in D.duplicate_keys(df, ["conv_id", "turn_idx"]).collect()}
+    assert dk == {k: v[0] for k, v in got.items()}

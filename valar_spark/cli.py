@@ -77,6 +77,14 @@ def main(argv: list[str] | None = None) -> int:
                         "rollup")
     p.add_argument("--max-latency-s", type=int, default=60,
                    help="latency above this flags too_slow (--latency)")
+    p.add_argument("--divergent-dups", action="store_true",
+                   help="duplicate-key triage over a transcripts-shaped "
+                        "input: groups duplicated (conv_id, turn_idx) "
+                        "keys into exact_replay (all copies byte-equal — "
+                        "safe to auto-dedup) vs divergent (copies "
+                        "disagree — branched regeneration/corruption, "
+                        "needs review); writes the flagged keys and "
+                        "prints the per-kind rollup")
     p.add_argument("--heavy-hitters", metavar="COL", default=None,
                    help="mergeable Misra-Gries frequency sketch of COL: "
                         "prints the top surviving counters and the "
@@ -260,6 +268,24 @@ def main(argv: list[str] | None = None) -> int:
               f"({m} bits, {k} hashes over {n_parent} parent keys)")
         for r in got[:20]:
             print(f"  {r['conv_id']}  ({r['orphan_rows']} rows)")
+        spark.stop()
+        return 0
+
+    if args.divergent_dups:
+        import os
+
+        from pyspark.sql import functions as F
+
+        flagged = D.divergent_duplicates(df)
+        out = os.path.join(args.work_dir, f"divergent_dups_{args.run_id}")
+        flagged.write.mode("overwrite").parquet(out)
+        flagged = spark.read.parquet(out)
+        (flagged.groupBy("kind")
+         .agg(F.count(F.lit(1)).alias("n_keys"),
+              F.sum(F.col("dup_count") - 1).alias("n_extra_rows"))
+         .orderBy("kind")
+         .show(truncate=False))
+        print(json.dumps({"run_id": args.run_id, "divergent_dups": out}))
         spark.stop()
         return 0
 

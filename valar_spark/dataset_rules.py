@@ -94,6 +94,45 @@ def uniqueness_violations(
     )
 
 
+def divergent_duplicates(
+    df: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    content_col: str = "text",
+) -> DataFrame:
+    """Triage duplicate key groups by content agreement:
+    ``(*keys, dup_count, n_variants, kind)`` where ``kind`` is
+    ``exact_replay`` (every copy carries byte-identical content — a
+    benign retry/replay/backfill artifact, safe to auto-dedup) or
+    ``divergent`` (copies disagree — a branched regeneration or a
+    corruption, which needs human triage before any copy is dropped).
+
+    :func:`duplicate_keys` answers *which* keys are duplicated; this
+    answers *whether the duplicates are interchangeable* — the question a
+    100-TB operator actually has to settle before deleting rows. A NULL
+    content value counts as its own variant (NULL vs text is divergence).
+
+    Scale: the standard two-exchange distinct-aggregate plan — a partial
+    aggregate keyed on ``(*keys, md5(content))`` collapses the
+    non-duplicated bulk map-side to one row per (key, digest) BEFORE the
+    first exchange, and the second exchange re-keys those survivors on
+    the key columns alone. Content never crosses a shuffle as text, only
+    as its 128-bit ``md5`` digest (the NUL sentinel keeps NULL distinct
+    from every real text). No window, no self-join, no second scan of
+    the table.
+    """
+    digest = F.md5(F.coalesce(F.col(content_col), F.lit("\x00")))
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"),
+             F.countDistinct(digest).alias("n_variants"))
+        .filter(F.col("dup_count") > 1)
+        .withColumn(
+            "kind",
+            F.when(F.col("n_variants") > 1, F.lit("divergent"))
+            .otherwise(F.lit("exact_replay")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Referential integrity (BASELINE.json:6 — conv_id ⊆ registry)
 # ---------------------------------------------------------------------------
