@@ -916,6 +916,50 @@ def _q_response_latency_transcripts(spark: SparkSession,
     )
 
 
+def _q_tool_latency_transcripts(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-tool round-trip health profile
+    (dataset_rules.py::tool_roundtrip_profile) under a full DuckDB hash
+    oracle: every role='tool' turn is paired with the latest assistant
+    turn at-or-before it (cumulative-MAX as-of window, RANGE frame so
+    duplicated (conv, turn_idx) plants stay tie-insensitive), then
+    rolled up per tool name — call count, distinct conversations,
+    results with no prior caller (the negative-idx plant drags tool
+    turns before any assistant), causality breaks (out-of-order ts
+    plant), and latency mean/max. NULL tool names (the bad-role plant
+    relabels turns without assigning a tool) profile under
+    '(unnamed)'."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    return (D.tool_roundtrip_profile(df)
+            .select("tool",
+                    F.col("n_calls").cast("long").alias("n_calls"),
+                    F.col("n_convs").cast("long").alias("n_convs"),
+                    F.col("n_no_caller").cast("long").alias("n_no_caller"),
+                    F.col("n_negative").cast("long").alias("n_negative"),
+                    "mean_latency_s",
+                    F.col("max_latency_s").cast("long")
+                    .alias("max_latency_s"))
+            .orderBy("tool"))
+
+
+def _q_file_balance_transcripts(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Physical-layout audit (dataset_rules.py::file_balance_profile)
+    under a full DuckDB hash oracle: rows per part file of the gate
+    transcript table with each file's share of the total — Spark reads
+    the basename from input_file_name() inside the scan, DuckDB from
+    read_parquet(filename=true); both engines enumerate the same
+    physical files, so the profile (the small-files / hot-file audit a
+    100-TB operator runs before blaming a query) must agree
+    bit-for-bit."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    return D.file_balance_profile(df).orderBy("file")
+
+
 def _q_context_overflow_transcripts(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """Context-window budget check on the transcript table
@@ -2780,6 +2824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_documents": _q_lm_score,
         "compression_documents": _q_compression,
         "divergent_dups_transcripts": _q_divergent_dups_transcripts,
+        "tool_latency_transcripts": _q_tool_latency_transcripts,
+        "file_balance_transcripts": _q_file_balance_transcripts,
     }
 
 
@@ -4272,6 +4318,49 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'exact_replay' END AS kind
             FROM g
             ORDER BY conv_id, turn_idx
+        """,
+        # per-tool round-trip rollup: same as-of cumulative-MAX window as
+        # response_latency_transcripts, keyed by the tool-name column
+        "tool_latency_transcripts": rf"""
+            WITH lat AS (
+                SELECT COALESCE(tool, '(unnamed)') AS tool, conv_id, role,
+                       CAST(epoch(ts) AS BIGINT)
+                         - CAST(epoch(MAX(CASE WHEN role = 'assistant'
+                                          THEN ts END) OVER
+                             (PARTITION BY conv_id
+                              ORDER BY turn_idx ASC NULLS FIRST))
+                             AS BIGINT) AS lat
+                FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+            )
+            SELECT tool,
+                   COUNT(*)::BIGINT AS n_calls,
+                   COUNT(DISTINCT conv_id)::BIGINT AS n_convs,
+                   COUNT(CASE WHEN lat IS NULL THEN 1 END)::BIGINT
+                       AS n_no_caller,
+                   COUNT(CASE WHEN lat < 0 THEN 1 END)::BIGINT
+                       AS n_negative,
+                   ROUND(AVG(lat), 3) AS mean_latency_s,
+                   MAX(lat)::BIGINT AS max_latency_s
+            FROM lat
+            WHERE role = 'tool'
+            GROUP BY tool
+            ORDER BY tool
+        """,
+        # physical-layout audit: both engines enumerate the same part
+        # files of the persisted gate table
+        "file_balance_transcripts": rf"""
+            WITH pf AS (
+                SELECT regexp_extract(filename, '[^/]+$') AS file,
+                       COUNT(*)::BIGINT AS n_rows
+                FROM read_parquet('{_GATE_TRANSCRIPTS_PATH}/*.parquet',
+                                  filename=true)
+                GROUP BY 1
+            )
+            SELECT file, n_rows,
+                   ROUND(n_rows * 100.0 / SUM(n_rows) OVER (), 3)
+                       AS share_pct
+            FROM pf
+            ORDER BY file
         """,
         "sequence_gaps_transcripts": rf"""
             SELECT conv_id,

@@ -259,3 +259,30 @@ def test_cli_divergent_dups(spark, tmp_path, monkeypatch, capsys):
     kinds = {r["kind"] for r in rows}
     assert "exact_replay" in kinds and flagged.count() > 0
     assert all(r["turn_idx"] < 0 for r in rows if r["kind"] == "divergent")
+
+
+def test_cli_tool_latency_and_file_balance(spark, tmp_path, monkeypatch,
+                                           capsys):
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:20000",
+        "--work-dir", str(tmp_path), "--run-id", "tl1",
+        "--tool-latency"])
+    assert rc == 0
+    tools = _json_line(out)["tools"]
+    # the synth assigns every role='tool' turn a name from TOOLS
+    assert tools and all(n > 0 for n in tools.values())
+
+    # file balance needs a real parquet input (input_file_name is empty
+    # for in-memory synth)
+    path = str(tmp_path / "fb_in")
+    from valar_spark.synth import synth_transcripts
+    synth_transcripts(spark, total_turns=20000, seed=42) \
+        .repartition(4).write.parquet(path)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", path,
+        "--work-dir", str(tmp_path), "--run-id", "fb1",
+        "--file-balance"])
+    assert rc == 0
+    d = _json_line(out)
+    assert d["n_files"] == 4 and d["min_rows"] > 0
+    assert d["min_rows"] <= d["avg_rows"] <= d["max_rows"]

@@ -1010,3 +1010,58 @@ def test_divergent_duplicates_triage(spark):
     dk = {(r["conv_id"], r["turn_idx"]): r["dup_count"]
           for r in D.duplicate_keys(df, ["conv_id", "turn_idx"]).collect()}
     assert dk == {k: v[0] for k, v in got.items()}
+
+
+def test_tool_roundtrip_profile(spark):
+    """Per-tool rollup: latency is seconds since the latest assistant
+    turn at-or-before the tool turn; no caller => NULL latency counted,
+    causality break counted; NULL tool name profiles under (unnamed)."""
+    rows = [
+        # conv a: two 'search' calls — one 3s round trip, one causality
+        # break (result stamped 2s BEFORE its caller)
+        ("a", 0, "system", None, 0),
+        ("a", 1, "assistant", None, 10),
+        ("a", 2, "tool", "search", 13),
+        ("a", 3, "assistant", None, 20),
+        ("a", 4, "tool", "search", 18),
+        # conv b: a result before any caller, then an unnamed result
+        ("b", 0, "tool", "calc", 5),
+        ("b", 1, "assistant", None, 6),
+        ("b", 2, "tool", None, 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string,"
+              " ts long")
+    got = {r["tool"]: (r["n_calls"], r["n_convs"], r["n_no_caller"],
+                       r["n_negative"], r["mean_latency_s"],
+                       r["max_latency_s"])
+           for r in D.tool_roundtrip_profile(df).collect()}
+    assert got == {
+        "search": (2, 1, 0, 1, 0.5, 3),
+        "calc": (1, 1, 1, 0, None, None),
+        "(unnamed)": (1, 1, 0, 0, 2.0, 2),
+    }
+
+
+def test_file_balance_profile(spark, tmp_path):
+    """Per-file row counts match each part file's actual parquet row
+    count; shares sum to 100."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "fb")
+    spark.range(1000).withColumn("k", F.col("id") % 7) \
+        .repartition(4).write.parquet(path)
+    prof = {r["file"]: (r["n_rows"], r["share_pct"])
+            for r in D.file_balance_profile(
+                spark.read.parquet(path)).collect()}
+    parts = glob.glob(os.path.join(path, "part-*.parquet"))
+    assert len(parts) == 4 and set(prof) == {os.path.basename(p)
+                                             for p in parts}
+    for p in parts:
+        n = pq.read_metadata(p).num_rows
+        assert prof[os.path.basename(p)][0] == n
+        assert prof[os.path.basename(p)][1] == round(n * 100.0 / 1000, 3)
+    assert abs(sum(s for _, s in prof.values()) - 100.0) < 1e-6

@@ -137,6 +137,12 @@ def test_gate_window_covers_never_gated():
         # the added classification is pinned by its own hash oracle
         # (judge-runnable via BENCH/check_oracles.py) + unit test
         "divergent_dups_transcripts": "transcript_integrity_transcripts",
+        # tool round-trip is response_latency's as-of window keyed by
+        # tool name (response_latency_transcripts has a prior driver
+        # gate); file balance is a metadata-only layout audit whose
+        # oracle re-counts the same physical part files from DuckDB
+        "tool_latency_transcripts": "response_latency_transcripts",
+        "file_balance_transcripts": "response_latency_transcripts",
     }
     orphans = [
         k for k in keys[50:]

@@ -85,6 +85,19 @@ def main(argv: list[str] | None = None) -> int:
                         "disagree — branched regeneration/corruption, "
                         "needs review); writes the flagged keys and "
                         "prints the per-kind rollup")
+    p.add_argument("--tool-latency", action="store_true",
+                   help="per-tool round-trip health profile: pairs every "
+                        "tool-result turn with the latest assistant turn "
+                        "at-or-before it and rolls up per tool name — "
+                        "call/conversation counts, results with no prior "
+                        "caller, timestamp-causality breaks, and latency "
+                        "mean/max; the which-tool-is-slow-or-flaky "
+                        "dashboard")
+    p.add_argument("--file-balance", action="store_true",
+                   help="physical-layout audit of a parquet input: rows "
+                        "per part file and each file's share of the "
+                        "table, surfacing hot files and small-files "
+                        "problems before they cap scan parallelism")
     p.add_argument("--heavy-hitters", metavar="COL", default=None,
                    help="mergeable Misra-Gries frequency sketch of COL: "
                         "prints the top surviving counters and the "
@@ -286,6 +299,34 @@ def main(argv: list[str] | None = None) -> int:
          .orderBy("kind")
          .show(truncate=False))
         print(json.dumps({"run_id": args.run_id, "divergent_dups": out}))
+        spark.stop()
+        return 0
+
+    if args.tool_latency:
+        flagged = D.tool_roundtrip_profile(df).orderBy("tool")
+        flagged.show(truncate=False)
+        print(json.dumps({
+            "run_id": args.run_id,
+            "tools": {r["tool"]: r["n_calls"]
+                      for r in flagged.collect()}}))
+        spark.stop()
+        return 0
+
+    if args.file_balance:
+        from pyspark.sql import functions as F
+
+        prof = D.file_balance_profile(df)
+        prof.orderBy(F.desc("n_rows")).show(20, truncate=False)
+        summary = prof.agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.min("n_rows").alias("min_rows"),
+            F.max("n_rows").alias("max_rows"),
+            F.round(F.avg("n_rows"), 1).alias("avg_rows")).first()
+        print(json.dumps({"run_id": args.run_id,
+                          "n_files": summary["n_files"],
+                          "min_rows": summary["min_rows"],
+                          "max_rows": summary["max_rows"],
+                          "avg_rows": summary["avg_rows"]}))
         spark.stop()
         return 0
 

@@ -1535,6 +1535,92 @@ def response_latency_violations(
             .filter(F.col("reason").isNotNull()))
 
 
+def tool_roundtrip_profile(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    caller: str = "assistant",
+    tool_role: str = "tool",
+) -> DataFrame:
+    """Per-tool round-trip health profile over agent transcripts: for
+    every ``tool_role`` turn, the seconds since the latest ``caller``
+    turn at-or-before it in the conversation (the as-of call→result
+    round trip, same cumulative-MAX window trick as
+    :func:`response_latency`), rolled up per tool name into
+    ``(tool, n_calls, n_convs, n_no_caller, n_negative, mean_latency_s,
+    max_latency_s)``.
+
+    This is the "which tool is slow / flaky / mis-wired" dashboard an
+    agent-fleet operator reads before blaming the model: ``n_no_caller``
+    counts results that precede any caller turn (protocol violation),
+    ``n_negative`` counts timestamp-causality breaks (out-of-order
+    ingest), and the latency moments expose hung tools. Scale shape:
+    ONE Exchange on ``conv_col`` for the window pass, then a partial
+    (map-side) aggregate onto the tiny per-tool key space — the rollup
+    re-shuffles only one row per (task, tool). Tool-role rows with a
+    NULL tool name are profiled under the sentinel ``(unnamed)`` rather
+    than dropped: a result turn that lost its tool label is itself a
+    defect worth counting."""
+    w = Window.partitionBy(conv_col).orderBy(F.col(order_col))
+    prior_call = F.max(
+        F.when(F.col(role_col) == caller, F.col(ts_col))).over(w)
+    lat = (F.col(ts_col).cast("long") - prior_call.cast("long"))
+    per_turn = (
+        df.withColumn("_lat", lat)
+        .filter(F.col(role_col) == tool_role)
+        .select(
+            F.coalesce(F.col(tool_col), F.lit("(unnamed)")).alias("tool"),
+            F.col(conv_col).alias("_conv"),
+            F.col("_lat"),
+        )
+    )
+    return (
+        per_turn.groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.countDistinct("_conv").alias("n_convs"),
+            F.count(F.when(F.col("_lat").isNull(), 1)).alias("n_no_caller"),
+            F.count(F.when(F.col("_lat") < 0, 1)).alias("n_negative"),
+            F.round(F.avg("_lat"), 3).alias("mean_latency_s"),
+            F.max("_lat").alias("max_latency_s"),
+        )
+    )
+
+
+def file_balance_profile(df: DataFrame) -> DataFrame:
+    """Physical-layout audit: rows per input file for a parquet-backed
+    DataFrame — ``(file, n_rows, share_pct)`` where ``file`` is the
+    part-file basename and ``share_pct`` its share of the table's rows.
+
+    At 100 TB the layout IS the performance model: one hot part file
+    (a skewed writer, a failed compaction) caps scan parallelism no
+    matter how many executors exist, and a million tiny files drown the
+    scheduler — both show up here before any query pays for them. The
+    profile is metadata-cheap: ``input_file_name()`` is evaluated
+    per-row inside the scan (no extra column read), the per-file count
+    collapses map-side (each task sees a handful of files), and only
+    one row per file crosses the shuffle. The share denominator is a
+    broadcast single-row aggregate, never a second scan."""
+    per_file = (
+        df.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    total = per_file.agg(F.sum("n_rows").alias("_total"))
+    return (
+        per_file.crossJoin(F.broadcast(total))
+        .select(
+            "file", "n_rows",
+            F.round(F.col("n_rows") * 100.0 / F.col("_total"), 3)
+            .alias("share_pct"),
+        )
+    )
+
+
 def context_overflow(
     df: DataFrame,
     max_tokens: int,
