@@ -286,3 +286,29 @@ def test_cli_tool_latency_and_file_balance(spark, tmp_path, monkeypatch,
     d = _json_line(out)
     assert d["n_files"] == 4 and d["min_rows"] > 0
     assert d["min_rows"] <= d["avg_rows"] <= d["max_rows"]
+
+
+def test_cli_rules_suite_roundtrip(spark, tmp_path, monkeypatch, capsys):
+    """--auto --rules-out exports the suggested suite as JSON; a later
+    --rules run loads it as config and validates with it."""
+    suite_path = str(tmp_path / "suite.json")
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:3000", "--work-dir", str(tmp_path / "w1"),
+        "--run-id", "s0", "--auto", "--buckets", "4",
+        "--buckets-per-job", "4", "--rules-out", suite_path])
+    assert rc == 0
+    assert f"suite written: {suite_path}" in out
+
+    import json as _json
+    doc = _json.loads(open(suite_path).read())
+    assert doc["valar_suite"] == 1 and doc["rules"]
+
+    rc2, out2 = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:3000", "--work-dir", str(tmp_path / "w2"),
+        "--run-id", "s1", "--rules", suite_path,
+        "--buckets", "4", "--buckets-per-job", "4"])
+    assert rc2 == 0
+    assert f"loaded suite: {suite_path}" in out2
+    res = _json_line(out2)
+    assert res["run_id"] == "s1"
+    assert res["buckets_processed"] == list(range(4))

@@ -1,0 +1,152 @@
+"""Suite serialization: the declarative rule subset round-trips to JSON
+with identical rule_ids and bit-identical violations; Column-bearing
+rules refuse loudly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from valar_spark import rules as R
+from valar_spark import suite_from_json, suite_to_json, validate
+from valar_spark.suite import rule_from_dict, rule_to_dict
+
+
+def _suite():
+    return {
+        "text": R.non_empty() & R.max_length(20)
+        & R.matches(r"[a-z .!]*", message="lowercase only"),
+        "turn_idx": R.non_negative() & R.in_range(0, 100),
+        "role": R.required() & R.one_of(["system", "user", "assistant",
+                                         "tool"]),
+        "tool": R.optional(R.one_of(["search", "code"])),
+        "score": R.finite() | R.castable("double"),
+        "payload": R.optional(R.json_parseable()),
+    }
+
+
+def test_round_trip_identical_violations(spark):
+    rows = [
+        ("hi there.", 1, "user", None, 1.0, '{"k": 1}'),
+        ("", -3, "narrator", "hammer", float("nan"), "{broken"),
+        (None, 200, None, "search", float("inf"), None),
+        ("THIS TEXT IS FAR TOO LONG AND UPPERCASE", 5, "tool", "code",
+         2.5, "[]"),
+    ]
+    df = spark.createDataFrame(
+        rows, "text string, turn_idx int, role string, tool string,"
+              " score double, payload string")
+
+    suite = _suite()
+    doc = suite_to_json(suite)
+    reloaded = suite_from_json(doc)
+
+    keys = {"keys": ("text", "turn_idx")}
+    run_a = validate(df, suite, **keys)
+    run_b = validate(df, reloaded, **keys)
+    va = sorted(map(str, run_a.violations.drop("partition_id").collect()))
+    vb = sorted(map(str, run_b.violations.drop("partition_id").collect()))
+    assert va == vb and len(va) > 0
+    # serialization is a pure function of the suite
+    assert suite_to_json(reloaded) == doc
+
+
+def test_structural_combinators_round_trip():
+    rule = R.Union(
+        {"int_like": R.castable("int"), "word": R.matches(r"\w+")},
+        expected="Int | Word",
+    )
+    d = rule_to_dict(rule)
+    r2 = rule_from_dict(d)
+    assert isinstance(r2, R.Union) and r2.expected == "Int | Word"
+    # branch ORDER is semantic (first valid wins) and must survive
+    assert [n for n, _ in r2.branches] == [n for n, _ in rule.branches]
+
+    nested = R.StructRule({
+        "name": R.non_empty(),
+        "tags": R.ArrayRule(R.min_length(2), collection_type="List"),
+        "attrs": R.MapRule(R.non_empty(), R.max_length(5),
+                           key_type="K", value_type="V"),
+    })
+    r3 = rule_from_dict(rule_to_dict(nested))
+    assert list(r3.fields) == ["name", "tags", "attrs"]
+    assert r3.fields["tags"].collection_type == "List"
+    assert r3.fields["attrs"].key_type == "K"
+
+    ff = R.non_empty().then(R.min_length(3))
+    r4 = rule_from_dict(rule_to_dict(ff))
+    assert isinstance(r4, R.FailFast) and len(r4.children) == 2
+
+
+def test_unserializable_rules_refuse_loudly():
+    with pytest.raises(ValueError, match="timing.*not serializable"):
+        suite_to_json({"timing": R.row_rule(
+            "ended_after_started", F.col("a") >= F.col("b"))})
+    with pytest.raises(ValueError, match="row_rule, when_then"):
+        suite_to_json({"text": R.when_then(F.col("role") == "tool",
+                                           R.non_empty())})
+
+
+def test_version_tag_checked():
+    with pytest.raises(ValueError, match="valar_suite"):
+        suite_from_json('{"rules": {}}')
+
+
+def test_custom_messages_survive(spark):
+    doc = suite_to_json({"t": R.non_empty(message="custom msg here")})
+    df = spark.createDataFrame([("",)], "t string")
+    got = validate(df, suite_from_json(doc),
+                   keys=("t",)).violations.first()
+    assert got["message"].startswith("Invalid field: t")
+    assert "custom msg here" in got["message"]
+
+
+# --- property: random declarative trees round-trip identically -------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_leaf_specs = st.sampled_from([
+    lambda: R.non_empty(),
+    lambda: R.min_length(2),
+    lambda: R.max_length(9),
+    lambda: R.matches(r"[a-z]+"),
+    lambda: R.required(),
+    lambda: R.json_parseable(),
+    lambda: R.castable("int"),
+    lambda: R.one_of(["a", "bb", "ccc"]),
+])
+
+
+def _trees(depth: int):
+    leaf = _leaf_specs.map(lambda f: f())
+    if depth == 0:
+        return leaf
+    sub = _trees(depth - 1)
+    return st.one_of(
+        leaf,
+        st.tuples(sub, sub).map(lambda t: t[0] & t[1]),
+        st.tuples(sub, sub).map(lambda t: t[0] | t[1]),
+        st.tuples(sub, sub).map(lambda t: t[0].then(t[1])),
+        sub.map(R.Optional),
+        sub.map(R.Recover),
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(rule=_trees(2),
+       rows=st.lists(st.one_of(st.none(), st.text(
+           alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+           max_size=10)), min_size=1, max_size=12))
+def test_random_tree_round_trip(spark, rule, rows):
+    """For any declarative tree: reload(dump(tree)) yields the same
+    serialized form AND the same violations on random data."""
+    d = rule_to_dict(rule)
+    r2 = rule_from_dict(d)
+    assert rule_to_dict(r2) == d
+    df = spark.createDataFrame(list(enumerate(rows)), "id bigint, s string")
+    va = sorted(map(str, validate(df, {"s": rule}, keys=("id",))
+                    .violations.drop("partition_id").collect()))
+    vb = sorted(map(str, validate(df, {"s": r2}, keys=("id",))
+                    .violations.drop("partition_id").collect()))
+    assert va == vb

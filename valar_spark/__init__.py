@@ -11,6 +11,7 @@ checkpoint/resume.
 from .config import DEFAULT, PERMISSIVE, STRICT, ValidationConfig
 from .errors import pretty_print, show_error
 from .rules import recover_value
+from .suite import suite_from_json, suite_to_json
 from .validate import RuleSet, ValidationRun, validate
 
 __all__ = [
@@ -23,6 +24,8 @@ __all__ = [
     "pretty_print",
     "recover_value",
     "show_error",
+    "suite_from_json",
+    "suite_to_json",
     "validate",
 ]
 

@@ -85,6 +85,15 @@ def main(argv: list[str] | None = None) -> int:
                         "disagree — branched regeneration/corruption, "
                         "needs review); writes the flagged keys and "
                         "prints the per-kind rollup")
+    p.add_argument("--rules", metavar="SUITE.json", default=None,
+                   help="validate with a serialized rule suite (the JSON "
+                        "document suite_to_json writes / --rules-out "
+                        "exports) instead of the built-in transcript rule "
+                        "set — rules deploy as reviewed config, not code")
+    p.add_argument("--rules-out", metavar="SUITE.json", default=None,
+                   help="with --auto: also export the suggested rule set "
+                        "as a suite document for review and later --rules "
+                        "runs")
     p.add_argument("--tool-latency", action="store_true",
                    help="per-tool round-trip health profile: pairs every "
                         "tool-result turn with the latest assistant turn "
@@ -434,6 +443,33 @@ def main(argv: list[str] | None = None) -> int:
         sreport.orderBy("column", "rule").show(200, truncate=False)
         args.report = True
         args.history_anomalies = True
+        if args.rules_out:
+            # export the declarative subset as a reviewable suite doc;
+            # Column-bearing candidates (none today — suggest emits only
+            # declarative leaves) would be skipped with a note
+            from valar_spark.suite import rule_to_dict, suite_to_json
+
+            exportable, skipped = {}, []
+            for k, r in rules.items():
+                try:
+                    rule_to_dict(r, path=k)
+                    exportable[k] = r
+                except ValueError:
+                    skipped.append(k)
+            with open(args.rules_out, "w") as fh:
+                fh.write(suite_to_json(exportable))
+            print(f"suite written: {args.rules_out} "
+                  f"({len(exportable)} columns"
+                  + (f", skipped non-declarative: {skipped}" if skipped
+                     else "") + ")")
+    elif args.rules:
+        # a reviewed suite document is the rule set — config, not code
+        from valar_spark.suite import suite_from_json
+
+        with open(args.rules) as fh:
+            rules = suite_from_json(fh.read())
+        print(f"loaded suite: {args.rules} ({len(rules)} columns)")
+        args.report = True
     else:
         # the default transcript rule set lives in the driver-contract
         # module; imported only past the --suggest/--auto branches so those

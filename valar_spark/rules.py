@@ -120,11 +120,34 @@ def _leaf(name: str, build) -> LeafRule:
     return LeafRule(name=name, build=build)
 
 
+def _record_spec(fn):
+    """Attach the (factory name, JSON-safe call args) spec to the rule a
+    declarative leaf factory returns, so :mod:`valar_spark.suite` can
+    serialize a rule set built from these factories to a JSON document
+    (the shippable "expectation suite" a spark-submit job loads instead
+    of code). Only factories whose every argument is a JSON scalar or a
+    list of scalars carry this — Column-/callable-bearing rules
+    (row_rule, when_then, satisfies, pandas_rule) deliberately do not."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        rule = fn(*args, **kwargs)
+        rule.spec = {"kind": fn.__name__,
+                     "args": [list(a) if isinstance(a, (tuple, set))
+                              else a for a in args],
+                     "kwargs": dict(kwargs)}
+        return rule
+
+    return wrapper
+
+
 # ---------------------------------------------------------------------------
 # Leaf constraints — semantics + messages per ValidationHelpers.scala
 # ---------------------------------------------------------------------------
 
 
+@_record_spec
 def non_empty(message: str | None = None) -> LeafRule:
     """Trimmed non-emptiness; null is a distinct error
     (ValidationHelpers.scala:74-99). Blankness uses JAVA String.trim
@@ -147,6 +170,7 @@ def non_empty(message: str | None = None) -> LeafRule:
     return _leaf("non_empty", build)
 
 
+@_record_spec
 def non_negative(message: str | None = None) -> LeafRule:
     """``i >= 0`` (ValidationHelpers.scala:110-120). Null skips (see module
     docstring null policy)."""
@@ -162,6 +186,7 @@ def non_negative(message: str | None = None) -> LeafRule:
     return _leaf("non_negative", build)
 
 
+@_record_spec
 def finite(message: str | None = None) -> LeafRule:
     """Rejects NaN and ±Infinity (ValidationHelpers.scala:131-176).
 
@@ -184,6 +209,7 @@ def finite(message: str | None = None) -> LeafRule:
     return _leaf("finite", build)
 
 
+@_record_spec
 def json_parseable(message: str | None = None) -> LeafRule:
     """String parses as JSON (GreatExpectations
     ``expect_column_values_to_be_json_parseable`` analogue) via Spark's
@@ -210,6 +236,7 @@ def json_parseable(message: str | None = None) -> LeafRule:
     return _leaf("json_parseable", build)
 
 
+@_record_spec
 def min_length(n: int, message: str | None = None) -> LeafRule:
     """Untrimmed length >= n; null invalid (ValidationHelpers.scala:182-207)."""
 
@@ -238,6 +265,7 @@ def min_length(n: int, message: str | None = None) -> LeafRule:
     return _leaf("min_length", build)
 
 
+@_record_spec
 def max_length(n: int, message: str | None = None) -> LeafRule:
     """Untrimmed length <= n; null invalid (ValidationHelpers.scala:213-237)."""
 
@@ -266,6 +294,7 @@ def max_length(n: int, message: str | None = None) -> LeafRule:
     return _leaf("max_length", build)
 
 
+@_record_spec
 def matches(pattern: str, message: str | None = None) -> LeafRule:
     """Full-string regex match; null invalid (ValidationHelpers.scala:250-274).
 
@@ -324,6 +353,7 @@ def matches(pattern: str, message: str | None = None) -> LeafRule:
     return _leaf("matches", build)
 
 
+@_record_spec
 def in_range(lo, hi, message: str | None = None) -> LeafRule:
     """Inclusive ``[lo, hi]`` (ValidationHelpers.scala:358-371). Null skips."""
 
@@ -338,6 +368,7 @@ def in_range(lo, hi, message: str | None = None) -> LeafRule:
     return _leaf("in_range", build)
 
 
+@_record_spec
 def one_of(values: Sequence, message: str | None = None) -> LeafRule:
     """Set membership (ValidationHelpers.scala:377-390) — the role/tool
     domain check of BASELINE.json:6. Null is not a member ⇒ error."""
@@ -356,6 +387,7 @@ def one_of(values: Sequence, message: str | None = None) -> LeafRule:
     return _leaf("one_of", build)
 
 
+@_record_spec
 def required(message: str | None = None) -> LeafRule:
     """Null ⇒ invalid (ValidationHelpers.scala:402-415 — ``None`` fails)."""
 
@@ -371,6 +403,7 @@ def required(message: str | None = None) -> LeafRule:
     return _leaf("required", build)
 
 
+@_record_spec
 def castable(to_type: str, message: str | None = None) -> LeafRule:
     """Runtime type check — the ``validateType`` analogue
     (ValidationResult.scala:281-289): the value must cast cleanly.
@@ -462,6 +495,7 @@ def pandas_rule(
     return _leaf(name, build)
 
 
+@_record_spec
 def always_valid() -> LeafRule:
     """Pass-through — the reference's default validators accept everything
     since constraints became opt-in (Validator.scala:43-60, MIGRATION.md:9-21)."""

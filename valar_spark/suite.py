@@ -1,0 +1,145 @@
+"""Rule-suite serialization — the shippable "expectation suite" artifact.
+
+A validation run's rule set is usually code; at fleet scale it wants to
+be CONFIG — one JSON document reviewed like a schema, versioned next to
+the table, and loaded by the spark-submit job (``--files suite.json``)
+so rule changes deploy without code changes. This module round-trips the
+declarative subset of the DSL (every leaf in
+``ValidationHelpers.scala``'s catalogue plus the structural combinators
+of ``ValidationResult.scala`` / ``ValidationLogic.scala``) to plain
+JSON:
+
+    suite = {"text": R.non_empty() & R.max_length(8000),
+             "role": R.one_of(["system", "user", "assistant", "tool"])}
+    s = suite_to_json(suite)          # one JSON doc, stable formatting
+    validate(df, suite_from_json(s))  # identical rule_ids + violations
+
+Column-/callable-bearing rules (``row_rule``, ``when_then``,
+``satisfies``, ``pandas_rule``) are NOT serializable by design — an
+arbitrary Column tree has no safe JSON form and "suite as config" must
+never become "eval as config". ``suite_to_json`` raises a ``ValueError``
+naming the offending key so the caller can keep those rules in code and
+ship the declarative remainder.
+
+The round-trip invariant (pinned by tests and the differential fuzzer):
+``suite_from_json(suite_to_json(s))`` produces identical ``rule_ids``
+and a bit-identical violations DataFrame for every serializable suite.
+"""
+
+from __future__ import annotations
+
+import json
+
+from . import rules as R
+
+__all__ = ["suite_to_json", "suite_from_json", "rule_to_dict",
+           "rule_from_dict"]
+
+#: leaf factories reconstructible from their recorded spec
+_LEAF_FACTORIES = {
+    name: getattr(R, name)
+    for name in ["non_empty", "non_negative", "finite", "json_parseable",
+                 "min_length", "max_length", "matches", "in_range",
+                 "one_of", "required", "castable", "always_valid"]
+}
+
+
+def rule_to_dict(rule: R.Rule, path: str = "<rule>") -> dict:
+    """Serialize one rule tree to a JSON-safe dict. Raises ``ValueError``
+    (naming ``path``) on any node outside the declarative subset."""
+    spec = getattr(rule, "spec", None)
+    if spec is not None and spec["kind"] in _LEAF_FACTORIES:
+        out = {"kind": spec["kind"]}
+        if spec["args"]:
+            out["args"] = spec["args"]
+        if spec["kwargs"]:
+            out["kwargs"] = spec["kwargs"]
+        return out
+    if isinstance(rule, (R.AllOf, R.FirstOf, R.FailFast)):
+        kind = {R.AllOf: "all_of", R.FirstOf: "first_of",
+                R.FailFast: "fail_fast"}[type(rule)]
+        return {"kind": kind,
+                "children": [rule_to_dict(c, path) for c in rule.children]}
+    if isinstance(rule, R.Optional):
+        return {"kind": "optional", "inner": rule_to_dict(rule.inner, path)}
+    if isinstance(rule, R.Recover):
+        return {"kind": "recover", "inner": rule_to_dict(rule.inner, path)}
+    if isinstance(rule, R.Union):
+        return {"kind": "union", "expected": rule.expected,
+                "branches": {n: rule_to_dict(b, f"{path}.{n}")
+                             for n, b in rule.branches}}
+    if isinstance(rule, R.StructRule):
+        return {"kind": "struct", "type_names": rule.type_names,
+                "fields": {n: rule_to_dict(f, f"{path}.{n}")
+                           for n, f in rule.fields.items()}}
+    if isinstance(rule, R.ArrayRule):
+        return {"kind": "array", "collection_type": rule.collection_type,
+                "element": rule_to_dict(rule.element, path)}
+    if isinstance(rule, R.MapRule):
+        return {"kind": "map", "key_type": rule.key_type,
+                "value_type": rule.value_type,
+                "key_rule": rule_to_dict(rule.key_rule, path),
+                "value_rule": rule_to_dict(rule.value_rule, path)}
+    raise ValueError(
+        f"rule at {path!r} ({type(rule).__name__}) is not serializable: "
+        "only the declarative leaves "
+        f"({', '.join(sorted(_LEAF_FACTORIES))}) and the structural "
+        "combinators (and/or/then, optional, recover, union, struct, "
+        "array, map) round-trip to JSON. Column- or callable-bearing "
+        "rules (row_rule, when_then, satisfies, pandas_rule) must stay "
+        "in code — keep them out of the serialized suite."
+    )
+
+
+def rule_from_dict(d: dict) -> R.Rule:
+    """Rebuild a rule tree from :func:`rule_to_dict` output."""
+    kind = d["kind"]
+    if kind in _LEAF_FACTORIES:
+        return _LEAF_FACTORIES[kind](*d.get("args", []),
+                                     **d.get("kwargs", {}))
+    if kind in ("all_of", "first_of", "fail_fast"):
+        klass = {"all_of": R.AllOf, "first_of": R.FirstOf,
+                 "fail_fast": R.FailFast}[kind]
+        return klass([rule_from_dict(c) for c in d["children"]])
+    if kind == "optional":
+        return R.Optional(rule_from_dict(d["inner"]))
+    if kind == "recover":
+        return R.Recover(rule_from_dict(d["inner"]))
+    if kind == "union":
+        return R.Union({n: rule_from_dict(b)
+                        for n, b in d["branches"].items()},
+                       expected=d.get("expected"))
+    if kind == "struct":
+        return R.StructRule({n: rule_from_dict(f)
+                             for n, f in d["fields"].items()},
+                            type_names=d.get("type_names") or None)
+    if kind == "array":
+        return R.ArrayRule(rule_from_dict(d["element"]),
+                           collection_type=d.get("collection_type",
+                                                 "Collection"))
+    if kind == "map":
+        return R.MapRule(rule_from_dict(d["key_rule"]),
+                         rule_from_dict(d["value_rule"]),
+                         key_type=d.get("key_type", "key"),
+                         value_type=d.get("value_type", "value"))
+    raise ValueError(f"unknown rule kind {kind!r} in suite document")
+
+
+def suite_to_json(suite: dict[str, R.Rule]) -> str:
+    """Serialize a ``{column_or_label: Rule}`` suite to one JSON document
+    (version-tagged; key order is PRESERVED, not sorted — branch order is
+    semantic for ``union``/``first_of`` ("first valid wins") and rule
+    order drives error-accumulation order, so the document must reload in
+    the order it was written)."""
+    doc = {"valar_suite": 1,
+           "rules": {k: rule_to_dict(r, path=k) for k, r in suite.items()}}
+    return json.dumps(doc, indent=2)
+
+
+def suite_from_json(s: str) -> dict[str, R.Rule]:
+    """Load a suite document produced by :func:`suite_to_json`."""
+    doc = json.loads(s)
+    if doc.get("valar_suite") != 1:
+        raise ValueError("not a valar suite document "
+                         "(missing/unsupported 'valar_suite' version tag)")
+    return {k: rule_from_dict(d) for k, d in doc["rules"].items()}
