@@ -960,6 +960,25 @@ def _q_file_balance_transcripts(spark: SparkSession,
     return D.file_balance_profile(df).orderBy("file")
 
 
+def _q_sampled_validate_transcripts(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Pre-flight sampled validation estimate
+    (validate.py::sampled_validation) under a full DuckDB hash oracle:
+    the standard transcript rule set evaluated on the deterministic
+    md5-bucket 5% sample (same content-stable hash as hash_split, so
+    DuckDB recomputes membership bit-for-bit), with per-rule Wilson
+    95% intervals and the extrapolated violation band for the full
+    table — the cheap estimate a 100-TB operator runs before paying for
+    the full pass. The oracle mirrors the rule predicates (the
+    transcript_verdicts SQL), the bucket cut, and the Wilson formula
+    term-for-term."""
+    from valar_spark.validate import sampled_validation
+
+    df = spark.read.parquet(_transcripts_parquet(spark)) \
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+    return sampled_validation(df, transcript_ruleset(), fraction=0.05)
+
+
 def _q_context_overflow_transcripts(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """Context-window budget check on the transcript table
@@ -2826,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "divergent_dups_transcripts": _q_divergent_dups_transcripts,
         "tool_latency_transcripts": _q_tool_latency_transcripts,
         "file_balance_transcripts": _q_file_balance_transcripts,
+        "sampled_validate_transcripts": _q_sampled_validate_transcripts,
     }
 
 
@@ -4318,6 +4338,77 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'exact_replay' END AS kind
             FROM g
             ORDER BY conv_id, turn_idx
+        """,
+        # sampled pre-flight estimate: md5-bucket 5% sample (hash_split's
+        # content-stable hash), rule predicates from transcript_verdicts,
+        # Wilson interval term-for-term in the engine's operation order
+        "sampled_validate_transcripts": rf"""
+            WITH s AS (
+                SELECT * FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
+                WHERE ('0x' || substr(md5(
+                        conv_id || ':' || CAST(turn_idx AS VARCHAR)
+                        || ':valar'), 1, 8))::UBIGINT % 10000 < 500
+            ), c AS (
+                SELECT 'text.non_empty' AS rule_id,
+                       COUNT(*) FILTER (WHERE text IS NULL OR
+                           regexp_replace(text, '[\x00-\x20]', '', 'g') = '')
+                         AS v,
+                       COUNT(*) AS n FROM s
+                UNION ALL
+                SELECT 'text.max_length',
+                       COUNT(*) FILTER (WHERE text IS NULL
+                           OR LENGTH(text) > 8000),
+                       COUNT(*) FROM s
+                UNION ALL
+                SELECT 'turn_idx.non_negative',
+                       COUNT(*) FILTER (WHERE turn_idx IS NOT NULL
+                           AND turn_idx < 0),
+                       COUNT(*) FROM s
+                UNION ALL
+                SELECT 'role.one_of',
+                       COUNT(*) FILTER (WHERE role IS NULL OR role NOT IN
+                           ('system','user','assistant','tool')),
+                       COUNT(*) FROM s
+                UNION ALL
+                SELECT 'tool.one_of',
+                       COUNT(*) FILTER (WHERE tool IS NOT NULL
+                           AND tool NOT IN ('search','code','browser','none')),
+                       COUNT(*) FROM s
+            ), w AS (
+                SELECT rule_id, n AS sample_rows, v AS sample_violations,
+                       CAST(v AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                       CAST(n AS DOUBLE) AS nd,
+                       1.959963984540054 * 1.959963984540054 AS z2,
+                       (SELECT COUNT(*) FROM
+                        '{_GATE_TRANSCRIPTS_PATH}/*.parquet') AS total_rows
+                FROM c
+            ), w2 AS (
+                SELECT *,
+                       1.0 + z2 / nd AS denom,
+                       (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd) AS center,
+                       (1.959963984540054 * sqrt(p * (1.0 - p) / nd
+                            + z2 / (4.0 * nd * nd)))
+                           / (1.0 + z2 / nd) AS half
+                FROM w
+            ), w3 AS (
+                SELECT *,
+                       GREATEST(center - half, 0.0) AS lo,
+                       LEAST(center + half, 1.0) AS hi
+                FROM w2
+            )
+            SELECT rule_id,
+                   sample_rows::BIGINT AS sample_rows,
+                   sample_violations::BIGINT AS sample_violations,
+                   ROUND(p, 9) AS rate,
+                   ROUND(lo, 9) AS ci_lo,
+                   ROUND(hi, 9) AS ci_hi,
+                   total_rows::BIGINT AS total_rows,
+                   CAST(FLOOR(lo * CAST(total_rows AS DOUBLE)) AS BIGINT)
+                       AS est_violations_lo,
+                   CAST(CEIL(hi * CAST(total_rows AS DOUBLE)) AS BIGINT)
+                       AS est_violations_hi
+            FROM w3
+            ORDER BY rule_id
         """,
         # per-tool round-trip rollup: same as-of cumulative-MAX window as
         # response_latency_transcripts, keyed by the tool-name column

@@ -312,3 +312,17 @@ def test_cli_rules_suite_roundtrip(spark, tmp_path, monkeypatch, capsys):
     res = _json_line(out2)
     assert res["run_id"] == "s1"
     assert res["buckets_processed"] == list(range(4))
+
+
+def test_cli_estimate(spark, tmp_path, monkeypatch, capsys):
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:20000",
+        "--work-dir", str(tmp_path), "--run-id", "est1",
+        "--estimate", "0.10"])
+    assert rc == 0
+    res = _json_line(out)
+    assert 0 < res["sample_rows"] < res["total_rows"]
+    # the synth plants null/blank text: the non_empty band must be
+    # strictly positive and bounded by the table size
+    lo, hi = res["est"]["text.non_empty"]
+    assert 0 <= lo <= hi <= res["total_rows"] and hi > 0

@@ -143,6 +143,11 @@ def test_gate_window_covers_never_gated():
         # oracle re-counts the same physical part files from DuckDB
         "tool_latency_transcripts": "response_latency_transcripts",
         "file_balance_transcripts": "response_latency_transcripts",
+        # sampled pre-flight estimate: the SAME rule predicates as the
+        # in-window transcript_verdicts query, evaluated on the
+        # hash_split-style deterministic sample; Wilson band pinned by
+        # its own hash oracle + unit tests
+        "sampled_validate_transcripts": "transcript_verdicts",
     }
     orphans = [
         k for k in keys[50:]

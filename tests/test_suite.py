@@ -150,3 +150,46 @@ def test_random_tree_round_trip(spark, rule, rows):
     vb = sorted(map(str, validate(df, {"s": r2}, keys=("id",))
                     .violations.drop("partition_id").collect()))
     assert va == vb
+
+
+# --- sampled validation pre-flight estimate ---------------------------------
+
+def test_sampled_validation_estimate(spark):
+    from valar_spark.synth import synth_transcripts
+    from valar_spark.validate import sampled_validation, validate as _v
+
+    df = synth_transcripts(spark, total_turns=40_000, seed=42)
+    suite = {"text": R.non_empty(), "turn_idx": R.non_negative(),
+             "role": R.one_of(["system", "user", "assistant", "tool"])}
+    est = {r["rule_id"]: r for r in
+           sampled_validation(df, suite, fraction=0.10).collect()}
+    true = {r["rule_id"]: r for r in
+            _v(df, suite).summary().collect()}
+    total = df.count()
+    assert set(est) == set(true)
+    for rid, r in est.items():
+        # deterministic sample of ~10% of the table
+        assert 0 < r["sample_rows"] < total
+        assert abs(r["sample_rows"] / total - 0.10) < 0.02
+        assert r["total_rows"] == total
+        # CI is a valid interval containing the point estimate
+        assert 0.0 <= r["ci_lo"] <= r["rate"] <= r["ci_hi"] <= 1.0
+        # the TRUE full-table count falls inside the extrapolated band
+        # (deterministic synth + deterministic sample: pinned, not flaky)
+        tv = true[rid]["violation_count"]
+        assert r["est_violations_lo"] <= tv <= r["est_violations_hi"], \
+            (rid, tv, r)
+
+
+def test_sampled_validation_zero_violations_band(spark):
+    from valar_spark.validate import sampled_validation
+
+    df = spark.range(2000).selectExpr(
+        "CAST(id AS STRING) AS conv_id", "CAST(0 AS INT) AS turn_idx",
+        "'ok' AS text")
+    r = sampled_validation(df, {"text": R.non_empty()},
+                           fraction=0.25).first()
+    # zero observed violations: lower bound 0, upper bound still open
+    assert r["sample_violations"] == 0 and r["rate"] == 0.0
+    assert r["ci_lo"] == 0.0 and r["ci_hi"] > 0.0
+    assert r["est_violations_lo"] == 0 and r["est_violations_hi"] > 0

@@ -85,6 +85,14 @@ def main(argv: list[str] | None = None) -> int:
                         "disagree — branched regeneration/corruption, "
                         "needs review); writes the flagged keys and "
                         "prints the per-kind rollup")
+    p.add_argument("--estimate", metavar="FRACTION", type=float,
+                   default=None,
+                   help="pre-flight sampled validation: run the rule set "
+                        "on a deterministic md5-bucket sample of this "
+                        "fraction and print per-rule violation rates with "
+                        "Wilson 95%% bands extrapolated to the full table "
+                        "— the cheap estimate before paying for the full "
+                        "pass (composes with --rules)")
     p.add_argument("--rules", metavar="SUITE.json", default=None,
                    help="validate with a serialized rule suite (the JSON "
                         "document suite_to_json writes / --rules-out "
@@ -494,6 +502,27 @@ def main(argv: list[str] | None = None) -> int:
         keys: tuple[str, ...] = ("conv_id", "turn_idx")
     else:
         keys = (df.columns[0],)
+
+    if args.estimate is not None:
+        # pre-flight: rule pass on the deterministic hash sample only,
+        # Wilson bands extrapolated to the full table — composes with
+        # --rules (estimate a reviewed suite before the full run)
+        from valar_spark.validate import sampled_validation
+
+        est = sampled_validation(df, rules, fraction=args.estimate,
+                                 keys=keys)
+        est.show(200, truncate=False)
+        rows = est.collect()
+        print(json.dumps({
+            "run_id": args.run_id,
+            "sample_rows": rows[0]["sample_rows"] if rows else 0,
+            "total_rows": rows[0]["total_rows"] if rows else 0,
+            "est": {r["rule_id"]: [r["est_violations_lo"],
+                                   r["est_violations_hi"]]
+                    for r in rows}}))
+        spark.stop()
+        return 0
+
     t0 = time.perf_counter()
     res = run_checkpointed(df, rs, rc, keys=keys,
                            partition_cols=(keys[0],))

@@ -321,3 +321,75 @@ def validate(
     elif config is not None:
         ruleset = RuleSet(ruleset.rules, config)
     return ValidationRun(df, ruleset, keys=keys, partition_cols=partition_cols)
+
+
+def sampled_validation(
+    df: DataFrame,
+    ruleset: RuleSet | dict[str, Rule],
+    fraction: float = 0.02,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    salt: str = "valar",
+    z: float = 1.959963984540054,
+    **validate_kwargs,
+) -> DataFrame:
+    """Pre-flight violation-rate ESTIMATE from a deterministic hash
+    sample — the cheap first pass a 100-TB operator runs before paying
+    for the full validation: per rule,
+    ``(rule_id, sample_rows, sample_violations, rate, ci_lo, ci_hi,
+    total_rows, est_violations_lo, est_violations_hi)`` where
+    ``[ci_lo, ci_hi]`` is the Wilson score interval (the right interval
+    near rate 0, where validation rates live — a normal interval
+    collapses to a useless [0,0] there) and the ``est_*`` columns scale
+    it to the full table.
+
+    The sample is the engine's standard content-stable hash bucket
+    (``md5(key || ':' || salt)`` cut at ``round(fraction*10000)`` of
+    10,000 buckets — same machinery as ``hash_split``): the same rows
+    sample on every run, engine, and cluster size, so two estimates
+    differ only if the data did, and the DuckDB oracle can recompute
+    membership bit-for-bit. The extrapolation uses the EXACT cut
+    fraction (k/10000), not the requested one. Scale shape: the rule
+    pass runs on fraction·N rows behind a pushed-down filter; the only
+    full-table work is a count (parquet-metadata cheap), joined in as a
+    broadcast single-row aggregate."""
+    from .textops import md5_order_key
+
+    buckets = 10_000
+    k = int(round(fraction * buckets))
+    if not 0 < k <= buckets:
+        raise ValueError(f"fraction {fraction} cuts {k} of {buckets} "
+                         "buckets; need at least one")
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in keys])
+    sample = df.filter(md5_order_key(key, salt) % buckets < k)
+
+    run = validate(sample, ruleset, keys=keys, **validate_kwargs)
+    s = run.summary().select(
+        "rule_id",
+        F.col("rows_checked").alias("sample_rows"),
+        F.col("violation_count").alias("sample_violations"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total_rows"))
+
+    n = F.col("sample_rows").cast("double")
+    p = F.col("sample_violations").cast("double") / n
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (F.lit(z) * F.sqrt(p * (F.lit(1.0) - p) / n
+                              + z2 / (F.lit(4.0) * n * n))) / denom
+    lo = F.greatest(center - half, F.lit(0.0))
+    hi = F.least(center + half, F.lit(1.0))
+    t = F.col("total_rows").cast("double")
+    return (
+        s.crossJoin(F.broadcast(total))
+        .select(
+            "rule_id", "sample_rows", "sample_violations",
+            F.round(p, 9).alias("rate"),
+            F.round(lo, 9).alias("ci_lo"),
+            F.round(hi, 9).alias("ci_hi"),
+            "total_rows",
+            F.floor(lo * t).cast("long").alias("est_violations_lo"),
+            F.ceil(hi * t).cast("long").alias("est_violations_hi"),
+        )
+        .orderBy("rule_id")
+    )
