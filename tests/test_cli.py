@@ -326,3 +326,18 @@ def test_cli_estimate(spark, tmp_path, monkeypatch, capsys):
     # strictly positive and bounded by the table size
     lo, hi = res["est"]["text.non_empty"]
     assert 0 <= lo <= hi <= res["total_rows"] and hi > 0
+
+
+def test_cli_incremental_prev_run(spark, tmp_path, monkeypatch, capsys):
+    """Day-1 full run stores fingerprints; day-2 --prev-run on identical
+    input carries every bucket (zero revalidated)."""
+    work = str(tmp_path / "inc")
+    rc, _ = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:6000", "--work-dir", work, "--run-id", "d1",
+        "--buckets", "4", "--buckets-per-job", "4"])
+    assert rc == 0
+    rc2, out2 = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:6000", "--work-dir", work, "--run-id", "d2",
+        "--buckets", "4", "--buckets-per-job", "4", "--prev-run", "d1"])
+    assert rc2 == 0
+    assert "incremental vs d1: revalidated 0 buckets, carried 4" in out2

@@ -226,3 +226,91 @@ def test_history_anomalies_flags_spiked_run(spark):
     assert got[("text.non_empty", "r3")] is False         # stable
     assert got[("text.non_empty", "r0")] is False         # no history
     assert got[("turn_idx.non_negative", "r4")] is False  # flat series
+
+
+def test_bucket_fingerprints_detect_changes(spark):
+    from valar_spark.runner import bucket_fingerprints, changed_buckets
+
+    a = spark.createDataFrame(
+        [("c1", 0, "x"), ("c1", 1, "y"), ("c2", 0, "z")],
+        "conv_id string, turn_idx int, text string")
+    # same content, different row order => identical fingerprints
+    b = spark.createDataFrame(
+        [("c2", 0, "z"), ("c1", 1, "y"), ("c1", 0, "x")],
+        "conv_id string, turn_idx int, text string")
+    fa = bucket_fingerprints(a, ("conv_id",), 8)
+    fb = bucket_fingerprints(b, ("conv_id",), 8)
+    assert changed_buckets(fb, fa).count() == 0
+
+    # one edited row => exactly that conv's bucket flags as changed
+    c = spark.createDataFrame(
+        [("c1", 0, "x"), ("c1", 1, "EDITED"), ("c2", 0, "z")],
+        "conv_id string, turn_idx int, text string")
+    ch = changed_buckets(bucket_fingerprints(c, ("conv_id",), 8), fa)
+    assert [r["change"] for r in ch.collect()] == ["changed"]
+
+    # duplicate-pair insertion must NOT cancel out (xor alone would)
+    d = a.unionAll(spark.createDataFrame(
+        [("c1", 0, "x"), ("c1", 0, "x")],
+        "conv_id string, turn_idx int, text string"))
+    assert changed_buckets(bucket_fingerprints(d, ("conv_id",), 8),
+                           fa).count() == 1
+
+
+def test_run_incremental_carries_unchanged(spark, small_df, tmp_path):
+    """Second snapshot edits a few conversations: only their buckets
+    revalidate; carried verdicts+violations equal a full run's."""
+    from valar_spark.runner import run_incremental
+
+    cfg = ValidationConfig(num_buckets=8, salt=2)
+    rs = RuleSet(RULES, cfg)
+    work = str(tmp_path / "w")
+
+    r1 = run_incremental(small_df, rs,
+                         RunnerConfig(work_dir=work, run_id="day1",
+                                      buckets_per_job=4))
+    assert sorted(r1.buckets_processed) == list(range(8))  # first run: full
+
+    # day-2 snapshot: blank out the text of ONE conversation
+    target = small_df.select("conv_id").first()["conv_id"]
+    day2 = small_df.withColumn(
+        "text", F.when(F.col("conv_id") == target, F.lit(""))
+        .otherwise(F.col("text")))
+    r2 = run_incremental(day2, rs,
+                         RunnerConfig(work_dir=work, run_id="day2",
+                                      buckets_per_job=4),
+                         prev_run_id="day1")
+    assert len(r2.buckets_processed) < 8 and len(r2.buckets_skipped) > 0
+
+    # result equals a from-scratch full validation of day2
+    direct = validate(day2, RULES, config=cfg).violations
+    got = r2.violations.select("rule_id", "conv_id", "turn_idx", "code")
+    exp = direct.select("rule_id", "conv_id", "turn_idx", "code")
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    # verdict coverage: every bucket x rule, carried ones keep day1 lineage
+    assert r2.verdicts.count() == 8 * len(rs.rule_ids())
+    st = spark.read.parquet(os.path.join(work, "state"))
+    carried_snap = (st.filter((F.col("run_id") == "day2") &
+                              F.col("partition_id")
+                              .isin(r2.buckets_skipped))
+                    .select("snapshot_id").distinct().collect())
+    assert len(carried_snap) >= 1  # carried rows exist under the new run
+
+
+def test_run_incremental_rule_change_revalidates_all(spark, small_df,
+                                                     tmp_path):
+    from valar_spark.runner import run_incremental
+
+    cfg = ValidationConfig(num_buckets=4, salt=2)
+    work = str(tmp_path / "w")
+    run_incremental(small_df, RuleSet(RULES, cfg),
+                    RunnerConfig(work_dir=work, run_id="a",
+                                 buckets_per_job=4))
+    # different rule set => different rule_set_hash => nothing carries
+    other = RuleSet({"text": R.non_empty() & R.max_length(50)}, cfg)
+    r2 = run_incremental(small_df, other,
+                         RunnerConfig(work_dir=work, run_id="b",
+                                      buckets_per_job=4),
+                         prev_run_id="a")
+    assert sorted(r2.buckets_processed) == list(range(4))

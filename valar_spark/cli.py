@@ -85,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
                         "disagree — branched regeneration/corruption, "
                         "needs review); writes the flagged keys and "
                         "prints the per-kind rollup")
+    p.add_argument("--prev-run", metavar="RUN_ID", default=None,
+                   help="incremental revalidation: fingerprint-diff the "
+                        "input against RUN_ID's stored per-bucket "
+                        "fingerprints in the same work dir, carry forward "
+                        "unchanged buckets' verdicts and violations, and "
+                        "revalidate only added/changed buckets")
     p.add_argument("--estimate", metavar="FRACTION", type=float,
                    default=None,
                    help="pre-flight sampled validation: run the rule set "
@@ -524,8 +530,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     t0 = time.perf_counter()
-    res = run_checkpointed(df, rs, rc, keys=keys,
-                           partition_cols=(keys[0],))
+    # always run through the incremental wrapper: without --prev-run it is
+    # a full run that ALSO stores this run's per-bucket fingerprints, so
+    # tomorrow's --prev-run has something to diff against (one extra
+    # hash-aggregate pass, no window)
+    from valar_spark.runner import run_incremental
+
+    res = run_incremental(df, rs, rc, prev_run_id=args.prev_run,
+                          keys=keys, partition_cols=(keys[0],))
+    if args.prev_run:
+        print(f"incremental vs {args.prev_run}: revalidated "
+              f"{len(res.buckets_processed)} buckets, carried "
+              f"{len(res.buckets_skipped)}")
     n_viol = res.violations.count()
     dataset_viol = 0
     if transcript_shaped:
