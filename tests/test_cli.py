@@ -341,3 +341,22 @@ def test_cli_incremental_prev_run(spark, tmp_path, monkeypatch, capsys):
         "--buckets", "4", "--buckets-per-job", "4", "--prev-run", "d1"])
     assert rc2 == 0
     assert "incremental vs d1: revalidated 0 buckets, carried 4" in out2
+
+
+def test_cli_budget_gate(spark, tmp_path, monkeypatch, capsys):
+    """Zero-tolerance budget on a planted synth breaches (exit 1);
+    generous budgets pass (exit 0)."""
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:6000", "--work-dir", str(tmp_path / "g1"),
+        "--run-id", "g1", "--buckets", "4", "--buckets-per-job", "4",
+        "--budget", "text.non_empty=0.0"])
+    assert rc == 1 and "validation gate failed" in out
+    assert "text.non_empty" in out.split("validation gate failed")[1]
+
+    rc2, out2 = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:6000", "--work-dir", str(tmp_path / "g2"),
+        "--run-id", "g2", "--buckets", "4", "--buckets-per-job", "4",
+        "--budget", ",".join(f"{r}=0.9" for r in [
+            "text.non_empty", "text.max_length", "turn_idx.non_negative",
+            "role.one_of", "tool.one_of"])])
+    assert rc2 == 0 and "validation gate failed" not in out2

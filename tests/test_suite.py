@@ -193,3 +193,58 @@ def test_sampled_validation_zero_violations_band(spark):
     assert r["sample_violations"] == 0 and r["rate"] == 0.0
     assert r["ci_lo"] == 0.0 and r["ci_hi"] > 0.0
     assert r["est_violations_lo"] == 0 and r["est_violations_hi"] > 0
+
+
+# --- error-budget gate + batch quarantine routing ---------------------------
+
+def test_verdict_gate_and_budget(spark):
+    import pytest as _pt
+
+    from valar_spark.validate import (GateError, assert_within_budget,
+                                      verdict_gate)
+
+    summary = spark.createDataFrame(
+        [("text.non_empty", 5, 10_000), ("role.one_of", 0, 10_000),
+         ("turn_idx.non_negative", 200, 10_000)],
+        "rule_id string, violation_count long, rows_checked long")
+    gate = {r["rule_id"]: (r["rate"], r["budget"], r["ok"]) for r in
+            verdict_gate(summary,
+                         {"text.non_empty": 0.001,
+                          "turn_idx.non_negative": 0.01}).collect()}
+    assert gate["text.non_empty"] == (0.0005, 0.001, True)
+    assert gate["role.one_of"] == (0.0, 0.0, True)  # default zero budget
+    assert gate["turn_idx.non_negative"] == (0.02, 0.01, False)
+
+    with _pt.raises(GateError) as ei:
+        assert_within_budget(summary, {"text.non_empty": 0.001,
+                                       "turn_idx.non_negative": 0.01})
+    assert [b["rule_id"] for b in ei.value.breaches] == [
+        "turn_idx.non_negative"]
+    assert "rate 0.020000 > budget 0.010000" in str(ei.value)
+    # within budget: returns the gate frame, raises nothing
+    ok = assert_within_budget(summary, {"turn_idx.non_negative": 0.5,
+                                        "text.non_empty": 0.1})
+    assert ok.filter("NOT ok").count() == 0
+
+
+def test_route_clean_vs_quarantine(spark):
+    from valar_spark.validate import route
+
+    df = spark.createDataFrame(
+        [("c1", 0, "fine"), ("c1", 1, ""), ("c2", -1, "also fine"),
+         ("c2", 1, None)],
+        "conv_id string, turn_idx int, text string")
+    suite = {"text": R.non_empty(), "turn_idx": R.non_negative()}
+    clean, quar = route(df, suite)
+    assert clean.columns == df.columns  # schema untouched
+    assert {(r["conv_id"], r["turn_idx"]) for r in clean.collect()} == {
+        ("c1", 0)}
+    got = {(r["conv_id"], r["turn_idx"]): sorted(r["_reasons"])
+           for r in quar.collect()}
+    assert got == {
+        ("c1", 1): ["text.non_empty"],
+        ("c2", -1): ["turn_idx.non_negative"],
+        ("c2", 1): ["text.non_empty"],
+    }
+    # conservation: every row routes exactly once
+    assert clean.count() + quar.count() == df.count()

@@ -85,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
                         "disagree — branched regeneration/corruption, "
                         "needs review); writes the flagged keys and "
                         "prints the per-kind rollup")
+    p.add_argument("--budget", metavar="RULE=RATE,...", default=None,
+                   help="error-budget gate applied after the run: "
+                        "comma-separated rule_id=tolerated_violation_rate "
+                        "pairs (unlisted rules get zero tolerance); any "
+                        "breach prints the offending rules and exits 1 so "
+                        "a scheduler can block the publish step")
     p.add_argument("--prev-run", metavar="RUN_ID", default=None,
                    help="incremental revalidation: fingerprint-diff the "
                         "input against RUN_ID's stored per-bucket "
@@ -579,6 +585,28 @@ def main(argv: list[str] | None = None) -> int:
         state = spark.read.parquet(rc.state_path)
         (history_anomalies(state).filter("anomalous")
          .orderBy("rule_id", "run_id").show(100, truncate=False))
+    if args.budget is not None:
+        # data-contract gate: exit nonzero on breach so a scheduler can
+        # block the publish step on it
+        from pyspark.sql import functions as F
+
+        from valar_spark.validate import GateError, assert_within_budget
+
+        budgets = {}
+        for part in args.budget.split(","):
+            if "=" in part:
+                rid, rate = part.rsplit("=", 1)
+                budgets[rid.strip()] = float(rate)
+        summary = (res.verdicts.groupBy("rule_id")
+                   .agg(F.sum("violation_count").alias("violation_count"),
+                        F.sum("rows_checked").alias("rows_checked")))
+        try:
+            gate = assert_within_budget(summary, budgets)
+            gate.show(100, truncate=False)
+        except GateError as ge:
+            print(ge)
+            spark.stop()
+            return 1
     spark.stop()
     return 0
 

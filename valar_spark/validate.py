@@ -323,6 +323,86 @@ def validate(
     return ValidationRun(df, ruleset, keys=keys, partition_cols=partition_cols)
 
 
+class GateError(Exception):
+    """Raised by :func:`assert_within_budget` when a rule exceeds its
+    error budget; carries the offending rows for programmatic handling."""
+
+    def __init__(self, breaches: list[dict]):
+        self.breaches = breaches
+        lines = [f"  {b['rule_id']}: rate {b['rate']:.6f} > "
+                 f"budget {b['budget']:.6f} "
+                 f"({b['violation_count']}/{b['rows_checked']} rows)"
+                 for b in breaches]
+        super().__init__("validation gate failed:\n" + "\n".join(lines))
+
+
+def verdict_gate(
+    summary: DataFrame,
+    budgets: dict[str, float] | None = None,
+    default_budget: float = 0.0,
+) -> DataFrame:
+    """Error-budget gate over a :meth:`ValidationRun.summary` frame: per
+    rule, ``(rule_id, violation_count, rows_checked, rate, budget, ok)``
+    where ``ok`` is rate ≤ budget. ``budgets`` maps rule_id → tolerated
+    violation RATE (e.g. ``{"text.non_empty": 0.001}``); unlisted rules
+    get ``default_budget`` (0.0 = zero-tolerance). This is the
+    data-contract decision layer: verdicts say what happened, the gate
+    says whether the pipeline may proceed. Pure projection over the
+    (rule-count-sized) summary — no data pass."""
+    budgets = budgets or {}
+    budget = F.lit(default_budget)
+    for rid, b in budgets.items():
+        budget = F.when(F.col("rule_id") == rid, F.lit(float(b))) \
+            .otherwise(budget)
+    rate = (F.col("violation_count").cast("double")
+            / F.greatest(F.col("rows_checked").cast("double"), F.lit(1.0)))
+    return summary.select(
+        "rule_id", "violation_count", "rows_checked",
+        F.round(rate, 9).alias("rate"),
+        budget.alias("budget"),
+        (rate <= budget).alias("ok"),
+    ).orderBy("rule_id")
+
+
+def assert_within_budget(summary: DataFrame,
+                         budgets: dict[str, float] | None = None,
+                         default_budget: float = 0.0) -> DataFrame:
+    """Raise :class:`GateError` if any rule breaches its budget; return
+    the gate frame otherwise — the one-liner a scheduled job calls
+    between validation and publish."""
+    gate = verdict_gate(summary, budgets, default_budget)
+    breaches = [r.asDict() for r in gate.filter(~F.col("ok")).collect()]
+    if breaches:
+        raise GateError(breaches)
+    return gate
+
+
+def route(
+    df: DataFrame,
+    ruleset: RuleSet | dict[str, Rule],
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    config: ValidationConfig | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into ``(clean, quarantined)`` in ONE compiled rule
+    projection: quarantined rows keep every original column plus
+    ``_reasons`` (the array of rule_ids that fired); clean rows are the
+    rest, original schema untouched. The batch twin of the streaming
+    curation sink's dual-route — run it before publishing a landing
+    table so bad rows land in quarantine WITH their reasons instead of
+    poisoning downstream consumers. Both outputs derive from the same
+    projection; a caller writing both should ``persist()`` the input (or
+    write quarantine first) to avoid recomputing the scan."""
+    if isinstance(ruleset, dict):
+        ruleset = RuleSet(ruleset, config or DEFAULT)
+    errs = ruleset.errors_column(df)
+    tagged = df.withColumn(
+        "_reasons",
+        F.array_distinct(F.transform(errs, lambda e: e["rule_id"])))
+    quarantined = tagged.filter(F.size("_reasons") > 0)
+    clean = tagged.filter(F.size("_reasons") == 0).drop("_reasons")
+    return clean, quarantined
+
+
 def sampled_validation(
     df: DataFrame,
     ruleset: RuleSet | dict[str, Rule],
