@@ -175,6 +175,27 @@ TRANSCRIPTS_QUERIES = [
     # both sides; the running total is nondecreasing so the MIN-based
     # first-overflow stays order-insensitive)
     "context_overflow_transcripts",
+    # per-tool round-trip rollup (round 5 session I): the same as-of
+    # cumulative-MAX window as response_latency under null/dup turn
+    # indices, exotic roles that must NOT match the exact
+    # 'assistant'/'tool' literals, null tool names routed to '(unnamed)',
+    # and ROUND(AVG,3) agreement on integer-second latencies
+    "tool_latency_transcripts",
+    # physical-layout audit: both engines must enumerate and count the
+    # same part files of whatever adversarial table was just persisted
+    "file_balance_transcripts",
+    # sampled pre-flight (round 5 session I): md5-bucket membership on
+    # adversarial keys (NULL conv_id/turn_idx exercise the concat_ws
+    # null-skip contract mirrored by the oracle's CASE), the same rule
+    # predicates as transcript_verdicts on the sampled subset, and the
+    # Wilson-interval arithmetic term-for-term
+    "sampled_validate_transcripts",
+    # divergent_dups_transcripts is deliberately NOT fuzzed: its planted
+    # mutation keys on the synth's numeric conv_id layout (SUBSTR→INT),
+    # which a random conv id breaks — DuckDB's strict CAST would error
+    # while Spark's cast returns null. The operator itself is
+    # count/count-distinct-md5 (no dialect surface) and is pinned by its
+    # unit test + the gate hash oracle on all 3 SFs.
 ]
 
 

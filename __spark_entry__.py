@@ -4344,10 +4344,21 @@ def oracle_sql() -> dict[str, str]:
         # Wilson interval term-for-term in the engine's operation order
         "sampled_validate_transcripts": rf"""
             WITH s AS (
+                -- Spark's concat_ws SKIPS nulls (a null conv_id or
+                -- turn_idx just drops out of the key, separator and
+                -- all); replicate with a CASE so both engines sample
+                -- the same rows even on adversarial null keys
                 SELECT * FROM '{_GATE_TRANSCRIPTS_PATH}/*.parquet'
                 WHERE ('0x' || substr(md5(
-                        conv_id || ':' || CAST(turn_idx AS VARCHAR)
-                        || ':valar'), 1, 8))::UBIGINT % 10000 < 500
+                        CASE WHEN conv_id IS NULL AND turn_idx IS NULL
+                                 THEN ':valar'
+                             WHEN conv_id IS NULL
+                                 THEN CAST(turn_idx AS VARCHAR) || ':valar'
+                             WHEN turn_idx IS NULL
+                                 THEN conv_id || ':valar'
+                             ELSE conv_id || ':'
+                                  || CAST(turn_idx AS VARCHAR) || ':valar'
+                        END), 1, 8))::UBIGINT % 10000 < 500
             ), c AS (
                 SELECT 'text.non_empty' AS rule_id,
                        COUNT(*) FILTER (WHERE text IS NULL OR
