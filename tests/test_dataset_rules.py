@@ -1065,3 +1065,18 @@ def test_file_balance_profile(spark, tmp_path):
         assert prof[os.path.basename(p)][0] == n
         assert prof[os.path.basename(p)][1] == round(n * 100.0 / 1000, 3)
     assert abs(sum(s for _, s in prof.values()) - 100.0) < 1e-6
+
+
+def test_conversation_stats_all_null_roles(spark):
+    """A conversation whose every role is NULL counts 0 for each role —
+    not NULL (differential-fuzzer finding: plain == made the whole sum
+    NULL while the SQL oracle's COUNT FILTER gives 0)."""
+    df = spark.createDataFrame(
+        [("c1", 0, None, "hi", None), ("c1", 1, None, "yo", None),
+         ("c2", 0, "user", "x", None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string")
+    got = {r["conv"]: (r["n_user"], r["n_assistant"], r["n_system"],
+                       r["n_tool_role"])
+           for r in D.conversation_stats(df).collect()}
+    assert got == {"c1": (0, 0, 0, 0), "c2": (1, 0, 0, 0)}

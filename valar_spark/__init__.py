@@ -12,21 +12,28 @@ from .config import DEFAULT, PERMISSIVE, STRICT, ValidationConfig
 from .errors import pretty_print, show_error
 from .rules import recover_value
 from .suite import suite_from_json, suite_to_json
-from .validate import RuleSet, ValidationRun, validate
+from .validate import (GateError, RuleSet, ValidationRun,
+                       assert_within_budget, route, sampled_validation,
+                       validate, verdict_gate)
 
 __all__ = [
     "DEFAULT",
+    "GateError",
     "PERMISSIVE",
     "STRICT",
     "RuleSet",
     "ValidationConfig",
     "ValidationRun",
+    "assert_within_budget",
     "pretty_print",
     "recover_value",
+    "route",
+    "sampled_validation",
     "show_error",
     "suite_from_json",
     "suite_to_json",
     "validate",
+    "verdict_gate",
 ]
 
 __version__ = "0.1.0"

@@ -1971,13 +1971,17 @@ def conversation_stats(df: DataFrame, conv_col: str = "conv_id",
               & (F.max(turn_col) == F.count(F.lit(1)) - 1)
               & (F.count_distinct(F.col(turn_col))
                  == F.count(F.lit(1)))).alias("dense"),
-             F.sum((F.col(role_col) == "user").cast("long"))
+             # eqNullSafe: a NULL role is "not this role" and must count
+             # 0 — plain == makes the sum NULL for a conversation whose
+             # every role is NULL (found by the differential fuzzer;
+             # DuckDB's COUNT(*) FILTER correctly gives 0 there)
+             F.sum(F.col(role_col).eqNullSafe("user").cast("long"))
              .cast("long").alias("n_user"),
-             F.sum((F.col(role_col) == "assistant").cast("long"))
+             F.sum(F.col(role_col).eqNullSafe("assistant").cast("long"))
              .cast("long").alias("n_assistant"),
-             F.sum((F.col(role_col) == "system").cast("long"))
+             F.sum(F.col(role_col).eqNullSafe("system").cast("long"))
              .cast("long").alias("n_system"),
-             F.sum((F.col(role_col) == "tool").cast("long"))
+             F.sum(F.col(role_col).eqNullSafe("tool").cast("long"))
              .cast("long").alias("n_tool_role"),
              F.sum(empty.cast("long")).cast("long").alias("n_empty_text"),
              F.sum((F.col(tool_col).isNotNull()
