@@ -2664,6 +2664,67 @@ def _q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.zipf_profile(docs, k=200)
 
 
+def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift chart (drift.py::cusum_shift) on daily ingest
+    volume with a PLANTED persistent shift: odd event_ids are dropped
+    after Jan 15, halving the daily count — a change the trailing
+    z-score monitor (volume_anomaly, its in-window companion) never
+    pages on because no single day is an outlier against its
+    recent-past baseline, while the CUSUM integrates the −σ drift and
+    alarms within days. First 7 days estimate (μ, σ); recursion is the
+    drawdown identity (two cumsums + running minima), no per-row
+    Python. Same deterministic filter on both engines."""
+    from valar_spark import drift
+
+    ev = _read(spark, sf_dir, "events")
+    shifted = ev.filter(
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        | (F.col("event_id") % 2 == 0))
+    return drift.cusum_shift(shifted, "ts", granularity="day",
+                             baseline=7, k=0.5, h=4.0)
+
+
+def _q_k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release gate
+    (dataset_rules.py::k_anonymity_profile) over the quasi-identifier
+    tuple (event_type, hour-of-event) with user_id as the sensitive
+    attribute — the privacy twin of the in-window pii_reuse screen:
+    that one finds identifiers REUSED across documents, this one
+    quantifies how re-identifiable rows are from side-channel
+    attributes alone. One class-keyed aggregate + one global rollup;
+    single verdict row."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    quasi = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "user_id")
+    return D.k_anonymity_profile(quasi, ["event_type", "hour"], k=5,
+                                 sensitive_col="user_id")
+
+
+def _q_null_pattern_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-pattern profile (dataset_rules.py::
+    null_pattern_profile) over (user_id, value, props) with
+    deterministically planted nulls (event_id % 7 → user_id null,
+    % 11 → value null, % 13 → props null — same injection both
+    engines): the co-occurrence rows a per-column null-rate monitor
+    (completeness_events, its r04-gated companion) cannot see. One
+    compiled mask projection + one bounded-cardinality aggregate."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    inj = ev.select(
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("user_id")).alias("user_id"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("props")).alias("props"))
+    return D.null_pattern_profile(inj, ["user_id", "value", "props"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = the DRIVER'S GATE ORDER: the driver verifies a 50-query
     # prefix of this dict against the DuckDB oracles. The window (recomputed
@@ -2846,6 +2907,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency_transcripts": _q_tool_latency_transcripts,
         "file_balance_transcripts": _q_file_balance_transcripts,
         "sampled_validate_transcripts": _q_sampled_validate_transcripts,
+        # -- r5 session J: SPC / privacy / missingness analyzers --
+        "cusum_events": _q_cusum_events,
+        "k_anonymity_events": _q_k_anonymity_events,
+        "null_pattern_events": _q_null_pattern_events,
     }
 
 
@@ -5909,5 +5974,98 @@ def oracle_sql() -> dict[str, str]:
                                   * (n * syy - sy * sy)) END, 6) AS r2,
                top_term, CAST(top_count AS BIGINT) AS top_count
         FROM a
+    """
+    # -- r5 session J: SPC / privacy / missingness analyzers --
+    # CUSUM drawdown identity: s+_t = C_t - min(0, min_{j<=t} C_j) with
+    # C_t = cumsum(z - k); same two windows, same rounding, both engines.
+    o["cusum_events"] = """
+        WITH f AS (
+            SELECT ts FROM events
+            WHERE ts IS NOT NULL
+              AND (ts < TIMESTAMP '2024-01-16' OR event_id % 2 = 0)
+        ), c AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+                   COUNT(*)::BIGINT AS n_rows
+            FROM f GROUP BY 1
+        ), r AS (
+            SELECT c.*, ROW_NUMBER() OVER (ORDER BY bucket_ts) AS rn
+            FROM c
+        ), b AS (
+            SELECT COUNT(*) AS nb, AVG(n_rows) AS mu,
+                   STDDEV_SAMP(n_rows) AS sigma
+            FROM r WHERE rn <= 7
+        ), z AS (
+            SELECT bucket_ts, n_rows,
+                   CASE WHEN nb >= 2 AND sigma IS NOT NULL AND sigma > 0
+                        THEN (n_rows - mu) / sigma END AS z
+            FROM r, b
+        ), cs AS (
+            SELECT bucket_ts, n_rows, z,
+                   SUM(z - 0.5) OVER w AS cp,
+                   SUM(-z - 0.5) OVER w AS cn
+            FROM z
+            WINDOW w AS (ORDER BY bucket_ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        ), s AS (
+            SELECT bucket_ts, n_rows, ROUND(z, 6) AS z,
+                   ROUND(cp - LEAST(0, MIN(cp) OVER w), 6) AS s_pos,
+                   ROUND(cn - LEAST(0, MIN(cn) OVER w), 6) AS s_neg
+            FROM cs
+            WINDOW w AS (ORDER BY bucket_ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        )
+        SELECT bucket_ts, n_rows, z, s_pos, s_neg,
+               COALESCE(s_pos > 4.0 OR s_neg > 4.0, FALSE) AS alarm
+        FROM s ORDER BY bucket_ts
+    """
+    o["k_anonymity_events"] = """
+        WITH cls AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   COUNT(*) AS sz,
+                   COUNT(DISTINCT user_id) AS l
+            FROM events GROUP BY 1, 2
+        )
+        SELECT 5 AS k,
+               CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_rows,
+               COUNT(*)::BIGINT AS n_classes,
+               CAST(MIN(sz) AS BIGINT) AS min_class_size,
+               CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS risky_classes,
+               CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END), 0)
+                    AS BIGINT) AS risky_rows,
+               CASE WHEN COALESCE(SUM(sz), 0) > 0
+                    THEN ROUND(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                               * 1.0 / SUM(sz), 6)
+                    ELSE 0.0 END AS risk_rate,
+               CAST(MIN(l) AS BIGINT) AS l_min
+        FROM cls
+    """
+    o["null_pattern_events"] = """
+        WITH inj AS (
+            SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+                        ELSE user_id END AS user_id,
+                   CASE WHEN event_id % 11 = 0 THEN NULL
+                        ELSE value END AS value,
+                   CASE WHEN event_id % 13 = 0 THEN NULL
+                        ELSE props END AS props
+            FROM events
+        ), m AS (
+            SELECT (CASE WHEN user_id IS NULL THEN '1' ELSE '0' END ||
+                    CASE WHEN value IS NULL THEN '1' ELSE '0' END ||
+                    CASE WHEN props IS NULL THEN '1' ELSE '0' END)
+                   AS pattern
+            FROM inj
+        ), p AS (
+            SELECT pattern, COUNT(*) AS cnt FROM m GROUP BY pattern
+        ), t AS (SELECT SUM(cnt) AS total FROM p)
+        SELECT pattern,
+               CAST(LENGTH(pattern) - LENGTH(REPLACE(pattern, '1', ''))
+                    AS INT) AS n_null_cols,
+               CAST(cnt AS BIGINT) AS cnt,
+               ROUND(cnt * 1.0 / total, 6) AS ratio
+        FROM p, t ORDER BY cnt DESC, pattern
     """
     return o

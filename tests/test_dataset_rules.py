@@ -878,6 +878,91 @@ def test_volume_anomaly_rolling_z(spark):
     assert last.n_rows == 100 and last.z is not None and last.anomalous
 
 
+def test_cusum_matches_textbook_recursion_and_alarms_on_shift(spark):
+    """The windowed drawdown identity must equal the textbook Page
+    recursion s+_t = max(0, s+_{t-1} + z_t - k) run directly in Python,
+    and a persistent -1.5σ level shift (which never trips a 3σ
+    single-bucket monitor) must raise the alarm."""
+    from datetime import datetime as T
+
+    counts = [10, 12, 11, 9, 10, 12, 10,          # baseline week
+              9, 9, 9, 9, 9, 9, 9, 9]             # persistent -1.4σ shift
+    rows = []
+    for d, n in enumerate(counts):
+        rows += [(T(2026, 1, d + 1),)] * n
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = drift.cusum_shift(df, "ts", baseline=7, k=0.5, h=4.0).collect()
+    assert [r.n_rows for r in out] == counts
+
+    import statistics
+    mu = statistics.mean(counts[:7])
+    sigma = statistics.stdev(counts[:7])
+    sp = sn = 0.0
+    for r, n in zip(out, counts):
+        z = (n - mu) / sigma
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        assert abs(r.z - z) < 1e-6
+        assert abs(r.s_pos - sp) < 1e-6
+        assert abs(r.s_neg - sn) < 1e-6
+        assert r.alarm == (round(sp, 6) > 4.0 or round(sn, 6) > 4.0)
+    assert not out[6].alarm and out[-1].alarm      # fires after the shift
+    # no single bucket would have paged the trailing z-monitor at 3σ
+    va = drift.volume_anomaly(df, "ts", trailing=7, z_threshold=3.0)
+    assert not any(r.anomalous for r in va.collect())
+
+
+def test_cusum_undefined_baseline_contract(spark):
+    """σ = 0 (constant baseline) or < 2 baseline buckets ⇒ the chart is
+    undefined: z/s columns NULL, alarm FALSE."""
+    from datetime import datetime as T
+
+    rows = [(T(2026, 1, d + 1),) for d in range(5)]  # 1/day, constant
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = drift.cusum_shift(df, "ts", baseline=3).collect()
+    assert all(r.z is None and r.s_pos is None and r.s_neg is None
+               and r.alarm is False for r in out)
+    one = spark.createDataFrame([(T(2026, 1, 1),)], "ts timestamp")
+    out1 = drift.cusum_shift(one, "ts", baseline=3).collect()
+    assert len(out1) == 1 and out1[0].z is None and not out1[0].alarm
+
+
+def test_k_anonymity_profile_counts_and_l_diversity(spark):
+    """Classes a:3 b:2 c:1 at k=3 ⇒ 2 risky classes / 3 risky rows /
+    rate 0.5; l_min honours the all-null-sensitive class (l = 0);
+    without a sensitive column l_min is NULL."""
+    rows = [("a", "s1"), ("a", "s1"), ("a", "s2"),
+            ("b", "s1"), ("b", "s1"), ("c", None)]
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = D.k_anonymity_profile(df, ["q"], k=3, sensitive_col="s") \
+        .collect()[0]
+    assert (r.k, r.n_rows, r.n_classes, r.min_class_size) == (3, 6, 3, 1)
+    assert (r.risky_classes, r.risky_rows, r.risk_rate) == (2, 3, 0.5)
+    assert r.l_min == 0
+    r2 = D.k_anonymity_profile(df, ["q"], k=2).collect()[0]
+    assert r2.risky_classes == 1 and r2.risky_rows == 1
+    assert r2.l_min is None
+    # NULL quasi values form their own class (ANSI GROUP BY contract)
+    df3 = spark.createDataFrame([(None, "x"), (None, "y")],
+                                "q string, s string")
+    r3 = D.k_anonymity_profile(df3, ["q"], k=5, sensitive_col="s") \
+        .collect()[0]
+    assert r3.n_classes == 1 and r3.risky_rows == 2 and r3.l_min == 2
+
+
+def test_null_pattern_profile_masks_and_order(spark):
+    """Mask string is positional ('1' = NULL), counts group by
+    co-occurrence, ratio sums to 1, order is cnt desc then pattern."""
+    rows = [(1, "x"), (2, "y"), (None, "z"), (None, None), (5, None),
+            (6, "w")]
+    df = spark.createDataFrame(rows, "a int, b string")
+    out = D.null_pattern_profile(df, ["a", "b"]).collect()
+    got = [(r.pattern, r.n_null_cols, r.cnt, r.ratio) for r in out]
+    assert got == [("00", 0, 3, 0.5), ("01", 1, 1, round(1 / 6, 6)),
+                   ("10", 1, 1, round(1 / 6, 6)),
+                   ("11", 2, 1, round(1 / 6, 6))]
+
+
 def test_funnel_first_touch_depth_and_counts(spark):
     """Depth counts ordered first-touches only: a purchase whose first
     touch precedes the first click is NOT a conversion; equal

@@ -148,6 +148,15 @@ def test_gate_window_covers_never_gated():
         # hash_split-style deterministic sample; Wilson band pinned by
         # its own hash oracle + unit tests
         "sampled_validate_transcripts": "transcript_verdicts",
+        # session-J analyzers: CUSUM is volume_anomaly's bucket-count
+        # aggregate plus two cumsum/running-min windows (alarm pinned by
+        # its own hash oracle + a planted-shift unit test); k-anonymity
+        # shares the privacy family with the in-window pii_reuse gate;
+        # the null-pattern mask is completeness' null accounting
+        # regrouped by co-occurrence (completeness_events is r04-gated)
+        "cusum_events": "volume_anomaly_events",
+        "k_anonymity_events": "pii_reuse_documents",
+        "null_pattern_events": "completeness_events",
     }
     orphans = [
         k for k in keys[50:]

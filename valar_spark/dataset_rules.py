@@ -1044,6 +1044,100 @@ def distinctness(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def k_anonymity_profile(df: DataFrame, quasi_cols: list[str], k: int = 5,
+                        sensitive_col: str | None = None) -> DataFrame:
+    """Re-identification risk profile (Sweeney 2002 k-anonymity, plus the
+    l-diversity floor of Machanavajjhala et al. 2007 when
+    ``sensitive_col`` is given) over the quasi-identifier tuple
+    ``quasi_cols`` — ONE summary row ``(k, n_rows, n_classes,
+    min_class_size, risky_classes, risky_rows, risk_rate, l_min)``.
+    An equivalence class is the set of rows sharing the full
+    quasi-identifier tuple; a class smaller than ``k`` means its members
+    are re-identifiable by joining public attributes, and ``risk_rate``
+    is the fraction of ALL rows sitting in such classes — the privacy
+    gate a training-data release runs before shipping transcripts that
+    carry (role, day, tool)-style side channels. ``l_min`` is the
+    smallest per-class count of DISTINCT sensitive values: k-anonymous
+    but l=1 means every member of the class shares the secret, so the
+    attacker needs no row-level match at all. NULL quasi values form
+    their own class (GROUP BY groups nulls on every ANSI engine — the
+    contract this shares with the oracle); NULL sensitive values are
+    ignored by the distinct count, so an all-null class has l = 0.
+
+    Shape at scale: one map-side-combined (quasi-tuple) aggregate
+    computing size and distinct-sensitive together, then one global
+    aggregate over the cardinality-sized class frame. Mergeable, no
+    window, no driver state — the 10^12-row cost is the single hash
+    aggregate a groupBy already pays."""
+    aggs = [F.count(F.lit(1)).alias("_sz")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("_l"))
+    cls = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    risky = F.col("_sz") < int(k)
+    out = [
+        F.lit(int(k)).alias("k"),
+        F.coalesce(F.sum("_sz"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("_sz").cast("long").alias("min_class_size"),
+        F.coalesce(F.sum(F.when(risky, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("risky_classes"),
+        F.coalesce(F.sum(F.when(risky, F.col("_sz")).otherwise(0)),
+                   F.lit(0)).cast("long").alias("risky_rows"),
+    ]
+    summary = cls.agg(*out)
+    rate = F.when(
+        F.col("n_rows") > 0,
+        F.round(F.col("risky_rows") / F.col("n_rows"), 6)
+    ).otherwise(F.lit(0.0))
+    summary = summary.withColumn("risk_rate", rate)
+    if sensitive_col is not None:
+        lmin = cls.agg(F.min("_l").cast("long").alias("l_min"))
+        summary = summary.crossJoin(F.broadcast(lmin))
+    else:
+        summary = summary.withColumn(
+            "l_min", F.lit(None).cast("long"))
+    return summary
+
+
+def null_pattern_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Missingness-pattern profile over ``cols`` — one row per observed
+    null-mask ``(pattern, n_null_cols, cnt, ratio)``, ordered by count
+    desc then pattern. ``pattern`` is a '0'/'1' string, one character per
+    column in the given order, '1' marking NULL — the md.pattern of the
+    R missing-data literature (Little & Rubin). Per-column null *rates*
+    (:func:`stats_profile`) can't distinguish "5% of rows lost the whole
+    enrichment join" from "independent 5% noise per column" — the
+    co-occurrence pattern can: a dominant '0111…' row is one dead
+    upstream producer, and patterns that violate the schema's
+    requires-together contracts (tool set but text null) surface as
+    their own rows here before any per-column rule fires.
+
+    Shape at scale: the mask is a compiled projection (no UDF), then ONE
+    map-side-combined aggregate whose output cardinality is bounded by
+    2^|cols| regardless of row count; the ratio denominator is a
+    broadcast 1-row aggregate. The final order-by runs on that bounded
+    frame."""
+    mask = F.concat(*[
+        F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0"))
+        for c in cols
+    ])
+    pat = df.select(mask.alias("pattern")) \
+        .groupBy("pattern").agg(F.count(F.lit(1)).alias("cnt"))
+    total = pat.agg(F.sum("cnt").alias("_total"))
+    return (
+        pat.crossJoin(F.broadcast(total))
+        .select(
+            "pattern",
+            (F.length("pattern")
+             - F.length(F.replace(F.col("pattern"), F.lit("1"),
+                                  F.lit("")))).cast("int")
+            .alias("n_null_cols"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("ratio"))
+        .orderBy(F.col("cnt").desc(), "pattern")
+    )
+
+
 def compliance(df: DataFrame, predicate: Column,
                name: str = "compliance") -> DataFrame:
     """Deequ's ``Compliance`` analyzer: the fraction of rows satisfying an

@@ -263,6 +263,87 @@ def volume_anomaly(
     )
 
 
+def cusum_shift(
+    df: DataFrame,
+    ts_col: str,
+    granularity: str = "day",
+    baseline: int = 7,
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Tabular CUSUM control chart (Page 1954) on the ingest-volume
+    series: each time bucket's row count standardized against the FIRST
+    ``baseline`` present buckets, then accumulated into one-sided upper/
+    lower cumulative sums — ``(bucket_ts, n_rows, z, s_pos, s_neg,
+    alarm)``, ordered. The small-persistent-shift twin of
+    :func:`volume_anomaly`: a trailing z-score only pages on a single
+    bucket ``z_threshold``-σ out, so a permanent +1σ level shift (a new
+    upstream shard, a silently doubled sampling rate) never fires it —
+    CUSUM integrates the drift until it crosses ``h``. Classic SPC
+    phase-I/phase-II split: the first ``baseline`` buckets estimate
+    (μ, σ); every bucket is monitored.
+
+    The textbook recursion ``s⁺_t = max(0, s⁺_{t-1} + z_t − k)`` is NOT
+    run as a recursion: by the running-drawdown identity
+    ``s⁺_t = C_t − min(0, min_{j≤t} C_j)`` with ``C_t = Σ_{i≤t}(z_i − k)``
+    (and symmetrically ``s⁻`` over ``−z_i − k``), so the whole chart is
+    two ordered cumulative sums plus their running minima — plain window
+    expressions, bit-identical on any ANSI engine, no per-row Python and
+    no recursive state. ``z``/``s⁺``/``s⁻`` are rounded 6 and the alarm
+    compares the ROUNDED sums to ``h`` so the verdict is cross-engine
+    stable. If fewer than 2 baseline buckets exist or the baseline is
+    constant (σ = 0), the chart is undefined: z/s columns are NULL and
+    ``alarm`` is FALSE (same null-contract stance as
+    :func:`volume_anomaly`).
+
+    Shape at scale: ONE data-sized map-side-combined count per bucket;
+    the row_number + two cumsum/running-min windows run over the
+    cardinality-sized bucket frame (365 rows/year at daily granularity)
+    — the single-partition ordered pass is deliberate and bounded, the
+    same stance as the drift timelines. Counts are additive, so a
+    streaming deployment maintains per-bucket counts incrementally and
+    re-derives the chart from counts alone."""
+    counts = (df.filter(F.col(ts_col).isNotNull())
+              .groupBy(F.date_trunc(granularity, F.col(ts_col))
+                       .alias("bucket_ts"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+    w_rn = Window.orderBy("bucket_ts")
+    c = counts.withColumn("rn", F.row_number().over(w_rn))
+    base = c.filter(F.col("rn") <= int(baseline)).agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.avg("n_rows").alias("_mu"),
+        F.stddev_samp("n_rows").alias("_sigma"),
+    )
+    ok = (F.col("_nb") >= 2) & F.col("_sigma").isNotNull() \
+        & (F.col("_sigma") > 0)
+    z = F.when(ok, (F.col("n_rows").cast("double") - F.col("_mu"))
+               / F.col("_sigma"))
+    wcum = (Window.orderBy("bucket_ts")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    zc = c.crossJoin(F.broadcast(base)).select(
+        "bucket_ts", "n_rows", z.alias("_z"))
+    cum = zc.select(
+        "bucket_ts", "n_rows", "_z",
+        F.sum(F.col("_z") - F.lit(float(k))).over(wcum).alias("_cp"),
+        F.sum(-F.col("_z") - F.lit(float(k))).over(wcum).alias("_cn"),
+    )
+    s_pos = F.round(
+        F.col("_cp") - F.least(F.lit(0.0), F.min("_cp").over(wcum)), 6)
+    s_neg = F.round(
+        F.col("_cn") - F.least(F.lit(0.0), F.min("_cn").over(wcum)), 6)
+    return (
+        cum.select(
+            "bucket_ts", "n_rows",
+            F.round("_z", 6).alias("z"),
+            s_pos.alias("s_pos"), s_neg.alias("s_neg"))
+        .withColumn(
+            "alarm",
+            F.coalesce((F.col("s_pos") > float(h))
+                       | (F.col("s_neg") > float(h)), F.lit(False)))
+        .orderBy("bucket_ts")
+    )
+
+
 def js_by_group(
     df: DataFrame,
     cat_col: str,
