@@ -360,3 +360,45 @@ def test_cli_budget_gate(spark, tmp_path, monkeypatch, capsys):
             "text.non_empty", "text.max_length", "turn_idx.non_negative",
             "role.one_of", "tool.one_of"])])
     assert rc2 == 0 and "validation gate failed" not in out2
+
+
+def test_cli_cusum_kanon_null_patterns(spark, tmp_path, monkeypatch,
+                                       capsys):
+    """--cusum exits 1 when the chart alarms (planted level shift) and 0
+    on a flat series; --k-anonymity exits 1 with risky classes and
+    prints the risk JSON; --null-patterns prints the mask profile."""
+    from datetime import datetime as T
+
+    rows = []
+    counts = [10, 12, 11, 9, 10, 12, 10] + [9] * 8
+    for d, n in enumerate(counts):
+        rows += [(T(2026, 1, d + 1), f"u{i}", f"g{d % 3}")
+                 for i in range(n)]
+    inp = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "ts timestamp, uid string, grp string") \
+        .write.parquet(inp)
+
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", inp, "--work-dir", str(tmp_path / "w1"), "--cusum"])
+    assert rc == 1 and _json_line(out)["cusum_alarms"] > 0
+
+    flat = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(T(2026, 1, d + 1, 0, i, 0),) for d in range(10)
+         for i in range((d * 7) % 3 + 10)], "ts timestamp") \
+        .write.parquet(flat)
+    rc0, out0 = _run_cli(monkeypatch, capsys, [
+        "--input", flat, "--work-dir", str(tmp_path / "w2"), "--cusum"])
+    assert rc0 == 0 and _json_line(out0)["cusum_alarms"] == 0
+
+    rc2, out2 = _run_cli(monkeypatch, capsys, [
+        "--input", inp, "--work-dir", str(tmp_path / "w3"),
+        "--k-anonymity", "uid", "--k-threshold", "3",
+        "--sensitive", "grp"])
+    j = _json_line(out2)
+    assert rc2 == 1 and j["risky_rows"] > 0 and j["l_min"] >= 1
+
+    rc3, out3 = _run_cli(monkeypatch, capsys, [
+        "--input", inp, "--work-dir", str(tmp_path / "w4"),
+        "--null-patterns", "uid,grp"])
+    assert rc3 == 0 and "pattern" in out3 and "000" not in out3

@@ -145,7 +145,25 @@ def main(argv: list[str] | None = None) -> int:
                         "vs the previous present day (quantile edges "
                         "derived once over the whole input)")
     p.add_argument("--ts-col", default="ts",
-                   help="timestamp column for --drift-timeline")
+                   help="timestamp column for --drift-timeline / --cusum")
+    p.add_argument("--cusum", action="store_true",
+                   help="CUSUM level-shift chart on daily ingest volume "
+                        "(phase-I baseline = first --cusum-baseline days); "
+                        "pages on small persistent shifts a trailing "
+                        "z-monitor never sees")
+    p.add_argument("--cusum-baseline", type=int, default=7,
+                   help="baseline days for --cusum (default 7)")
+    p.add_argument("--k-anonymity", metavar="COL,...", default=None,
+                   help="k-anonymity release gate over the given "
+                        "quasi-identifier columns (k from --k-threshold, "
+                        "sensitive column from --sensitive)")
+    p.add_argument("--k-threshold", type=int, default=5,
+                   help="class-size floor for --k-anonymity (default 5)")
+    p.add_argument("--sensitive", default=None,
+                   help="sensitive column for --k-anonymity l-diversity")
+    p.add_argument("--null-patterns", metavar="COL,...", default=None,
+                   help="missingness-pattern profile over the given "
+                        "columns (co-occurring null masks)")
     p.add_argument("--ri-bloom", action="store_true",
                    help="Bloom-filter RI pre-screen of conv_id against "
                         "--registry: orphans the parent-key filter PROVES "
@@ -292,6 +310,42 @@ def main(argv: list[str] | None = None) -> int:
 
         tl = drift.psi_timeline(df, args.drift_timeline, args.ts_col)
         tl.show(100, truncate=False)
+        spark.stop()
+        return 0
+
+    if args.cusum:
+        from pyspark.sql import functions as F
+
+        from valar_spark import drift
+
+        chart = drift.cusum_shift(df, args.ts_col,
+                                  baseline=args.cusum_baseline)
+        chart.show(100, truncate=False)
+        alarms = chart.filter(F.col("alarm")).count()
+        print(json.dumps({"run_id": args.run_id, "cusum_alarms": alarms}))
+        spark.stop()
+        return 0 if alarms == 0 else 1
+
+    if args.k_anonymity:
+        from valar_spark import dataset_rules as D
+
+        prof = D.k_anonymity_profile(
+            df, args.k_anonymity.split(","), k=args.k_threshold,
+            sensitive_col=args.sensitive)
+        row = prof.collect()[0]
+        prof.show(truncate=False)
+        print(json.dumps({"run_id": args.run_id,
+                          "risk_rate": row.risk_rate,
+                          "risky_rows": row.risky_rows,
+                          "l_min": row.l_min}))
+        spark.stop()
+        return 0 if row.risky_rows == 0 else 1
+
+    if args.null_patterns:
+        from valar_spark import dataset_rules as D
+
+        D.null_pattern_profile(df, args.null_patterns.split(",")) \
+            .show(100, truncate=False)
         spark.stop()
         return 0
 
