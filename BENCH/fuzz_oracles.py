@@ -369,6 +369,18 @@ EVENTS_QUERIES = [
     "volume_anomaly_events",
     "funnel_events",
     "retention_events",
+    # round-5 session I SPC/privacy/missingness trio: the fuzz ts pool's
+    # 1-2 day span keeps cusum in its nb<2-or-small-baseline regime
+    # (NULL z → FALSE alarm, the documented null contract — exercised on
+    # every draw) and the planted odd-event_id filter is a same-predicate
+    # no-op below the 2024-01-16 cutoff on both engines; k-anonymity
+    # groups NULL/empty/case-shifted event_types as their own classes and
+    # counts distinct user_ids null-free both sides; null-pattern's
+    # CASE-injected masks (% 7/11/13 over non-negative event_ids) plus
+    # the pool's organic null value/props exercise every 2^3 mask path
+    "cusum_events",
+    "k_anonymity_events",
+    "null_pattern_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]
