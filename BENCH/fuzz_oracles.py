@@ -78,6 +78,11 @@ FUZZ_QUERIES = [
     # md5-draw samplers + the two-phase pack cumsum vs the oracle's
     # single-window replay (token counts over adversarial whitespace)
     "weighted_sample_documents",
+    # session-J semantic-type battery over ORGANIC adversarial text:
+    # random unicode (astral, exotic whitespace, huge tokens) through
+    # anchored rlike vs RE2 regexp_matches — the \A…\z trailing-newline
+    # contract and the ASCII \d/[A-Za-z] class agreement, every draw
+    "semantic_types_documents",
     "pack_shards_documents",
     # round-5 session-F corpus-LM pairs: unigram surprise (counts-only
     # smoothing arithmetic + LOWER dialect), the Zipf ln-ln fit (top-k
@@ -381,6 +386,11 @@ EVENTS_QUERIES = [
     "cusum_events",
     "k_anonymity_events",
     "null_pattern_events",
+    # session-J semantic-type inference over the PLANTED event_id%8
+    # column: integer-string arms are engine-identical by construction
+    # and the props arm routes the pool's organic json/empty/null values
+    # through the anchored battery
+    "semantic_types_events",
 ]
 
 _ETYPES = ["click", "view", "purchase", "signup", "error", None, "CLICK", ""]

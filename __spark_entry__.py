@@ -2725,6 +2725,65 @@ def _q_null_pattern_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.null_pattern_profile(inj, ["user_id", "value", "props"])
 
 
+def _semantic_plant(ev: DataFrame):
+    """Deterministic mixed-semantic-type string column over events: arm
+    by event_id % 8 so every battery entry fires (NULL event_id and the
+    props arm carry the organic values through). Integer string
+    rendering (bigint → decimal digits) is engine-identical; no float
+    formatting anywhere. The SQL oracle mirrors this CASE verbatim."""
+    eid = F.col("event_id")
+    uid = F.col("user_id")
+    return (
+        F.when(eid % 8 == 0,
+               F.concat(F.lit("user"), uid.cast("string"),
+                        F.lit("@example.com")))
+        .when(eid % 8 == 1,
+              F.concat(F.lit("https://ex.com/p/"), eid.cast("string")))
+        .when(eid % 8 == 2,
+              F.concat(F.lit("00000000-0000-4000-8000-"),
+                       F.lpad((eid % 1000000000000).cast("string"),
+                              12, "0")))
+        .when(eid % 8 == 3,
+              F.concat(F.lit("2024-01-"),
+                       F.lpad((eid % 28 + 1).cast("string"), 2, "0")))
+        .when(eid % 8 == 4, eid.cast("string"))
+        .when(eid % 8 == 5,
+              F.concat((eid % 100).cast("string"), F.lit(".25")))
+        .when(eid % 8 == 6,
+              F.concat(F.lit("10.0."), (eid % 256).cast("string"),
+                       F.lit("."), (uid % 256).cast("string")))
+        .otherwise(F.col("props"))
+    )
+
+
+def _q_semantic_types_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-type inference profile (dataset_rules.py::
+    semantic_type_profile) over a PLANTED mixed-type string column —
+    every battery entry (email/url/uuid/date/int/decimal/ipv4/json)
+    fires on its event_id%8 arm, the props arm carries organic JSON /
+    empties / nulls. The profiling layer between schema_violations
+    ('it's a string') and a domain rule nobody has written yet: typed
+    strings and type drift surface here first. One compiled aggregate;
+    battery-sized output."""
+    from valar_spark import dataset_rules as D
+
+    ev = _read(spark, sf_dir, "events")
+    return D.semantic_type_profile(
+        ev.select(_semantic_plant(ev).alias("v")), "v")
+
+
+def _q_semantic_types_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_type_profile over the ORGANIC documents.text column —
+    prose should profile as no dominant type (ratios ≈ 0), which is
+    exactly the negative control: any nonzero battery ratio on raw text
+    is a regex-dialect drift between rlike and the RE2 oracle (the
+    \\A…\\z anchoring contract, SEMANTIC_TYPE_PATTERNS)."""
+    from valar_spark import dataset_rules as D
+
+    docs = _read(spark, sf_dir, "documents")
+    return D.semantic_type_profile(docs, "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = the DRIVER'S GATE ORDER: the driver verifies a 50-query
     # prefix of this dict against the DuckDB oracles. The window (recomputed
@@ -2911,6 +2970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": _q_cusum_events,
         "k_anonymity_events": _q_k_anonymity_events,
         "null_pattern_events": _q_null_pattern_events,
+        "semantic_types_events": _q_semantic_types_events,
+        "semantic_types_documents": _q_semantic_types_documents,
     }
 
 
@@ -6068,4 +6129,54 @@ def oracle_sql() -> dict[str, str]:
                ROUND(cnt * 1.0 / total, 6) AS ratio
         FROM p, t ORDER BY cnt DESC, pattern
     """
+    # semantic-type inference (session J): the SQL battery is generated
+    # from the SAME SEMANTIC_TYPE_PATTERNS dict the Spark analyzer
+    # compiles (Java∩RE2 anchored contract, \A…\z), so the two engines
+    # cannot drift pattern-by-pattern; only the aggregation is restated.
+    from valar_spark.dataset_rules import SEMANTIC_TYPE_PATTERNS as _STP
+
+    def _semantic_sql(val_expr: str, table: str) -> str:
+        ms = ",\n                   ".join(
+            f"COALESCE(SUM(CASE WHEN regexp_matches(v, '{p}') "
+            f"THEN 1 ELSE 0 END), 0) AS m_{n}"
+            for n, p in _STP.items())
+        mx = ", ".join(f"m_{n}" for n in _STP)
+        unpiv = "\n            UNION ALL ".join(
+            f"SELECT '{n}' AS type, m_{n} AS m, nn, mx FROM g"
+            for n in _STP)
+        return f"""
+        WITH v AS (SELECT {val_expr} AS v FROM {table}),
+        a AS (
+            SELECT CAST(COUNT(v) AS BIGINT) AS nn,
+                   {ms}
+            FROM v
+        ), g AS (SELECT a.*, GREATEST({mx}) AS mx FROM a),
+        t AS (
+            {unpiv}
+        )
+        SELECT type, nn AS n_nonnull, CAST(m AS BIGINT) AS n_match,
+               CASE WHEN nn > 0 THEN ROUND(m * 1.0 / nn, 6)
+                    ELSE 0.0 END AS ratio,
+               (m = mx AND m > 0 AND m >= 0.5 * nn) AS dominant
+        FROM t ORDER BY type
+        """
+
+    _plant_sql = """CASE
+            WHEN event_id % 8 = 0 THEN 'user' || CAST(user_id AS VARCHAR)
+                                       || '@example.com'
+            WHEN event_id % 8 = 1 THEN 'https://ex.com/p/'
+                                       || CAST(event_id AS VARCHAR)
+            WHEN event_id % 8 = 2 THEN '00000000-0000-4000-8000-' ||
+                 lpad(CAST(event_id % 1000000000000 AS VARCHAR), 12, '0')
+            WHEN event_id % 8 = 3 THEN '2024-01-' ||
+                 lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0')
+            WHEN event_id % 8 = 4 THEN CAST(event_id AS VARCHAR)
+            WHEN event_id % 8 = 5 THEN CAST(event_id % 100 AS VARCHAR)
+                                       || '.25'
+            WHEN event_id % 8 = 6 THEN '10.0.' ||
+                 CAST(event_id % 256 AS VARCHAR) || '.' ||
+                 CAST(user_id % 256 AS VARCHAR)
+            ELSE props END"""
+    o["semantic_types_events"] = _semantic_sql(_plant_sql, "events")
+    o["semantic_types_documents"] = _semantic_sql("text", "documents")
     return o

@@ -402,3 +402,17 @@ def test_cli_cusum_kanon_null_patterns(spark, tmp_path, monkeypatch,
         "--input", inp, "--work-dir", str(tmp_path / "w4"),
         "--null-patterns", "uid,grp"])
     assert rc3 == 0 and "pattern" in out3 and "000" not in out3
+
+
+def test_cli_semantic_types(spark, tmp_path, monkeypatch, capsys):
+    """--semantic-types prints the battery profile and the dominant-type
+    JSON line (uuid-heavy column infers uuid; prose infers nothing)."""
+    inp = str(tmp_path / "docs")
+    uuids = [(f"123e4567-e89b-12d3-a456-4266141740{i:02d}",)
+             for i in range(9)]
+    spark.createDataFrame(uuids + [("plain prose",)], "v string") \
+        .write.parquet(inp)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", inp, "--work-dir", str(tmp_path / "w1"),
+        "--semantic-types", "v"])
+    assert rc == 0 and _json_line(out)["dominant"] == ["uuid"]

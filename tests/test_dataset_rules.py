@@ -963,6 +963,49 @@ def test_null_pattern_profile_masks_and_order(spark):
                    ("11", 2, 1, round(1 / 6, 6))]
 
 
+def test_semantic_type_profile_battery_and_dominant(spark):
+    """Each battery entry matches its planted value and nothing else's;
+    dominant marks the argmax type only at ≥ min_ratio coverage; NULLs
+    leave the denominator; a value may count toward several types."""
+    rows = [("a@b.com",), ("c.d@e.org",), ("https://x.y/z?q=1",),
+            ("123e4567-e89b-12d3-a456-426614174000",),
+            ("2024-02-29",), ("2024-02-29T10:30:00Z",), ("-42",),
+            ("3.25",), ("10.0.0.255",), ('{"k": 1}',), (None,),
+            ("plain prose",)]
+    df = spark.createDataFrame(rows, "v string")
+    out = {r.type: r for r in
+           D.semantic_type_profile(df, "v").collect()}
+    assert sorted(out) == sorted(D.SEMANTIC_TYPE_PATTERNS)
+    assert all(r.n_nonnull == 11 for r in out.values())
+    assert out["email"].n_match == 2
+    for t in ("url", "uuid", "iso_timestamp", "integer", "decimal",
+              "ipv4", "json_object"):
+        assert out[t].n_match == 1, t
+    # iso_date matches the bare date AND the date prefix? No — anchored
+    # full match: only the bare date row
+    assert out["iso_date"].n_match == 1
+    assert out["email"].ratio == round(2 / 11, 6)
+    assert not any(r.dominant for r in out.values())  # max 2/11 < 0.5
+    # dominant fires at >= min_ratio, ties all marked
+    dom = spark.createDataFrame(
+        [("1",), ("2",), ("a@b.de",), (None,)], "v string")
+    d = {r.type: r.dominant
+         for r in D.semantic_type_profile(dom, "v").collect()}
+    assert d["integer"] and not d["email"] and not d["decimal"]
+    # trailing newline must NOT match (the \A…\z vs ^…$ contract —
+    # Java's $ matches before a final terminator, RE2's does not)
+    nl = spark.createDataFrame([("123\n",)], "v string")
+    rn = {r.type: r.n_match
+          for r in D.semantic_type_profile(nl, "v").collect()}
+    assert rn["integer"] == 0
+    # empty and all-null frames: nn=0, ratios 0.0, nothing dominant
+    empty = spark.createDataFrame([], "v string")
+    for frame in (empty, spark.createDataFrame([(None,)], "v string")):
+        res = D.semantic_type_profile(frame, "v").collect()
+        assert len(res) == len(D.SEMANTIC_TYPE_PATTERNS)
+        assert all(r.ratio == 0.0 and not r.dominant for r in res)
+
+
 def test_funnel_first_touch_depth_and_counts(spark):
     """Depth counts ordered first-touches only: a purchase whose first
     touch precedes the first click is NOT a conversion; equal

@@ -157,6 +157,13 @@ def test_gate_window_covers_never_gated():
         "cusum_events": "volume_anomaly_events",
         "k_anonymity_events": "pii_reuse_documents",
         "null_pattern_events": "completeness_events",
+        # session-J semantic-type inference: the battery is an anchored
+        # Java∩RE2 regex-ratio aggregate — the same dialect contract the
+        # r04-driver-gated pii_scrub pins; both variants carry their own
+        # hash oracle (judge-runnable via BENCH/check_oracles.py), a
+        # battery unit test, and differential fuzz entries
+        "semantic_types_events": "pii_scrub_documents",
+        "semantic_types_documents": "pii_scrub_documents",
     }
     orphans = [
         k for k in keys[50:]

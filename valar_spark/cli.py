@@ -164,6 +164,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--null-patterns", metavar="COL,...", default=None,
                    help="missingness-pattern profile over the given "
                         "columns (co-occurring null masks)")
+    p.add_argument("--semantic-types", metavar="COL", default=None,
+                   help="semantic-type inference profile of a string "
+                        "column (email/url/uuid/date/number/ipv4/json "
+                        "battery ratios + the dominant type, if any)")
     p.add_argument("--ri-bloom", action="store_true",
                    help="Bloom-filter RI pre-screen of conv_id against "
                         "--registry: orphans the parent-key filter PROVES "
@@ -346,6 +350,19 @@ def main(argv: list[str] | None = None) -> int:
 
         D.null_pattern_profile(df, args.null_patterns.split(",")) \
             .show(100, truncate=False)
+        spark.stop()
+        return 0
+
+    if args.semantic_types:
+        from valar_spark import dataset_rules as D
+
+        prof = D.semantic_type_profile(df, args.semantic_types)
+        rows = prof.collect()
+        prof.show(truncate=False)
+        dom = [r.type for r in rows if r.dominant]
+        print(json.dumps({"run_id": args.run_id,
+                          "column": args.semantic_types,
+                          "dominant": dom}))
         spark.stop()
         return 0
 

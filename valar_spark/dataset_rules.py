@@ -1044,6 +1044,91 @@ def distinctness(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+# semantic-type battery for string-column profiling. Patterns live in the
+# Java-regex ∩ RE2 common subset (the PII_PATTERNS contract,
+# textops.py:1879) and are anchored with \A…\z, NOT ^…$: Java's default $
+# matches BEFORE a trailing newline while RE2's matches only at absolute
+# end, so '123\n' would profile as integer on Spark but not on the DuckDB
+# oracle — \z closes that. json_object deliberately uses [^\n], not `.`:
+# Java's dot excludes ALL line terminators (\r,  …) while RE2's
+# excludes only \n, so `.` would diverge on a value containing \r — the
+# explicit class is identical in both. Single-line JSON only (multi-line
+# is json_parseable's job, rules.py). \d and [A-Za-z] are ASCII in both.
+SEMANTIC_TYPE_PATTERNS: dict[str, str] = {
+    "email": r"\A[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\z",
+    "url": r"\Ahttps?://[^ \t\n\x0B\f\r]+\z",
+    "uuid": (r"\A[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+             r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\z"),
+    "iso_date": r"\A\d{4}-\d{2}-\d{2}\z",
+    "iso_timestamp": (r"\A\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}"
+                      r"(\.\d{1,6})?(Z|[+-]\d{2}:\d{2})?\z"),
+    "integer": r"\A[+-]?\d{1,18}\z",
+    "decimal": r"\A[+-]?(\d{1,18}\.\d{0,9}|\.\d{1,9})\z",
+    "ipv4": r"\A\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\z",
+    "json_object": r"\A\{[^\n]*\}\z",
+}
+
+
+def semantic_type_profile(df: DataFrame, col: str,
+                          min_ratio: float = 0.5,
+                          patterns: dict[str, str] | None = None
+                          ) -> DataFrame:
+    """Semantic-type inference profile for a string column — one row per
+    battery type ``(type, n_nonnull, n_match, ratio, dominant)``, ordered
+    by type name. The profiling gap between a physical schema check
+    (:func:`schema_violations` sees ``string``) and a domain rule the
+    operator hasn't written yet: a column that is 99.8% ISO dates stored
+    as strings, or an id column drifting from uuid to integer mid-ingest,
+    surfaces here before anyone has declared a rule — the
+    ``semantic type`` detector of the GE/profiling literature, run as
+    ONE compiled aggregate. ``dominant`` marks the argmax type iff it
+    matches >0 rows and covers ≥ ``min_ratio`` of non-null values (ties
+    all marked — deterministic); feed it to rule suggestion the same way
+    :mod:`valar_spark.suggest` consumes domain breakdowns.
+
+    NULL values are excluded from the denominator (they are
+    completeness'/:func:`null_pattern_profile`'s jurisdiction); a
+    non-null value matching several battery entries counts toward each
+    (ratios need not sum to 1). Patterns are the Java∩RE2 anchored
+    contract of :data:`SEMANTIC_TYPE_PATTERNS` — see the note there on
+    ``\\A…\\z`` vs ``^…$``.
+
+    Shape at scale: one map-side-combined aggregate evaluating the whole
+    battery per row JVM-side (rlike, no UDF), producing a single row the
+    battery-sized stack explodes on the driver-sized frame — the
+    10^12-row cost is one scan regardless of battery size."""
+    pats = dict(patterns or SEMANTIC_TYPE_PATTERNS)
+    s = F.col(col)
+    aggs = [
+        F.coalesce(F.sum(F.when(s.isNotNull(), 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias("_nn"),
+    ]
+    for name, pat in pats.items():
+        aggs.append(
+            F.coalesce(F.sum(F.when(s.rlike(pat), 1).otherwise(0)),
+                       F.lit(0)).cast("long").alias(f"_m_{name}"))
+    one = df.agg(*aggs).withColumn(
+        "_mx", F.greatest(*[F.col(f"_m_{n}") for n in pats]))
+    stack = ", ".join(f"'{n}', _m_{n}" for n in pats)
+    rows = one.select(
+        "_nn", "_mx",
+        F.expr(f"stack({len(pats)}, {stack}) as (type, n_match)"))
+    nz = F.col("_nn") > 0
+    return (
+        rows.select(
+            "type",
+            F.col("_nn").alias("n_nonnull"),
+            F.col("n_match").cast("long").alias("n_match"),
+            F.when(nz, F.round(F.col("n_match") / F.col("_nn"), 6))
+            .otherwise(F.lit(0.0)).alias("ratio"),
+            ((F.col("n_match") == F.col("_mx"))
+             & (F.col("n_match") > 0)
+             & (F.col("n_match") >= F.lit(float(min_ratio)) * F.col("_nn"))
+             ).alias("dominant"))
+        .orderBy("type")
+    )
+
+
 def k_anonymity_profile(df: DataFrame, quasi_cols: list[str], k: int = 5,
                         sensitive_col: str | None = None) -> DataFrame:
     """Re-identification risk profile (Sweeney 2002 k-anonymity, plus the
