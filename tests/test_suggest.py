@@ -111,3 +111,47 @@ def test_suggest_json_rules_and_contract_candidate(spark):
     assert cand == {"props": "['k']"}
     run = validate(df, rules, keys=("props",))
     assert run.verdicts.filter("pass = false").count() == 0
+
+
+def test_suggest_semantic_type_regex(spark):
+    """A column whose every non-null value matches one battery entry
+    gets a matches() leaf (null-pass wrapped when nullable) that the
+    profiled data passes and drifted values trip; prose columns get no
+    regex; a fully-JSON-object column keeps json_parseable without a
+    redundant json_object regex; multi-match types beyond the first are
+    evidence-only rows."""
+    from valar_spark import validate
+    from valar_spark.suggest import suggest_rules
+
+    rows = [
+        ("123e4567-e89b-12d3-a456-426614174000", "10.0.0.1", "prose a",
+         '{"k": 1}'),
+        ("00000000-0000-4000-8000-000000000001", "192.168.0.9", None,
+         '{"k": 2}'),
+        (None, "8.8.8.8", "prose b", '{"k": 3}'),
+    ]
+    df = spark.createDataFrame(rows, "uid string, ip string, s string, "
+                                     "props string")
+    rules, report = suggest_rules(df)
+    rep = [(r["column"], r["rule"], r["params"]) for r in report.collect()]
+    got = {(c, n) for c, n, _ in rep}
+    assert ("uid", "matches") in got and ("ip", "matches") in got
+    assert ("s", "matches") not in got
+    # the uuid params name the inferred type
+    uid_params = [p for c, n, p in rep if (c, n) == ("uid", "matches")][0]
+    assert uid_params.startswith("uuid:")
+    # json column: parseable leaf, no regex duplicate
+    assert ("props", "json_parseable") in got
+    assert ("props", "matches") not in got
+
+    # suggested set passes the profiled data (uid has a null -> optional)
+    run = validate(df, rules, keys=("ip",))
+    assert run.violations.count() == 0
+
+    # drift trips the suggested regex
+    bad = spark.createDataFrame(
+        [("not-a-uuid", "999.1.2.3.4", "x", '{"k": 4}')], df.schema)
+    codes = {r["code"]
+             for r in validate(bad, rules, keys=("ip",))
+             .violations.collect()}
+    assert "validation.string.pattern_mismatch" in codes

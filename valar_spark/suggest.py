@@ -25,9 +25,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import rules as R
-from .dataset_rules import stats_profile
+from .dataset_rules import SEMANTIC_TYPE_PATTERNS, stats_profile
 
 _NUMERIC = ("integer", "long", "short", "byte", "float", "double", "decimal")
+
+# semantic types worth a regex-rule suggestion: json_object is dropped
+# (json_parseable already covers it with real parsing); patterns are the
+# anchored \A…\z contract — R.matches re-anchors with ^(?:…)$, which is
+# harmless but noisy, so the \A/\z are stripped for the suggested rule
+_SEM_SUGGEST = {t: p for t, p in SEMANTIC_TYPE_PATTERNS.items()
+                if t != "json_object"}
+
+
+def _sem_unanchored(pattern: str) -> str:
+    p = pattern
+    if p.startswith(r"\A"):
+        p = p[2:]
+    if p.endswith(r"\z"):
+        p = p[:-2]
+    return p
 
 REPORT_SCHEMA = ("column string, rule string, params string, "
                  "reason string")
@@ -65,6 +81,7 @@ def suggest_rules(
     ctrls: dict[str, int] = {}
     jsons: dict[str, int] = {}
     jobjs: dict[str, int] = {}
+    sems: dict[tuple[str, str], int] = {}
     if string_cols:
         from .textops import CTRL_CLASS
 
@@ -82,11 +99,19 @@ def suggest_rules(
                .alias(f"__json_{c}") for c in string_cols]
             + [F.sum(F.json_object_keys(F.col(c)).isNotNull().cast("long"))
                .alias(f"__jobj_{c}") for c in string_cols]
+            # semantic-type battery (rlike skips nulls via the NULL-sum
+            # contract) — rides the SAME single aggregate pass;
+            # json_object is excluded as redundant with json_parseable
+            + [F.sum(F.col(c).rlike(pat).cast("long"))
+               .alias(f"__sem_{t}_{c}")
+               for c in string_cols for t, pat in _SEM_SUGGEST.items()]
         )).first()
         blanks = {c: int(row[c] or 0) for c in string_cols}
         ctrls = {c: int(row[f"__ctrl_{c}"] or 0) for c in string_cols}
         jsons = {c: int(row[f"__json_{c}"] or 0) for c in string_cols}
         jobjs = {c: int(row[f"__jobj_{c}"] or 0) for c in string_cols}
+        sems = {(t, c): int(row[f"__sem_{t}_{c}"] or 0)
+                for c in string_cols for t in _SEM_SUGGEST}
 
     rules: dict = {}
     report_rows: list[tuple] = []
@@ -122,6 +147,23 @@ def suggest_rules(
                 leaves.append((
                     R.json_parseable(), "json_parseable", "",
                     f"all {nn_s} non-null values parse as JSON"))
+            # semantic type: EVERY non-null value matches one battery
+            # entry ⇒ suggest the anchored regex rule (Deequ's pattern
+            # suggestion); extra full-match types are evidence rows only
+            full = sorted(t for t in _SEM_SUGGEST
+                          if nn_s > 0 and sems.get((t, c), 0) == nn_s)
+            if full:
+                t0 = full[0]
+                pat = _sem_unanchored(_SEM_SUGGEST[t0])
+                leaves.append((
+                    R.matches(pat), "matches", f"{t0}: {pat!r}",
+                    f"all {nn_s} non-null values match semantic type "
+                    f"'{t0}'"))
+                for t in full[1:]:
+                    report_rows.append((
+                        c, "semantic_type_also", t,
+                        f"all {nn_s} non-null values also match "
+                        f"'{t}' — evidence only, one regex suggested"))
             for rule, name, params, reason in leaves:
                 core = (core & rule) if core is not None else rule
                 report_rows.append((c, name, params, reason))
