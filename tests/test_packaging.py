@@ -164,6 +164,22 @@ def test_gate_window_covers_never_gated():
         # battery unit test, and differential fuzz entries
         "semantic_types_events": "pii_scrub_documents",
         "semantic_types_documents": "pii_scrub_documents",
+        # session-K hygiene/verification operators: the invisible-char
+        # scan is charset_features' count-delta machinery over new
+        # classes (charset_documents in-window); the credential battery
+        # is the pii regexp-count family (pii_reuse in-window); the
+        # truncation profile is the per-group length-stats family
+        # (stats_documents_by_lang r04-gated); the edit refinement
+        # CONSUMES the r04-gated minhash pair set and its oracle
+        # re-derives those pairs brute-force; the HLL overlap estimate
+        # is hll_tolerance's sketch-boolean pattern (in-window); and
+        # fertility aggregates the two r04-gated token counters
+        "invisible_chars_documents": "charset_documents",
+        "credential_scan_documents": "pii_reuse_documents",
+        "truncation_documents": "stats_documents_by_lang",
+        "edit_near_dup_pairs": "minhash_near_dup_pairs",
+        "split_overlap_events": "hll_tolerance_events",
+        "token_fertility_documents": "token_count_documents",
     }
     orphans = [
         k for k in keys[50:]

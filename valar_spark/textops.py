@@ -2422,3 +2422,274 @@ def compression_features(df: DataFrame, text_col: str = "text",
         F.round(F.col("n_deflate").cast("double") / F.col("n_bytes"), 9)
         .alias("compression_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Invisible-character hygiene — zero-width + bidi-control scan (the Trojan
+# Source / homoglyph-smuggling class: CVE-2021-42574), pure projection
+# ---------------------------------------------------------------------------
+
+#: zero-width characters (ZWSP/ZWNJ/ZWJ/word-joiner/ZWNBSP-BOM): invisible
+#: in rendered text, but they split tokens, defeat exact dedup, and are the
+#: classic smuggling channel for hidden instructions in training corpora.
+#: Shared verbatim with the DuckDB oracle (Java ∩ RE2 \x{...} classes).
+ZERO_WIDTH_CLASS = r"[\x{200B}-\x{200D}\x{2060}\x{FEFF}]"
+
+#: every Unicode bidi control (marks + embeddings + overrides + isolates)
+BIDI_CLASS = r"[\x{200E}\x{200F}\x{202A}-\x{202E}\x{2066}-\x{2069}]"
+
+#: bidi scopes that PUSH rendering state (LRE/RLE/LRO/RLO + LRI/RLI/FSI) …
+BIDI_OPEN_CLASS = r"[\x{202A}\x{202B}\x{202D}\x{202E}\x{2066}-\x{2068}]"
+
+#: … and the two POPs (PDF/PDI). An unbalanced push/pop count is the
+#: Trojan-Source reordering signature (Boucher & Anderson 2021): rendered
+#: text keeps reading in the overridden direction past where the author
+#: claims the override ends.
+BIDI_CLOSE_CLASS = r"[\x{202C}\x{2069}]"
+
+
+def invisible_char_features(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Per-document invisible-character scan: ``n_zero_width`` (ZWSP
+    family — dedup/tokenizer poison), ``n_bidi`` (all direction
+    controls), ``n_bidi_open`` / ``n_bidi_close`` (pushed vs popped bidi
+    scopes) and ``bidi_unbalanced`` (push ≠ pop — the Trojan-Source
+    source-code-reordering signature), plus ``has_invisible`` for the
+    corpus gate. Null text ⇒ zero counts, false flags (emptiness belongs
+    to the quality gate).
+
+    Same execution shape as :func:`charset_features`: codepoint-count
+    deltas after ``regexp_replace`` — one shuffle-free JVM projection, no
+    explode, no Python; the character classes are the module constants
+    above, shared verbatim with the SQL oracle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+
+    def _cnt(cls: str) -> Column:
+        return (n - F.length(F.regexp_replace(t, cls, ""))).cast("long")
+
+    n_zw = _cnt(ZERO_WIDTH_CLASS)
+    n_bidi = _cnt(BIDI_CLASS)
+    n_open = _cnt(BIDI_OPEN_CLASS)
+    n_close = _cnt(BIDI_CLOSE_CLASS)
+    return df.select(
+        id_col,
+        n_zw.alias("n_zero_width"),
+        n_bidi.alias("n_bidi"),
+        n_open.alias("n_bidi_open"),
+        n_close.alias("n_bidi_close"),
+        (n_open != n_close).alias("bidi_unbalanced"),
+        ((n_zw + n_bidi) > 0).alias("has_invisible"),
+    )
+
+
+def strip_invisible(col: Column) -> Column:
+    """Remove zero-width and bidi-control characters in place — the
+    normalization companion to :func:`invisible_char_features`, chained
+    before :func:`dedup_exact` so smuggled invisibles can't split
+    duplicate groups. Null ⇒ null; one JVM projection."""
+    return F.regexp_replace(
+        F.regexp_replace(col, ZERO_WIDTH_CLASS, ""), BIDI_CLASS, "")
+
+
+# ---------------------------------------------------------------------------
+# Credential / secret scanning — high-precision prefix-anchored battery
+# (the gitleaks/trufflehog pattern class), Java-regex ∩ RE2 subset
+# ---------------------------------------------------------------------------
+
+#: secret detectors keyed by category. High precision comes from vendor
+#: prefixes (AKIA…, ghp_…, xox?-, eyJ…) rather than entropy, so every
+#: pattern is a plain regex BOTH engines execute identically: no \b (Java
+#: and RE2 disagree on word-boundary semantics around non-ASCII — caught
+#: by BENCH/fuzz_oracles.py for language_id), no lookaround (RE2 has
+#: none), no backreferences. Greedy bounded quantifiers match
+#: leftmost-longest-available in both engines.
+CREDENTIAL_PATTERNS: dict[str, str] = {
+    # AWS access key id: fixed AKIA prefix + 16 uppercase base-32 chars
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    # GitHub fine/classic tokens: ghp_/gho_/ghu_/ghs_/ghr_ + 36 base-62
+    "github_token": r"gh[pousr]_[A-Za-z0-9]{36}",
+    # Slack bot/user/app tokens
+    "slack_token": r"xox[baprs]-[0-9A-Za-z-]{10,}",
+    # PEM private-key header (RSA/EC/OPENSSH/PGP/blank)
+    "private_key": r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----",
+    # JWT: three dot-joined base64url segments, first decoding to '{"…'
+    "jwt": r"eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}",
+    # long hex blob (sha1-length and up): API secrets, auth digests
+    "hex_secret": r"[0-9a-f]{40,}",
+}
+
+_CREDENTIAL_ORDER = tuple(sorted(CREDENTIAL_PATTERNS))
+
+
+def credential_counts(col: Column) -> Column:
+    """Struct of per-category credential match counts (alphabetical
+    category order — the serialization contract)."""
+    return F.struct(*[
+        F.coalesce(F.regexp_count(col, F.lit(CREDENTIAL_PATTERNS[k])),
+                   F.lit(0)).alias(k)
+        for k in _CREDENTIAL_ORDER
+    ])
+
+
+def credential_scan(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document secret scan — ``(id, <category counts…>, n_secrets,
+    flagged)``. Leaked credentials in a pretraining corpus are the
+    highest-severity PII class (a model can memorize and replay a live
+    AWS key verbatim), and the scan doubles as an operational gate for
+    transcript logs where tool outputs echo auth headers. One JVM
+    ``regexp_count`` projection per category over a single scan — no
+    Python, no shuffle, runs at scan speed like :func:`pii_counts`."""
+    c = credential_counts(F.col(text_col))
+    base = df.select(id_col, c.alias("_c"))
+    total = reduce(lambda a, b: a + b,
+                   [F.col(f"_c.{k}").cast("long") for k in _CREDENTIAL_ORDER])
+    return base.select(
+        id_col,
+        *[F.col(f"_c.{k}").cast("long").alias(f"n_{k}")
+          for k in _CREDENTIAL_ORDER],
+        total.alias("n_secrets"),
+        (total > 0).alias("flagged"),
+    )
+
+
+def scrub_credentials(col: Column) -> Column:
+    """Redact every :data:`CREDENTIAL_PATTERNS` match to
+    ``<SECRET:category>`` — the remediation companion to
+    :func:`credential_scan`, chained after :func:`scrub_pii` in the
+    curation pipeline. One chained-``regexp_replace`` JVM projection."""
+    out = col
+    for k in _CREDENTIAL_ORDER:
+        out = F.regexp_replace(out, CREDENTIAL_PATTERNS[k],
+                               f"<SECRET:{k}>")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Truncation-artifact profiling — length-spike detection at per-group caps
+# ---------------------------------------------------------------------------
+
+def truncation_profile(df: DataFrame, text_col: str = "text",
+                       group_col: str = "source",
+                       near_frac: float = 0.9,
+                       min_at_cap: int = 5,
+                       spike_factor: int = 4) -> DataFrame:
+    """Detect upstream clipping: a scraper/ETL stage that truncates text
+    at a byte/char budget leaves a probability-mass spike at EXACTLY the
+    group's maximum length — documents that would have been longer all
+    pile up on the cap. Silent truncation is a classic training-data
+    defect (mid-sentence endings teach the model to stop arbitrarily)
+    that per-document quality filters cannot see; it is only visible in
+    the length DISTRIBUTION.
+
+    Per group: ``n_docs``, ``cap`` (max length), ``n_at_cap`` (docs at
+    exactly ``cap``), ``n_near`` (docs in ``[floor(near_frac·cap),
+    cap)`` — the tail window), ``span`` (integer width of that window),
+    ``cap_mass`` and ``truncated``: flagged when ``n_at_cap ≥
+    min_at_cap`` and the at-cap count exceeds ``spike_factor`` × the
+    tail window's per-length density — in exact INTEGER arithmetic
+    (``n_at_cap · span ≥ spike_factor · n_near``), so the verdict is
+    bit-reproducible across engines with no float thresholds.
+
+    Shape at scale: ONE map-side-combining shuffle builds the per-group
+    length histogram (rows = distinct lengths per group — thousands, not
+    the corpus); the cap join and the conditional sums then run on the
+    histogram, never re-scanning the data. Null/empty text is excluded
+    (emptiness belongs to the quality gate)."""
+    ln = F.length(F.col(text_col))
+    hist = (df.filter(F.col(text_col).isNotNull() & (ln > 0))
+            .groupBy(F.col(group_col).alias("grp"), ln.alias("_len"))
+            .agg(F.count(F.lit(1)).alias("_n")))
+    caps = hist.groupBy("grp").agg(F.max("_len").alias("cap"))
+    near_lo = F.floor(F.col("cap") * float(near_frac)).cast("long")
+    j = hist.join(F.broadcast(caps), "grp")
+    out = (j.groupBy("grp", "cap")
+           .agg(F.sum("_n").cast("long").alias("n_docs"),
+                F.sum(F.when(F.col("_len") == F.col("cap"), F.col("_n"))
+                      .otherwise(F.lit(0))).cast("long").alias("n_at_cap"),
+                F.sum(F.when((F.col("_len") >= near_lo)
+                             & (F.col("_len") < F.col("cap")), F.col("_n"))
+                      .otherwise(F.lit(0))).cast("long").alias("n_near")))
+    span = F.greatest(F.col("cap") - near_lo, F.lit(1)).cast("long")
+    return out.select(
+        F.col("grp").alias(group_col),
+        F.col("cap").cast("long").alias("cap"),
+        "n_docs", "n_at_cap", "n_near",
+        span.alias("span"),
+        F.round(F.col("n_at_cap").cast("double") / F.col("n_docs"), 9)
+        .alias("cap_mass"),
+        ((F.col("n_at_cap") >= int(min_at_cap))
+         & (F.col("n_at_cap") * span >= int(spike_factor) * F.col("n_near")))
+        .alias("truncated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification — Levenshtein refinement of near-dup candidates
+# ---------------------------------------------------------------------------
+
+def edit_verified_pairs(pairs: DataFrame, df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.5,
+                        prefix_len: int = 400) -> DataFrame:
+    """Second-stage near-duplicate verification by normalized edit
+    similarity: for each candidate pair (from MinHash banding, SimHash
+    blocking, …) compute ``edit_sim = 1 − levenshtein(a, b) /
+    max(len(a), len(b))`` over the first ``prefix_len`` codepoints and
+    keep pairs at ``edit_sim ≥ threshold``. Jaccard over shingles is
+    order-insensitive (two docs with the same sentences shuffled score
+    high); edit distance restores the sequence sensitivity dedup
+    pipelines want before dropping a document.
+
+    Scale contract: Levenshtein is O(len²) per pair, so this NEVER runs
+    corpus-wide — only over the candidate-pair table (LSH output,
+    |pairs| ≪ n²) and only on a bounded prefix (``prefix_len``, the
+    gross-cost cap; near-identical docs agree on prefixes). Execution is
+    two broadcast-or-shuffle hash joins to fetch the texts plus one JVM
+    ``levenshtein`` projection — no Python. Output preserves the pair
+    columns and appends ``edit_sim`` (round 6)."""
+    t = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1,
+                    int(prefix_len))
+    texts = df.select(F.col(id_col).alias("_eid"), t.alias("_t"))
+    j = (pairs
+         .join(texts.withColumnRenamed("_eid", "id_a")
+                    .withColumnRenamed("_t", "_ta"), "id_a")
+         .join(texts.withColumnRenamed("_eid", "id_b")
+                    .withColumnRenamed("_t", "_tb"), "id_b"))
+    sim = F.round(
+        F.lit(1.0) - F.levenshtein("_ta", "_tb").cast("double")
+        / F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1)), 6)
+    return (j.withColumn("edit_sim", sim)
+            .filter(F.col("edit_sim") >= float(threshold))
+            .drop("_ta", "_tb"))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — subword-per-word expansion by corpus slice
+# ---------------------------------------------------------------------------
+
+def token_fertility(df: DataFrame, text_col: str = "text",
+                    group_col: str = "lang") -> DataFrame:
+    """Per-slice tokenizer fertility: BPE-ish subword tokens per
+    whitespace word (``fertility = Σ bpe_tokens / Σ ws_tokens``). The
+    standard multilingual-tokenizer health metric — a language whose
+    fertility drifts high is being shredded into characters (under-
+    represented in the tokenizer's merges), which silently multiplies
+    its effective sequence length and cost in training. Emitted per
+    group with both raw sums so downstream gates can re-weight.
+
+    One aggregate over two pure-regex projections (:func:`token_count`
+    + :func:`bpe_token_count`) — single map-side-combining shuffle on
+    the (few-valued) group key."""
+    nn = F.col(text_col).isNotNull()
+    return (df.groupBy(group_col)
+            .agg(F.count(F.when(nn, F.lit(1))).cast("long").alias("n_docs"),
+                 F.sum(F.when(nn, token_count(F.col(text_col)))
+                       .otherwise(F.lit(0))).cast("long").alias("n_words"),
+                 F.sum(F.when(nn, bpe_token_count(F.col(text_col)))
+                       .otherwise(F.lit(0))).cast("long").alias("n_bpe"))
+            .select(group_col, "n_docs", "n_words", "n_bpe",
+                    F.round(F.col("n_bpe").cast("double")
+                            / F.greatest(F.col("n_words"), F.lit(1)), 9)
+                    .alias("fertility")))
