@@ -92,6 +92,13 @@ FUZZ_QUERIES = [
     "zipf_profile_documents",
     "vocab_coverage_documents",
     "lm_score_documents",
+    # session-L URL census: regexp_extract_all dialect agreement on the
+    # Java∩RE2 URL pattern over organic adversarial text (the _WORDS
+    # pool carries scheme/port/IP URLs), plus lower/strip/registrable-
+    # domain rollup parity. cross_split_near_dup is NOT fuzzed for the
+    # same LSH==brute-force-probability reason as minhash_near_dup_pairs;
+    # markdown_transcripts reads the transcript parquet, not this table.
+    "url_domains_documents",
 ]
 
 _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",
@@ -101,7 +108,14 @@ _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",
           # astral + high-BMP in one corpus: UTF-16 code-unit order (Java
           # string compare) vs UTF-8 byte order (DuckDB) diverge exactly
           # when both classes are sorted together
-          "😀ok", "＄x", "y", "𝔘𝔫𝔦"]
+          "😀ok", "＄x", "y", "𝔘𝔫𝔦",
+          # URL-shaped tokens for the url_domains census: port,
+          # bare IP, trailing-dot host, non-ASCII host (must stop
+          # at the ASCII class in both engines), and an UPPER
+          # scheme that must NOT match (pattern is https? only)
+          "http://fuzz-host.example.com/path", "https://203.0.113.9:81",
+          "http://dot.example.org.", "https://𝔘𝔫𝔦.example.org",
+          "HTTP://UPPER.example.net/x"]
 _SEPS = [" ", "  ", "\t", "\n", " \n ", "\r\n", " "]  # NBSP is NOT \s
 
 

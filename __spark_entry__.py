@@ -2901,6 +2901,84 @@ def _q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.token_fertility(docs).orderBy("lang")
 
 
+def _q_cross_split_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage through NEAR-duplicates
+    (textops.cross_split_contamination): the hash-proven MinHash→exact-
+    Jaccard pairs joined against an 80/10/10 hash_split — pairs whose
+    endpoints land in different splits are benchmark contamination that
+    id-level disjointness cannot see (Lee et al. 2022). Oracle recomputes
+    brute-force Jaccard AND the md5 split cut, so both the pair set and
+    the split join are pinned bit-for-bit."""
+    from valar_spark import textops as X
+
+    u = _docs_with_copies(spark, sf_dir)
+    sets = _shared_sets(spark, sf_dir)
+    cand = X.minhash_candidates(u, num_hashes=64, bands=32, sets=sets)
+    pairs = X.jaccard_pairs(u, threshold=0.8, candidates=cand, sets=sets)
+    splits = X.hash_split(u.select("doc_id"),
+                          weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    return (X.cross_split_contamination(pairs, splits)
+            .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+            .orderBy("id_a", "id_b"))
+
+
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a deterministic link footer: every 4th doc cites a
+    mirror subdomain of a rotating example domain, every 20th adds a
+    bare-IP:port fetch line (TEST-NET-3 address block) — the fixture
+    both engines reproduce so the URL census has link-farm fan-out,
+    IP hosts, and non-standard ports to census."""
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    t = F.col("text")
+    t = F.when(i % 4 == 0, F.concat(
+        t, F.lit("\nSource: https://mirror"), (i % 7).cast("string"),
+        F.lit(".example"), (i % 3).cast("string"),
+        F.lit(".org/page/"), i.cast("string"))).otherwise(t)
+    t = F.when(i % 20 == 0, F.concat(
+        t, F.lit("\nvia http://203.0.113."), (i % 250).cast("string"),
+        F.lit(":8080/fetch"))).otherwise(t)
+    return docs.select("doc_id", t.alias("text"))
+
+
+def _q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain URL census (textops.url_domain_profile)
+    over the injected-footer fixture: counts, distinct linking docs,
+    subdomain fan-out, bare-IP and non-standard-port URL counts — the
+    C4/RefinedWeb-style provenance signal. One explode + one aggregate
+    on the (small) domain key space."""
+    from valar_spark import textops as X
+
+    return X.url_domain_profile(_url_docs(spark, sf_dir)).orderBy("domain")
+
+
+def _q_markdown_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation markdown/code-fence hygiene
+    (textops.markdown_hygiene) over the persisted transcript parquet
+    with deterministic planted structure: every 5th assistant turn gains
+    a closed python block, every 11th a header+bullet+link, every 13th
+    an UNCLOSED fence (the truncated-generation defect the gate exists
+    to catch). Pure length/replace arithmetic — the oracle mirrors it
+    term-for-term over the same parquet."""
+    from valar_spark import textops as X
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    a = F.col("role") == "assistant"
+    k = F.col("turn_idx")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    t = F.when(a & (k % 5 == 0),
+               F.concat(t, F.lit("\n```python\nprint(1)\n```"))).otherwise(t)
+    t = F.when(a & (k % 11 == 0),
+               F.concat(t, F.lit("\n# Plan\n- step one\nsee "
+                                 "[doc](https://example.org/d)"))
+               ).otherwise(t)
+    t = F.when(a & (k % 13 == 0),
+               F.concat(t, F.lit("\n```js\nlet x = 1;"))).otherwise(t)
+    planted = df.select("conv_id", t.alias("text"))
+    return (X.markdown_hygiene(planted, ["conv_id"])
+            .orderBy("conv_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = the DRIVER'S GATE ORDER: the driver verifies a 50-query
     # prefix of this dict against the DuckDB oracles. The window (recomputed
@@ -3096,6 +3174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_near_dup_pairs": _q_edit_near_dup_pairs,
         "split_overlap_events": _q_split_overlap_events,
         "token_fertility_documents": _q_token_fertility,
+        # -- r5 session L: split leakage / URL census / markdown hygiene --
+        "cross_split_near_dup_documents": _q_cross_split_near_dup,
+        "url_domains_documents": _q_url_domains,
+        "markdown_transcripts": _q_markdown_transcripts,
     }
 
 
@@ -6501,4 +6583,167 @@ def oracle_sql() -> dict[str, str]:
                  AS fertility
         FROM f GROUP BY lang ORDER BY lang NULLS FIRST
     """
+
+    # brute-force Jaccard pairs at >= 0.8 (the minhash_near_dup_pairs
+    # construction) x the md5 hash-split cut at 80/10/10 — pairs whose
+    # endpoints straddle a split boundary are eval contamination
+    o["cross_split_near_dup_documents"] = rf"""
+        WITH u AS ({_DOCS_WITH_COPIES_SQL}),
+        toks AS (
+            SELECT doc_id, regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+            FROM u WHERE text IS NOT NULL AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, GREATEST(len(t) - 2, 1)),
+                i -> array_to_string(t[i:i+2], ' ')))) AS s
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b,
+                   ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
+        ),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(
+                           CASE WHEN doc_id IS NULL THEN 'valar'
+                                ELSE CAST(doc_id AS VARCHAR) || ':valar'
+                           END), 1, 8))::UBIGINT
+                         % 10000 AS b
+                FROM u
+            )
+        )
+        SELECT p.id_a, p.id_b, p.jaccard,
+               sa.split AS split_a, sb.split AS split_b
+        FROM pairs p
+        JOIN sp sa ON sa.doc_id = p.id_a
+        JOIN sp sb ON sb.doc_id = p.id_b
+        WHERE sa.split <> sb.split
+        ORDER BY id_a, id_b
+    """
+
+    # injected-footer URL census: same Java-and-RE2-identical pattern,
+    # same scheme/port strip, same registrable-domain rollup (bare-IP
+    # and single-label hosts keep the full host)
+    o["url_domains_documents"] = r"""
+        WITH inj AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 20 = 0 THEN
+                        t2 || chr(10) || 'via http://203.0.113.'
+                           || CAST(doc_id % 250 AS VARCHAR) || ':8080/fetch'
+                        ELSE t2 END AS text
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0 THEN
+                            text || chr(10) || 'Source: https://mirror'
+                                 || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                                 || CAST(doc_id % 3 AS VARCHAR) || '.org/page/'
+                                 || CAST(doc_id AS VARCHAR)
+                            ELSE text END AS t2
+                FROM documents
+            )
+        ),
+        urls AS (
+            SELECT doc_id, unnest(regexp_extract_all(text,
+                'https?://[A-Za-z0-9._-]+(?::[0-9]+)?')) AS url
+            FROM inj WHERE text IS NOT NULL
+        ),
+        h AS (
+            SELECT doc_id, url,
+                   regexp_replace(lower(regexp_replace(url, '^https?://', '')),
+                                  ':[0-9]+$', '') AS host
+            FROM urls
+        ),
+        d AS (
+            SELECT doc_id, url, host,
+                   CASE WHEN regexp_matches(host, '^[0-9]+(\.[0-9]+){3}$')
+                             OR len(string_split(host, '.')) < 2 THEN host
+                        ELSE array_to_string(list_slice(
+                            string_split(host, '.'), -2, -1), '.') END
+                     AS domain,
+                   CASE WHEN regexp_matches(host, '^[0-9]+(\.[0-9]+){3}$')
+                        THEN 1 ELSE 0 END AS ip,
+                   CASE WHEN regexp_matches(url, ':[0-9]+$')
+                        THEN 1 ELSE 0 END AS p
+            FROM h
+        )
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+               CAST(SUM(ip) AS BIGINT) AS n_bare_ip,
+               CAST(SUM(p) AS BIGINT) AS n_nonstd_port
+        FROM d GROUP BY domain ORDER BY domain
+    """
+
+    # markdown hygiene over the SAME persisted transcript parquet, with
+    # the planted-structure CASEs and the length/replace fence counting
+    # mirrored term-for-term (counts are exact multiples, so double
+    # division is exact in both engines)
+    o["markdown_transcripts"] = """
+        WITH base AS (
+            SELECT conv_id, role, turn_idx, COALESCE(text, '') AS t0
+            FROM read_parquet('%s/*.parquet')
+        ),
+        p1 AS (
+            SELECT conv_id, role, turn_idx,
+                   CASE WHEN role = 'assistant' AND turn_idx %% 5 = 0 THEN
+                        t0 || chr(10) || '```python' || chr(10)
+                           || 'print(1)' || chr(10) || '```'
+                        ELSE t0 END AS t1
+            FROM base
+        ),
+        p2 AS (
+            SELECT conv_id, role, turn_idx,
+                   CASE WHEN role = 'assistant' AND turn_idx %% 11 = 0 THEN
+                        t1 || chr(10) || '# Plan' || chr(10) || '- step one'
+                           || chr(10) || 'see [doc](https://example.org/d)'
+                        ELSE t1 END AS t2
+            FROM p1
+        ),
+        p3 AS (
+            SELECT conv_id,
+                   CASE WHEN role = 'assistant' AND turn_idx %% 13 = 0 THEN
+                        t2 || chr(10) || '```js' || chr(10) || 'let x = 1;'
+                        ELSE t2 END AS text
+            FROM p2
+        ),
+        f AS (
+            SELECT conv_id,
+                   CAST((len(text) - len(replace(text, '```', ''))) / 3
+                        AS BIGINT) AS nf,
+                   CAST((len(text) - len(replace(text, '](', ''))) / 2
+                        AS BIGINT) AS nl,
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                        x -> x LIKE '#%%')) AS BIGINT) AS nh,
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                        x -> x LIKE '- %%' OR x LIKE '* %%'))
+                        AS BIGINT) AS nb
+            FROM p3
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(nf) AS BIGINT) AS n_fences,
+               CAST(SUM(CASE WHEN nf %% 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unbalanced,
+               CAST(SUM(nl) AS BIGINT) AS n_links,
+               CAST(SUM(nh) AS BIGINT) AS n_headers,
+               CAST(SUM(nb) AS BIGINT) AS n_bullets
+        FROM f GROUP BY conv_id ORDER BY conv_id
+    """ % _GATE_TRANSCRIPTS_PATH
     return o

@@ -147,3 +147,56 @@ def test_key_overlap_disjoint(spark):
     b = spark.range(1000, 1100).select(F.col("id").alias("k"))
     r = D.key_overlap_estimate(a, b, "k", include_exact=True).first()
     assert r["exact_overlap"] == 0 and r["overlap_within_tol"]
+
+
+def test_url_domain_profile(spark):
+    docs = spark.createDataFrame(
+        [(1, "see https://a.b.example.org/x and https://example.org end"),
+         (2, "dup http://www.example.org:8080/y and http://10.0.0.1:9090/z"),
+         (3, "plain text, no links"),
+         (4, None),
+         (5, "bare host http://localhost/x")],
+        "doc_id long, text string")
+    got = {r["domain"]: r for r in X.url_domain_profile(docs).collect()}
+    ex = got["example.org"]
+    # 3 urls across 2 docs over 3 distinct hosts, one on a non-std port
+    assert (ex["n_urls"], ex["n_docs"], ex["n_hosts"],
+            ex["n_bare_ip"], ex["n_nonstd_port"]) == (3, 2, 3, 0, 1)
+    ip = got["10.0.0.1"]  # bare-IP host keeps the full address as domain
+    assert ip["n_bare_ip"] == 1 and ip["n_nonstd_port"] == 1
+    # single-label host is its own domain (no [-2:] slice underflow)
+    assert got["localhost"]["n_urls"] == 1
+    assert "no" not in got  # no-URL / null docs emit nothing
+
+
+def test_markdown_features_and_hygiene(spark):
+    docs = spark.createDataFrame(
+        [(1, "# T\n- a\n* b\n```py\nx=1\n```\n[l](u)"),
+         (2, "open ```js\nlet x"),       # unbalanced fence
+         (3, None)],
+        "doc_id long, text string")
+    feats = {r["doc_id"]: r for r in X.markdown_features(docs).collect()}
+    assert (feats[1]["n_fences"], feats[1]["n_links"], feats[1]["n_headers"],
+            feats[1]["n_bullets"]) == (2, 1, 1, 2)
+    assert feats[1]["fences_balanced"]
+    assert feats[2]["n_fences"] == 1 and not feats[2]["fences_balanced"]
+    assert feats[3]["n_fences"] == 0 and feats[3]["fences_balanced"]
+    agg = X.markdown_hygiene(
+        docs.withColumn("g", F.lit("all")), ["g"]).collect()[0]
+    assert (agg["n_rows"], agg["n_fences"], agg["n_unbalanced"],
+            agg["n_links"], agg["n_headers"], agg["n_bullets"]) \
+        == (3, 3, 1, 1, 1, 2)
+
+
+def test_cross_split_contamination(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.85), (3, 4, 0.95)],
+        "id_a long, id_b long, jaccard double")
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "test"), (4, "train")],
+        "doc_id long, split string")
+    out = sorted((r["id_a"], r["id_b"], r["split_a"], r["split_b"])
+                 for r in X.cross_split_contamination(pairs, splits)
+                 .collect())
+    # 2-3 is test-test (same split) and must NOT appear
+    assert out == [(1, 2, "train", "test"), (3, 4, "test", "train")]

@@ -2693,3 +2693,147 @@ def token_fertility(df: DataFrame, text_col: str = "text",
                     F.round(F.col("n_bpe").cast("double")
                             / F.greatest(F.col("n_words"), F.lit(1)), 9)
                     .alias("fertility")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-split near-dup contamination — eval leakage through duplicates
+# ---------------------------------------------------------------------------
+
+def cross_split_contamination(pairs: DataFrame, splits: DataFrame,
+                              id_col: str = "doc_id",
+                              split_col: str = "split") -> DataFrame:
+    """Evaluation-set contamination via NEAR-duplicates: exact de-dup and
+    :func:`hash_split` keep train/val/test disjoint by id, but a test
+    document that is a near-copy of a train document still leaks the
+    answer (Lee et al. 2022 measure the benchmark inflation this causes).
+    Joins a verified near-dup pair table (MinHash/SimHash/winnowing
+    output — any frame with ``id_a``/``id_b``) against a split
+    assignment and keeps only pairs whose endpoints land in DIFFERENT
+    splits, appending ``split_a``/``split_b`` so the operator doubles as
+    the delete-list for "drop the train twin, keep the eval doc".
+
+    Shape at scale: the pair table is LSH-verified output (≪ corpus);
+    the split table is a shuffle-free projection of the corpus
+    (:func:`hash_split`). Two id-equality hash joins — AQE broadcasts
+    the pair side when it is small, and no stage ever touches document
+    text."""
+    sa = splits.select(F.col(id_col).alias("id_a"),
+                       F.col(split_col).alias("split_a"))
+    sb = splits.select(F.col(id_col).alias("id_b"),
+                       F.col(split_col).alias("split_b"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .filter(F.col("split_a") != F.col("split_b")))
+
+
+# ---------------------------------------------------------------------------
+# URL / domain profile — provenance audit of in-text links
+# ---------------------------------------------------------------------------
+
+#: Java∩RE2-identical URL matcher: scheme + host[:port]. The host class
+#: is explicit ASCII (letters/digits/dot/dash/underscore) and the match
+#: stops at the first path/query character, so no dialect-dependent
+#: constructs (\b, \w, lookahead) appear — same contract as the semantic-
+#: type battery. Port group is non-capturing; extraction takes match 0.
+URL_RE = r"https?://[A-Za-z0-9._-]+(?::[0-9]+)?"
+
+
+def url_domain_profile(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-registered-domain link census over in-text URLs — the
+    provenance signal web-curation pipelines gate on (C4 and RefinedWeb
+    both apply URL/domain filters before any content filter). Extracts
+    every ``URL_RE`` match, lowercases the host, strips the scheme and
+    port, and rolls up to the registrable domain (last two dot-labels;
+    bare-IP hosts keep the full address — a reverse-proxy/scraper-farm
+    smell worth its own row). Emits per domain: ``n_urls``, ``n_docs``
+    (distinct documents linking it), ``n_hosts`` (distinct subdomain
+    fan-out), ``n_bare_ip`` and ``n_nonstd_port`` URL counts — link
+    farms show high n_urls/n_docs, crawler misconfigurations show IP
+    and port spikes.
+
+    Shape at scale: one JVM regexp projection + explode (rows = URLs,
+    not chars, and docs with no URL emit nothing), then one aggregate
+    on the domain key. The two distinct counts use Spark's expand-based
+    multi-distinct rewrite — partial aggregation still applies, and the
+    shuffled key space is domains (small), never documents. No Python,
+    no second scan of text, no per-group collected arrays."""
+    url = F.explode(
+        F.expr(f"regexp_extract_all({text_col}, '{URL_RE}', 0)")
+    ).alias("url")
+    u = (df.filter(F.col(text_col).isNotNull())
+         .select(F.col(id_col), url))
+    host_port = F.lower(F.regexp_replace(F.col("url"), r"^https?://", ""))
+    host = F.regexp_replace(host_port, r":[0-9]+$", "")
+    bare_ip = F.col("host").rlike(r"^[0-9]+(\.[0-9]+){3}$")
+    nonstd_port = F.col("url").rlike(r":[0-9]+$")
+    labels = F.split(F.col("host"), r"\.")
+    domain = F.when(bare_ip | (F.size(labels) < 2), F.col("host")) \
+        .otherwise(F.concat_ws(".", F.slice(labels, -2, 2)))
+    return (u.select(id_col, "url", host.alias("host"))
+            .groupBy(domain.alias("domain"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                 F.countDistinct(id_col).cast("long").alias("n_docs"),
+                 F.countDistinct("host").cast("long").alias("n_hosts"),
+                 F.sum(F.when(bare_ip, 1).otherwise(0)).cast("long")
+                 .alias("n_bare_ip"),
+                 F.sum(F.when(nonstd_port, 1).otherwise(0)).cast("long")
+                 .alias("n_nonstd_port")))
+
+
+# ---------------------------------------------------------------------------
+# Markdown / code-fence structure hygiene — assistant-output well-formedness
+# ---------------------------------------------------------------------------
+
+def markdown_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row markdown structure census from pure string arithmetic —
+    no regex backtracking, no Python: ``n_fences`` (count of \\`\\`\\`
+    markers via length-difference), ``fences_balanced`` (every opener
+    closed — an odd count means a truncated or malformed code block,
+    the classic sign of a generation cut off mid-answer), ``n_links``
+    (markdown ``](`` joints), ``n_headers`` / ``n_bullets`` (lines
+    opening with ``#`` / ``- `` or ``* ``). All columns are exact
+    integer counts, reproducible in any engine with length/replace.
+
+    Scale: a single narrow projection — the fence/link counts are
+    codegen'd length/replace arithmetic; the header/bullet line scans
+    split on \\n once and count with a higher-order filter (interpreted
+    but O(lines) with no row explosion and no Python)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_fences = ((F.length(t) - F.length(F.replace(t, F.lit("```"),
+                                                  F.lit("")))) / 3)
+    n_links = ((F.length(t) - F.length(F.replace(t, F.lit("]("),
+                                                 F.lit("")))) / 2)
+    lines = F.split(t, "\n")
+    n_headers = F.size(F.filter(lines, lambda ln: ln.startswith("#")))
+    n_bullets = F.size(F.filter(
+        lines, lambda ln: ln.startswith("- ") | ln.startswith("* ")))
+    return df.select(
+        "*",
+        n_fences.cast("long").alias("n_fences"),
+        (n_fences.cast("long") % 2 == 0).alias("fences_balanced"),
+        n_links.cast("long").alias("n_links"),
+        n_headers.cast("long").alias("n_headers"),
+        n_bullets.cast("long").alias("n_bullets"),
+    )
+
+
+def markdown_hygiene(df: DataFrame, group_cols: Sequence[str],
+                     text_col: str = "text") -> DataFrame:
+    """Grouped rollup of :func:`markdown_features` — for transcripts,
+    group by conversation to get the per-conversation structural-health
+    verdict: ``n_rows``, total fences/links/headers/bullets, and
+    ``n_unbalanced`` (rows whose code fences never close). A transcript
+    with unbalanced fences teaches the model that answers may stop
+    mid-code-block; corpora routinely gate on ``n_unbalanced = 0``.
+
+    One projection + ONE map-side-combining aggregate on the group
+    key — the feature columns are computed inline, never materialized."""
+    feats = markdown_features(df, text_col=text_col)
+    return (feats.groupBy(*[F.col(c) for c in group_cols])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum("n_fences").cast("long").alias("n_fences"),
+                 F.sum(F.when(~F.col("fences_balanced"), 1).otherwise(0))
+                 .cast("long").alias("n_unbalanced"),
+                 F.sum("n_links").cast("long").alias("n_links"),
+                 F.sum("n_headers").cast("long").alias("n_headers"),
+                 F.sum("n_bullets").cast("long").alias("n_bullets")))
