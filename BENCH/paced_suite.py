@@ -61,6 +61,7 @@ EST = {
     "dedup_normalized_documents": 2, "fd_user_event_type": 3,
     "entropy_events_type": 3, "sequence_gaps_lineitem": 2,
     "conv_curation_transcripts": 16,
+    "cross_split_near_dup_documents": 6, "markdown_transcripts": 3,
 }
 SEGMENT_BUDGET = 35.0
 SOLO_AT = 12.0  # a query this heavy drains the bucket itself: run it solo

@@ -3191,6 +3191,7 @@ BENCH_ORDER = [
     "jaccard_pairs_documents",
     "jaccard_lsh_gated_pairs",
     "minhash_near_dup_pairs",
+    "cross_split_near_dup_documents",  # shares the cached pair machinery
     "near_dup_components_documents",
     "simhash_pairs_documents",
     "simhash_planted_recall_documents",

@@ -416,3 +416,43 @@ def test_cli_semantic_types(spark, tmp_path, monkeypatch, capsys):
         "--input", inp, "--work-dir", str(tmp_path / "w1"),
         "--semantic-types", "v"])
     assert rc == 0 and _json_line(out)["dominant"] == ["uuid"]
+
+
+def test_cli_urls_markdown_split_leakage(spark, tmp_path, monkeypatch,
+                                         capsys):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "see https://a.example.org/x and http://203.0.113.5:81/y"),
+         (2, "twin text that is an exact duplicate body for leakage"),
+         (3, "twin text that is an exact duplicate body for leakage"),
+         (4, "```python\nunclosed fence")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", docs, "--work-dir", str(tmp_path / "w1"), "--urls"])
+    assert rc == 0
+    j = _json_line(out)
+    assert j["n_urls"] == 2 and j["n_bare_ip"] == 1
+    assert "example.org" in out
+
+    # one doc has an unclosed fence -> nonzero exit, group reported
+    spark.createDataFrame(
+        [(1, "c1", "ok ```py\nx\n``` done"), (2, "c2", "```js\nopen")],
+        "doc_id long, conv_id string, text string",
+    ).write.parquet(str(tmp_path / "t"))
+    rc2, out2 = _run_cli(monkeypatch, capsys, [
+        "--input", str(tmp_path / "t"), "--work-dir", str(tmp_path / "w2"),
+        "--markdown", "conv_id"])
+    assert rc2 == 1
+    assert _json_line(out2)["unbalanced_groups"] == 1
+
+    # docs 2/3 are exact twins -> near-dup pair; whether it leaks across
+    # splits depends on the md5 cut, so only check the contract: rc
+    # mirrors the reported pair count
+    rc3, out3 = _run_cli(monkeypatch, capsys, [
+        "--input", docs, "--work-dir", str(tmp_path / "w3"),
+        "--split-leakage"])
+    n = _json_line(out3)["cross_split_pairs"]
+    assert rc3 == (0 if n == 0 else 1)
+    assert "cross-split near-dup pairs" in out3

@@ -203,6 +203,22 @@ def main(argv: list[str] | None = None) -> int:
                         "compressible docs (ratio <~0.3 = boilerplate/"
                         "template repetition) and the 20 least (ratio "
                         ">~1.0 = already-compressed or binary-ish text)")
+    p.add_argument("--urls", action="store_true",
+                   help="URL/domain census over a documents-shaped "
+                        "input: per-registrable-domain URL counts, "
+                        "distinct linking docs, subdomain fan-out, and "
+                        "bare-IP / non-standard-port flags (link-farm and "
+                        "scraper-misconfig signals)")
+    p.add_argument("--markdown", metavar="GROUP_COL", default=None,
+                   help="markdown/code-fence hygiene rollup grouped by "
+                        "the given column (conv_id for transcripts, "
+                        "source for documents); exits 1 if any group has "
+                        "unclosed code fences (truncated generations)")
+    p.add_argument("--split-leakage", action="store_true",
+                   help="eval-set contamination scan: MinHash-LSH near-dup "
+                        "pairs joined against the deterministic hash "
+                        "split — reports pairs whose endpoints land in "
+                        "different splits; exits 1 if any leak is found")
     p.add_argument("--auto", action="store_true",
                    help="end-to-end pipeline: profile the input and PROPOSE "
                         "a rule set (Deequ-style suggestion), validate with "
@@ -516,6 +532,54 @@ def main(argv: list[str] | None = None) -> int:
          .limit(20).show(truncate=False))
         spark.stop()
         return 0
+
+    if args.urls:
+        from pyspark.sql import functions as F
+
+        from valar_spark import textops as X
+
+        prof = X.url_domain_profile(df).cache()
+        (prof.orderBy(F.col("n_urls").desc(), "domain")
+         .limit(50).show(truncate=False))
+        tot = prof.agg(F.sum("n_urls").alias("u"),
+                       F.sum("n_bare_ip").alias("ip"),
+                       F.sum("n_nonstd_port").alias("p")).first()
+        print(json.dumps({"run_id": args.run_id,
+                          "n_urls": int(tot["u"] or 0),
+                          "n_bare_ip": int(tot["ip"] or 0),
+                          "n_nonstd_port": int(tot["p"] or 0)}))
+        spark.stop()
+        return 0
+
+    if args.markdown:
+        from pyspark.sql import functions as F
+
+        from valar_spark import textops as X
+
+        h = X.markdown_hygiene(df, [args.markdown]).cache()
+        bad = h.filter(F.col("n_unbalanced") > 0)
+        n_bad = bad.count()
+        print(f"groups with unclosed code fences: {n_bad}")
+        bad.orderBy(F.col("n_unbalanced").desc(), args.markdown) \
+            .limit(20).show(truncate=False)
+        print(json.dumps({"run_id": args.run_id,
+                          "unbalanced_groups": n_bad}))
+        spark.stop()
+        return 0 if n_bad == 0 else 1
+
+    if args.split_leakage:
+        from valar_spark import textops as X
+
+        pairs = X.jaccard_pairs(
+            df, threshold=0.8,
+            candidates=X.minhash_candidates(df, num_hashes=64, bands=32))
+        leaks = X.cross_split_contamination(pairs, X.hash_split(df))
+        n = leaks.count()
+        print(f"cross-split near-dup pairs: {n}")
+        leaks.orderBy("id_a", "id_b").limit(50).show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "cross_split_pairs": n}))
+        spark.stop()
+        return 0 if n == 0 else 1
 
     if args.suggest:
         from valar_spark.suggest import suggest_rules
