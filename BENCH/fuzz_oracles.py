@@ -49,6 +49,12 @@ FUZZ_QUERIES = [
     # random text should be expected to satisfy on every draw.
     "jaccard_pairs_documents",
     "contamination_screen_documents",
+    # token-aligned subsumption (session M): recall is EXACT by
+    # construction on any table (if A ⊑ B, A's rarest shingle is in B's
+    # posting list; hash collisions only ADD candidates, and contains()
+    # verifies), so adversarial unicode fuzzes the tokens()-vs-DuckDB
+    # regexp_split whitespace-class agreement and the tie-break contract
+    "containment_pairs_documents",
     # planted-copy construction oracles (round 4): hold for ANY table —
     # exact copies share signatures/prints by construction
     "simhash_planted_recall_documents",

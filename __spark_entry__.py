@@ -2979,6 +2979,23 @@ def _q_markdown_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("conv_id"))
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-aligned full-document subsumption pairs
+    (textops.py::containment_pairs): docs whose whitespace-normalized
+    token sequence appears verbatim inside a longer doc — the truncation/
+    quoted-in-full duplicates Jaccard misses (|A|/|B| similarity, not ~1).
+    Candidates come from an EXACT-recall rarest-shingle probe (one row per
+    doc joined to the int64 shingle posting table), verification is JVM
+    ``contains`` on candidates only — no all-pairs path at any scale. The
+    all-pairs DuckDB oracle proves both the recall claim and the
+    normalization contract on this corpus."""
+    from valar_spark import textops as X
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (X.containment_pairs(df)
+            .orderBy("contained_id", "container_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = the DRIVER'S GATE ORDER: the driver verifies a 50-query
     # prefix of this dict against the DuckDB oracles. The window (recomputed
@@ -3178,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_split_near_dup_documents": _q_cross_split_near_dup,
         "url_domains_documents": _q_url_domains,
         "markdown_transcripts": _q_markdown_transcripts,
+        "containment_pairs_documents": _q_containment_pairs,
     }
 
 
@@ -6747,4 +6765,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(nb) AS BIGINT) AS n_bullets
         FROM f GROUP BY conv_id ORDER BY conv_id
     """ % _GATE_TRANSCRIPTS_PATH
+    # token-aligned containment: the all-pairs oracle over the SAME
+    # normalization (explicit ASCII ws class == tokens()); direction =
+    # shorter-into-longer, equal-norm ties by id; contained side needs
+    # >= 3 tokens (one full shingle) exactly as the Spark probe does
+    o["containment_pairs_documents"] = r"""
+        WITH d AS (
+            SELECT doc_id,
+                   array_to_string(regexp_split_to_array(
+                       regexp_replace(text,
+                           '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)',
+                           '', 'g'),
+                       '[ \t\n\f\r\x0B]+'), ' ') AS norm
+            FROM documents
+            WHERE text IS NOT NULL
+              AND regexp_replace(text,
+                  '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)',
+                  '', 'g') <> ''
+        ),
+        t AS (SELECT doc_id, norm,
+                     len(string_split(norm, ' ')) AS ntok FROM d)
+        SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+               CAST(a.ntok AS BIGINT) AS contained_tokens,
+               CAST(b.ntok AS BIGINT) AS container_tokens
+        FROM t a JOIN t b
+          ON a.doc_id <> b.doc_id
+         AND a.ntok >= 3
+         AND contains(' ' || b.norm || ' ', ' ' || a.norm || ' ')
+         AND (len(a.norm) < len(b.norm)
+              OR (a.norm = b.norm AND a.doc_id < b.doc_id))
+        ORDER BY contained_id, container_id
+    """
     return o

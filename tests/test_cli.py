@@ -456,3 +456,19 @@ def test_cli_urls_markdown_split_leakage(spark, tmp_path, monkeypatch,
     n = _json_line(out3)["cross_split_pairs"]
     assert rc3 == (0 if n == 0 else 1)
     assert "cross-split near-dup pairs" in out3
+
+
+def test_cli_containment(spark, tmp_path, monkeypatch, capsys):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "beta gamma delta"),          # token-aligned run of doc 1
+         (3, "completely unrelated body of text here")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", docs, "--work-dir", str(tmp_path / "w"),
+        "--containment"])
+    assert rc == 0
+    assert _json_line(out)["containment_pairs"] == 1
+    assert "containment pairs" in out

