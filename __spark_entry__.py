@@ -2996,6 +2996,26 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("contained_id", "container_id"))
 
 
+def _q_canned_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned/templated response census
+    (dataset_rules.canned_response_profile) over the persisted transcript
+    parquet with a deterministic planted refusal template on every 7th
+    assistant turn: top-k exact assistant texts recurring across >=2
+    conversations with turn count, conversation fan-out, and share of
+    assistant turns. The synth table's repeated degenerates (empty /
+    whitespace plants) rank alongside the planted template, so the
+    oracle exercises the full (n_convs, n_turns, text) ordering."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    a = F.col("role") == "assistant"
+    t = F.when(a & (F.col("turn_idx") % 7 == 0),
+               F.lit("I'm sorry, I can't help with that request.")) \
+        .otherwise(F.col("text"))
+    planted = df.select("conv_id", "role", t.alias("text"))
+    return D.canned_response_profile(planted, min_convs=2, k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = the DRIVER'S GATE ORDER: the driver verifies a 50-query
     # prefix of this dict against the DuckDB oracles. The window (recomputed
@@ -3196,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domains_documents": _q_url_domains,
         "markdown_transcripts": _q_markdown_transcripts,
         "containment_pairs_documents": _q_containment_pairs,
+        "canned_responses_transcripts": _q_canned_responses,
     }
 
 
@@ -6796,4 +6817,36 @@ def oracle_sql() -> dict[str, str]:
               OR (a.norm = b.norm AND a.doc_id < b.doc_id))
         ORDER BY contained_id, container_id
     """
+    # canned-response census: same plant (every 7th assistant turn gets
+    # the refusal template), same role scoping (NULL role is not
+    # 'assistant' on both engines), NULLs excluded, empties INCLUDED;
+    # (n_convs desc, n_turns desc, text) is a total order since text is
+    # the group key, so LIMIT is deterministic
+    o["canned_responses_transcripts"] = """
+        WITH base AS (
+            SELECT conv_id,
+                   CASE WHEN role = 'assistant' AND turn_idx %% 7 = 0
+                        THEN 'I''m sorry, I can''t help with that request.'
+                        ELSE text END AS text,
+                   role
+            FROM read_parquet('%s/*.parquet')
+        ),
+        turns AS (
+            SELECT conv_id, text FROM base
+            WHERE role = 'assistant' AND text IS NOT NULL
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM turns),
+        per AS (
+            SELECT text,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM turns GROUP BY text
+            HAVING COUNT(DISTINCT conv_id) >= 2
+        )
+        SELECT text, n_turns, n_convs,
+               ROUND(n_turns * 100.0 / tot.n, 4) AS turns_share_pct
+        FROM per, tot
+        ORDER BY n_convs DESC, n_turns DESC, text ASC
+        LIMIT 50
+    """ % _GATE_TRANSCRIPTS_PATH
     return o

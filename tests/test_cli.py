@@ -472,3 +472,44 @@ def test_cli_containment(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0
     assert _json_line(out)["containment_pairs"] == 1
     assert "containment pairs" in out
+
+
+def test_cli_curate_with_containment(spark, tmp_path, monkeypatch, capsys):
+    docs = str(tmp_path / "docs")
+    a = ("the quick brown fox jumps over the lazy dog and then "
+         "the cat sat on the mat with the hat")
+    sub = "the cat sat on the mat with the hat"   # token-aligned run of a
+    spark.createDataFrame(
+        [(1, a, "s1"), (2, sub, "s1"),
+         (3, "a completely different story about the weather in the "
+             "mountains and the sea", "s1")],
+        "doc_id long, text string, source string",
+    ).write.parquet(docs)
+    # without --containment the sub-doc survives the ledger
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", docs, "--work-dir", str(tmp_path / "w1"),
+        "--run-id", "c1", "--curate"])
+    assert rc == 0
+    led1 = {r["doc_id"]: r["drop_stage"] for r in spark.read.parquet(
+        str(tmp_path / "w1" / "ledger_c1")).collect()}
+    assert led1[2] is None
+    # with --containment it drops at the near_dup stage; the maximal
+    # container and the unrelated doc keep their verdicts
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", docs, "--work-dir", str(tmp_path / "w2"),
+        "--run-id", "c2", "--curate", "--containment"])
+    assert rc == 0
+    led2 = {r["doc_id"]: r["drop_stage"] for r in spark.read.parquet(
+        str(tmp_path / "w2" / "ledger_c2")).collect()}
+    assert led2[2] == "near_dup"
+    assert led2[1] is None and led2[3] == led1[3]
+
+
+def test_cli_canned(spark, tmp_path, monkeypatch, capsys):
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:20000", "--work-dir", str(tmp_path),
+        "--run-id", "cn1", "--canned"])
+    assert rc == 0
+    # the synth empty/whitespace plants recur across conversations
+    assert _json_line(out)["canned_templates"] >= 1
+    assert "canned response templates" in out

@@ -1208,3 +1208,39 @@ def test_conversation_stats_all_null_roles(spark):
                        r["n_tool_role"])
            for r in D.conversation_stats(df).collect()}
     assert got == {"c1": (0, 0, 0, 0), "c2": (1, 0, 0, 0)}
+
+
+def test_canned_response_profile(spark):
+    rows = [
+        # canned refusal in 3 convs (4 turns); greeting in 2 convs;
+        # unique assistant text; user turn with repeated text (ignored);
+        # NULL text (excluded); empty text repeated across 2 convs
+        ("c1", 1, "assistant", "Sorry, I can't help with that."),
+        ("c1", 3, "assistant", "Sorry, I can't help with that."),
+        ("c2", 1, "assistant", "Sorry, I can't help with that."),
+        ("c3", 1, "assistant", "Sorry, I can't help with that."),
+        ("c1", 5, "assistant", "Hello! How can I help?"),
+        ("c2", 3, "assistant", "Hello! How can I help?"),
+        ("c3", 3, "assistant", "the unique answer"),
+        ("c1", 2, "user", "same user text"),
+        ("c2", 2, "user", "same user text"),
+        ("c2", 5, "assistant", None),
+        ("c3", 5, "assistant", ""),
+        ("c4", 1, "assistant", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = [(r["text"], r["n_turns"], r["n_convs"], r["turns_share_pct"])
+           for r in D.canned_response_profile(df).collect()]
+    # 9 non-null assistant turns total; ordering (n_convs desc,
+    # n_turns desc, text asc); the singleton unique answer pruned
+    assert got == [
+        ("Sorry, I can't help with that.", 4, 3, round(400.0 / 9, 4)),
+        ("", 2, 2, round(200.0 / 9, 4)),
+        ("Hello! How can I help?", 2, 2, round(200.0 / 9, 4)),
+    ]
+    # min_convs prunes; k truncates after the total order
+    assert D.canned_response_profile(df, min_convs=3).count() == 1
+    assert [r["text"] for r in
+            D.canned_response_profile(df, k=1).collect()] == \
+        ["Sorry, I can't help with that."]

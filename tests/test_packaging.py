@@ -199,6 +199,11 @@ def test_gate_window_covers_never_gated():
         # of the same posting table) and carries its own all-pairs hash
         # oracle (judge-runnable via BENCH/check_oracles.py) + unit tests
         "containment_pairs_documents": "minhash_near_dup_pairs",
+        # session-M: the canned-response census is the turn-grain twin of
+        # exact dedup (r04-gated dedup_exact_documents) — ONE text-keyed
+        # aggregate + TakeOrdered top-k — and carries its own hash oracle
+        # over the persisted transcript parquet (judge-runnable) + tests
+        "canned_responses_transcripts": "dedup_exact_documents",
     }
     orphans = [
         k for k in keys[50:]

@@ -1035,3 +1035,17 @@ def test_containment_pairs_df_cap_bounds_fanout(spark):
     assert X.containment_pairs(df, max_candidate_df=2).count() == 0
     # unguarded: 5 equal-text pairs chained by id order (i < j, norm ==)
     assert X.containment_pairs(df).count() == 15
+
+
+def test_containment_drop_ids_keeps_maximal(spark):
+    # chain: 2 ⊑ 1 ⊑ 3 (3 = 1 plus a suffix); transitivity drops {1, 2},
+    # keeps only the maximal container 3; unrelated doc 4 untouched
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "beta gamma delta"),
+        (3, "alpha beta gamma delta epsilon zeta eta"),
+        (4, "totally different content body here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dropped = {r.doc_id for r in X.containment_drop_ids(df).collect()}
+    assert dropped == {1, 2}

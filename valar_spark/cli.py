@@ -51,6 +51,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="per-source document cap for --curate")
     p.add_argument("--minhash", action="store_true",
                    help="add the MinHash near-dup stage to --curate")
+    # NOTE: --containment (defined below) composes with --curate the same
+    # way: the subsumption drop set (computed over the survivors) joins
+    # the ledger's near_dup stage alongside the MinHash victims
     p.add_argument("--curate-conversations", action="store_true",
                    help="run the CONVERSATION curation ledger over the "
                         "transcript input (degenerate -> exact "
@@ -77,6 +80,17 @@ def main(argv: list[str] | None = None) -> int:
                         "rollup")
     p.add_argument("--max-latency-s", type=int, default=60,
                    help="latency above this flags too_slow (--latency)")
+    p.add_argument("--canned", action="store_true",
+                   help="canned/templated response census over a "
+                        "transcripts-shaped input: top-k exact assistant "
+                        "texts recurring across >= --min-canned-convs "
+                        "conversations, with turn count, conversation "
+                        "fan-out and share of assistant turns — the "
+                        "over-weighted refusal/greeting/degenerate "
+                        "templates a training-data curation run "
+                        "downweights")
+    p.add_argument("--min-canned-convs", type=int, default=2,
+                   help="conversation fan-out threshold for --canned")
     p.add_argument("--divergent-dups", action="store_true",
                    help="duplicate-key triage over a transcripts-shaped "
                         "input: groups duplicated (conv_id, turn_idx) "
@@ -220,7 +234,9 @@ def main(argv: list[str] | None = None) -> int:
                         "normalized token run appears verbatim inside a "
                         "longer doc (truncation/quoted-in-full duplicates "
                         "Jaccard under-scores); exact-recall rarest-"
-                        "shingle candidates, contains() verification")
+                        "shingle candidates, contains() verification. "
+                        "With --curate: adds the subsumption drop set "
+                        "(over survivors) to the ledger's near_dup stage")
     p.add_argument("--split-leakage", action="store_true",
                    help="eval-set contamination scan: MinHash-LSH near-dup "
                         "pairs joined against the deterministic hash "
@@ -254,15 +270,24 @@ def main(argv: list[str] | None = None) -> int:
         from valar_spark import textops as X
 
         nd = None
-        if args.minhash:
-            # compute the near-dup drop set over the quality+dedup
+        if args.minhash or args.containment:
+            # compute the near-dup drop sets over the quality+dedup
             # SURVIVORS, not the raw corpus — otherwise a surviving doc
             # can be dropped as near-dup of a keeper that itself failed
             # the quality gate, and the cluster's content vanishes from
             # the kept set entirely (ADVICE r4)
             surv = X.curation_survivors_pre_near_dup(df)
-            kept = X.dedup_minhash(surv, threshold=0.8)
-            nd = surv.select("doc_id").exceptAll(kept.select("doc_id"))
+            parts = []
+            if args.minhash:
+                kept = X.dedup_minhash(surv, threshold=0.8)
+                parts.append(
+                    surv.select("doc_id").exceptAll(kept.select("doc_id")))
+            if args.containment:
+                # subsumed docs drop in favour of their maximal container
+                parts.append(X.containment_drop_ids(surv))
+            nd = parts[0]
+            for extra in parts[1:]:
+                nd = nd.unionByName(extra)
         led = X.curation_ledger(df, cap=args.cap, near_dup_drop_ids=nd)
         out = os.path.join(args.work_dir, f"ledger_{args.run_id}")
         led.write.mode("overwrite").parquet(out)
@@ -311,6 +336,17 @@ def main(argv: list[str] | None = None) -> int:
               F.max("latency_s").alias("max_latency_s"))
          .orderBy("reason").show(truncate=False))
         print(json.dumps({"run_id": args.run_id, "latency": out}))
+        spark.stop()
+        return 0
+
+    if args.canned:
+        prof = D.canned_response_profile(
+            df, min_convs=args.min_canned_convs).cache()
+        n = prof.count()
+        print(f"canned response templates (fan-out >= "
+              f"{args.min_canned_convs} convs): {n}")
+        prof.show(50, truncate=80)
+        print(json.dumps({"run_id": args.run_id, "canned_templates": n}))
         spark.stop()
         return 0
 

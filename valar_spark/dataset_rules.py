@@ -2173,6 +2173,55 @@ def conversation_stats(df: DataFrame, conv_col: str = "conv_id",
     )
 
 
+def canned_response_profile(df: DataFrame, conv_col: str = "conv_id",
+                            role_col: str = "role",
+                            text_col: str = "text",
+                            role: str = "assistant",
+                            min_convs: int = 2,
+                            k: int = 100) -> DataFrame:
+    """Canned / templated response census over a transcript table: the
+    top-``k`` exact ``text`` values of ``role`` turns that recur across
+    at least ``min_convs`` DISTINCT conversations, with their turn count,
+    conversation fan-out, and share of all such turns. This is the
+    turn-grain twin of document-level exact dedup: a response repeated
+    verbatim across thousands of conversations (a refusal template, a
+    greeting, an empty/whitespace degenerate) is over-weighted in
+    training data and usually wants downweighting or dropping — the
+    same signal Valar's accumulated violations surface per-field
+    (valar-core Validator.scala error accumulation), lifted to the
+    corpus grain. NULL texts are excluded (they carry no content to
+    de-duplicate; the null-rate stats own them); empty/whitespace texts
+    are deliberately INCLUDED — a degenerate response repeated across
+    conversations is exactly what this census exists to catch.
+
+    Scale shape: ONE groupBy on the text key (map-side combined;
+    count_distinct(conv) re-shuffles only per-key partials), the
+    ``min_convs`` filter prunes the singleton long tail BEFORE the
+    top-k, and top-k is ``orderBy().limit(k)`` — a distributed
+    TakeOrdered, never a single-partition rank window. The share
+    denominator is a broadcast single-row aggregate, not a second scan.
+
+    Columns: ``(text, n_turns, n_convs, turns_share_pct)`` ordered by
+    (n_convs desc, n_turns desc, text asc) — a total order, since text
+    is the group key."""
+    turns = (df.filter(F.col(role_col).eqNullSafe(role)
+                       & F.col(text_col).isNotNull())
+             .select(F.col(text_col).alias("text"),
+                     F.col(conv_col).alias("_conv")))
+    tot = turns.select(F.count(F.lit(1)).alias("_tot"))
+    per_text = (turns.groupBy("text")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                     F.countDistinct("_conv").cast("long").alias("n_convs"))
+                .filter(F.col("n_convs") >= int(min_convs)))
+    return (per_text.crossJoin(F.broadcast(tot))
+            .select("text", "n_turns", "n_convs",
+                    F.round(F.col("n_turns") * 100.0 / F.col("_tot"), 4)
+                    .alias("turns_share_pct"))
+            .orderBy(F.col("n_convs").desc(), F.col("n_turns").desc(),
+                     F.col("text").asc())
+            .limit(int(k)))
+
+
 def conversation_violations(df: DataFrame, min_turns: int = 2,
                             max_turns: int = 10_000,
                             require_dense: bool = True,

@@ -2943,3 +2943,29 @@ def containment_pairs(
         F.col("contained_tokens").cast("long").alias("contained_tokens"),
         F.col("container_tokens").cast("long").alias("container_tokens"),
     )
+
+
+def containment_drop_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_candidate_df: int | None = None,
+) -> DataFrame:
+    """The drop set induced by :func:`containment_pairs`: every doc that
+    is token-aligned contained in some OTHER doc of ``df`` — keeping
+    exactly the MAXIMAL documents. Containment is transitive, so if a
+    doc's container is itself dropped, the doc is also contained in that
+    container's container and stays dropped for the right reason; equal-
+    text clusters keep their highest id (the pair direction ties
+    equal-norm text by id), which exact/normalized dedup upstream makes
+    moot in the ledger composition. Feed the result of running this over
+    :func:`curation_survivors_pre_near_dup` into
+    :func:`curation_ledger`'s ``near_dup_drop_ids`` (optionally unioned
+    with the MinHash victim set) so a surviving doc is only ever dropped
+    in favour of a KEEPER (the survivor-scoping invariant, ADVICE r4).
+    Returns a single distinct ``id_col`` column."""
+    return (containment_pairs(df, text_col, id_col, shingle_n,
+                              max_candidate_df)
+            .select(F.col("contained_id").alias(id_col))
+            .distinct())
