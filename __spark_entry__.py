@@ -3016,6 +3016,88 @@ def _q_canned_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.canned_response_profile(planted, min_convs=2, k=50)
 
 
+def _q_mixed_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-script confusable scan (textops.mixed_script_features) over
+    planted homoglyph fixtures: every 43rd doc gets a Cyrillic-а spoofed
+    Latin token, every 47th a Greek-ο spoofed token, every 53rd a PURE
+    Cyrillic word (chars counted, must NOT flag as mixed — the negative
+    control). Plants chain cumulatively like the invisible-chars gate;
+    the DuckDB oracle replays them with chr() and mirrors the token
+    filter with list_filter over the same Java∩RE2 classes."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    nn = t.isNotNull()
+    t = F.when((F.col("doc_id") % 43 == 0) & nn,
+               F.concat(t, F.lit(" pаypal"))).otherwise(t)
+    t = F.when((F.col("doc_id") % 47 == 0) & nn,
+               F.concat(t, F.lit(" micrοsoft"))).otherwise(t)
+    t = F.when((F.col("doc_id") % 53 == 0) & nn,
+               F.concat(t, F.lit(
+                   " привет"))).otherwise(t)
+    return (X.mixed_script_features(docs.select("doc_id", t.alias("text")))
+            .orderBy("doc_id"))
+
+
+def _q_dup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate attribution
+    (textops.duplicate_source_attribution) over planted duplicate
+    fixtures: every 29th doc becomes a shared cross-source boilerplate
+    footer (one corpus-wide cluster spanning sources), every 31st a
+    source-LOCAL disclaimer (text closes with the source name, so its
+    clusters never cross a source boundary) — chained CASE, first
+    condition wins, replayed verbatim by the oracle."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    nn = F.col("text").isNotNull()
+    t = (F.when((F.col("doc_id") % 29 == 0) & nn,
+                F.lit("boilerplate footer: subscribe to our newsletter"))
+         .when((F.col("doc_id") % 31 == 0) & nn,
+               F.concat(F.lit("local disclaimer for "), F.col("source")))
+         .otherwise(F.col("text")))
+    return X.duplicate_source_attribution(
+        docs.select("doc_id", t.alias("text"), "source"))
+
+
+def _q_cadence_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation cadence profile
+    (dataset_rules.conversation_cadence_profile) over the persisted
+    transcript parquet — NO plant needed: the synth generator stamps
+    ``ts = EPOCH + conv_num*100 + turn_idx`` (synth.py), so unpolluted
+    multi-turn conversations are EXACTLY 1s-cadence scripted traffic
+    (constant_cadence=true, the detector's positive class by
+    construction) while the out-of-order ts plants and duplicated-turn
+    plants break constancy — both branches exercised organically. All
+    outputs are exact integer microseconds."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    return (D.conversation_cadence_profile(df)
+            .orderBy("conv"))
+
+
+def _q_embedding_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-vector clusters (ann.embedding_exact_dup_clusters)
+    over planted degenerate fixtures: every 37th vector is replaced by
+    the constant 0.5-vector (the encoder-default failure class), every
+    41st by the constant 0.25-vector (a written-twice batch) — chained
+    CASE, first wins; the grouping key is the fp32 array itself so no
+    float formatting enters either engine."""
+    from valar_spark.ann import embedding_exact_dup_clusters
+
+    emb = _read(spark, sf_dir, "embeddings")
+    half = F.transform("embedding", lambda x: F.lit(0.5).cast("float"))
+    quarter = F.transform("embedding", lambda x: F.lit(0.25).cast("float"))
+    planted = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 37 == 0, half)
+        .when(F.col("vec_id") % 41 == 0, quarter)
+        .otherwise(F.col("embedding")).alias("embedding"))
+    return embedding_exact_dup_clusters(planted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = the DRIVER'S GATE ORDER: the driver verifies a 50-query
     # prefix of this dict against the DuckDB oracles. The window (recomputed
@@ -3217,6 +3299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_transcripts": _q_markdown_transcripts,
         "containment_pairs_documents": _q_containment_pairs,
         "canned_responses_transcripts": _q_canned_responses,
+        "mixed_script_documents": _q_mixed_script,
+        "dup_sources_documents": _q_dup_sources,
+        "cadence_transcripts": _q_cadence_transcripts,
+        "embedding_exact_dups": _q_embedding_exact_dups,
     }
 
 
@@ -6849,4 +6935,124 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY n_convs DESC, n_turns DESC, text ASC
         LIMIT 50
     """ % _GATE_TRANSCRIPTS_PATH
+
+    # ---- r5 session M2: mixed-script / dup-attribution / cadence /
+    # exact-dup-vector oracles ----
+    # script classes read from the textops constants (engine and oracle
+    # cannot drift); plants replayed verbatim; token filter mirrored with
+    # list_filter over the same Java∩RE2 patterns
+    from valar_spark.textops import (CYRILLIC_CLASS, GREEK_CLASS,
+                                     LATIN_CLASS)
+
+    _ms_mix = (f"regexp_matches(x, '{LATIN_CLASS}') AND "
+               f"(regexp_matches(x, '{CYRILLIC_CLASS}') OR "
+               f"regexp_matches(x, '{GREEK_CLASS}'))")
+    o["mixed_script_documents"] = f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 43 = 0 AND text IS NOT NULL
+                        THEN text || ' pаypal' ELSE text END AS t0
+            FROM documents
+        ), q AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 47 = 0 AND t0 IS NOT NULL
+                        THEN t0 || ' micrοsoft' ELSE t0 END AS t1
+            FROM p
+        ), r AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 53 = 0 AND t1 IS NOT NULL
+                        THEN t1 || ' привет' ELSE t1 END AS text
+            FROM q
+        ), f AS (
+            SELECT doc_id, COALESCE(text, '') AS t,
+                   LENGTH(COALESCE(text, '')) AS n
+            FROM r
+        ), c AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(t, '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(regexp_split_to_array(t, '\\s+'),
+                            x -> {_ms_mix})) AS BIGINT) AS n_mixed_tokens,
+                   CAST({_cnt_sql(CYRILLIC_CLASS)} AS BIGINT) AS n_cyrillic,
+                   CAST({_cnt_sql(GREEK_CLASS)} AS BIGINT) AS n_greek
+            FROM f
+        )
+        SELECT doc_id, n_tokens, n_mixed_tokens, n_cyrillic, n_greek,
+               (n_mixed_tokens > 0) AS has_mixed_script
+        FROM c ORDER BY doc_id
+    """
+
+    o["dup_sources_documents"] = """
+        WITH d AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 29 = 0 AND text IS NOT NULL
+                        THEN 'boilerplate footer: subscribe to our newsletter'
+                        WHEN doc_id % 31 = 0 AND text IS NOT NULL
+                        THEN 'local disclaimer for ' || source
+                        ELSE text END AS text
+            FROM documents
+        ), docs AS (
+            SELECT source, md5(text) AS h FROM d WHERE text IS NOT NULL
+        ), c AS (
+            SELECT h, COUNT(*) AS n, COUNT(DISTINCT source) AS ns
+            FROM docs GROUP BY h
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+               CAST(SUM(CASE WHEN n > 1 AND ns > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_cross_dup_docs,
+               ROUND(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 100.0
+                     / COUNT(*), 4) AS dup_rate_pct
+        FROM docs JOIN c USING (h)
+        GROUP BY source ORDER BY source NULLS FIRST
+    """
+
+    # integer-microsecond gap math (the echo_events epoch_us contract);
+    # ordering pinned (turn_idx ASC NULLS FIRST, epoch micros) on both
+    # engines — index-tied duplicate rows are gap-interchangeable
+    o["cadence_transcripts"] = """
+        WITH base AS (
+            SELECT conv_id AS conv, CAST(turn_idx AS BIGINT) AS i,
+                   epoch_us(ts) AS us
+            FROM read_parquet('%s/*.parquet')
+            WHERE ts IS NOT NULL
+        ), lagged AS (
+            SELECT conv,
+                   us - LAG(us) OVER (PARTITION BY conv
+                                      ORDER BY i ASC NULLS FIRST,
+                                               us ASC) AS gap
+            FROM base
+        )
+        SELECT conv,
+               CAST(COUNT(*) AS BIGINT) AS n_timed_turns,
+               CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+               CAST(COUNT(DISTINCT gap) AS BIGINT) AS n_distinct_gaps,
+               MIN(gap) AS min_gap_us,
+               MAX(gap) AS max_gap_us,
+               (COUNT(gap) >= 3 AND COUNT(DISTINCT gap) = 1)
+                   AS constant_cadence
+        FROM lagged GROUP BY conv ORDER BY conv
+    """ % _GATE_TRANSCRIPTS_PATH
+
+    o["embedding_exact_dups"] = """
+        WITH p AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id % 37 = 0
+                        THEN list_transform(embedding,
+                                            x -> CAST(0.5 AS FLOAT))
+                        WHEN vec_id % 41 = 0
+                        THEN list_transform(embedding,
+                                            x -> CAST(0.25 AS FLOAT))
+                        ELSE embedding END AS v
+            FROM embeddings
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               MIN(vec_id) AS min_vec_id,
+               MAX(vec_id) AS max_vec_id
+        FROM p WHERE v IS NOT NULL
+        GROUP BY v HAVING COUNT(*) > 1
+        ORDER BY min_vec_id
+    """
     return o

@@ -366,3 +366,20 @@ def test_semantic_dedup_accepts_shared_pairs(spark):
     b = sorted(ann.semantic_dedup(df, threshold=0.95, pairs=pairs).collect())
     assert a == b
     assert [r["keep"] for r in a] == [True, False, True]
+
+
+def test_embedding_exact_dup_clusters(spark):
+    from valar_spark.ann import embedding_exact_dup_clusters
+
+    v_a = [0.5] * 4          # default-vector failure class: 3 members
+    v_b = [0.25, 0.5, 0.75, 1.0]   # written-twice pair
+    rows = [
+        (1, v_a), (2, [0.1, 0.2, 0.3, 0.4]), (3, v_a),
+        (4, v_b), (5, v_b), (6, v_a),
+        (7, None),                       # null vector excluded
+        (8, [0.5, 0.5, 0.5, 0.5001]),    # close but NOT bit-equal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [(r["n_vecs"], r["min_vec_id"], r["max_vec_id"])
+           for r in embedding_exact_dup_clusters(df).collect()]
+    assert got == [(3, 1, 6), (2, 4, 5)]

@@ -513,3 +513,45 @@ def test_cli_canned(spark, tmp_path, monkeypatch, capsys):
     # the synth empty/whitespace plants recur across conversations
     assert _json_line(out)["canned_templates"] >= 1
     assert "canned response templates" in out
+
+
+def test_cli_mixed_script(spark, tmp_path, monkeypatch, capsys):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "login at pаypal now"),      # Cyrillic а spoof
+         (2, "plain ascii only"),
+         (3, "привет мир")],              # pure Cyrillic: not mixed
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", docs, "--work-dir", str(tmp_path), "--run-id", "ms1",
+        "--mixed-script"])
+    assert rc == 1
+    assert _json_line(out)["mixed_script_docs"] == 1
+    assert "mixed-script confusable" in out
+
+
+def test_cli_dup_sources(spark, tmp_path, monkeypatch, capsys):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "mirrored", "s1"), (2, "mirrored", "s2"),
+         (3, "unique", "s1")],
+        "doc_id long, text string, source string",
+    ).write.parquet(docs)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", docs, "--work-dir", str(tmp_path), "--run-id", "ds1",
+        "--dup-sources"])
+    assert rc == 0
+    assert _json_line(out)["dup_sources"] == 2
+    assert "duplicate attribution" in out
+
+
+def test_cli_cadence(spark, tmp_path, monkeypatch, capsys):
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:5000", "--work-dir", str(tmp_path),
+        "--run-id", "cd1", "--cadence"])
+    assert rc == 0
+    # synth ts = EPOCH + conv_num*100 + turn_idx: unpolluted multi-turn
+    # convs are exact 1s cadence, so the detector must fire
+    assert _json_line(out)["constant_cadence"] >= 1
+    assert "constant-cadence" in out

@@ -1244,3 +1244,35 @@ def test_canned_response_profile(spark):
     assert [r["text"] for r in
             D.canned_response_profile(df, k=1).collect()] == \
         ["Sorry, I can't help with that."]
+
+
+def test_conversation_cadence_profile(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # c1: four turns on an exact 30s timer -> constant cadence
+        *[("c1", i, t0 + 30 * i * s) for i in range(4)],
+        # c2: human-jittered gaps (10s, 11s, 9s) -> not constant
+        ("c2", 0, t0), ("c2", 1, t0 + 10 * s),
+        ("c2", 2, t0 + 21 * s), ("c2", 3, t0 + 30 * s),
+        # c3: only 2 gaps, both 30s -> below min_gaps, not flagged
+        ("c3", 0, t0), ("c3", 1, t0 + 30 * s), ("c3", 2, t0 + 60 * s),
+        # c4: null ts rows are excluded; the single survivor has no gaps
+        ("c4", 0, None), ("c4", 1, t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp")
+    got = {r["conv"]: (r["n_timed_turns"], r["n_gaps"], r["n_distinct_gaps"],
+                       r["min_gap_us"], r["max_gap_us"],
+                       r["constant_cadence"])
+           for r in D.conversation_cadence_profile(df).collect()}
+    assert got["c1"] == (4, 3, 1, 30_000_000, 30_000_000, True)
+    assert got["c2"] == (4, 3, 3, 9_000_000, 11_000_000, False)
+    assert got["c3"] == (3, 2, 1, 30_000_000, 30_000_000, False)
+    assert got["c4"] == (1, 0, 0, None, None, False)
+    # min_gaps is tunable: at min_gaps=2 the 2-gap timer conv flags too
+    got2 = {r["conv"]: r["constant_cadence"]
+            for r in D.conversation_cadence_profile(df, min_gaps=2).collect()}
+    assert got2["c3"] is True and got2["c2"] is False

@@ -204,6 +204,13 @@ def test_gate_window_covers_never_gated():
         # aggregate + TakeOrdered top-k — and carries its own hash oracle
         # over the persisted transcript parquet (judge-runnable) + tests
         "canned_responses_transcripts": "dedup_exact_documents",
+        # session-M2: four analyzers, each the same execution shape as an
+        # r04-gated twin and each carrying its own full hash oracle
+        # (judge-runnable via BENCH/check_oracles.py) + unit tests
+        "mixed_script_documents": "invisible_chars_documents",
+        "dup_sources_documents": "dedup_exact_documents",
+        "cadence_transcripts": "sessions_events",
+        "embedding_exact_dups": "embedding_profile_embeddings",
     }
     orphans = [
         k for k in keys[50:]

@@ -1049,3 +1049,47 @@ def test_containment_drop_ids_keeps_maximal(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     dropped = {r.doc_id for r in X.containment_drop_ids(df).collect()}
     assert dropped == {1, 2}
+
+
+def test_mixed_script_features(spark):
+    rows = [
+        # Cyrillic а in "pаypal" (confusable spoof); pure-Latin negative
+        (1, "login at pаypal now"),
+        # pure Cyrillic text: chars counted, NO mixed token
+        (2, "привет мир"),
+        # Greek omicron inside a Latin token + a pure-Greek word
+        (3, "micrοsoft αβγ"),
+        (4, None),
+        (5, "plain ascii text only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_mixed_tokens"], r["n_cyrillic"],
+                         r["n_greek"], r["has_mixed_script"])
+           for r in X.mixed_script_features(df).collect()}
+    assert got[1] == (4, 1, 1, 0, True)
+    assert got[2] == (2, 0, 9, 0, False)
+    assert got[3] == (2, 1, 0, 4, True)
+    assert got[4] == (0, 0, 0, 0, False)
+    assert got[5] == (4, 0, 0, 0, False)
+
+
+def test_duplicate_source_attribution(spark):
+    rows = [
+        # s1: 2 docs sharing text with s2 (cross-source mirror) + 1 unique
+        (1, "mirrored article body", "s1"),
+        (2, "unique one", "s1"),
+        (3, "mirrored article body", "s2"),
+        # s2: an internal re-post duplicated only within s2
+        (4, "internal repost", "s2"),
+        (5, "internal repost", "s2"),
+        # null text excluded entirely; null source is its own group
+        (6, None, "s1"),
+        (7, "null-source doc", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: (r["n_docs"], r["n_dup_docs"], r["n_cross_dup_docs"],
+                         r["dup_rate_pct"])
+           for r in X.duplicate_source_attribution(df).collect()}
+    assert got["s1"] == (2, 1, 1, 50.0)
+    assert got["s2"] == (3, 3, 1, 100.0)
+    assert got[None] == (1, 0, 0, 0.0)

@@ -732,3 +732,40 @@ def semantic_dedup(
             .alias("component"))
         .withColumn("keep", F.col("component") == F.col(id_col))
     )
+
+
+def embedding_exact_dup_clusters(df: DataFrame,
+                                 vec_col: str = "embedding",
+                                 id_col: str = "vec_id") -> DataFrame:
+    """Bit-identical duplicate VECTOR clusters: groups of rows whose
+    embedding arrays are exactly equal element-for-element. Distinct
+    vectors that are merely close belong to the near-dup sketch path
+    (:func:`embedding_near_dup_pairs`); exact equality at fp32 almost
+    never happens between independent encodings of different inputs, so
+    a cluster here is a pipeline defect — the encoder returned its
+    default/padding vector for failed inputs, a batch got written twice,
+    or upstream dedup missed byte-identical docs that then encoded
+    identically. Those degenerate constant vectors also poison ANN
+    indexes (one IVF cell absorbs the whole failure class).
+
+    Execution shape: ONE groupBy on the array column itself — map-side
+    combined, shuffles (vector, partial count) pairs, never an all-pairs
+    stage; the array is the grouping key so float formatting never
+    enters (both engines compare the fp32 bits they read from parquet).
+    Null vectors are excluded (the hygiene profile owns them); NaN
+    elements group as equal under Spark/DuckDB grouping semantics —
+    acceptable, since a NaN-bearing vector is already a
+    :func:`embedding_profile` violation.
+
+    Columns: ``(n_vecs, min_vec_id, max_vec_id)`` — one row per cluster
+    with more than one member, ordered by ``min_vec_id``; the vector
+    itself is deliberately not projected (scalar output keys the cluster
+    by its smallest id)."""
+    return (df.filter(F.col(vec_col).isNotNull())
+            .groupBy(vec_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.min(id_col).alias("min_vec_id"),
+                 F.max(id_col).alias("max_vec_id"))
+            .filter(F.col("n_vecs") > 1)
+            .select("n_vecs", "min_vec_id", "max_vec_id")
+            .orderBy("min_vec_id"))

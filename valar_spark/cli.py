@@ -237,6 +237,23 @@ def main(argv: list[str] | None = None) -> int:
                         "shingle candidates, contains() verification. "
                         "With --curate: adds the subsumption drop set "
                         "(over survivors) to the ledger's near_dup stage")
+    p.add_argument("--mixed-script", action="store_true",
+                   help="mixed-script confusable scan over a "
+                        "documents-shaped input: tokens mixing Latin with "
+                        "Cyrillic/Greek block characters (the Unicode "
+                        "TS #39 homoglyph-spoof class that survives ASCII "
+                        "filters and splits dedup groups); exit 1 when "
+                        "any flagged doc exists")
+    p.add_argument("--dup-sources", action="store_true",
+                   help="per-source exact-duplicate attribution over a "
+                        "documents-shaped input: which source ships the "
+                        "dupes, split into within- and cross-source "
+                        "(mirror/scraper-overlap) membership")
+    p.add_argument("--cadence", action="store_true",
+                   help="automation/replay cadence scan over a "
+                        "transcripts-shaped input: conversations whose "
+                        "every inter-turn gap is identical (scripted "
+                        "traffic, replayed logs, timer-stamped synthesis)")
     p.add_argument("--split-leakage", action="store_true",
                    help="eval-set contamination scan: MinHash-LSH near-dup "
                         "pairs joined against the deterministic hash "
@@ -622,6 +639,42 @@ def main(argv: list[str] | None = None) -> int:
                        "contained_id", "container_id")
          .limit(50).show(truncate=False))
         print(json.dumps({"run_id": args.run_id, "containment_pairs": n}))
+        spark.stop()
+        return 0
+
+    if args.mixed_script:
+        from pyspark.sql import functions as F
+
+        from valar_spark import textops as X
+
+        feats = X.mixed_script_features(df).cache()
+        bad = feats.filter("has_mixed_script")
+        n = bad.count()
+        print(f"docs with mixed-script confusable tokens: {n}")
+        (bad.orderBy(F.col("n_mixed_tokens").desc(), "doc_id")
+         .limit(50).show(truncate=False))
+        print(json.dumps({"run_id": args.run_id, "mixed_script_docs": n}))
+        spark.stop()
+        return 0 if n == 0 else 1
+
+    if args.dup_sources:
+        from valar_spark import textops as X
+
+        prof = X.duplicate_source_attribution(df).cache()
+        n = prof.count()
+        print(f"sources profiled for duplicate attribution: {n}")
+        prof.show(50, truncate=False)
+        print(json.dumps({"run_id": args.run_id, "dup_sources": n}))
+        spark.stop()
+        return 0
+
+    if args.cadence:
+        prof = D.conversation_cadence_profile(df).cache()
+        bad = prof.filter("constant_cadence")
+        n = bad.count()
+        print(f"constant-cadence (scripted/replayed) conversations: {n}")
+        bad.orderBy("conv").limit(50).show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "constant_cadence": n}))
         spark.stop()
         return 0
 

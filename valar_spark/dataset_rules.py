@@ -3362,3 +3362,57 @@ def key_overlap_estimate(
                                          F.lit(1.0)))
     return j.select("exact_a", "exact_b", "exact_overlap",
                     within.alias("overlap_within_tol"))
+
+
+def conversation_cadence_profile(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    min_gaps: int = 3,
+) -> DataFrame:
+    """Automation / replay cadence detector: per-conversation inter-turn
+    gap statistics in exact integer MICROseconds, flagging conversations
+    whose every gap is identical (``constant_cadence``) — the signature
+    of scripted traffic, a replayed log, or a synthesizer that stamped
+    timestamps on a fixed timer. Human conversations have irregular
+    think-time; a 10-turn conversation with ten exactly-30.000000s gaps
+    was not typed by a person, and a corpus quietly polluted with such
+    replays skews every latency/freshness statistic downstream. Distinct
+    from :func:`response_latency_violations` (absolute slowness) and
+    :func:`echo_duplicates` (same-content double-fires): this is a
+    WHOLE-conversation timing-shape invariant over arbitrary content.
+
+    Null-``ts`` turns are excluded (the null-rate stats own them); turns
+    are ordered by ``(idx_col ASC NULLS FIRST, ts)`` — the sort closes
+    with the timestamp so index-tied rows pair deterministically (the
+    :func:`degenerate_runs` discipline). ``constant_cadence`` requires
+    ``min_gaps`` gaps so 2-turn conversations can't trivially flag.
+
+    Execution shape at 10^12 turns: ONE window shuffle on the
+    conversation key (the table's natural clustering) for the lag, then
+    a conversation-keyed aggregate over the SAME partitioning (no second
+    exchange); per-row state is one lag value. All outputs are exact
+    BIGINTs — no float drift between engines.
+
+    Columns: ``(conv, n_timed_turns, n_gaps, n_distinct_gaps,
+    min_gap_us, max_gap_us, constant_cadence)``."""
+    base = (df.filter(F.col(ts_col).isNotNull())
+            .select(F.col(conv_col).alias("conv"),
+                    F.col(idx_col).cast("long").alias("_i"),
+                    F.unix_micros(F.col(ts_col)).alias("_us")))
+    w = Window.partitionBy("conv").orderBy(
+        F.col("_i").asc_nulls_first(), F.col("_us").asc())
+    gap = F.col("_us") - F.lag("_us").over(w)
+    return (base.withColumn("_gap", gap)
+            .groupBy("conv")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_timed_turns"),
+                 F.count("_gap").cast("long").alias("n_gaps"),
+                 F.countDistinct("_gap").cast("long")
+                 .alias("n_distinct_gaps"),
+                 F.min("_gap").alias("min_gap_us"),
+                 F.max("_gap").alias("max_gap_us"))
+            .withColumn(
+                "constant_cadence",
+                (F.col("n_gaps") >= int(min_gaps))
+                & (F.col("n_distinct_gaps") == 1)))

@@ -2969,3 +2969,120 @@ def containment_drop_ids(
                               max_candidate_df)
             .select(F.col("contained_id").alias(id_col))
             .distinct())
+
+
+# ---------------------------------------------------------------------------
+# Mixed-script / confusable-token screen (Unicode TS #39 class: Latin
+# letters interleaved with Cyrillic/Greek homoglyphs inside ONE token —
+# spoofed brand names, SEO cloaking, tokenizer poisoning)
+# ---------------------------------------------------------------------------
+
+#: Latin letters — ASCII plus the Latin-1/Extended-A/B letter ranges,
+#: EXCLUDING the two non-letters embedded in Latin-1 (× U+00D7, ÷ U+00F7).
+#: Shared verbatim with the DuckDB oracle (Java ∩ RE2 \x{...} classes).
+LATIN_CLASS = r"[A-Za-z\x{C0}-\x{D6}\x{D8}-\x{F6}\x{F8}-\x{24F}]"
+
+#: the Cyrillic block — а/е/о/р/с/х and friends are pixel-identical to
+#: their Latin counterparts in most fonts, the classic confusable set
+CYRILLIC_CLASS = r"[\x{400}-\x{4FF}]"
+
+#: the Greek and Coptic block (ο/ν/Α/Β… confusables); block-range
+#: definition, so the few in-block punctuation marks (U+037E, U+0387)
+#: count as Greek — documented, engine-exact, and irrelevant to the
+#: mixed-with-Latin signal this screen exists for
+GREEK_CLASS = r"[\x{370}-\x{3FF}]"
+
+
+def mixed_script_features(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document mixed-script confusable scan: ``n_tokens``
+    (whitespace tokens), ``n_mixed_tokens`` (tokens containing BOTH a
+    Latin letter AND a Cyrillic-or-Greek block character — the Unicode
+    TS #39 mixed-script confusable signature: "pаypal" with a Cyrillic
+    а survives every ASCII filter, splits exact-dedup groups, and maps
+    to garbage BPE tokens), ``n_cyrillic`` / ``n_greek`` whole-text
+    codepoint counts (an all-Cyrillic document is legitimate text — only
+    the WITHIN-TOKEN mix is the spoof signal), and ``has_mixed_script``
+    for the corpus gate. Null text ⇒ zero counts, false flag.
+
+    Execution shape: one shuffle-free JVM projection — ``split`` on
+    ASCII whitespace + two higher-order ``filter``/``size`` calls (no
+    explode: the per-doc token array never leaves the row), plus the
+    :func:`invisible_char_features`-style codepoint-delta counts. The
+    character classes are the module constants above, shared verbatim
+    with the SQL oracle; ``\\s`` is ASCII on both engines (Java default
+    and RE2 agree), so tokenization is engine-exact."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+
+    def _cnt(cls: str) -> Column:
+        return (n - F.length(F.regexp_replace(t, cls, ""))).cast("long")
+
+    toks = F.split(t, r"\s+")
+    mixed = F.filter(
+        toks,
+        lambda x: x.rlike(LATIN_CLASS)
+        & (x.rlike(CYRILLIC_CLASS) | x.rlike(GREEK_CLASS)))
+    n_mixed = F.size(mixed).cast("long")
+    n_toks = F.size(F.filter(toks, lambda x: x != "")).cast("long")
+    return df.select(
+        id_col,
+        n_toks.alias("n_tokens"),
+        n_mixed.alias("n_mixed_tokens"),
+        _cnt(CYRILLIC_CLASS).alias("n_cyrillic"),
+        _cnt(GREEK_CLASS).alias("n_greek"),
+        (n_mixed > 0).alias("has_mixed_script"),
+    )
+
+
+def duplicate_source_attribution(df: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 source_col: str = "source") -> DataFrame:
+    """Per-source exact-duplicate accounting — WHERE the dupes come from:
+    for each ``source_col`` value, the number of docs whose exact content
+    (md5 of the raw text, the :func:`exact_duplicate_groups` key) occurs
+    more than once in the WHOLE corpus, split into within- and
+    cross-source membership. A source with a high ``dup_rate_pct`` ships
+    re-posts; a high ``n_cross_dup_docs`` means two sources mirror each
+    other (scraper overlap) and one of them should be dropped wholesale —
+    the attribution step between "the corpus is 12% duplicate" and an
+    actionable ingest fix. Null-text docs are excluded entirely (no
+    content to duplicate; the null-rate stats own them); a null source is
+    profiled as its own group.
+
+    Execution shape: a TWO-LEVEL aggregate — (md5, source) counts first
+    (map-side combined: identical texts collapse BEFORE anything
+    shuffles, so a million-copy boilerplate cluster crosses the wire as
+    one row per source, not a million rows), rolled up to per-cluster
+    size + source fan-out, joined back to the tiny (md5, source) frame
+    on the md5 key, then one map-side-combined rollup onto the source
+    key space. No window, no driver state, and no re-join against the
+    raw corpus; skew is bounded by a cluster's distinct-SOURCE count,
+    strictly tighter than exact dedup's per-cluster row bound.
+
+    Columns: ``(source, n_docs, n_dup_docs, n_cross_dup_docs,
+    dup_rate_pct)`` ordered by source."""
+    per = (df.filter(F.col(text_col).isNotNull())
+           .select(F.col(source_col).alias("source"),
+                   F.md5(F.col(text_col)).alias("_h"))
+           .groupBy("_h", "source")
+           .agg(F.count(F.lit(1)).alias("_c")))
+    # _ns mirrors COUNT(DISTINCT source): null sources form their own
+    # (profiled) group but never count toward cross-source fan-out
+    clusters = (per.groupBy("_h")
+                .agg(F.sum("_c").alias("_n"),
+                     F.sum(F.when(F.col("source").isNotNull(), 1)
+                           .otherwise(0)).alias("_ns")))
+    joined = per.join(clusters, "_h")
+    dup = F.col("_n") > 1
+    return (joined.groupBy("source")
+            .agg(F.sum("_c").cast("long").alias("n_docs"),
+                 F.sum(F.when(dup, F.col("_c")).otherwise(0))
+                 .cast("long").alias("n_dup_docs"),
+                 F.sum(F.when(dup & (F.col("_ns") > 1), F.col("_c"))
+                       .otherwise(0))
+                 .cast("long").alias("n_cross_dup_docs"))
+            .select("source", "n_docs", "n_dup_docs", "n_cross_dup_docs",
+                    F.round(F.col("n_dup_docs") * 100.0 / F.col("n_docs"),
+                            4).alias("dup_rate_pct"))
+            .orderBy(F.col("source").asc_nulls_first()))
