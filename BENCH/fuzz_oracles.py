@@ -105,6 +105,14 @@ FUZZ_QUERIES = [
     # same LSH==brute-force-probability reason as minhash_near_dup_pairs;
     # markdown_transcripts reads the transcript parquet, not this table.
     "url_domains_documents",
+    # session-M2 pairs: the mixed-script screen fuzzes the \s
+    # tokenization + three-block regex class agreement (the _WORDS pool
+    # carries a Cyrillic-а spoof, pure-Cyrillic and Greek tokens, and an
+    # astral negative); dup-source attribution fuzzes md5 equality +
+    # two-level rollup vs the oracle's join formulation on tables where
+    # random drawing makes organic cross-source dup clusters likely
+    "mixed_script_documents",
+    "dup_sources_documents",
 ]
 
 _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",
@@ -121,7 +129,11 @@ _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",
           # scheme that must NOT match (pattern is https? only)
           "http://fuzz-host.example.com/path", "https://203.0.113.9:81",
           "http://dot.example.org.", "https://𝔘𝔫𝔦.example.org",
-          "HTTP://UPPER.example.net/x"]
+          "HTTP://UPPER.example.net/x",
+          # confusable-class tokens for the mixed-script screen: a
+          # Cyrillic-а spoof (mixed), pure Cyrillic and Greek words
+          # (chars counted, NOT mixed), and a Greek-ο spoof
+          "pаypal", "привет", "αβγδ", "micrοsoft"]
 _SEPS = [" ", "  ", "\t", "\n", " \n ", "\r\n", " "]  # NBSP is NOT \s
 
 
@@ -215,6 +227,16 @@ TRANSCRIPTS_QUERIES = [
     # predicates as transcript_verdicts on the sampled subset, and the
     # Wilson-interval arithmetic term-for-term
     "sampled_validate_transcripts",
+    # cadence profile (session M2): epoch_us lag gaps under null/dup turn
+    # indices (ORDER BY i NULLS FIRST, us pinned both sides — index-tied
+    # rows are gap-interchangeable), COUNT(DISTINCT gap) null handling,
+    # and exact BIGINT min/max gap agreement on random timestamps
+    "cadence_transcripts",
+    # canned-response census (session M): NULL turn_idx makes the %7
+    # plant predicate NULL (ELSE branch on both engines), exotic role
+    # strings must NOT match the exact 'assistant' literal, and the
+    # (n_convs, n_turns, text) total order pins LIMIT determinism
+    "canned_responses_transcripts",
     # divergent_dups_transcripts is deliberately NOT fuzzed: its planted
     # mutation keys on the synth's numeric conv_id layout (SUBSTR→INT),
     # which a random conv id breaks — DuckDB's strict CAST would error
