@@ -237,6 +237,15 @@ TRANSCRIPTS_QUERIES = [
     # strings must NOT match the exact 'assistant' literal, and the
     # (n_convs, n_turns, text) total order pins LIMIT determinism
     "canned_responses_transcripts",
+    # session-M2 transcript trio: tool-echo fuzzes the lag tie discipline
+    # (i NULLS FIRST, role, md5(text)) + contains() on adversarial text;
+    # language-mix fuzzes the per-turn marker battery rollup + the
+    # ROW_NUMBER-vs-min(struct) dominant argmax under ties; the refusal
+    # census fuzzes TRIM/translate/LOWER + anchored-prefix rlike-vs-RE2
+    # agreement (exotic roles must NOT match the exact 'assistant')
+    "tool_echo_transcripts",
+    "language_mix_transcripts",
+    "refusal_census_transcripts",
     # divergent_dups_transcripts is deliberately NOT fuzzed: its planted
     # mutation keys on the synth's numeric conv_id layout (SUBSTR→INT),
     # which a random conv id breaks — DuckDB's strict CAST would error

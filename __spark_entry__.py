@@ -3098,6 +3098,75 @@ def _q_embedding_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_exact_dup_clusters(planted)
 
 
+def _q_tool_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-output regurgitation detector (dataset_rules.tool_output_echo)
+    over the persisted transcript parquet with a deterministic plant that
+    stamps BOTH sides of the pair from each row's OWN keys: every tool
+    turn's text becomes a key-derived payload, and every 3rd-indexed
+    assistant turn embeds the payload of index-1-before — the echo fires
+    exactly where the lag order actually adjacent-pairs them, and both
+    engines compute the identical lag pairing, so the plant needs no
+    cross-row reference."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    payload = F.concat(F.lit("deterministic tool payload for "),
+                       F.col("conv_id"), F.lit(" turn "),
+                       F.col("turn_idx").cast("string"))
+    echo = F.concat(F.lit("echoing: deterministic tool payload for "),
+                    F.col("conv_id"), F.lit(" turn "),
+                    (F.col("turn_idx") - 1).cast("string"),
+                    F.lit(" end"))
+    t = (F.when(F.col("role") == "tool", payload)
+         .when((F.col("role") == "assistant") & (F.col("turn_idx") % 3 == 0),
+               echo)
+         .otherwise(F.col("text")))
+    planted = df.select("conv_id", "turn_idx", "role", t.alias("text"))
+    return (D.tool_output_echo(planted)
+            .orderBy("conv", "turn_idx", "echo_chars"))
+
+
+def _q_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation language-consistency profile
+    (dataset_rules.conversation_language_profile) over the persisted
+    transcript parquet with planted Spanish (every 5th turn) and German
+    (every 7th-turn-index ≡ 3) marker sentences; the organic synth texts
+    mostly classify 'und', so the profile exercises mixed, monolingual,
+    and unclassified conversations plus the tie-broken dominant argmax."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    nn = F.col("text").isNotNull()
+    t = (F.when(nn & (F.col("turn_idx") % 5 == 0),
+                F.lit("el gato es que los perros"))
+         .when(nn & (F.col("turn_idx") % 7 == 3),
+               F.lit("der hund und die katze ist hier"))
+         .otherwise(F.col("text")))
+    planted = df.select("conv_id", t.alias("text"))
+    return (D.conversation_language_profile(planted)
+            .orderBy("conv"))
+
+
+def _q_refusal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refusal-pattern battery census
+    (dataset_rules.refusal_pattern_census) over the persisted transcript
+    parquet with planted templates: every 11th-indexed assistant turn
+    opens with an apology refusal (typographic apostrophe — exercising
+    the U+2019 normalization), every 13th with an AI disclaimer; chained
+    CASE first-wins, replayed verbatim by the oracle."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    a = F.col("role") == "assistant"
+    t = (F.when(a & (F.col("turn_idx") % 11 == 0),
+                F.lit("I’m sorry, but I can’t comply with that."))
+         .when(a & (F.col("turn_idx") % 13 == 0),
+               F.lit("As an AI, I must decline this request."))
+         .otherwise(F.col("text")))
+    planted = df.select("conv_id", "role", t.alias("text"))
+    return D.refusal_pattern_census(planted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = the DRIVER'S GATE ORDER: the driver verifies a 50-query
     # prefix of this dict against the DuckDB oracles. The window (recomputed
@@ -3303,6 +3372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_sources_documents": _q_dup_sources,
         "cadence_transcripts": _q_cadence_transcripts,
         "embedding_exact_dups": _q_embedding_exact_dups,
+        "tool_echo_transcripts": _q_tool_echo,
+        "language_mix_transcripts": _q_language_mix,
+        "refusal_census_transcripts": _q_refusal_census,
     }
 
 
@@ -7054,5 +7126,141 @@ def oracle_sql() -> dict[str, str]:
         FROM p WHERE v IS NOT NULL
         GROUP BY v HAVING COUNT(*) > 1
         ORDER BY min_vec_id
+    """
+
+    # ---- r5 session M2 transcript-grain trio: echo / language-mix /
+    # refusal-census oracles ----
+    _tp = _GATE_TRANSCRIPTS_PATH
+    o["tool_echo_transcripts"] = f"""
+        WITH p AS (
+            SELECT conv_id AS conv, CAST(turn_idx AS BIGINT) AS i, role,
+                   CASE WHEN role = 'tool'
+                        THEN 'deterministic tool payload for ' || conv_id
+                             || ' turn ' || CAST(turn_idx AS VARCHAR)
+                        WHEN role = 'assistant' AND turn_idx % 3 = 0
+                        THEN 'echoing: deterministic tool payload for '
+                             || conv_id || ' turn '
+                             || CAST(turn_idx - 1 AS VARCHAR) || ' end'
+                        ELSE text END AS text
+            FROM read_parquet('{_tp}/*.parquet')
+        ), l AS (
+            SELECT conv, i, role, text,
+                   LAG(role) OVER w AS prev_role,
+                   LAG(text) OVER w AS prev_text
+            FROM p
+            WINDOW w AS (PARTITION BY conv
+                         ORDER BY i ASC NULLS FIRST,
+                                  role ASC NULLS FIRST,
+                                  md5(COALESCE(text, '')) ASC)
+        )
+        SELECT conv, i AS turn_idx,
+               CAST(LENGTH(prev_text) AS BIGINT) AS echo_chars,
+               CAST(LENGTH(text) AS BIGINT) AS turn_chars,
+               ROUND(LENGTH(prev_text) * 100.0 / LENGTH(text), 4)
+                   AS echo_share_pct
+        FROM l
+        WHERE role = 'assistant' AND prev_role = 'tool'
+          AND prev_text IS NOT NULL AND LENGTH(prev_text) >= 20
+          AND text IS NOT NULL AND contains(text, prev_text)
+        ORDER BY conv, turn_idx, echo_chars
+    """
+
+    # marker battery copied from the language_id_documents oracle (same
+    # LANG_MARKERS contract), applied per turn then rolled up per conv;
+    # dominant = ROW_NUMBER ties (count desc, lang asc), mirroring the
+    # engine's min(struct(-count, lang)) argmax
+    o["language_mix_transcripts"] = f"""
+        WITH pl AS (
+            SELECT conv_id AS conv,
+                   CASE WHEN text IS NOT NULL AND turn_idx % 5 = 0
+                        THEN 'el gato es que los perros'
+                        WHEN text IS NOT NULL AND turn_idx % 7 = 3
+                        THEN 'der hund und die katze ist hier'
+                        ELSE text END AS text
+            FROM read_parquet('{_tp}/*.parquet')
+        ), t AS (
+            SELECT conv, text FROM pl WHERE text IS NOT NULL
+        ), h AS (
+            SELECT conv,
+                COALESCE(len(regexp_extract_all(LOWER(text),
+                    '\\b(der|die|und|das|ist)\\b')), 0) AS de,
+                COALESCE(len(regexp_extract_all(LOWER(text),
+                    '\\b(the|and|of|to|is)\\b')), 0) AS en,
+                COALESCE(len(regexp_extract_all(LOWER(text),
+                    '\\b(el|la|los|que|es)\\b')), 0) AS es,
+                COALESCE(len(regexp_extract_all(LOWER(text),
+                    '\\b(le|la|et|les|est)\\b')), 0) AS fr,
+                COALESCE(len(regexp_extract_all(LOWER(text),
+                    '(的|是|了|在|我)')), 0) AS zh
+            FROM t
+        ), cls AS (
+            SELECT conv,
+                   CASE WHEN GREATEST(de, en, es, fr, zh) = 0 THEN 'und'
+                        WHEN de = GREATEST(de, en, es, fr, zh) THEN 'de'
+                        WHEN en = GREATEST(de, en, es, fr, zh) THEN 'en'
+                        WHEN es = GREATEST(de, en, es, fr, zh) THEN 'es'
+                        WHEN fr = GREATEST(de, en, es, fr, zh) THEN 'fr'
+                        ELSE 'zh' END AS lang
+            FROM h
+        ), per AS (
+            SELECT conv, lang, COUNT(*) AS c FROM cls GROUP BY conv, lang
+        ), roll AS (
+            SELECT conv, SUM(c) AS n_turns,
+                   SUM(CASE WHEN lang = 'und' THEN c ELSE 0 END) AS n_und,
+                   SUM(CASE WHEN lang <> 'und' THEN 1 ELSE 0 END) AS n_langs
+            FROM per GROUP BY conv
+        ), dom AS (
+            SELECT conv, lang AS dominant_lang, c AS dominant_n,
+                   ROW_NUMBER() OVER (PARTITION BY conv
+                                      ORDER BY c DESC, lang ASC) AS rn
+            FROM per WHERE lang <> 'und'
+        )
+        SELECT r.conv, CAST(r.n_turns AS BIGINT) AS n_turns,
+               CAST(r.n_turns - r.n_und AS BIGINT) AS n_classified,
+               CAST(r.n_und AS BIGINT) AS n_und,
+               CAST(r.n_langs AS BIGINT) AS n_langs,
+               d.dominant_lang,
+               CAST(d.dominant_n AS BIGINT) AS dominant_n,
+               (r.n_langs >= 2) AS mixed
+        FROM roll r LEFT JOIN (SELECT * FROM dom WHERE rn = 1) d
+             USING (conv)
+        ORDER BY conv
+    """
+
+    # refusal battery read from the dataset_rules constants (engine and
+    # oracle cannot drift); FIRST-match CASE in list order; typographic
+    # apostrophe normalized before the lowercase match on both engines
+    from valar_spark.dataset_rules import REFUSAL_PATTERNS
+
+    _ref_case = "CASE " + " ".join(
+        f"WHEN regexp_matches(t, '{pat.replace(chr(39), chr(39) * 2)}') "
+        f"THEN '{key}'"
+        for key, pat in REFUSAL_PATTERNS) + " END"
+    o["refusal_census_transcripts"] = f"""
+        WITH base AS (
+            SELECT conv_id,
+                   CASE WHEN role = 'assistant' AND turn_idx % 11 = 0
+                        THEN 'I’m sorry, but I can’t comply with that.'
+                        WHEN role = 'assistant' AND turn_idx % 13 = 0
+                        THEN 'As an AI, I must decline this request.'
+                        ELSE text END AS text,
+                   role
+            FROM read_parquet('{_tp}/*.parquet')
+        ), turns AS (
+            SELECT conv_id,
+                   LOWER(TRIM(translate(text, '’', ''''))) AS t
+            FROM base WHERE role = 'assistant' AND text IS NOT NULL
+        ), cls AS (
+            SELECT conv_id, {_ref_case} AS pattern FROM turns
+        ), tot AS (SELECT COUNT(*) AS n FROM turns),
+        per AS (
+            SELECT pattern,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM cls WHERE pattern IS NOT NULL GROUP BY pattern
+        )
+        SELECT pattern, n_turns, n_convs,
+               ROUND(n_turns * 100.0 / tot.n, 4) AS turns_share_pct
+        FROM per, tot ORDER BY pattern
     """
     return o

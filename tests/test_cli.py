@@ -555,3 +555,52 @@ def test_cli_cadence(spark, tmp_path, monkeypatch, capsys):
     # convs are exact 1s cadence, so the detector must fire
     assert _json_line(out)["constant_cadence"] >= 1
     assert "constant-cadence" in out
+
+
+def test_cli_tool_echo(spark, tmp_path, monkeypatch, capsys):
+    tr = str(tmp_path / "tr")
+    tool_out = "result: 42 items found in the index at position seven"
+    spark.createDataFrame(
+        [("c1", 1, "tool", tool_out),
+         ("c1", 2, "assistant", "The tool said: " + tool_out),
+         ("c1", 3, "assistant", "done")],
+        "conv_id string, turn_idx int, role string, text string",
+    ).write.parquet(tr)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", tr, "--work-dir", str(tmp_path), "--run-id", "te1",
+        "--tool-echo"])
+    assert rc == 0
+    assert _json_line(out)["tool_echoes"] == 1
+    assert "echoing tool output" in out
+
+
+def test_cli_language_mix(spark, tmp_path, monkeypatch, capsys):
+    tr = str(tmp_path / "tr")
+    spark.createDataFrame(
+        [("c1", "the cat and the dog is here"),
+         ("c1", "der hund und die katze ist hier"),
+         ("c2", "the end of the story is here")],
+        "conv_id string, text string",
+    ).write.parquet(tr)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", tr, "--work-dir", str(tmp_path), "--run-id", "lm1",
+        "--language-mix"])
+    assert rc == 0
+    assert _json_line(out)["mixed_language"] == 1
+    assert "mixed-language conversations" in out
+
+
+def test_cli_refusals(spark, tmp_path, monkeypatch, capsys):
+    tr = str(tmp_path / "tr")
+    spark.createDataFrame(
+        [("c1", "assistant", "I'm sorry, I can't help with that."),
+         ("c2", "assistant", "Here is your answer."),
+         ("c2", "assistant", "As an AI, I must decline.")],
+        "conv_id string, role string, text string",
+    ).write.parquet(tr)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", tr, "--work-dir", str(tmp_path), "--run-id", "rf1",
+        "--refusals"])
+    assert rc == 0
+    assert _json_line(out)["refusal_patterns"] == 2
+    assert "refusal patterns firing" in out

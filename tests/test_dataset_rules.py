@@ -1276,3 +1276,72 @@ def test_conversation_cadence_profile(spark):
     got2 = {r["conv"]: r["constant_cadence"]
             for r in D.conversation_cadence_profile(df, min_gaps=2).collect()}
     assert got2["c3"] is True and got2["c2"] is False
+
+
+def test_tool_output_echo(spark):
+    tool_out = "result: 42 items found in the index at position seven"
+    rows = [
+        # c1: assistant echoes the tool output verbatim inside its turn
+        ("c1", 1, "tool", tool_out),
+        ("c1", 2, "assistant", "The tool said: " + tool_out),
+        # c1: assistant synthesizes -> no echo
+        ("c1", 3, "tool", "another long tool output with enough chars"),
+        ("c1", 4, "assistant", "Summary: there are 42 items."),
+        # c2: echo of a SHORT tool output is below min_chars -> ignored
+        ("c2", 1, "tool", "ok"),
+        ("c2", 2, "assistant", "ok"),
+        # c2: assistant after user (not tool) never flags
+        ("c2", 3, "user", tool_out),
+        ("c2", 4, "assistant", tool_out),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = [(r["conv"], r["turn_idx"], r["echo_chars"], r["turn_chars"])
+           for r in D.tool_output_echo(df).collect()]
+    assert got == [("c1", 2, len(tool_out), len(tool_out) + 15)]
+    assert D.tool_output_echo(df, min_chars=1).count() == 2
+
+
+def test_conversation_language_profile(spark):
+    rows = [
+        # c1: two English turns, one German -> mixed, dominant en
+        ("c1", "the cat and the dog is here"),
+        ("c1", "this is the end of the story"),
+        ("c1", "der Hund und die Katze ist hier"),
+        # c2: monolingual Spanish + one unclassified
+        ("c2", "el gato es que los perros"),
+        ("c2", "zzz qqq www"),
+        # c3: nothing classifiable
+        ("c3", "xxxx yyyy"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    got = {r["conv"]: (r["n_turns"], r["n_classified"], r["n_und"],
+                       r["n_langs"], r["dominant_lang"], r["dominant_n"],
+                       r["mixed"])
+           for r in D.conversation_language_profile(df).collect()}
+    assert got["c1"] == (3, 3, 0, 2, "en", 2, True)
+    assert got["c2"] == (2, 1, 1, 1, "es", 1, False)
+    assert got["c3"] == (1, 0, 1, 0, None, None, False)
+
+
+def test_refusal_pattern_census(spark):
+    rows = [
+        ("c1", "assistant", "I'm sorry, I can't help with that."),
+        ("c1", "assistant", "I’m sorry about the confusion."),  # U+2019
+        ("c2", "assistant", "I cannot assist with this request."),
+        ("c2", "assistant", "As an AI language model, I must decline."),
+        ("c3", "assistant", "Sure — here is the answer you asked for."),
+        # mid-text refusal must NOT fire (prefix-anchored)
+        ("c3", "assistant", "He said \"I'm sorry\" and left."),
+        ("c1", "user", "I'm sorry to bother you"),  # wrong role
+        ("c3", "assistant", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, role string, text string")
+    got = {r["pattern"]: (r["n_turns"], r["n_convs"], r["turns_share_pct"])
+           for r in D.refusal_pattern_census(df).collect()}
+    # 6 non-null assistant turns total
+    assert got["apology"] == (2, 1, round(200.0 / 6, 4))
+    assert got["cannot"] == (1, 1, round(100.0 / 6, 4))
+    assert got["ai_disclaimer"] == (1, 1, round(100.0 / 6, 4))
+    assert "unable" not in got

@@ -211,6 +211,9 @@ def test_gate_window_covers_never_gated():
         "dup_sources_documents": "dedup_exact_documents",
         "cadence_transcripts": "sessions_events",
         "embedding_exact_dups": "embedding_profile_embeddings",
+        "tool_echo_transcripts": "response_latency_transcripts",
+        "language_mix_transcripts": "conversation_stats_transcripts",
+        "refusal_census_transcripts": "canned_responses_transcripts",
     }
     orphans = [
         k for k in keys[50:]

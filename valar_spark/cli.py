@@ -254,6 +254,20 @@ def main(argv: list[str] | None = None) -> int:
                         "transcripts-shaped input: conversations whose "
                         "every inter-turn gap is identical (scripted "
                         "traffic, replayed logs, timer-stamped synthesis)")
+    p.add_argument("--tool-echo", action="store_true",
+                   help="regurgitation scan over a transcripts-shaped "
+                        "input: assistant turns containing the preceding "
+                        "tool turn's output verbatim (near-zero training "
+                        "signal at full token cost)")
+    p.add_argument("--language-mix", action="store_true",
+                   help="per-conversation language-consistency census: "
+                        "conversations whose turns classify to >=2 "
+                        "languages (corrupted merge / code-switching)")
+    p.add_argument("--refusals", action="store_true",
+                   help="refusal-pattern battery census over assistant "
+                        "turns: per-pattern turn and conversation counts "
+                        "plus share — the paraphrase-tolerant companion "
+                        "of --canned")
     p.add_argument("--split-leakage", action="store_true",
                    help="eval-set contamination scan: MinHash-LSH near-dup "
                         "pairs joined against the deterministic hash "
@@ -675,6 +689,34 @@ def main(argv: list[str] | None = None) -> int:
         print(f"constant-cadence (scripted/replayed) conversations: {n}")
         bad.orderBy("conv").limit(50).show(truncate=False)
         print(json.dumps({"run_id": args.run_id, "constant_cadence": n}))
+        spark.stop()
+        return 0
+
+    if args.tool_echo:
+        echoes = D.tool_output_echo(df).cache()
+        n = echoes.count()
+        print(f"assistant turns echoing tool output: {n}")
+        echoes.orderBy("conv", "turn_idx").limit(50).show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "tool_echoes": n}))
+        spark.stop()
+        return 0
+
+    if args.language_mix:
+        prof = D.conversation_language_profile(df).cache()
+        mixed = prof.filter("mixed")
+        n = mixed.count()
+        print(f"mixed-language conversations: {n} of {prof.count()}")
+        mixed.orderBy("conv").limit(50).show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "mixed_language": n}))
+        spark.stop()
+        return 0
+
+    if args.refusals:
+        census = D.refusal_pattern_census(df).cache()
+        n = census.count()
+        print(f"refusal patterns firing: {n}")
+        census.show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "refusal_patterns": n}))
         spark.stop()
         return 0
 

@@ -3416,3 +3416,171 @@ def conversation_cadence_profile(
                 "constant_cadence",
                 (F.col("n_gaps") >= int(min_gaps))
                 & (F.col("n_distinct_gaps") == 1)))
+
+
+def tool_output_echo(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_chars: int = 20,
+) -> DataFrame:
+    """Regurgitation detector: assistant turns that contain the
+    IMMEDIATELY PRECEDING tool turn's output verbatim. An assistant that
+    pastes the tool result back instead of synthesizing it contributes
+    near-zero training signal at full token cost — across a corpus this
+    is one of the larger silent token sinks, and no per-turn rule can see
+    it because each turn is individually well-formed. ``min_chars``
+    guards against trivial echoes ("ok", a number) that are legitimate.
+
+    Ordering discipline: turns pair via ONE lag over
+    ``(idx_col ASC NULLS FIRST, role, md5(text))`` — the sort closes with
+    content so index-tied duplicate rows pair deterministically (same
+    contract as :func:`degenerate_runs`). Cost at 10^12 turns: one window
+    shuffle on the conversation key, then a pure filter projection —
+    ``contains`` is a JVM substring scan bounded by the two turns'
+    lengths, no explode, no Python.
+
+    Columns: ``(conv, turn_idx, echo_chars, turn_chars,
+    echo_share_pct)`` — one row per echoing assistant turn."""
+    base = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(idx_col).cast("long").alias("_i"),
+        F.col(role_col).alias("_role"),
+        F.col(text_col).alias("_text"))
+    w = Window.partitionBy("conv").orderBy(
+        F.col("_i").asc_nulls_first(),
+        F.col("_role").asc_nulls_first(),
+        F.md5(F.coalesce(F.col("_text"), F.lit(""))).asc())
+    prev_role = F.lag("_role").over(w)
+    prev_text = F.lag("_text").over(w)
+    out = (base
+           .withColumn("_prev_role", prev_role)
+           .withColumn("_prev_text", prev_text)
+           .filter((F.col("_role") == "assistant")
+                   & (F.col("_prev_role") == "tool")
+                   & F.col("_prev_text").isNotNull()
+                   & (F.length("_prev_text") >= int(min_chars))
+                   & F.col("_text").isNotNull()
+                   & F.col("_text").contains(F.col("_prev_text"))))
+    return out.select(
+        "conv",
+        F.col("_i").alias("turn_idx"),
+        F.length("_prev_text").cast("long").alias("echo_chars"),
+        F.length("_text").cast("long").alias("turn_chars"),
+        F.round(F.length("_prev_text") * 100.0 / F.length("_text"), 4)
+        .alias("echo_share_pct"))
+
+
+def conversation_language_profile(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation language-consistency census over the turn-level
+    marker heuristic (:func:`valar_spark.textops.language_id`): how many
+    turns classified to each language, the dominant language, and a
+    ``mixed`` flag when a conversation contains confidently-classified
+    turns in ≥2 languages — the signature of a corrupted merge (two
+    conversations interleaved under one id) or of code-switching a
+    monolingual downstream filter would mis-gate. Unclassified turns
+    (``und`` — no marker hits) are counted but never vote.
+
+    Execution shape: the marker battery is the same shuffle-free
+    projection the document gate uses, then a (conv, lang) aggregate
+    (bounded by conversations × |languages|) and a conv rollup. Dominant
+    language is an exact struct-min argmax ``min(struct(-count, lang))``
+    — ties break to the lexicographically FIRST language, no window.
+
+    Columns: ``(conv, n_turns, n_classified, n_und, n_langs,
+    dominant_lang, dominant_n, mixed)``; ``dominant_lang`` is null for
+    conversations with no classified turn."""
+    from valar_spark.textops import language_id
+
+    turns = language_id(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(conv_col).alias("conv"), F.col(text_col).alias("text")))
+    per = (turns.groupBy("conv", "lang_pred")
+           .agg(F.count(F.lit(1)).alias("_c")))
+    classified = F.col("lang_pred") != "und"
+    dom = F.min(F.when(classified,
+                       F.struct((-F.col("_c")).alias("neg"),
+                                F.col("lang_pred").alias("lang"))))
+    prof = (per.groupBy("conv")
+            .agg(F.sum("_c").cast("long").alias("n_turns"),
+                 F.sum(F.when(~classified, F.col("_c")).otherwise(0))
+                 .cast("long").alias("n_und"),
+                 F.sum(F.when(classified, 1).otherwise(0))
+                 .cast("long").alias("n_langs"),
+                 dom.alias("_dom")))
+    return prof.select(
+        "conv", "n_turns",
+        (F.col("n_turns") - F.col("n_und")).cast("long")
+        .alias("n_classified"),
+        "n_und", "n_langs",
+        F.col("_dom")["lang"].alias("dominant_lang"),
+        (-F.col("_dom")["neg"]).cast("long").alias("dominant_n"),
+        (F.col("n_langs") >= 2).alias("mixed"))
+
+
+#: prefix-anchored refusal/template battery (lowercased; the typographic
+#: apostrophe is normalized to ASCII first). Classification is
+#: FIRST-MATCH in list order — shared verbatim with the SQL oracle.
+#: The pattern class is the standard refusal-overrepresentation screen
+#: of LLM data-curation pipelines; prefix anchoring keeps precision high
+#: (mid-text "I can't" in quoted dialogue does not fire).
+REFUSAL_PATTERNS: list[tuple[str, str]] = [
+    ("apology", r"^(i'm sorry|i am sorry|i apologize|my apologies|sorry,)"),
+    ("cannot", r"^(i can't|i cannot|i can not|i won't|i will not)"),
+    ("unable", r"^(i'm unable|i am unable|i'm not able|i am not able)"),
+    ("ai_disclaimer",
+     r"^(as an ai|as a language model|as an artificial intelligence"
+     r"|i'm just an ai|i am just an ai)"),
+]
+
+
+def refusal_pattern_census(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "assistant",
+) -> DataFrame:
+    """Refusal / boilerplate-template census over assistant turns: how
+    many turns (and distinct conversations) OPEN with each refusal
+    pattern of :data:`REFUSAL_PATTERNS`, plus each pattern's share of all
+    assistant turns. The paraphrase-tolerant companion of
+    :func:`canned_response_profile`: the exact-text census catches one
+    template at a time, this battery catches the whole class ("I'm
+    sorry…", "I cannot…", "As an AI…") whose over-representation a
+    curation run downweights before training.
+
+    Matching is on ``lower(trim(text))`` with the typographic apostrophe
+    (U+2019) normalized to ASCII — case folding via ``lower()`` (not
+    ``(?i)``, whose Unicode semantics differ between Java regex and RE2);
+    a turn counts toward its FIRST matching pattern only. One shuffle-free
+    classification projection, one pattern-keyed aggregate (output
+    bounded by the battery size), share denominator is a broadcast
+    single-row aggregate.
+
+    Columns: ``(pattern, n_turns, n_convs, turns_share_pct)`` ordered by
+    pattern."""
+    t = F.lower(F.trim(F.translate(F.col(text_col), "’", "'")))
+    label: Column = F.lit(None).cast("string")
+    for key, pat in reversed(REFUSAL_PATTERNS):
+        label = F.when(t.rlike(pat), F.lit(key)).otherwise(label)
+    turns = (df.filter(F.col(role_col).eqNullSafe(role)
+                       & F.col(text_col).isNotNull())
+             .select(label.alias("pattern"),
+                     F.col(conv_col).alias("_conv")))
+    tot = turns.select(F.count(F.lit(1)).alias("_tot"))
+    per = (turns.filter(F.col("pattern").isNotNull())
+           .groupBy("pattern")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                F.countDistinct("_conv").cast("long").alias("n_convs")))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("pattern", "n_turns", "n_convs",
+                    F.round(F.col("n_turns") * 100.0 / F.col("_tot"), 4)
+                    .alias("turns_share_pct"))
+            .orderBy("pattern"))
