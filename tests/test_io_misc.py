@@ -706,3 +706,46 @@ def test_stream_lm_surprise_matches_batch_scorer(spark, tmp_path):
     assert got[102] == (None, None, None)
     assert got[103] == (None, None, None)
     assert got[104][2] == 1.0                   # all OOV
+
+
+def test_stream_tool_echo_across_batches(spark, tmp_path):
+    """The tool turn arrives in micro-batch 1 and the echoing assistant
+    turn in batch 2: only the state store can pair them. The result must
+    match the batch operator run over the union."""
+    import time as _time
+
+    from valar_spark.dataset_rules import tool_output_echo
+    from valar_spark.streaming import stream_tool_echo
+
+    tool_out = "result: 42 items found in the index at position seven"
+    schema = "conv_id string, turn_idx int, role string, text string"
+    b1 = spark.createDataFrame(
+        [("A", 0, "user", "please search"),
+         ("A", 1, "tool", tool_out),
+         ("B", 0, "tool", tool_out)], schema)
+    b2 = spark.createDataFrame(
+        [("A", 2, "assistant", "The tool said: " + tool_out),  # echo
+         ("B", 1, "assistant", "Summary: 42 items."),          # no echo
+         ("B", 2, "tool", "short"),                            # < min_chars
+         ("B", 3, "assistant", "short")], schema)
+    src = str(tmp_path / "echo_src")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{src}/b*"))
+    q = (stream_tool_echo(stream).writeStream
+         .format("memory").queryName("echo_mem")
+         .option("checkpointLocation", str(tmp_path / "echo_ck"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["conv"], r["turn_idx"], r["echo_chars"], r["turn_chars"],
+            r["echo_share_pct"])
+           for r in spark.sql("SELECT * FROM echo_mem").collect()}
+    want = {(r["conv"], r["turn_idx"], r["echo_chars"], r["turn_chars"],
+             r["echo_share_pct"])
+            for r in tool_output_echo(b1.unionByName(b2)).collect()}
+    assert got == want and len(got) == 1
+    assert next(iter(got))[:2] == ("A", 2)

@@ -703,3 +703,100 @@ def stream_lm_surprise(
         F.round(F.lit(math.log(denom)) - F.col("_sl") / F.col("_n"), 6)
         .alias("avg_neg_logp"),
         F.round(F.col("_oov") / F.col("_n"), 9).alias("oov_frac"))
+
+
+def stream_tool_echo(
+    stream_df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_chars: int = 20,
+    close_after: str | None = None,
+) -> DataFrame:
+    """CROSS-micro-batch tool-output regurgitation monitor — the
+    streaming face of :func:`valar_spark.dataset_rules.tool_output_echo`:
+    each conversation's LAST turn (role + text) survives in the state
+    store, so an assistant turn in batch k+1 that pastes the tool output
+    that arrived in batch k is still flagged, which no stateless
+    projection can do. Semantics per conversation match the batch
+    operator under its content-closed sort ``(order_col NULLS FIRST,
+    role, md5(text))``, assuming turns arrive in non-decreasing
+    order_col order across batches (the stateless integrity monitor
+    checks that assumption).
+
+    State per open conversation = its last role + last TEXT (bounded by
+    one turn's size × active conversations — heavier than the grammar
+    monitor's single enum, stated honestly); pass ``close_after`` (e.g.
+    ``"30 minutes"``) to evict idle conversations after that much
+    processing-time silence so the store tracks ACTIVE conversations
+    only — with the same caveat as the grammar monitor: while
+    processing-time timeouts are armed the engine keeps scheduling
+    timeout-sweep batches, so ``processAllAvailable`` never settles and
+    callers must poll the sink instead. A turn arriving after eviction
+    re-opens the conversation with no previous turn — it can never
+    false-flag, only miss an echo across an eviction boundary (the
+    standard late-arrival caveat). Default ``None`` = NoTimeout
+    (bounded-input jobs and tests).
+
+    Output rows mirror the batch operator: ``(conv, turn_idx,
+    echo_chars, turn_chars, echo_share_pct)``."""
+    import hashlib
+
+    import pandas as pd
+
+    close_ms = None
+    if close_after is not None:
+        qty, unit = close_after.split()
+        close_ms = int(float(qty) * {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000}[unit])
+    conv_t = stream_df.schema[conv_col].dataType.simpleString()
+    out_cols = ["conv", "turn_idx", "echo_chars", "turn_chars",
+                "echo_share_pct"]
+    out_ddl = (f"conv {conv_t}, turn_idx bigint, echo_chars bigint, "
+               "turn_chars bigint, echo_share_pct double")
+    state_ddl = "last_role string, last_text string"
+
+    def _md5(v) -> str:
+        s = "" if v is None or (isinstance(v, float) and pd.isna(v)) else v
+        return hashlib.md5(str(s).encode()).hexdigest()
+
+    def fn(key, pdf_iter, state):
+        conv = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_role, last_text = state.get if state.exists else (None, None)
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        # the batch operator's content-closed total order
+        pdf = (pdf.assign(_h=pdf[text_col].map(_md5))
+               .sort_values([order_col, role_col, "_h"],
+                            na_position="first"))
+        out = []
+        for idx, role, text in zip(pdf[order_col], pdf[role_col],
+                                   pdf[text_col]):
+            role = None if pd.isna(role) else role
+            text = None if (text is None or (isinstance(text, float)
+                                             and pd.isna(text))) else text
+            if (role == "assistant" and last_role == "tool"
+                    and last_text is not None
+                    and len(last_text) >= min_chars
+                    and text is not None and last_text in text):
+                out.append((conv,
+                            None if pd.isna(idx) else int(idx),
+                            len(last_text), len(text),
+                            round(len(last_text) * 100.0 / len(text), 4)))
+            last_role, last_text = role, text
+        state.update((last_role, last_text))
+        if close_ms is not None:
+            state.setTimeoutDuration(close_ms)
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return stream_df.groupBy(conv_col).applyInPandasWithState(
+        fn, out_ddl, state_ddl, "append",
+        "NoTimeout" if close_ms is None else "ProcessingTimeTimeout")
