@@ -268,6 +268,13 @@ def main(argv: list[str] | None = None) -> int:
                         "turns: per-pattern turn and conversation counts "
                         "plus share — the paraphrase-tolerant companion "
                         "of --canned")
+    p.add_argument("--injections", action="store_true",
+                   help="prompt-injection battery census over user and "
+                        "tool turns (direct + indirect injection "
+                        "surfaces): per-(pattern, role) turn and "
+                        "conversation counts plus role share; exits 1 if "
+                        "any pattern fires so a curation scheduler can "
+                        "quarantine the batch")
     p.add_argument("--split-leakage", action="store_true",
                    help="eval-set contamination scan: MinHash-LSH near-dup "
                         "pairs joined against the deterministic hash "
@@ -719,6 +726,15 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"run_id": args.run_id, "refusal_patterns": n}))
         spark.stop()
         return 0
+
+    if args.injections:
+        census = D.prompt_injection_census(df).cache()
+        n = census.count()
+        print(f"injection patterns firing: {n}")
+        census.show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "injection_patterns": n}))
+        spark.stop()
+        return 1 if n else 0
 
     if args.split_leakage:
         from valar_spark import textops as X

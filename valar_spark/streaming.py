@@ -800,3 +800,32 @@ def stream_tool_echo(
     return stream_df.groupBy(conv_col).applyInPandasWithState(
         fn, out_ddl, state_ddl, "append",
         "NoTimeout" if close_ms is None else "ProcessingTimeTimeout")
+
+
+def stream_injection_flags(
+    stream_df: DataFrame,
+    role_col: str = "role",
+    text_col: str = "text",
+    roles: tuple[str, ...] = ("user", "tool"),
+) -> DataFrame:
+    """Ingest-time prompt-injection screen — the streaming face of
+    :func:`valar_spark.dataset_rules.prompt_injection_census`: flag
+    arriving user/tool turns whose text matches any battery class of
+    :data:`valar_spark.dataset_rules.INJECTION_PATTERNS`, BEFORE the
+    turn lands in the training zone. Stateless (a pure projection +
+    filter, no state store, no watermark), so it composes with any
+    output mode and any downstream sink; the classification Column is
+    :func:`~valar_spark.dataset_rules.injection_label_array` — the SAME
+    builder the batch census compiles, so the two paths cannot drift.
+
+    Output = the input rows that fired, plus a ``patterns`` array column
+    naming every matched class (multi-label, like the census). Clean
+    turns emit nothing, so at realistic hit rates the sink sees ~1000×
+    fewer rows than the source."""
+    from valar_spark.dataset_rules import injection_label_array
+
+    return (stream_df
+            .filter(F.col(role_col).isin(list(roles))
+                    & F.col(text_col).isNotNull())
+            .withColumn("patterns", injection_label_array(text_col))
+            .filter(F.size("patterns") > 0))
