@@ -554,6 +554,51 @@ _INJ_BAITS = [
     "a new instruction manual arrived today",     # no colon / no phrase
 ]
 
+# numeric-grounding check over a digit-planted copy (fuzz texts carry no
+# digits of their own); the lag/list machinery mirrors the gate oracle
+_TR_GROUND_SQL = """
+    WITH p AS (
+        SELECT conv_id AS conv, CAST(turn_idx AS BIGINT) AS i, role,
+               CASE WHEN turn_idx % 2 = 0 AND text IS NOT NULL
+                    THEN text || ' {bait}' ELSE text END AS text
+        FROM read_parquet('{path}/*.parquet')
+    ), l AS (
+        SELECT conv, i, role, text,
+               LAG(role) OVER w AS prev_role,
+               LAG(text) OVER w AS prev_text
+        FROM p
+        WINDOW w AS (PARTITION BY conv
+                     ORDER BY i ASC NULLS FIRST,
+                              role ASC NULLS FIRST,
+                              md5(COALESCE(text, '')) ASC)
+    ), g AS (
+        SELECT conv, i,
+               list_distinct(regexp_extract_all(text, '{num}')) AS nums,
+               list_distinct(regexp_extract_all(prev_text, '{num}'))
+                   AS tnums
+        FROM l
+        WHERE role = 'assistant' AND prev_role = 'tool'
+          AND prev_text IS NOT NULL AND text IS NOT NULL
+    ), u AS (
+        SELECT conv, i, len(nums) AS n,
+               list_sort(list_filter(
+                   nums, x -> NOT list_contains(tnums, x))) AS ung
+        FROM g WHERE len(nums) > 0
+    )
+    SELECT conv, i AS turn_idx,
+           CAST(n AS BIGINT) AS n_numbers,
+           CAST(len(ung) AS BIGINT) AS n_ungrounded,
+           array_to_string(ung, ',') AS ungrounded_csv,
+           ROUND((n - len(ung)) * 100.0 / n, 4) AS grounded_share_pct
+    FROM u
+"""
+
+_GROUND_BAITS = [
+    "7 42 3.5", "answer 42 and 101", "1000000 0.5 0.5",
+    "version 2.5.1 build 42",   # "2.5" + "1" + "42" under digit-run rules
+    "no digits here",
+]
+
 _TR_TEMPLATE_SQL = """
     SELECT md5(COALESCE(text, chr(0))) AS content_hash,
            COUNT(DISTINCT conv_id)::BIGINT AS n_convs,
@@ -688,8 +733,10 @@ def run_transcript_ops_round(spark, rng: random.Random,
 
     con = duckdb.connect()
     failures: list[str] = []
-    from valar_spark.dataset_rules import INJECTION_PATTERNS
+    from valar_spark.dataset_rules import (INJECTION_PATTERNS,
+                                           NUMBER_TOKEN_PATTERN)
     _inj_bait = rng.choice(_INJ_BAITS)
+    _ground_bait = rng.choice(_GROUND_BAITS)
     _inj_union = "\n        UNION ALL ".join(
         f"SELECT '{key}' AS pattern, conv_id, role FROM turns "
         f"WHERE regexp_matches(t, '{pat}')"
@@ -724,6 +771,16 @@ def run_transcript_ops_round(spark, rng: random.Random,
                  .otherwise(F.col("text")))),
          _TR_INJ_SQL.format(path=path, bait=_inj_bait,
                             union=_inj_union)),
+        ("fuzz.tool_grounding_check",
+         D.tool_grounding_check(
+             df.withColumn(
+                 "text",
+                 F.when((F.col("turn_idx") % 2 == 0)
+                        & F.col("text").isNotNull(),
+                        F.concat("text", F.lit(" " + _ground_bait)))
+                 .otherwise(F.col("text")))),
+         _TR_GROUND_SQL.format(path=path, bait=_ground_bait,
+                               num=NUMBER_TOKEN_PATTERN)),
         ("fuzz.conversation_curation_ledger",
          D.conversation_curation_ledger(
              nn, min_turns=2, max_blank_frac=0.4, min_degenerate_run=3,

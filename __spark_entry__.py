@@ -3193,6 +3193,31 @@ def _q_injection_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prompt_injection_census(planted)
 
 
+def _q_tool_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-grounding check (dataset_rules.tool_grounding_check) over
+    the persisted transcript parquet, planted with the tool-echo trick —
+    both sides derive from each row's OWN keys so no cross-row reference
+    is needed: every tool turn carries ``10 250 3.5 key <i>``, every
+    3rd-indexed assistant turn claims ``250 / 3.5 / 999 / <i-1>``; when
+    the lag actually adjacent-pairs them (tool at i-1), 999 is the one
+    ungrounded token, and BOTH engines compute the identical lag pairing
+    (plus the natural hits from unplanted synth digits)."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    tool_t = F.concat(F.lit("tool numbers 10 250 3.5 key "),
+                      F.col("turn_idx").cast("string"))
+    asst_t = F.concat(F.lit("answer uses 250 and 3.5 plus 999 ref "),
+                      (F.col("turn_idx") - 1).cast("string"))
+    t = (F.when(F.col("role") == "tool", tool_t)
+         .when((F.col("role") == "assistant") & (F.col("turn_idx") % 3 == 0),
+               asst_t)
+         .otherwise(F.col("text")))
+    planted = df.select("conv_id", "turn_idx", "role", t.alias("text"))
+    return (D.tool_grounding_check(planted)
+            .orderBy("conv", "turn_idx", "ungrounded_csv"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = the DRIVER'S GATE ORDER: the driver verifies a 50-query
     # prefix of this dict against the DuckDB oracles. The window (recomputed
@@ -3402,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_mix_transcripts": _q_language_mix,
         "refusal_census_transcripts": _q_refusal_census,
         "injection_census_transcripts": _q_injection_census,
+        "tool_grounding_transcripts": _q_tool_grounding,
     }
 
 
@@ -7325,5 +7351,51 @@ def oracle_sql() -> dict[str, str]:
                ROUND(n_turns * 100.0 / tot.n, 4) AS turns_share_pct
         FROM per JOIN tot ON per.role = tot.role
         ORDER BY pattern, per.role
+    """
+    # numeric-grounding check: plant replayed verbatim, the digit-run
+    # token pattern shared from NUMBER_TOKEN_PATTERN, list ops mirror
+    # Spark's array_distinct / array_except / array_sort string-exactly
+    from valar_spark.dataset_rules import NUMBER_TOKEN_PATTERN as _NUM
+    o["tool_grounding_transcripts"] = f"""
+        WITH p AS (
+            SELECT conv_id AS conv, CAST(turn_idx AS BIGINT) AS i, role,
+                   CASE WHEN role = 'tool'
+                        THEN 'tool numbers 10 250 3.5 key '
+                             || CAST(turn_idx AS VARCHAR)
+                        WHEN role = 'assistant' AND turn_idx % 3 = 0
+                        THEN 'answer uses 250 and 3.5 plus 999 ref '
+                             || CAST(turn_idx - 1 AS VARCHAR)
+                        ELSE text END AS text
+            FROM read_parquet('{_tp}/*.parquet')
+        ), l AS (
+            SELECT conv, i, role, text,
+                   LAG(role) OVER w AS prev_role,
+                   LAG(text) OVER w AS prev_text
+            FROM p
+            WINDOW w AS (PARTITION BY conv
+                         ORDER BY i ASC NULLS FIRST,
+                                  role ASC NULLS FIRST,
+                                  md5(COALESCE(text, '')) ASC)
+        ), g AS (
+            SELECT conv, i,
+                   list_distinct(regexp_extract_all(text, '{_NUM}'))
+                       AS nums,
+                   list_distinct(regexp_extract_all(prev_text, '{_NUM}'))
+                       AS tnums
+            FROM l
+            WHERE role = 'assistant' AND prev_role = 'tool'
+              AND prev_text IS NOT NULL AND text IS NOT NULL
+        ), u AS (
+            SELECT conv, i, len(nums) AS n,
+                   list_sort(list_filter(
+                       nums, x -> NOT list_contains(tnums, x))) AS ung
+            FROM g WHERE len(nums) > 0
+        )
+        SELECT conv, i AS turn_idx,
+               CAST(n AS BIGINT) AS n_numbers,
+               CAST(len(ung) AS BIGINT) AS n_ungrounded,
+               array_to_string(ung, ',') AS ungrounded_csv,
+               ROUND((n - len(ung)) * 100.0 / n, 4) AS grounded_share_pct
+        FROM u ORDER BY conv, turn_idx, ungrounded_csv
     """
     return o

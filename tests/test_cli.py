@@ -632,3 +632,20 @@ def test_cli_injections(spark, tmp_path, monkeypatch, capsys):
         "--injections"])
     assert rc == 0
     assert _json_line(out)["injection_patterns"] == 0
+
+
+def test_cli_grounding(spark, tmp_path, monkeypatch, capsys):
+    tr = str(tmp_path / "tr")
+    spark.createDataFrame(
+        [("c1", 1, "tool", "values: 10 250"),
+         ("c1", 2, "assistant", "I found 250 and roughly 999."),
+         ("c2", 1, "tool", "count=7"),
+         ("c2", 2, "assistant", "There are 7.")],
+        "conv_id string, turn_idx int, role string, text string",
+    ).write.parquet(tr)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", tr, "--work-dir", str(tmp_path), "--run-id", "gr1",
+        "--grounding"])
+    assert rc == 0
+    assert _json_line(out)["ungrounded_turns"] == 1
+    assert "of 2 checked" in out

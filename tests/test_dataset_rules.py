@@ -1377,3 +1377,34 @@ def test_prompt_injection_census(spark):
     assert got[("jailbreak_persona", "tool")] == (1, 1, 50.0)
     assert not any(role == "assistant" for _, role in got)
     assert len(got) == 5
+
+
+def test_tool_grounding_check(spark):
+    rows = [
+        # tool returns 10, 250, 3.5; assistant claims 250, 3.5, 999
+        ("c1", 1, "tool", "values: 10 250 3.5"),
+        ("c1", 2, "assistant", "I found 250 and 3.5, roughly 999 total."),
+        # fully grounded turn
+        ("c2", 1, "tool", "count=7"),
+        ("c2", 2, "assistant", "There are 7."),
+        # string-exact: 42 does not ground 42.0
+        ("c3", 1, "tool", "answer is 42"),
+        ("c3", 2, "assistant", "The answer is 42.0"),
+        # assistant with no numbers -> no row
+        ("c4", 1, "tool", "values: 1 2 3"),
+        ("c4", 2, "assistant", "many values"),
+        # assistant NOT after a tool turn -> not checked
+        ("c5", 1, "user", "how many? 5 maybe"),
+        ("c5", 2, "assistant", "probably 5 or 6"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {(r["conv"], r["turn_idx"]):
+           (r["n_numbers"], r["n_ungrounded"], r["ungrounded_csv"],
+            r["grounded_share_pct"])
+           for r in D.tool_grounding_check(df).collect()}
+    assert got[("c1", 2)] == (3, 1, "999", round(200.0 / 3, 4))
+    assert got[("c2", 2)] == (1, 0, "", 100.0)
+    assert got[("c3", 2)] == (1, 1, "42.0", 0.0)
+    assert ("c4", 2) not in got and ("c5", 2) not in got
+    assert len(got) == 3

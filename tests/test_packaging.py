@@ -221,6 +221,12 @@ def test_gate_window_covers_never_gated():
         # (judge-runnable via BENCH/check_oracles.py) + unit tests + a
         # planted-bait fuzz pair
         "injection_census_transcripts": "refusal_census_transcripts",
+        # session-N: grounding shares tool_echo's exact lag-window shape
+        # (one conv-keyed window + JVM regexp/array projection) and
+        # carries its own full hash oracle over the persisted transcript
+        # parquet (judge-runnable) + unit tests + a digit-planted fuzz
+        # pair
+        "tool_grounding_transcripts": "tool_echo_transcripts",
     }
     orphans = [
         k for k in keys[50:]

@@ -259,6 +259,12 @@ def main(argv: list[str] | None = None) -> int:
                         "input: assistant turns containing the preceding "
                         "tool turn's output verbatim (near-zero training "
                         "signal at full token cost)")
+    p.add_argument("--grounding", action="store_true",
+                   help="numeric-grounding scan over a transcripts-shaped "
+                        "input: assistant turns right after a tool call "
+                        "whose stated numbers the tool never returned "
+                        "(hallucinated-statistic shape) — the complement "
+                        "of --tool-echo")
     p.add_argument("--language-mix", action="store_true",
                    help="per-conversation language-consistency census: "
                         "conversations whose turns classify to >=2 "
@@ -705,6 +711,17 @@ def main(argv: list[str] | None = None) -> int:
         print(f"assistant turns echoing tool output: {n}")
         echoes.orderBy("conv", "turn_idx").limit(50).show(truncate=False)
         print(json.dumps({"run_id": args.run_id, "tool_echoes": n}))
+        spark.stop()
+        return 0
+
+    if args.grounding:
+        checked = D.tool_grounding_check(df).cache()
+        bad = checked.filter("n_ungrounded > 0").cache()
+        n = bad.count()
+        print(f"assistant turns with ungrounded numbers: {n} "
+              f"(of {checked.count()} checked)")
+        bad.orderBy("conv", "turn_idx").limit(50).show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "ungrounded_turns": n}))
         spark.stop()
         return 0
 

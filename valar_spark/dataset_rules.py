@@ -3675,3 +3675,81 @@ def prompt_injection_census(
                     F.round(F.col("n_turns") * 100.0 / F.col("_tot"), 4)
                     .alias("turns_share_pct"))
             .orderBy("pattern", "role"))
+
+
+# digit-run numeric token: shared verbatim with the DuckDB oracle; inside
+# the Java-regex ∩ RE2 intersection (non-capturing group only)
+NUMBER_TOKEN_PATTERN = r"\d+(?:\.\d+)?"
+
+
+def tool_grounding_check(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Numeric-grounding check for tool-using assistants: for every
+    assistant turn that immediately follows a tool turn, which numbers
+    the assistant states do NOT appear in that tool output. A figure the
+    model asserts right after a tool call but that the tool never
+    returned is the classic hallucinated-statistic shape — per-turn rules
+    can't see it (each turn is well-formed alone), and the echo detector
+    can't either (the turn is NOT a verbatim paste). The complement of
+    :func:`tool_output_echo`: echo flags too-faithful turns, this flags
+    too-creative ones.
+
+    Matching contract: numeric tokens are digit runs with an optional
+    decimal part (:data:`NUMBER_TOKEN_PATTERN`), compared STRING-EXACT —
+    ``42`` does not ground ``42.0``, and ``2.5`` inside ``v2.5-turbo``
+    counts as a token. Deliberately strict and deterministic: a grounding
+    heuristic that normalizes ("1,000" ≈ "1000" ≈ "1e3") trades
+    auditability for recall, and a validation engine reports what is
+    checkable; route hits to review, don't auto-drop.
+
+    Ordering discipline and cost: the SAME single lag over the
+    content-closed sort ``(idx ASC NULLS FIRST, role, md5(text))`` as
+    :func:`tool_output_echo` — one window shuffle on the conversation
+    key, then regexp extraction + array set ops all JVM-side
+    (``regexp_extract_all`` / ``array_except`` — no explode, no Python);
+    only assistant-after-tool turns that contain at least one number
+    reach the output.
+
+    Columns: ``(conv, turn_idx, n_numbers, n_ungrounded, ungrounded_csv,
+    grounded_share_pct)`` — one row per checked assistant turn;
+    ``ungrounded_csv`` is the sorted comma-joined offending tokens
+    (a string, so hash oracles compare it byte-exact)."""
+    base = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(idx_col).cast("long").alias("_i"),
+        F.col(role_col).alias("_role"),
+        F.col(text_col).alias("_text"))
+    w = Window.partitionBy("conv").orderBy(
+        F.col("_i").asc_nulls_first(),
+        F.col("_role").asc_nulls_first(),
+        F.md5(F.coalesce(F.col("_text"), F.lit(""))).asc())
+    pat = F.lit(NUMBER_TOKEN_PATTERN)
+    checked = (base
+               .withColumn("_prev_role", F.lag("_role").over(w))
+               .withColumn("_prev_text", F.lag("_text").over(w))
+               .filter((F.col("_role") == "assistant")
+                       & (F.col("_prev_role") == "tool")
+                       & F.col("_prev_text").isNotNull()
+                       & F.col("_text").isNotNull())
+               .select(
+                   "conv", F.col("_i").alias("turn_idx"),
+                   F.array_distinct(
+                       F.regexp_extract_all("_text", pat, 0))
+                   .alias("_nums"),
+                   F.array_distinct(
+                       F.regexp_extract_all("_prev_text", pat, 0))
+                   .alias("_tnums"))
+               .filter(F.size("_nums") > 0))
+    ung = F.array_sort(F.array_except("_nums", "_tnums"))
+    return checked.select(
+        "conv", "turn_idx",
+        F.size("_nums").cast("long").alias("n_numbers"),
+        F.size(ung).cast("long").alias("n_ungrounded"),
+        F.array_join(ung, ",").alias("ungrounded_csv"),
+        F.round((F.size("_nums") - F.size(ung)) * 100.0
+                / F.size("_nums"), 4).alias("grounded_share_pct"))
