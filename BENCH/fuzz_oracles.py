@@ -55,6 +55,10 @@ FUZZ_QUERIES = [
     # verifies), so adversarial unicode fuzzes the tokens()-vs-DuckDB
     # regexp_split whitespace-class agreement and the tie-break contract
     "containment_pairs_documents",
+    # source-exclusivity diversity (session N): pure set algebra over
+    # (gram, source) pairs — deterministic on any table, so random
+    # unicode fuzzes the tokens()/bigram/md5/null-safe-join agreement
+    "source_diversity_documents",
     # planted-copy construction oracles (round 4): hold for ANY table —
     # exact copies share signatures/prints by construction
     "simhash_planted_recall_documents",

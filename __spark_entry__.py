@@ -2302,6 +2302,17 @@ def _q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-diversity profile (textops.source_diversity_profile) over
+    the planted-copies corpus: copies reuse their original's grams
+    verbatim, so by construction they add ZERO exclusive grams to their
+    source — the redundant-mass shape the profile exists to expose;
+    exclusivity across the natural sources measures real overlap."""
+    from valar_spark import textops as X
+
+    return X.source_diversity_profile(_docs_with_copies(spark, sf_dir))
+
+
 def _q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENTIRE curation pipeline (quality → normalized dedup → per-
     source cap 20 → stratified sample → split) as one hash-checked
@@ -3428,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refusal_census_transcripts": _q_refusal_census,
         "injection_census_transcripts": _q_injection_census,
         "tool_grounding_transcripts": _q_tool_grounding,
+        "source_diversity_documents": _q_source_diversity,
     }
 
 
@@ -7397,5 +7409,52 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(ung, ',') AS ungrounded_csv,
                ROUND((n - len(ung)) * 100.0 / n, 4) AS grounded_share_pct
         FROM u ORDER BY conv, turn_idx, ungrounded_csv
+    """
+    # source diversity: the bigram CTE is the dup_ngram fragment with
+    # t[i:i+1] (2-gram slice); md5(gram) mirrors the engine's fixed-width
+    # shuffle key; null-safe join semantics via IS NOT DISTINCT FROM
+    o["source_diversity_documents"] = rf"""
+        WITH u AS ({_DOCS_WITH_COPIES_SQL}),
+        toks AS (
+            SELECT source, regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+            FROM u WHERE text IS NOT NULL AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+        ),
+        gs AS (
+            SELECT DISTINCT source,
+                   md5(unnest(list_distinct(list_transform(
+                       generate_series(1, GREATEST(len(t) - 1, 1)),
+                       i -> array_to_string(t[i:i+1], ' '))))) AS g
+            FROM toks
+        ),
+        per_gram AS (
+            SELECT g, COUNT(*) AS ns, MIN(source) AS only_src
+            FROM gs GROUP BY g
+        ),
+        excl AS (
+            SELECT only_src AS src,
+                   CAST(COUNT(*) AS BIGINT) AS n_exclusive
+            FROM per_gram WHERE ns = 1 GROUP BY only_src
+        ),
+        per_src AS (
+            SELECT source AS src,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams_distinct
+            FROM gs GROUP BY source
+        ),
+        docs AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM u GROUP BY source
+        )
+        SELECT d.source, d.n_docs,
+               CAST(COALESCE(p.n_grams_distinct, 0) AS BIGINT)
+                   AS n_grams_distinct,
+               CAST(COALESCE(e.n_exclusive, 0) AS BIGINT) AS n_exclusive,
+               CASE WHEN COALESCE(p.n_grams_distinct, 0) > 0
+                    THEN ROUND(COALESCE(e.n_exclusive, 0) * 100.0
+                               / p.n_grams_distinct, 4) END
+                   AS exclusivity_pct
+        FROM docs d
+        LEFT JOIN per_src p ON d.source IS NOT DISTINCT FROM p.src
+        LEFT JOIN excl e ON d.source IS NOT DISTINCT FROM e.src
+        ORDER BY d.source NULLS FIRST
     """
     return o

@@ -649,3 +649,17 @@ def test_cli_grounding(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0
     assert _json_line(out)["ungrounded_turns"] == 1
     assert "of 2 checked" in out
+
+
+def test_cli_diversity(spark, tmp_path, monkeypatch, capsys):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "w1 w2 w3", "a"), (2, "w1 w2 zz", "b"), (3, "solo", "c")],
+        "doc_id bigint, text string, source string",
+    ).write.parquet(docs)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", docs, "--work-dir", str(tmp_path), "--run-id", "dv1",
+        "--diversity"])
+    assert rc == 0
+    assert _json_line(out)["diversity_sources"] == 3
+    assert "sources profiled for gram diversity" in out

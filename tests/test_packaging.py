@@ -227,6 +227,10 @@ def test_gate_window_covers_never_gated():
         # parquet (judge-runnable) + unit tests + a digit-planted fuzz
         # pair
         "tool_grounding_transcripts": "tool_echo_transcripts",
+        # session-N: source diversity is gram-keyed aggregate algebra —
+        # the same execution shape as dup_ngram_fraction (r04-gated) —
+        # with its own full hash oracle + unit tests + FUZZ_QUERIES entry
+        "source_diversity_documents": "dup_ngram_fraction_documents",
     }
     orphans = [
         k for k in keys[50:]

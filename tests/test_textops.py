@@ -1093,3 +1093,29 @@ def test_duplicate_source_attribution(spark):
     assert got["s1"] == (2, 1, 1, 50.0)
     assert got["s2"] == (3, 3, 1, 100.0)
     assert got[None] == (1, 0, 0, 0.0)
+
+
+def test_source_diversity_profile(spark):
+    from valar_spark.textops import source_diversity_profile
+
+    rows = [
+        # src a: "w1 w2 w3" -> bigrams {w1 w2, w2 w3}
+        (1, "w1 w2 w3", "a"),
+        # src b repeats one of a's bigrams and adds its own
+        (2, "w1 w2 zz", "b"),      # {w1 w2, w2 zz}
+        # src c: single token -> one whole-text shingle, exclusive
+        (3, "solo", "c"),
+        # null text contributes no grams but counts as a doc
+        (4, None, "c"),
+        # null source profiled as a group
+        (5, "w9 w8", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {r["source"]: (r["n_docs"], r["n_grams_distinct"],
+                         r["n_exclusive"], r["exclusivity_pct"])
+           for r in source_diversity_profile(df).collect()}
+    assert got["a"] == (1, 2, 1, 50.0)       # "w2 w3" exclusive
+    assert got["b"] == (1, 2, 1, 50.0)       # "w2 zz" exclusive
+    assert got["c"] == (2, 1, 1, 100.0)
+    assert got[None] == (1, 1, 1, 100.0)
+    assert len(got) == 4

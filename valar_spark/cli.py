@@ -249,6 +249,12 @@ def main(argv: list[str] | None = None) -> int:
                         "documents-shaped input: which source ships the "
                         "dupes, split into within- and cross-source "
                         "(mirror/scraper-overlap) membership")
+    p.add_argument("--diversity", action="store_true",
+                   help="marginal-diversity profile over a "
+                        "documents-shaped input: per-source distinct and "
+                        "EXCLUSIVE token n-grams — a near-zero "
+                        "exclusivity source is redundant mass, a high "
+                        "one is irreplaceable coverage")
     p.add_argument("--cadence", action="store_true",
                    help="automation/replay cadence scan over a "
                         "transcripts-shaped input: conversations whose "
@@ -692,6 +698,17 @@ def main(argv: list[str] | None = None) -> int:
         print(f"sources profiled for duplicate attribution: {n}")
         prof.show(50, truncate=False)
         print(json.dumps({"run_id": args.run_id, "dup_sources": n}))
+        spark.stop()
+        return 0
+
+    if args.diversity:
+        from valar_spark import textops as X
+
+        prof = X.source_diversity_profile(df).cache()
+        n = prof.count()
+        print(f"sources profiled for gram diversity: {n}")
+        prof.show(50, truncate=False)
+        print(json.dumps({"run_id": args.run_id, "diversity_sources": n}))
         spark.stop()
         return 0
 

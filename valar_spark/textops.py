@@ -3086,3 +3086,67 @@ def duplicate_source_attribution(df: DataFrame, text_col: str = "text",
                     F.round(F.col("n_dup_docs") * 100.0 / F.col("n_docs"),
                             4).alias("dup_rate_pct"))
             .orderBy(F.col("source").asc_nulls_first()))
+
+
+def source_diversity_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Marginal-diversity profile per source: for each value of
+    ``group_col``, how many distinct token ``shingle_n``-grams its
+    documents contribute and how many are EXCLUSIVE to it (appear in no
+    other source). The source-mixing question behind every corpus recipe
+    (C4 → The Pile → RefinedWeb/Dolma ablations): a source whose grams
+    are ~all shared is redundant mass — dropping it changes nothing a
+    dedup pass wouldn't; a high-exclusivity source is irreplaceable
+    coverage. Complements :func:`duplicate_source_attribution` (which
+    counts duplicated DOCS; this measures overlap at span grain, which
+    catches sources that paraphrase/re-chunk each other without byte
+    duplication).
+
+    Shape at scale: explode per-doc distinct grams (the same
+    :func:`shingles` contract as the Lee-et-al span pass — <n tokens ⇒
+    one whole-text shingle), md5 the gram so the shuffle carries a fixed
+    32-char key, distinct (gram, source) pairs, then per-gram
+    source-count and per-source rollups — every step a long/string-keyed
+    aggregate with map-side partial combine; output bounded by
+    |sources|. Never doc×doc, never a window.
+
+    Columns: ``(<group_col>, n_docs, n_grams_distinct, n_exclusive,
+    exclusivity_pct)``; ``n_docs`` counts ALL rows of the source (text
+    or not), gram columns are 0 and ``exclusivity_pct`` NULL for
+    sources with no tokenizable text. Null sources are profiled as a
+    group (null-safe joins)."""
+    gs = (df.filter(F.col(text_col).isNotNull())
+          .select(F.col(group_col).alias("_src"),
+                  F.explode(F.array_distinct(
+                      shingles(F.col(text_col), shingle_n))).alias("_gram"))
+          .select("_src", F.md5("_gram").alias("_g"))
+          .distinct())
+    per_gram = gs.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_ns"), F.min("_src").alias("_only"))
+    excl = (per_gram.filter(F.col("_ns") == 1)
+            .groupBy(F.col("_only").alias("_es"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exclusive")))
+    per_src = (gs.groupBy(F.col("_src").alias("_gs"))
+               .agg(F.count(F.lit(1)).cast("long")
+                    .alias("n_grams_distinct")))
+    docs = (df.groupBy(F.col(group_col).alias("_src"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    out = (docs
+           .join(per_src, F.col("_src").eqNullSafe(F.col("_gs")), "left")
+           .join(excl, F.col("_src").eqNullSafe(F.col("_es")), "left"))
+    n_grams = F.coalesce("n_grams_distinct", F.lit(0)).cast("long")
+    n_excl = F.coalesce("n_exclusive", F.lit(0)).cast("long")
+    return (out.select(
+        F.col("_src").alias(group_col),
+        "n_docs",
+        n_grams.alias("n_grams_distinct"),
+        n_excl.alias("n_exclusive"),
+        F.when(n_grams > 0,
+               F.round(n_excl * 100.0 / n_grams, 4))
+        .alias("exclusivity_pct"))
+        .orderBy(F.col(group_col).asc_nulls_first()))
