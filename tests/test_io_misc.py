@@ -790,3 +790,45 @@ def test_stream_injection_flags_matches_batch_census(spark, tmp_path):
                       ("system_prompt_probe", "user"): 1,
                       ("new_instructions", "tool"): 1,
                       ("jailbreak_persona", "tool"): 1}
+
+
+def test_stream_tool_grounding_across_batches(spark, tmp_path):
+    """Tool turn in batch 1, the claiming assistant turn in batch 2 —
+    only the state store can pair them; result must equal the batch
+    operator over the union."""
+    import time as _time
+
+    from valar_spark.dataset_rules import tool_grounding_check
+    from valar_spark.streaming import stream_tool_grounding
+
+    schema = "conv_id string, turn_idx int, role string, text string"
+    b1 = spark.createDataFrame(
+        [("A", 1, "tool", "values: 10 250 3.5"),
+         ("B", 1, "tool", "count=7")], schema)
+    b2 = spark.createDataFrame(
+        [("A", 2, "assistant", "I found 250 and 3.5, roughly 999 total."),
+         ("B", 2, "assistant", "There are 7."),       # fully grounded
+         ("B", 3, "assistant", "no digits at all")],  # no numbers: no row
+        schema)
+    src = str(tmp_path / "gr_src")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{src}/b*"))
+    q = (stream_tool_grounding(stream).writeStream
+         .format("memory").queryName("gr_mem")
+         .option("checkpointLocation", str(tmp_path / "gr_ck"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    cols = ["conv", "turn_idx", "n_numbers", "n_ungrounded",
+            "ungrounded_csv", "grounded_share_pct"]
+    got = {tuple(r[c] for c in cols)
+           for r in spark.sql("SELECT * FROM gr_mem").collect()}
+    want = {tuple(r[c] for c in cols)
+            for r in tool_grounding_check(b1.unionByName(b2)).collect()}
+    assert got == want
+    assert ("A", 2, 3, 1, "999", round(200.0 / 3, 4)) in got
+    assert len(got) == 2

@@ -829,3 +829,102 @@ def stream_injection_flags(
                     & F.col(text_col).isNotNull())
             .withColumn("patterns", injection_label_array(text_col))
             .filter(F.size("patterns") > 0))
+
+
+def stream_tool_grounding(
+    stream_df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    close_after: str | None = None,
+) -> DataFrame:
+    """CROSS-micro-batch numeric-grounding monitor — the streaming face
+    of :func:`valar_spark.dataset_rules.tool_grounding_check`, built on
+    the same state design as :func:`stream_tool_echo`: each open
+    conversation's last (role, text) survives in the state store, so an
+    assistant turn in batch k+1 is still checked against the tool output
+    that arrived in batch k. Number extraction uses the SAME digit-run
+    token contract (:data:`~valar_spark.dataset_rules.NUMBER_TOKEN_PATTERN`,
+    string-exact comparison) as the batch operator; per-conversation
+    ordering/eviction semantics, state bounds, and the ``close_after``
+    caveats are exactly :func:`stream_tool_echo`'s (one turn × active
+    conversations; processing-time timeouts keep the engine scheduling
+    sweep batches, so poll the sink instead of ``processAllAvailable``).
+
+    Rounding note: ``grounded_share_pct`` is computed with Python
+    ``round`` (banker's) vs the batch operator's Java HALF_UP — they
+    differ only on exact 5e-5 float ties, which the quotient
+    ``k*100/n`` cannot exactly represent in binary for any realistic
+    (k, n); the batch-parity test pins agreement.
+
+    Output rows mirror the batch operator: ``(conv, turn_idx,
+    n_numbers, n_ungrounded, ungrounded_csv, grounded_share_pct)``."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from valar_spark.dataset_rules import NUMBER_TOKEN_PATTERN
+
+    # re.ASCII pins \d to [0-9]: Python's default Unicode \d would match
+    # e.g. Arabic-Indic digits that Java regex and RE2 \d do NOT
+    num_re = re.compile(NUMBER_TOKEN_PATTERN, re.ASCII)
+    close_ms = None
+    if close_after is not None:
+        qty, unit = close_after.split()
+        close_ms = int(float(qty) * {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000}[unit])
+    conv_t = stream_df.schema[conv_col].dataType.simpleString()
+    out_cols = ["conv", "turn_idx", "n_numbers", "n_ungrounded",
+                "ungrounded_csv", "grounded_share_pct"]
+    out_ddl = (f"conv {conv_t}, turn_idx bigint, n_numbers bigint, "
+               "n_ungrounded bigint, ungrounded_csv string, "
+               "grounded_share_pct double")
+    state_ddl = "last_role string, last_text string"
+
+    def _md5(v) -> str:
+        s = "" if v is None or (isinstance(v, float) and pd.isna(v)) else v
+        return hashlib.md5(str(s).encode()).hexdigest()
+
+    def fn(key, pdf_iter, state):
+        conv = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_role, last_text = state.get if state.exists else (None, None)
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = (pdf.assign(_h=pdf[text_col].map(_md5))
+               .sort_values([order_col, role_col, "_h"],
+                            na_position="first"))
+        out = []
+        for idx, role, text in zip(pdf[order_col], pdf[role_col],
+                                   pdf[text_col]):
+            role = None if pd.isna(role) else role
+            text = None if (text is None or (isinstance(text, float)
+                                             and pd.isna(text))) else text
+            if (role == "assistant" and last_role == "tool"
+                    and last_text is not None and text is not None):
+                nums = list(dict.fromkeys(num_re.findall(text)))
+                if nums:
+                    tnums = set(num_re.findall(last_text))
+                    ung = sorted(x for x in nums if x not in tnums)
+                    out.append((conv,
+                                None if pd.isna(idx) else int(idx),
+                                len(nums), len(ung), ",".join(ung),
+                                round((len(nums) - len(ung)) * 100.0
+                                      / len(nums), 4)))
+            last_role, last_text = role, text
+        state.update((last_role, last_text))
+        if close_ms is not None:
+            state.setTimeoutDuration(close_ms)
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return stream_df.groupBy(conv_col).applyInPandasWithState(
+        fn, out_ddl, state_ddl, "append",
+        "NoTimeout" if close_ms is None else "ProcessingTimeTimeout")
