@@ -59,6 +59,10 @@ FUZZ_QUERIES = [
     # (gram, source) pairs — deterministic on any table, so random
     # unicode fuzzes the tokens()/bigram/md5/null-safe-join agreement
     "source_diversity_documents",
+    # Heaps-law novelty curve (session N): exact-integer bucketing +
+    # set algebra — deterministic on any table; random unicode fuzzes
+    # the token/md5/min-bucket/window agreement
+    "vocab_growth_documents",
     # planted-copy construction oracles (round 4): hold for ANY table —
     # exact copies share signatures/prints by construction
     "simhash_planted_recall_documents",

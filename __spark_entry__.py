@@ -2313,6 +2313,18 @@ def _q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.source_diversity_profile(_docs_with_copies(spark, sf_dir))
 
 
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law novelty curve (textops.vocab_growth_curve) over the
+    planted-copies corpus: the copies sit at ids +100000 — the TOP
+    bucket of the id range — and being byte-exact copies they introduce
+    ZERO new grams there, so the curve must flatline at its tail by
+    construction (the re-crawl signature the operator exists to
+    expose); the originals' buckets measure natural novelty decay."""
+    from valar_spark import textops as X
+
+    return X.vocab_growth_curve(_docs_with_copies(spark, sf_dir))
+
+
 def _q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENTIRE curation pipeline (quality → normalized dedup → per-
     source cap 20 → stratified sample → split) as one hash-checked
@@ -3440,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "injection_census_transcripts": _q_injection_census,
         "tool_grounding_transcripts": _q_tool_grounding,
         "source_diversity_documents": _q_source_diversity,
+        "vocab_growth_documents": _q_vocab_growth,
     }
 
 
@@ -7456,5 +7469,50 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN per_src p ON d.source IS NOT DISTINCT FROM p.src
         LEFT JOIN excl e ON d.source IS NOT DISTINCT FROM e.src
         ORDER BY d.source NULLS FIRST
+    """
+    # Heaps-law novelty curve: exact-integer bucket arithmetic
+    # ((id-mn)*10 // span), unigram vocabulary via the shared token
+    # fragment, per-gram MIN bucket, cumulative over <= 10 rows
+    o["vocab_growth_documents"] = rf"""
+        WITH u AS ({_DOCS_WITH_COPIES_SQL}),
+        bounds AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM u),
+        wb AS (
+            SELECT u.*, ((doc_id - mn) * 10) // (mx - mn + 1) AS b
+            FROM u CROSS JOIN bounds
+        ),
+        toks AS (
+            SELECT b, regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
+            FROM wb WHERE text IS NOT NULL AND regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+        ),
+        gb AS (
+            SELECT DISTINCT b, md5(unnest(list_distinct(t))) AS g
+            FROM toks
+        ),
+        first AS (
+            SELECT fb AS b, CAST(COUNT(*) AS BIGINT) AS n_new_grams
+            FROM (SELECT g, MIN(b) AS fb FROM gb GROUP BY g)
+            GROUP BY fb
+        ),
+        per_b AS (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS n_grams_distinct
+            FROM gb GROUP BY b
+        ),
+        docs AS (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM wb GROUP BY b
+        )
+        SELECT d.b AS bucket, d.n_docs,
+               CAST(COALESCE(p.n_grams_distinct, 0) AS BIGINT)
+                   AS n_grams_distinct,
+               CAST(COALESCE(f.n_new_grams, 0) AS BIGINT) AS n_new_grams,
+               CASE WHEN COALESCE(p.n_grams_distinct, 0) > 0
+                    THEN ROUND(COALESCE(f.n_new_grams, 0) * 100.0
+                               / p.n_grams_distinct, 4) END AS novelty_pct,
+               CAST(SUM(COALESCE(f.n_new_grams, 0))
+                    OVER (ORDER BY d.b) AS BIGINT) AS vocab_cumulative
+        FROM docs d
+        LEFT JOIN per_b p USING (b)
+        LEFT JOIN first f USING (b)
+        ORDER BY bucket
     """
     return o

@@ -663,3 +663,17 @@ def test_cli_diversity(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0
     assert _json_line(out)["diversity_sources"] == 3
     assert "sources profiled for gram diversity" in out
+
+
+def test_cli_vocab_growth(spark, tmp_path, monkeypatch, capsys):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "a b"), (1, "b c"), (8, "a b"), (9, "d")],
+        "doc_id bigint, text string",
+    ).write.parquet(docs)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", docs, "--work-dir", str(tmp_path), "--run-id", "vg1",
+        "--vocab-growth"])
+    assert rc == 0
+    assert _json_line(out)["vocab_buckets"] >= 2
+    assert "ingest buckets profiled" in out

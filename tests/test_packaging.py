@@ -231,6 +231,10 @@ def test_gate_window_covers_never_gated():
         # the same execution shape as dup_ngram_fraction (r04-gated) —
         # with its own full hash oracle + unit tests + FUZZ_QUERIES entry
         "source_diversity_documents": "dup_ngram_fraction_documents",
+        # session-N: the novelty curve is the same gram-keyed aggregate
+        # algebra sliced by ingest bucket instead of source; full hash
+        # oracle + unit tests + FUZZ_QUERIES entry
+        "vocab_growth_documents": "source_diversity_documents",
     }
     orphans = [
         k for k in keys[50:]

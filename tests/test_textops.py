@@ -1119,3 +1119,22 @@ def test_source_diversity_profile(spark):
     assert got["c"] == (2, 1, 1, 100.0)
     assert got[None] == (1, 1, 1, 100.0)
     assert len(got) == 4
+
+
+def test_vocab_growth_curve(spark):
+    from valar_spark.textops import vocab_growth_curve
+
+    rows = [
+        # ids 0..9, 2 buckets of 5; bucket 0 vocab {a,b,c}; bucket 1
+        # repeats {a,b} and adds {d}
+        (0, "a b"), (1, "b c"), (2, "a"), (3, None), (4, "c"),
+        (5, "a b"), (6, "d"), (7, "b d"), (8, None), (9, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["bucket"]: (r["n_docs"], r["n_grams_distinct"],
+                         r["n_new_grams"], r["novelty_pct"],
+                         r["vocab_cumulative"])
+           for r in vocab_growth_curve(df, n_buckets=2).collect()}
+    assert got[0] == (5, 3, 3, 100.0, 3)
+    assert got[1] == (5, 3, 1, round(100.0 / 3, 4), 4)
+    assert len(got) == 2

@@ -255,6 +255,11 @@ def main(argv: list[str] | None = None) -> int:
                         "EXCLUSIVE token n-grams — a near-zero "
                         "exclusivity source is redundant mass, a high "
                         "one is irreplaceable coverage")
+    p.add_argument("--vocab-growth", action="store_true",
+                   help="Heaps-law marginal-vocabulary curve over a "
+                        "documents-shaped input by ingest (id) bucket: "
+                        "a flat-lining novelty tail means additional "
+                        "ingest is re-crawling what you already have")
     p.add_argument("--cadence", action="store_true",
                    help="automation/replay cadence scan over a "
                         "transcripts-shaped input: conversations whose "
@@ -709,6 +714,17 @@ def main(argv: list[str] | None = None) -> int:
         print(f"sources profiled for gram diversity: {n}")
         prof.show(50, truncate=False)
         print(json.dumps({"run_id": args.run_id, "diversity_sources": n}))
+        spark.stop()
+        return 0
+
+    if args.vocab_growth:
+        from valar_spark import textops as X
+
+        curve = X.vocab_growth_curve(df).cache()
+        n = curve.count()
+        print(f"ingest buckets profiled: {n}")
+        curve.show(50, truncate=False)
+        print(json.dumps({"run_id": args.run_id, "vocab_buckets": n}))
         spark.stop()
         return 0
 

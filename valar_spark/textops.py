@@ -3150,3 +3150,69 @@ def source_diversity_profile(
                F.round(n_excl * 100.0 / n_grams, 4))
         .alias("exclusivity_pct"))
         .orderBy(F.col(group_col).asc_nulls_first()))
+
+
+def vocab_growth_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Marginal-vocabulary (Heaps-law) curve over ingest order: split the
+    id range into ``n_buckets`` equal-width buckets and report, per
+    bucket, how many distinct token ``shingle_n``-grams appear at all and
+    how many appear for the FIRST time corpus-wide. The is-more-data-
+    still-new question every corpus-size decision rests on (Heaps 1978;
+    the dedup papers' "fraction novel" curves): a healthy growing corpus
+    keeps a roughly power-law novelty tail — a flat-lining curve says
+    additional ingest is re-crawling what you have, and a novelty SPIKE
+    in one bucket says a new domain (or a corruption episode) landed
+    there. Complements :func:`source_diversity_profile`: that slices
+    exclusivity by source, this orders marginal novelty by ingest
+    position.
+
+    Bucketing is exact integer arithmetic over the id range
+    (``(id - min) * n_buckets DIV (max - min + 1)``, broadcast single-row
+    min/max — no ntile, no single-partition window). Gram work is the
+    same md5-keyed aggregate algebra as :func:`source_diversity_profile`
+    (per-gram MIN bucket = one map-side-combined aggregate); the final
+    cumulative sum is a window over ≤ ``n_buckets`` rows. Never doc×doc.
+
+    Columns: ``(bucket, n_docs, n_grams_distinct, n_new_grams,
+    novelty_pct, vocab_cumulative)`` ordered by bucket."""
+    bounds = df.select(F.min(id_col).alias("_mn"),
+                       F.max(id_col).alias("_mx"))
+    with_b = (df.crossJoin(F.broadcast(bounds))
+              .withColumn(
+                  "_b",
+                  F.expr(f"(({id_col} - _mn) * {int(n_buckets)}) "
+                         f"DIV (_mx - _mn + 1)").cast("long")))
+    gb = (with_b.filter(F.col(text_col).isNotNull())
+          .select("_b",
+                  F.explode(F.array_distinct(
+                      shingles(F.col(text_col), shingle_n))).alias("_gram"))
+          .select("_b", F.md5("_gram").alias("_g"))
+          .distinct())
+    first = (gb.groupBy("_g").agg(F.min("_b").alias("_fb"))
+             .groupBy(F.col("_fb").alias("_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_new_grams")))
+    per_b = gb.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams_distinct"))
+    docs = with_b.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    out = (docs.join(per_b, "_b", "left").join(first, "_b", "left"))
+    from pyspark.sql import Window
+
+    n_grams = F.coalesce("n_grams_distinct", F.lit(0)).cast("long")
+    n_new = F.coalesce("n_new_grams", F.lit(0)).cast("long")
+    # global-order window over <= n_buckets rows — bounded, never data-scaled
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    return (out.select(
+        F.col("_b").alias("bucket"), "n_docs",
+        n_grams.alias("n_grams_distinct"),
+        n_new.alias("n_new_grams"),
+        F.when(n_grams > 0, F.round(n_new * 100.0 / n_grams, 4))
+        .alias("novelty_pct"),
+        F.sum(n_new).over(w).cast("long").alias("vocab_cumulative"))
+        .orderBy("bucket"))
