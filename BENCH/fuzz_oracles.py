@@ -549,6 +549,39 @@ _TR_INJ_SQL = """
     ORDER BY pattern, per.role
 """
 
+# serving-artifact census over a planted copy — same mechanics as the
+# injection pair; note the bait lands as a SUFFIX, so the anchored
+# role_prefix class must NOT fire on suffixed rows (a deliberate
+# negative-control property of this construction)
+_TR_ST_SQL = """
+    WITH base AS (
+        SELECT conv_id, role,
+               CASE WHEN turn_idx % 3 = 0 AND text IS NOT NULL
+                    THEN text || ' {bait}' ELSE text END AS text
+        FROM read_parquet('{path}/*.parquet')
+    ), turns AS (
+        SELECT conv_id, text FROM base
+        WHERE role = 'assistant' AND text IS NOT NULL
+    ), m AS (
+        {union}
+    ), tot AS (SELECT COUNT(*) AS n FROM turns),
+    per AS (
+        SELECT pattern,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM m GROUP BY pattern
+    )
+    SELECT pattern, n_turns, n_convs,
+           ROUND(n_turns * 100.0 / tot.n, 4) AS turns_share_pct
+    FROM per, tot ORDER BY pattern
+"""
+
+_ST_BAITS = [
+    "done </s> trailing", "x <|endoftext|> y", "mid <|im_end|> marker",
+    "[INST] wrapped [/INST]", "assistant: not anchored here",
+    "plain suffix with no artifacts", "[done] lowercase is clean",
+]
+
 # matching baits AND near-misses (wrong noun, missing verb) — a draw that
 # exercises the no-hit branches is as valuable as one that fires
 _INJ_BAITS = [
@@ -743,8 +776,16 @@ def run_transcript_ops_round(spark, rng: random.Random,
     failures: list[str] = []
     from valar_spark.dataset_rules import (INJECTION_PATTERNS,
                                            NUMBER_TOKEN_PATTERN)
+    from valar_spark.dataset_rules import SPECIAL_TOKEN_PATTERNS
     _inj_bait = rng.choice(_INJ_BAITS)
     _ground_bait = rng.choice(_GROUND_BAITS)
+    _st_bait = rng.choice(_ST_BAITS)
+    _st_union = "\n        UNION ALL ".join(
+        f"SELECT '{key}' AS pattern, conv_id FROM turns "
+        f"WHERE regexp_matches("
+        + ("LOWER(text)" if key == "role_prefix" else "text")
+        + f", '{pat}')"
+        for key, pat in SPECIAL_TOKEN_PATTERNS)
     _inj_union = "\n        UNION ALL ".join(
         f"SELECT '{key}' AS pattern, conv_id, role FROM turns "
         f"WHERE regexp_matches(t, '{pat}')"
@@ -779,6 +820,50 @@ def run_transcript_ops_round(spark, rng: random.Random,
                  .otherwise(F.col("text")))),
          _TR_INJ_SQL.format(path=path, bait=_inj_bait,
                             union=_inj_union)),
+        ("fuzz.intra_conversation_repeats",
+         # plant a conv-keyed canned text on idx ≡ 1 (mod 4) assistant
+         # turns so positive repeat groups occur on random draws; the
+         # unplanted rows fuzz the md5/min_chars/length agreement
+         D.intra_conversation_repeats(
+             df.withColumn(
+                 "text",
+                 F.when((F.col("turn_idx") % 4 == 1)
+                        & (F.col("role") == "assistant"),
+                        F.concat(F.lit("looped canned reply for "),
+                                 F.col("conv_id")))
+                 .otherwise(F.col("text")))),
+         """
+         WITH p AS (
+             SELECT conv_id, turn_idx, role,
+                    CASE WHEN turn_idx % 4 = 1 AND role = 'assistant'
+                         THEN 'looped canned reply for ' || conv_id
+                         ELSE text END AS text
+             FROM read_parquet('{path}/*.parquet')
+         ), b AS (
+             SELECT conv_id AS conv, md5(text) AS text_hash,
+                    CAST(turn_idx AS BIGINT) AS i
+             FROM p
+             WHERE role = 'assistant' AND text IS NOT NULL
+               AND LENGTH(text) >= 10
+         ), g AS (
+             SELECT conv, text_hash,
+                    CAST(COUNT(*) AS BIGINT) AS n_turns,
+                    MIN(i) AS first_idx, MAX(i) AS last_idx
+             FROM b GROUP BY conv, text_hash
+         )
+         SELECT conv, text_hash, n_turns, first_idx, last_idx,
+                CAST(last_idx - first_idx AS BIGINT) AS span
+         FROM g WHERE n_turns > 1
+         """.format(path=path)),
+        ("fuzz.special_token_leakage",
+         D.special_token_leakage(
+             df.withColumn(
+                 "text",
+                 F.when((F.col("turn_idx") % 3 == 0)
+                        & F.col("text").isNotNull(),
+                        F.concat("text", F.lit(" " + _st_bait)))
+                 .otherwise(F.col("text")))),
+         _TR_ST_SQL.format(path=path, bait=_st_bait, union=_st_union)),
         ("fuzz.tool_grounding_check",
          D.tool_grounding_check(
              df.withColumn(

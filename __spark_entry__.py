@@ -3216,6 +3216,48 @@ def _q_injection_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prompt_injection_census(planted)
 
 
+def _q_special_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-artifact census (dataset_rules.special_token_leakage)
+    over the persisted transcript parquet with planted leaks: every
+    11th-indexed assistant turn carries a stop token + ChatML marker
+    (multi-label), every 13th a role-prefix double-wrap (exercising the
+    class's lower()+anchored contract); the oracle replays the CASE and
+    battery verbatim."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    a = F.col("role") == "assistant"
+    t = (F.when(a & (F.col("turn_idx") % 11 == 0),
+                F.lit("Sure thing.<|im_end|><|endoftext|>"))
+         .when(a & (F.col("turn_idx") % 13 == 0),
+               F.lit("Assistant: here is the answer"))
+         .otherwise(F.col("text")))
+    planted = df.select("conv_id", "role", t.alias("text"))
+    return D.special_token_leakage(planted)
+
+
+def _q_intra_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-conversation repeat detector
+    (dataset_rules.intra_conversation_repeats) over the persisted
+    transcript parquet with planted loops: assistant turns with
+    ``turn_idx % 10 == 4`` OR ``% 10 == 8`` share one conv-keyed canned
+    text, so any conversation holding both indices shows a NON-adjacent
+    repeat (span ≥ 4 over 2 turns); the oracle replays the CASE
+    verbatim. Natural synth repeats (empty-ish texts ≥ min_chars) ride
+    along identically in both engines."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    a = F.col("role") == "assistant"
+    canned = F.concat(F.lit("looping back to the canned answer for "),
+                      F.col("conv_id"))
+    t = (F.when(a & (F.col("turn_idx") % 10).isin(4, 8), canned)
+         .otherwise(F.col("text")))
+    planted = df.select("conv_id", "turn_idx", "role", t.alias("text"))
+    return (D.intra_conversation_repeats(planted)
+            .orderBy("conv", "text_hash"))
+
+
 def _q_tool_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric-grounding check (dataset_rules.tool_grounding_check) over
     the persisted transcript parquet, planted with the tool-echo trick —
@@ -3453,6 +3495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_grounding_transcripts": _q_tool_grounding,
         "source_diversity_documents": _q_source_diversity,
         "vocab_growth_documents": _q_vocab_growth,
+        "special_tokens_transcripts": _q_special_tokens,
+        "intra_repeats_transcripts": _q_intra_repeats,
     }
 
 
@@ -7376,6 +7420,68 @@ def oracle_sql() -> dict[str, str]:
                ROUND(n_turns * 100.0 / tot.n, 4) AS turns_share_pct
         FROM per JOIN tot ON per.role = tot.role
         ORDER BY pattern, per.role
+    """
+    # serving-artifact battery as UNION ALL branches from the SAME
+    # constants; the role_prefix class matches on lower(text), the
+    # literal-token classes on the raw text (case-sensitive by contract)
+    from valar_spark.dataset_rules import SPECIAL_TOKEN_PATTERNS
+    _st_union = "\n            UNION ALL ".join(
+        f"SELECT '{key}' AS pattern, conv_id FROM turns "
+        f"WHERE regexp_matches("
+        + ("LOWER(text)" if key == "role_prefix" else "text")
+        + f", '{pat}')"
+        for key, pat in SPECIAL_TOKEN_PATTERNS)
+    o["special_tokens_transcripts"] = f"""
+        WITH base AS (
+            SELECT conv_id, role,
+                   CASE WHEN role = 'assistant' AND turn_idx % 11 = 0
+                        THEN 'Sure thing.<|im_end|><|endoftext|>'
+                        WHEN role = 'assistant' AND turn_idx % 13 = 0
+                        THEN 'Assistant: here is the answer'
+                        ELSE text END AS text
+            FROM read_parquet('{_tp}/*.parquet')
+        ), turns AS (
+            SELECT conv_id, text FROM base
+            WHERE role = 'assistant' AND text IS NOT NULL
+        ), m AS (
+            {_st_union}
+        ), tot AS (SELECT COUNT(*) AS n FROM turns),
+        per AS (
+            SELECT pattern,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM m GROUP BY pattern
+        )
+        SELECT pattern, n_turns, n_convs,
+               ROUND(n_turns * 100.0 / tot.n, 4) AS turns_share_pct
+        FROM per, tot ORDER BY pattern
+    """
+    # within-conversation repeats: one (conv, md5) aggregate; min_chars
+    # filter and the planted CASE replayed verbatim
+    o["intra_repeats_transcripts"] = f"""
+        WITH p AS (
+            SELECT conv_id AS conv, CAST(turn_idx AS BIGINT) AS i, role,
+                   CASE WHEN role = 'assistant'
+                             AND (turn_idx % 10 = 4 OR turn_idx % 10 = 8)
+                        THEN 'looping back to the canned answer for '
+                             || conv_id
+                        ELSE text END AS text
+            FROM read_parquet('{_tp}/*.parquet')
+        ), b AS (
+            SELECT conv, md5(text) AS text_hash, i
+            FROM p
+            WHERE role = 'assistant' AND text IS NOT NULL
+              AND LENGTH(text) >= 10
+        ), g AS (
+            SELECT conv, text_hash,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   MIN(i) AS first_idx, MAX(i) AS last_idx
+            FROM b GROUP BY conv, text_hash
+        )
+        SELECT conv, text_hash, n_turns, first_idx, last_idx,
+               CAST(last_idx - first_idx AS BIGINT) AS span
+        FROM g WHERE n_turns > 1
+        ORDER BY conv, text_hash
     """
     # numeric-grounding check: plant replayed verbatim, the digit-run
     # token pattern shared from NUMBER_TOKEN_PATTERN, list ops mirror

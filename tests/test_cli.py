@@ -677,3 +677,37 @@ def test_cli_vocab_growth(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0
     assert _json_line(out)["vocab_buckets"] >= 2
     assert "ingest buckets profiled" in out
+
+
+def test_cli_special_tokens(spark, tmp_path, monkeypatch, capsys):
+    tr = str(tmp_path / "tr")
+    spark.createDataFrame(
+        [("c1", "assistant", "Sure.<|endoftext|>"),
+         ("c1", "assistant", "clean"),
+         ("c2", "assistant", "Assistant: wrapped")],
+        "conv_id string, role string, text string",
+    ).write.parquet(tr)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", tr, "--work-dir", str(tmp_path), "--run-id", "st1",
+        "--special-tokens"])
+    assert rc == 1
+    assert _json_line(out)["special_token_classes"] == 2
+    assert "special-token classes firing" in out
+
+
+def test_cli_intra_repeats(spark, tmp_path, monkeypatch, capsys):
+    tr = str(tmp_path / "tr")
+    spark.createDataFrame(
+        [("c1", 1, "assistant", "let me check that again"),
+         ("c1", 2, "user", "ok"),
+         ("c1", 3, "assistant", "let me check that again"),
+         ("c2", 1, "assistant", "unique reply")],
+        "conv_id string, turn_idx int, role string, text string",
+    ).write.parquet(tr)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", tr, "--work-dir", str(tmp_path), "--run-id", "ir1",
+        "--intra-repeats"])
+    assert rc == 0
+    j = _json_line(out)
+    assert j["intra_repeats"] == 1 and j["non_adjacent_loops"] == 1
+    assert "non-adjacent loops" in out

@@ -235,6 +235,15 @@ def test_gate_window_covers_never_gated():
         # algebra sliced by ingest bucket instead of source; full hash
         # oracle + unit tests + FUZZ_QUERIES entry
         "vocab_growth_documents": "source_diversity_documents",
+        # session-N: the serving-artifact census is the injection
+        # battery's shape restricted to assistant turns (classify
+        # projection + hit-only explode + bounded aggregate) with its
+        # own full hash oracle + unit tests + planted-bait fuzz pair
+        "special_tokens_transcripts": "injection_census_transcripts",
+        # session-N: intra-conv repeats is one (conv, md5) aggregate —
+        # the turn-grain shape of dedup_exact/canned_responses — with
+        # its own full hash oracle + unit tests + an unplanted fuzz pair
+        "intra_repeats_transcripts": "canned_responses_transcripts",
     }
     orphans = [
         k for k in keys[50:]

@@ -255,6 +255,17 @@ def main(argv: list[str] | None = None) -> int:
                         "EXCLUSIVE token n-grams — a near-zero "
                         "exclusivity source is redundant mass, a high "
                         "one is irreplaceable coverage")
+    p.add_argument("--intra-repeats", action="store_true",
+                   help="within-conversation repeated-turn scan over a "
+                        "transcripts-shaped input: the model-loop class "
+                        "between degenerate runs (consecutive) and "
+                        "template turns (cross-conversation)")
+    p.add_argument("--special-tokens", action="store_true",
+                   help="serving-artifact census over assistant turns: "
+                        "literal stop tokens / ChatML markers / template "
+                        "tags / role-prefix double-wraps leaking into "
+                        "text — self-reinforcing corpus defects; exits 1 "
+                        "if any class fires")
     p.add_argument("--vocab-growth", action="store_true",
                    help="Heaps-law marginal-vocabulary curve over a "
                         "documents-shaped input by ingest (id) bucket: "
@@ -716,6 +727,28 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"run_id": args.run_id, "diversity_sources": n}))
         spark.stop()
         return 0
+
+    if args.intra_repeats:
+        reps = D.intra_conversation_repeats(df).cache()
+        n = reps.count()
+        loops = reps.filter("span > n_turns - 1").count()
+        print(f"repeated texts within conversations: {n} "
+              f"({loops} non-adjacent loops)")
+        reps.orderBy("conv", "text_hash").limit(50).show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "intra_repeats": n,
+                          "non_adjacent_loops": loops}))
+        spark.stop()
+        return 0
+
+    if args.special_tokens:
+        census = D.special_token_leakage(df).cache()
+        n = census.count()
+        print(f"special-token classes firing: {n}")
+        census.show(truncate=False)
+        print(json.dumps({"run_id": args.run_id,
+                          "special_token_classes": n}))
+        spark.stop()
+        return 1 if n else 0
 
     if args.vocab_growth:
         from valar_spark import textops as X

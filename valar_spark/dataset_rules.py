@@ -3753,3 +3753,113 @@ def tool_grounding_check(
         F.array_join(ung, ",").alias("ungrounded_csv"),
         F.round((F.size("_nums") - F.size(ung)) * 100.0
                 / F.size("_nums"), 4).alias("grounded_share_pct"))
+
+
+# Serving/serialization artifact battery — literal special-token and
+# wrapper markers that must NEVER appear inside natural assistant text:
+# their presence means a broken chat-template render, a stop-sequence
+# that failed to stop, or a double-serialized turn. Patterns are
+# Java-regex ∩ RE2 (alternation + \b only); classes ordered for the
+# census output. Sources: the publicly documented token inventories of
+# GPT-2/Llama/ChatML-style templates and the role-prefix double-wrap
+# failure every serving stack reinvents.
+SPECIAL_TOKEN_PATTERNS: list[tuple[str, str]] = [
+    ("stop_token",
+     r"(</s>|<\|endoftext\|>|<\|eot_id\|>|\[DONE\])"),
+    ("chatml_marker",
+     r"<\|(im_start|im_end|assistant|user|system)\|>"),
+    ("template_tag",
+     r"(\[INST\]|\[/INST\]|<<SYS>>|<</SYS>>)"),
+    ("role_prefix",
+     r"^(assistant|ai|system|user|human|bot): "),
+]
+
+
+def special_token_leakage(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "assistant",
+) -> DataFrame:
+    """Serving-artifact census over assistant turns: how many turns (and
+    distinct conversations) leak each :data:`SPECIAL_TOKEN_PATTERNS`
+    class, plus the class's share of assistant turns. Training on turns
+    that embed literal ``<|endoftext|>`` / ``[INST]`` / ``assistant: ``
+    wrappers teaches the model to EMIT its own control tokens — one of
+    the self-reinforcing corpus defects (the artifact came from a model,
+    and feeding it back amplifies it), and invisible to every
+    quality/dedup screen because the surrounding text is fine.
+
+    Multi-label like :func:`prompt_injection_census` (one mangled turn
+    often carries several artifact classes); matching is case-sensitive
+    except ``role_prefix`` (matched on ``lower()``, anchored at turn
+    start). Same plan shape as the injection census: shuffle-free
+    classify projection, explode emits only hits, pattern-keyed
+    aggregate bounded by the battery, broadcast totals join.
+
+    Columns: ``(pattern, n_turns, n_convs, turns_share_pct)`` ordered by
+    pattern."""
+    raw = F.col(text_col)
+    low = F.lower(raw)
+    labels = [F.when((low if key == "role_prefix" else raw).rlike(pat),
+                     F.lit(key))
+              for key, pat in SPECIAL_TOKEN_PATTERNS]
+    turns = (df.filter(F.col(role_col).eqNullSafe(role)
+                       & raw.isNotNull())
+             .select(F.col(conv_col).alias("_conv"),
+                     F.filter(F.array(*labels),
+                              lambda c: c.isNotNull()).alias("_labels")))
+    matched = turns.select("_conv", F.explode("_labels").alias("pattern"))
+    per = (matched.groupBy("pattern")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                F.countDistinct("_conv").cast("long").alias("n_convs")))
+    tot = turns.select(F.count(F.lit(1)).alias("_tot"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("pattern", "n_turns", "n_convs",
+                    F.round(F.col("n_turns") * 100.0 / F.col("_tot"), 4)
+                    .alias("turns_share_pct"))
+            .orderBy("pattern"))
+
+
+def intra_conversation_repeats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "assistant",
+    min_chars: int = 10,
+) -> DataFrame:
+    """Within-conversation repeated-turn detector: texts the SAME
+    conversation's assistant produces more than once. The model-loop
+    failure class between the two the engine already covers —
+    :func:`degenerate_runs` needs the copies CONSECUTIVE and
+    :func:`template_turns` needs them across ≥2 conversations; a model
+    that circles back to a canned answer three turns later (the classic
+    context-window loop) is caught by neither. ``span > n_turns - 1``
+    distinguishes those non-adjacent loops from a consecutive stutter
+    (``span`` counts index distance; n consecutive dense-indexed copies
+    have span n-1). ``min_chars`` skips legitimately repeated short
+    acknowledgements ("ok", "yes").
+
+    ONE aggregate on (conv, md5(text)) — no window, no join; shuffle
+    carries (conv, 32-hex hash, idx), map-side combined, output bounded
+    by actual repeat groups.
+
+    Columns: ``(conv, text_hash, n_turns, first_idx, last_idx, span)``
+    — one row per repeated text per conversation."""
+    base = (df.filter(F.col(role_col).eqNullSafe(role)
+                      & F.col(text_col).isNotNull()
+                      & (F.length(text_col) >= int(min_chars)))
+            .select(F.col(conv_col).alias("conv"),
+                    F.md5(F.col(text_col)).alias("text_hash"),
+                    F.col(idx_col).cast("long").alias("_i")))
+    return (base.groupBy("conv", "text_hash")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.min("_i").alias("first_idx"),
+                 F.max("_i").alias("last_idx"))
+            .filter(F.col("n_turns") > 1)
+            .withColumn("span",
+                        (F.col("last_idx") - F.col("first_idx"))
+                        .cast("long")))
