@@ -820,6 +820,34 @@ def run_transcript_ops_round(spark, rng: random.Random,
                  .otherwise(F.col("text")))),
          _TR_INJ_SQL.format(path=path, bait=_inj_bait,
                             union=_inj_union)),
+        ("fuzz.conversation_depth_profile",
+         # unplanted: random whitespace/unicode/null texts and
+         # negative/null indices fuzz the floor-bucket and
+         # token-fragment agreement directly (blank = zero tokens — a
+         # TRIM-based blank diverged across dialects on exotic
+         # whitespace and was caught by this very pair)
+         D.conversation_depth_profile(df),
+         r"""
+         WITH t AS (
+             SELECT CAST(FLOOR(CAST(turn_idx AS BIGINT) / 5.0)
+                         AS BIGINT) AS depth_bucket, role,
+                    CAST(CASE WHEN text IS NULL OR regexp_replace(text,
+                              '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)',
+                              '', 'g') = '' THEN 0
+                         ELSE len(regexp_split_to_array(
+                              regexp_replace(text,
+                              '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)',
+                              '', 'g'), '[ \t\n\f\r\x0B]+'))
+                         END AS BIGINT) AS tok
+             FROM read_parquet('{path}/*.parquet')
+         )
+         SELECT depth_bucket, role,
+                CAST(COUNT(*) AS BIGINT) AS n_turns,
+                ROUND(AVG(tok), 4) AS avg_tokens,
+                ROUND(SUM(CASE WHEN tok = 0 THEN 1 ELSE 0 END) * 100.0
+                      / COUNT(*), 4) AS blank_pct
+         FROM t GROUP BY depth_bucket, role
+         """.format(path=path)),
         ("fuzz.intra_conversation_repeats",
          # plant a conv-keyed canned text on idx ≡ 1 (mod 4) assistant
          # turns so positive repeat groups occur on random draws; the

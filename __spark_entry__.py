@@ -3258,6 +3258,19 @@ def _q_intra_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("conv", "text_hash"))
 
 
+def _q_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth × role length profile
+    (dataset_rules.conversation_depth_profile) over the persisted
+    transcript parquet UNPLANTED: the synth table already carries the
+    full signal surface — long/blank/null text plants, negative indices
+    (bucket -1 via floor division), the narrator bad-role plant — and
+    both engines profile the identical parquet."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    return D.conversation_depth_profile(df)
+
+
 def _q_tool_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric-grounding check (dataset_rules.tool_grounding_check) over
     the persisted transcript parquet, planted with the tool-echo trick —
@@ -3497,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_documents": _q_vocab_growth,
         "special_tokens_transcripts": _q_special_tokens,
         "intra_repeats_transcripts": _q_intra_repeats,
+        "depth_profile_transcripts": _q_depth_profile,
     }
 
 
@@ -7455,6 +7469,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT pattern, n_turns, n_convs,
                ROUND(n_turns * 100.0 / tot.n, 4) AS turns_share_pct
         FROM per, tot ORDER BY pattern
+    """
+    # depth profile: bucket via explicit FLOOR of float division —
+    # DuckDB's integer // TRUNCATES toward zero (verified: -1 // 5 = 0),
+    # while Spark FLOOR(/) floors (-1 -> bucket -1); token fragment
+    # shared with the context_overflow oracle; blank = NULL or
+    # space-trim-empty
+    o["depth_profile_transcripts"] = rf"""
+        WITH t AS (
+            SELECT CAST(FLOOR(CAST(turn_idx AS BIGINT) / 5.0) AS BIGINT)
+                       AS depth_bucket, role,
+                   CAST(CASE WHEN text IS NULL OR regexp_replace(text,
+                             '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)',
+                             '', 'g') = '' THEN 0
+                        ELSE len(regexp_split_to_array(
+                             regexp_replace(text,
+                             '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)',
+                             '', 'g'), '[ \t\n\f\r\x0B]+'))
+                        END AS BIGINT) AS tok
+            FROM read_parquet('{_tp}/*.parquet')
+        )
+        SELECT depth_bucket, role,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               ROUND(AVG(tok), 4) AS avg_tokens,
+               ROUND(SUM(CASE WHEN tok = 0 THEN 1 ELSE 0 END) * 100.0
+                     / COUNT(*), 4) AS blank_pct
+        FROM t GROUP BY depth_bucket, role
+        ORDER BY depth_bucket, role NULLS FIRST
     """
     # within-conversation repeats: one (conv, md5) aggregate; min_chars
     # filter and the planted CASE replayed verbatim

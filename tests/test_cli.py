@@ -711,3 +711,19 @@ def test_cli_intra_repeats(spark, tmp_path, monkeypatch, capsys):
     j = _json_line(out)
     assert j["intra_repeats"] == 1 and j["non_adjacent_loops"] == 1
     assert "non-adjacent loops" in out
+
+
+def test_cli_depth_profile(spark, tmp_path, monkeypatch, capsys):
+    tr = str(tmp_path / "tr")
+    spark.createDataFrame(
+        [("c1", 0, "system", "be helpful"),
+         ("c1", 1, "user", "hello there friend"),
+         ("c1", 6, "assistant", "")],
+        "conv_id string, turn_idx int, role string, text string",
+    ).write.parquet(tr)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", tr, "--work-dir", str(tmp_path), "--run-id", "dp1",
+        "--depth-profile"])
+    assert rc == 0
+    assert _json_line(out)["depth_buckets"] == 3
+    assert "depth x role buckets profiled" in out

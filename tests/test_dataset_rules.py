@@ -1491,3 +1491,26 @@ def test_census_plans_shuffle_only_hits(spark):
     assert shape(D.intra_conversation_repeats(df)) == (0, 0, 1)
     # grounding: exactly the one conv-keyed window shuffle
     assert shape(D.tool_grounding_check(df)) == (0, 0, 1)
+
+
+def test_conversation_depth_profile(spark):
+    rows = [
+        ("c1", 0, "system", "you are helpful"),          # bucket 0: 3 tok
+        ("c1", 1, "user", "hi there"),                   # bucket 0: 2 tok
+        ("c1", 5, "user", "a b c d"),                    # bucket 1: 4 tok
+        ("c1", 6, "assistant", None),                    # bucket 1: blank
+        ("c1", 7, "assistant", "   "),                   # bucket 1: blank
+        ("c2", 5, "user", "one two"),                    # bucket 1: 2 tok
+        ("c2", -1, "user", "negative goes to bucket -1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {(r["depth_bucket"], r["role"]):
+           (r["n_turns"], r["avg_tokens"], r["blank_pct"])
+           for r in D.conversation_depth_profile(df).collect()}
+    assert got[(0, "system")] == (1, 3.0, 0.0)
+    assert got[(0, "user")] == (1, 2.0, 0.0)
+    assert got[(1, "user")] == (2, 3.0, 0.0)
+    assert got[(1, "assistant")] == (2, 0.0, 100.0)
+    assert got[(-1, "user")] == (1, 5.0, 0.0)
+    assert len(got) == 5

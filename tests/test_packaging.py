@@ -244,6 +244,10 @@ def test_gate_window_covers_never_gated():
         # the turn-grain shape of dedup_exact/canned_responses — with
         # its own full hash oracle + unit tests + an unplanted fuzz pair
         "intra_repeats_transcripts": "canned_responses_transcripts",
+        # session-N: the depth profile is ONE scan-projected aggregate —
+        # the conversation_stats shape — with its own full hash oracle
+        # + unit tests + an unplanted fuzz pair
+        "depth_profile_transcripts": "conversation_stats_transcripts",
     }
     orphans = [
         k for k in keys[50:]

@@ -255,6 +255,12 @@ def main(argv: list[str] | None = None) -> int:
                         "EXCLUSIVE token n-grams — a near-zero "
                         "exclusivity source is redundant mass, a high "
                         "one is irreplaceable coverage")
+    p.add_argument("--depth-profile", action="store_true",
+                   help="turn-depth x role length profile over a "
+                        "transcripts-shaped input: mean token length and "
+                        "blank share by depth bucket — the context-rot "
+                        "curve (shrinking tails, serving-limit cliffs, "
+                        "blank ramps)")
     p.add_argument("--intra-repeats", action="store_true",
                    help="within-conversation repeated-turn scan over a "
                         "transcripts-shaped input: the model-loop class "
@@ -725,6 +731,15 @@ def main(argv: list[str] | None = None) -> int:
         print(f"sources profiled for gram diversity: {n}")
         prof.show(50, truncate=False)
         print(json.dumps({"run_id": args.run_id, "diversity_sources": n}))
+        spark.stop()
+        return 0
+
+    if args.depth_profile:
+        prof = D.conversation_depth_profile(df).cache()
+        n = prof.count()
+        print(f"depth x role buckets profiled: {n}")
+        prof.show(50, truncate=False)
+        print(json.dumps({"run_id": args.run_id, "depth_buckets": n}))
         spark.stop()
         return 0
 

@@ -3863,3 +3863,54 @@ def intra_conversation_repeats(
             .withColumn("span",
                         (F.col("last_idx") - F.col("first_idx"))
                         .cast("long")))
+
+
+def conversation_depth_profile(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    bucket_size: int = 5,
+) -> DataFrame:
+    """Turn-depth × role length profile: per depth bucket
+    (``turn_idx DIV bucket_size``) and role, how many turns, their mean
+    whitespace-token length, and their blank share. The context-rot
+    curve operators watch at corpus scale: assistant turns that shrink
+    monotonically with depth signal context-exhaustion truncation, a
+    length CLIFF at one bucket marks where a serving-side limit bit, and
+    a blank-rate ramp localizes the depth at which a broken pipeline
+    starts dropping text — all invisible to per-turn rules (every turn
+    individually passes) and to whole-conversation stats (the mean hides
+    WHERE the decay is). Token cost = the
+    :func:`valar_spark.textops.token_count` contract (null/blank ⇒ 0);
+    blank = ZERO TOKENS (null or whitespace-only under the same
+    contract) — deliberately defined off the token count rather than a
+    TRIM comparison, because trim dialects disagree on exotic
+    whitespace across engines (the differential fuzzer caught exactly
+    this on \\t\\n-padded texts) while the shared tokenizer fragment is
+    already proven portable.
+
+    ONE aggregate: the per-turn token count and blank flag are projected
+    in the scan, the shuffle carries (bucket, role, two ints), output
+    bounded by depth range × |roles|. Negative indices (the synth
+    corruption plant) bucket via floor division, so they land in bucket
+    -1 instead of polluting bucket 0.
+
+    Columns: ``(depth_bucket, role, n_turns, avg_tokens, blank_pct)``
+    ordered by (depth_bucket, role NULLS FIRST)."""
+    from valar_spark.textops import token_count
+
+    b = F.floor(F.col(idx_col).cast("long") / int(bucket_size))
+    base = (df.select(
+        b.alias("depth_bucket"),
+        F.col(role_col).alias("role"),
+        token_count(F.col(text_col)).cast("long").alias("_tok"))
+        .withColumn("_blank", (F.col("_tok") == 0).cast("int")))
+    return (base.groupBy("depth_bucket", "role")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.round(F.avg("_tok"), 4).alias("avg_tokens"),
+                 F.round(F.sum("_blank") * 100.0 / F.count(F.lit(1)), 4)
+                 .alias("blank_pct"))
+            .orderBy(F.col("depth_bucket").asc_nulls_first(),
+                     F.col("role").asc_nulls_first()))
