@@ -3612,14 +3612,16 @@ INJECTION_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
-def injection_label_array(text_col: str = "text") -> Column:
+def injection_label_array(text_col: str | Column = "text") -> Column:
     """Compacted array of :data:`INJECTION_PATTERNS` class keys the text
     matches (empty array = clean turn). The ONE shared Column builder
-    behind :func:`prompt_injection_census` and
-    :func:`valar_spark.streaming.stream_injection_flags`, so the batch
-    census and the streaming flagger cannot drift. Normalization =
-    ``lower()`` + U+2019→ASCII, matching UNANCHORED."""
-    t = F.lower(F.translate(F.col(text_col), "’", "'"))
+    behind :func:`prompt_injection_census`,
+    :func:`valar_spark.streaming.stream_injection_flags` and the
+    :func:`valar_spark.rules.no_injection_bait` row rule, so the census,
+    the streaming flagger and the enforcement rule cannot drift.
+    Normalization = ``lower()`` + U+2019→ASCII, matching UNANCHORED."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.lower(F.translate(c, "’", "'"))
     return F.filter(
         F.array(*[F.when(t.rlike(pat), F.lit(key))
                   for key, pat in INJECTION_PATTERNS]),
@@ -3775,6 +3777,22 @@ SPECIAL_TOKEN_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+def special_token_label_array(text_col: str | Column = "text") -> Column:
+    """Compacted array of :data:`SPECIAL_TOKEN_PATTERNS` class keys the
+    text matches (empty array = clean). Shared by
+    :func:`special_token_leakage` and the
+    :func:`valar_spark.rules.no_special_tokens` row rule so census and
+    enforcement cannot drift. Case-sensitive except ``role_prefix``
+    (matched on ``lower()``, anchored at turn start)."""
+    raw = F.col(text_col) if isinstance(text_col, str) else text_col
+    low = F.lower(raw)
+    return F.filter(
+        F.array(*[F.when((low if key == "role_prefix" else raw)
+                         .rlike(pat), F.lit(key))
+                  for key, pat in SPECIAL_TOKEN_PATTERNS]),
+        lambda c: c.isNotNull())
+
+
 def special_token_leakage(
     df: DataFrame,
     conv_col: str = "conv_id",
@@ -3800,16 +3818,11 @@ def special_token_leakage(
 
     Columns: ``(pattern, n_turns, n_convs, turns_share_pct)`` ordered by
     pattern."""
-    raw = F.col(text_col)
-    low = F.lower(raw)
-    labels = [F.when((low if key == "role_prefix" else raw).rlike(pat),
-                     F.lit(key))
-              for key, pat in SPECIAL_TOKEN_PATTERNS]
     turns = (df.filter(F.col(role_col).eqNullSafe(role)
-                       & raw.isNotNull())
+                       & F.col(text_col).isNotNull())
              .select(F.col(conv_col).alias("_conv"),
-                     F.filter(F.array(*labels),
-                              lambda c: c.isNotNull()).alias("_labels")))
+                     special_token_label_array(text_col)
+                     .alias("_labels")))
     matched = turns.select("_conv", F.explode("_labels").alias("pattern"))
     per = (matched.groupBy("pattern")
            .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),

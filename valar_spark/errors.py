@@ -39,6 +39,8 @@ CODE_TYPE_MISMATCH = "validation.type.mismatch"
 CODE_UDF_FAILURE = "validation.udf.failure"
 CODE_CROSS_FIELD = "validation.cross_field"
 CODE_INVALID_JSON = "validation.string.invalid_json"
+CODE_INJECTION_BAIT = "validation.security.injection_bait"
+CODE_SPECIAL_TOKEN = "validation.security.special_token"
 
 # Engine-level dataset rule codes (BASELINE.json:6 obligations).
 CODE_DUPLICATE_KEY = "validation.dataset.duplicate_key"

@@ -506,6 +506,66 @@ def always_valid() -> LeafRule:
     return _leaf("pass", build)
 
 
+@_record_spec
+def no_injection_bait(message: str | None = None) -> LeafRule:
+    """Security screen: the text must match NO class of the
+    prompt-injection battery
+    (:data:`valar_spark.dataset_rules.INJECTION_PATTERNS`). The
+    ENFORCEMENT face of the census — same shared classification Column
+    (:func:`~valar_spark.dataset_rules.injection_label_array`), so a
+    violation row here and a census hit can never disagree; the error
+    message names every matched class. Null passes (no text, no bait) —
+    compose with ``required()`` to forbid nulls. Like every leaf this
+    stays inside the single whole-stage-codegen rule projection; the
+    battery is a handful of JVM ``rlike`` calls per row."""
+
+    def build(col, rid, ctx, ann):
+        from valar_spark.dataset_rules import injection_label_array
+
+        labels = injection_label_array(col)
+        msg = (F.lit(message) if message is not None
+               else F.concat(F.lit("Prompt-injection bait ("),
+                             F.array_join(labels, ", "),
+                             F.lit(") in value")))
+        return E.cond_errors(
+            (col.isNotNull() & (F.size(labels) > 0),
+             E.error_struct(rid, msg, E.CODE_INJECTION_BAIT, ann=ann,
+                            expected="no injection patterns",
+                            actual=col, severity="Warning")),
+        )
+
+    return _leaf("no_injection_bait", build)
+
+
+@_record_spec
+def no_special_tokens(message: str | None = None) -> LeafRule:
+    """Serving-artifact screen: the text must contain NO literal special
+    token of :data:`valar_spark.dataset_rules.SPECIAL_TOKEN_PATTERNS`
+    (stop tokens, ChatML markers, template tags, role-prefix wraps). The
+    enforcement face of ``special_token_leakage`` via the same shared
+    Column builder; the message names every matched class. Null passes;
+    severity defaults to Error — unlike injection bait (which may be
+    legitimate red-team data a curator keeps), a leaked control token in
+    assistant text is never intentional."""
+
+    def build(col, rid, ctx, ann):
+        from valar_spark.dataset_rules import special_token_label_array
+
+        labels = special_token_label_array(col)
+        msg = (F.lit(message) if message is not None
+               else F.concat(F.lit("Special-token leakage ("),
+                             F.array_join(labels, ", "),
+                             F.lit(") in value")))
+        return E.cond_errors(
+            (col.isNotNull() & (F.size(labels) > 0),
+             E.error_struct(rid, msg, E.CODE_SPECIAL_TOKEN, ann=ann,
+                            expected="no special tokens",
+                            actual=col)),
+        )
+
+    return _leaf("no_special_tokens", build)
+
+
 class RowRule(Rule):
     """Cross-field constraint: an arbitrary boolean Column over ANY of the
     row's columns, not just the bound one.

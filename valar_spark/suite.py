@@ -40,7 +40,8 @@ _LEAF_FACTORIES = {
     name: getattr(R, name)
     for name in ["non_empty", "non_negative", "finite", "json_parseable",
                  "min_length", "max_length", "matches", "in_range",
-                 "one_of", "required", "castable", "always_valid"]
+                 "one_of", "required", "castable", "always_valid",
+                 "no_injection_bait", "no_special_tokens"]
 }
 
 
