@@ -832,3 +832,36 @@ def test_stream_tool_grounding_across_batches(spark, tmp_path):
     assert got == want
     assert ("A", 2, 3, 1, "999", round(200.0 / 3, 4)) in got
     assert len(got) == 2
+
+
+def test_stream_special_token_flags_matches_batch_census(spark, tmp_path):
+    from valar_spark.dataset_rules import special_token_leakage
+    from valar_spark.streaming import stream_special_token_flags
+
+    schema = "conv_id string, turn_idx int, role string, text string"
+    rows = [
+        ("A", 0, "assistant", "Sure.<|im_end|><|endoftext|>"),  # 2 classes
+        ("A", 1, "user", "<|endoftext|> in user turn"),         # wrong role
+        ("B", 0, "assistant", "Assistant: double wrap"),
+        ("B", 1, "assistant", "clean"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "st_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (stream_special_token_flags(stream).writeStream
+         .format("memory").queryName("st_mem")
+         .option("checkpointLocation", str(tmp_path / "st_ck"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["conv_id"], r["turn_idx"], tuple(r["patterns"]))
+           for r in spark.sql("SELECT * FROM st_mem").collect()}
+    assert got == {
+        ("A", 0, ("stop_token", "chatml_marker")),
+        ("B", 0, ("role_prefix",)),
+    }
+    census = {r["pattern"]: r["n_turns"]
+              for r in special_token_leakage(df).collect()}
+    assert census == {"stop_token": 1, "chatml_marker": 1,
+                      "role_prefix": 1}

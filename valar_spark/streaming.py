@@ -928,3 +928,29 @@ def stream_tool_grounding(
     return stream_df.groupBy(conv_col).applyInPandasWithState(
         fn, out_ddl, state_ddl, "append",
         "NoTimeout" if close_ms is None else "ProcessingTimeTimeout")
+
+
+def stream_special_token_flags(
+    stream_df: DataFrame,
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "assistant",
+) -> DataFrame:
+    """Ingest-time serving-artifact screen — the streaming face of
+    :func:`valar_spark.dataset_rules.special_token_leakage`, built like
+    :func:`stream_injection_flags`: a stateless projection + filter over
+    the shared classification Column
+    (:func:`~valar_spark.dataset_rules.special_token_label_array`), so
+    batch census, row rule and stream cannot drift. Flags assistant
+    turns whose text embeds literal stop tokens / ChatML markers /
+    template tags / role-prefix wraps BEFORE they land in storage —
+    the defect is self-reinforcing (a model emitted it; training on it
+    teaches the next model to emit it), so the earlier it's quarantined
+    the better. Output = firing input rows plus a ``patterns`` array."""
+    from valar_spark.dataset_rules import special_token_label_array
+
+    return (stream_df
+            .filter(F.col(role_col).eqNullSafe(role)
+                    & F.col(text_col).isNotNull())
+            .withColumn("patterns", special_token_label_array(text_col))
+            .filter(F.size("patterns") > 0))

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import rules as R
-from .dataset_rules import SEMANTIC_TYPE_PATTERNS, stats_profile
+from .dataset_rules import (SEMANTIC_TYPE_PATTERNS, injection_label_array,
+                            special_token_label_array, stats_profile)
 
 _NUMERIC = ("integer", "long", "short", "byte", "float", "double", "decimal")
 
@@ -105,6 +106,16 @@ def suggest_rules(
             + [F.sum(F.col(c).rlike(pat).cast("long"))
                .alias(f"__sem_{t}_{c}")
                for c in string_cols for t, pat in _SEM_SUGGEST.items()]
+            # security batteries + max length (texty-column heuristic),
+            # riding the SAME single aggregate pass
+            + [F.sum((F.size(injection_label_array(F.col(c))) > 0)
+                     .cast("long")).alias(f"__inj_{c}")
+               for c in string_cols]
+            + [F.sum((F.size(special_token_label_array(F.col(c))) > 0)
+                     .cast("long")).alias(f"__tok_{c}")
+               for c in string_cols]
+            + [F.max(F.length(F.col(c))).alias(f"__len_{c}")
+               for c in string_cols]
         )).first()
         blanks = {c: int(row[c] or 0) for c in string_cols}
         ctrls = {c: int(row[f"__ctrl_{c}"] or 0) for c in string_cols}
@@ -112,6 +123,9 @@ def suggest_rules(
         jobjs = {c: int(row[f"__jobj_{c}"] or 0) for c in string_cols}
         sems = {(t, c): int(row[f"__sem_{t}_{c}"] or 0)
                 for c in string_cols for t in _SEM_SUGGEST}
+        injs = {c: int(row[f"__inj_{c}"] or 0) for c in string_cols}
+        toks = {c: int(row[f"__tok_{c}"] or 0) for c in string_cols}
+        maxlens = {c: int(row[f"__len_{c}"] or 0) for c in string_cols}
 
     rules: dict = {}
     report_rows: list[tuple] = []
@@ -164,6 +178,33 @@ def suggest_rules(
                         c, "semantic_type_also", t,
                         f"all {nn_s} non-null values also match "
                         f"'{t}' — evidence only, one regex suggested"))
+            # security screens on free-text columns (max observed length
+            # >= 80 — short id/enum columns trivially pass and would
+            # only add noise): suggest the rule when the battery is
+            # CLEAN today (Deequ stance: constraints the data passes);
+            # a firing battery becomes an evidence row for review, not
+            # a rule the data would immediately violate
+            if nn_s > 0 and maxlens.get(c, 0) >= 80:
+                if injs.get(c, 0) == 0:
+                    leaves.append((
+                        R.no_injection_bait(), "no_injection_bait", "",
+                        "free-text column, no injection-battery hit "
+                        f"in {nn_s} non-null values"))
+                else:
+                    report_rows.append((
+                        c, "injection_bait_present", "",
+                        f"{injs[c]} of {nn_s} non-null values fire the "
+                        "injection battery — review before enforcing"))
+                if toks.get(c, 0) == 0:
+                    leaves.append((
+                        R.no_special_tokens(), "no_special_tokens", "",
+                        "free-text column, no special-token leak "
+                        f"in {nn_s} non-null values"))
+                else:
+                    report_rows.append((
+                        c, "special_tokens_present", "",
+                        f"{toks[c]} of {nn_s} non-null values leak "
+                        "special tokens — review before enforcing"))
             for rule, name, params, reason in leaves:
                 core = (core & rule) if core is not None else rule
                 report_rows.append((c, name, params, reason))
