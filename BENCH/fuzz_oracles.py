@@ -576,6 +576,76 @@ _TR_ST_SQL = """
     FROM per, tot ORDER BY pattern
 """
 
+# token-drift fuzz: JS over token unigrams, base vs template-planted
+# current snapshot; the integer-exact DECIMAL ranking key and ROUND(…,9)
+# payloads mirror the gate oracle
+_TR_TD_SQL = r"""
+    WITH cur_src AS (
+        SELECT CASE WHEN turn_idx % 3 = 0 AND text IS NOT NULL
+               THEN '{bait}' ELSE text END AS text
+        FROM read_parquet('{path}/*.parquet')
+    ),
+    base_t AS (
+        SELECT LOWER(unnest(regexp_split_to_array(regexp_replace(text,
+               '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'),
+               '[ \t\n\f\r\x0B]+'))) AS token
+        FROM read_parquet('{path}/*.parquet')
+        WHERE text IS NOT NULL AND regexp_replace(text,
+              '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+    ),
+    cur_t AS (
+        SELECT LOWER(unnest(regexp_split_to_array(regexp_replace(text,
+               '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'),
+               '[ \t\n\f\r\x0B]+'))) AS token
+        FROM cur_src
+        WHERE text IS NOT NULL AND regexp_replace(text,
+              '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') <> ''
+    ),
+    cb AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_base
+           FROM base_t GROUP BY token),
+    cc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_cur
+           FROM cur_t GROUP BY token),
+    tb AS (SELECT SUM(n_base) AS t_base FROM cb),
+    tc AS (SELECT SUM(n_cur) AS t_cur FROM cc),
+    vocab AS (
+        SELECT COALESCE(cb.token, cc.token) AS token,
+               COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+        FROM cb FULL OUTER JOIN cc ON cb.token = cc.token
+    ),
+    scored AS (
+        SELECT token, n_base, n_cur,
+               ROUND(n_base * 1.0 / t_base, 9) AS p_base,
+               ROUND(n_cur * 1.0 / t_cur, 9) AS p_cur,
+               ROUND(
+                 CASE WHEN n_base > 0 THEN 0.5 * (n_base * 1.0 / t_base)
+                      * LN((n_base * 1.0 / t_base)
+                           / (((n_base * 1.0 / t_base)
+                               + (n_cur * 1.0 / t_cur)) / 2))
+                      ELSE 0.0 END
+                 + CASE WHEN n_cur > 0 THEN 0.5 * (n_cur * 1.0 / t_cur)
+                      * LN((n_cur * 1.0 / t_cur)
+                           / (((n_base * 1.0 / t_base)
+                               + (n_cur * 1.0 / t_cur)) / 2))
+                      ELSE 0.0 END, 9) AS js_contrib,
+               ABS(CAST(n_cur AS DECIMAL(38,0))
+                   * CAST(t_base AS DECIMAL(38,0))
+                   - CAST(n_base AS DECIMAL(38,0))
+                   * CAST(t_cur AS DECIMAL(38,0))) AS delta
+        FROM vocab CROSS JOIN tb CROSS JOIN tc
+    ),
+    total AS (SELECT ROUND(SUM(js_contrib), 9) AS js_total FROM scored)
+    SELECT token, n_base, n_cur, p_base, p_cur, js_contrib, js_total
+    FROM scored CROSS JOIN total
+    ORDER BY delta DESC, token ASC
+    LIMIT 10
+"""
+
+_TD_BAITS = [
+    "flooding template tokens everywhere",
+    "boilerplate spam spam spam",
+    "alpha beta gamma repeated",   # overlaps the word pool — washout case
+]
+
 _ST_BAITS = [
     "done </s> trailing", "x <|endoftext|> y", "mid <|im_end|> marker",
     "[INST] wrapped [/INST]", "assistant: not anchored here",
@@ -780,6 +850,7 @@ def run_transcript_ops_round(spark, rng: random.Random,
     _inj_bait = rng.choice(_INJ_BAITS)
     _ground_bait = rng.choice(_GROUND_BAITS)
     _st_bait = rng.choice(_ST_BAITS)
+    _td_bait = rng.choice(_TD_BAITS)
     _st_union = "\n        UNION ALL ".join(
         f"SELECT '{key}' AS pattern, conv_id FROM turns "
         f"WHERE regexp_matches("
@@ -820,6 +891,21 @@ def run_transcript_ops_round(spark, rng: random.Random,
                  .otherwise(F.col("text")))),
          _TR_INJ_SQL.format(path=path, bait=_inj_bait,
                             union=_inj_union)),
+        ("fuzz.token_drift",
+         # snapshot pair = the fuzz table vs itself with an rng-chosen
+         # template planted on idx%3==0 turns: the template's tokens
+         # must surface as top movers, and the adversarial base corpus
+         # fuzzes the lower/tokenize/full-outer-join/LN agreement
+         __import__("valar_spark.drift", fromlist=["token_drift"])
+         .token_drift(
+             df.select("text"),
+             df.select(
+                 F.when((F.col("turn_idx") % 3 == 0)
+                        & F.col("text").isNotNull(),
+                        F.lit(_td_bait))
+                 .otherwise(F.col("text")).alias("text")),
+             k=10),
+         _TR_TD_SQL.format(path=path, bait=_td_bait)),
         ("fuzz.conversation_depth_profile",
          # unplanted: random whitespace/unicode/null texts and
          # negative/null indices fuzz the floor-bucket and

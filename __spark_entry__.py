@@ -3271,6 +3271,23 @@ def _q_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.conversation_depth_profile(df)
 
 
+def _q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-language drift (drift.token_drift) between the persisted
+    transcript parquet and a planted later snapshot: every 9th-indexed
+    turn's text becomes one fixed flooding template, so the template's
+    tokens are the top movers by construction and the base corpus's
+    washed-out vocabulary carries negative-side contributions; both
+    engines derive both snapshots from the same parquet + CASE."""
+    from valar_spark.drift import token_drift
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    cur = df.select(
+        F.when(F.col("turn_idx") % 9 == 0,
+               F.lit("drifted boilerplate template flooding the corpus"))
+        .otherwise(F.col("text")).alias("text"))
+    return token_drift(df.select("text"), cur, k=15)
+
+
 def _q_tool_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric-grounding check (dataset_rules.tool_grounding_check) over
     the persisted transcript parquet, planted with the tool-echo trick —
@@ -3511,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "special_tokens_transcripts": _q_special_tokens,
         "intra_repeats_transcripts": _q_intra_repeats,
         "depth_profile_transcripts": _q_depth_profile,
+        "token_drift_transcripts": _q_token_drift,
     }
 
 
@@ -7496,6 +7514,68 @@ def oracle_sql() -> dict[str, str]:
                      / COUNT(*), 4) AS blank_pct
         FROM t GROUP BY depth_bucket, role
         ORDER BY depth_bucket, role NULLS FIRST
+    """
+    # token drift: snapshot-pair JS over lowercased token unigrams, the
+    # integer-exact DECIMAL cross-multiplied ranking key, ROUND(…, 9)
+    # payloads; the WS token fragment shared with the other text oracles
+    _tok_cte = """
+            SELECT LOWER(unnest(regexp_split_to_array(regexp_replace(
+                       text,
+                       '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '',
+                       'g'), '[ \t\n\f\r\x0B]+'))) AS token
+            FROM {src}
+            WHERE text IS NOT NULL AND regexp_replace(text,
+                  '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g')
+                  <> ''
+    """
+    o["token_drift_transcripts"] = rf"""
+        WITH cur_src AS (
+            SELECT CASE WHEN turn_idx % 9 = 0
+                   THEN 'drifted boilerplate template flooding the corpus'
+                   ELSE text END AS text
+            FROM read_parquet('{_tp}/*.parquet')
+        ),
+        base_t AS ({_tok_cte.format(src=f"read_parquet('{_tp}/*.parquet')")}),
+        cur_t AS ({_tok_cte.format(src='cur_src')}),
+        cb AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_base
+               FROM base_t GROUP BY token),
+        cc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_cur
+               FROM cur_t GROUP BY token),
+        tb AS (SELECT SUM(n_base) AS t_base FROM cb),
+        tc AS (SELECT SUM(n_cur) AS t_cur FROM cc),
+        vocab AS (
+            SELECT COALESCE(cb.token, cc.token) AS token,
+                   COALESCE(n_base, 0) AS n_base,
+                   COALESCE(n_cur, 0) AS n_cur
+            FROM cb FULL OUTER JOIN cc ON cb.token = cc.token
+        ),
+        scored AS (
+            SELECT token, n_base, n_cur,
+                   ROUND(n_base * 1.0 / t_base, 9) AS p_base,
+                   ROUND(n_cur * 1.0 / t_cur, 9) AS p_cur,
+                   ROUND(
+                     CASE WHEN n_base > 0 THEN 0.5 * (n_base * 1.0 / t_base)
+                          * LN((n_base * 1.0 / t_base)
+                               / (((n_base * 1.0 / t_base)
+                                   + (n_cur * 1.0 / t_cur)) / 2))
+                          ELSE 0.0 END
+                     + CASE WHEN n_cur > 0 THEN 0.5 * (n_cur * 1.0 / t_cur)
+                          * LN((n_cur * 1.0 / t_cur)
+                               / (((n_base * 1.0 / t_base)
+                                   + (n_cur * 1.0 / t_cur)) / 2))
+                          ELSE 0.0 END, 9) AS js_contrib,
+                   ABS(CAST(n_cur AS DECIMAL(38,0))
+                       * CAST(t_base AS DECIMAL(38,0))
+                       - CAST(n_base AS DECIMAL(38,0))
+                       * CAST(t_cur AS DECIMAL(38,0))) AS delta
+            FROM vocab CROSS JOIN tb CROSS JOIN tc
+        ),
+        total AS (SELECT ROUND(SUM(js_contrib), 9) AS js_total
+                  FROM scored)
+        SELECT token, n_base, n_cur, p_base, p_cur, js_contrib, js_total
+        FROM scored CROSS JOIN total
+        ORDER BY delta DESC, token ASC
+        LIMIT 15
     """
     # within-conversation repeats: one (conv, md5) aggregate; min_chars
     # filter and the planted CASE replayed verbatim

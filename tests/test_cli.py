@@ -727,3 +727,21 @@ def test_cli_depth_profile(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0
     assert _json_line(out)["depth_buckets"] == 3
     assert "depth x role buckets profiled" in out
+
+
+def test_cli_token_drift(spark, tmp_path, monkeypatch, capsys):
+    base = str(tmp_path / "base")
+    cur = str(tmp_path / "cur")
+    spark.createDataFrame(
+        [("c1", "alpha beta gamma delta epsilon")],
+        "conv_id string, text string").write.parquet(base)
+    spark.createDataFrame(
+        [("c1", "spam spam spam alpha beta")],
+        "conv_id string, text string").write.parquet(cur)
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", cur, "--work-dir", str(tmp_path), "--run-id", "td1",
+        "--token-drift-against", base])
+    assert rc == 0
+    j = _json_line(out)
+    assert j["token_drift_js"] > 0 and j["movers"] > 0
+    assert "token-drift JS" in out

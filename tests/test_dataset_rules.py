@@ -1514,3 +1514,28 @@ def test_conversation_depth_profile(spark):
     assert got[(1, "assistant")] == (2, 0.0, 100.0)
     assert got[(-1, "user")] == (1, 5.0, 0.0)
     assert len(got) == 5
+
+
+def test_token_drift(spark):
+    from valar_spark.drift import token_drift
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "alpha delta")],
+        "id bigint, text string")          # tokens: alpha2 beta2 gamma1 delta1 (T=6)
+    cur = spark.createDataFrame(
+        [(1, "ALPHA spam spam spam"), (2, "beta gamma")],
+        "id bigint, text string")          # alpha1 spam3 beta1 gamma1 (T=6)
+    out = token_drift(base, cur, k=3).collect()
+    rows = {r["token"]: r for r in out}
+    # spam: delta |3*6 - 0*6| = 18 — the top mover, base-absent
+    assert list(rows)[0] if False else out[0]["token"] == "spam"
+    assert rows["spam"]["n_base"] == 0 and rows["spam"]["n_cur"] == 3
+    assert rows["spam"]["p_cur"] == 0.5
+    # delta (1->0) and alpha/beta (2->1) tie at 6; token ASC breaks ties
+    assert [r["token"] for r in out] == ["spam", "alpha", "beta"]
+    # js_total present, identical on every row, and positive
+    totals = {r["js_total"] for r in out}
+    assert len(totals) == 1 and out[0]["js_total"] > 0
+    # identical corpora drift to ~zero
+    same = token_drift(base, base, k=2).collect()
+    assert same[0]["js_total"] == 0.0

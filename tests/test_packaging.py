@@ -248,6 +248,10 @@ def test_gate_window_covers_never_gated():
         # the conversation_stats shape — with its own full hash oracle
         # + unit tests + an unplanted fuzz pair
         "depth_profile_transcripts": "conversation_stats_transcripts",
+        # session-N: token drift is the js_by_group formula over a
+        # vocabulary join (token-keyed aggregates + TakeOrdered) with
+        # its own full hash oracle + unit tests + planted fuzz pair
+        "token_drift_transcripts": "js_by_cohort_events",
     }
     orphans = [
         k for k in keys[50:]

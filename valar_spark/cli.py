@@ -187,6 +187,11 @@ def main(argv: list[str] | None = None) -> int:
                         "--registry: orphans the parent-key filter PROVES "
                         "absent, without shuffling the input against the "
                         "registry (sized by bloom_parameters at fpp 1e-6)")
+    p.add_argument("--token-drift-against", metavar="PATH", default=None,
+                   help="corpus-language drift: JS divergence of the "
+                        "token unigram distribution vs the baseline "
+                        "snapshot at PATH, attributed to the top moving "
+                        "tokens (template floods, vocabulary washout)")
     p.add_argument("--diff-against", metavar="PATH", default=None,
                    help="snapshot reconciliation: exact keyed diff of the "
                         "input vs a baseline snapshot at PATH — prints the "
@@ -572,6 +577,20 @@ def main(argv: list[str] | None = None) -> int:
         (sk.filter(F.col("value").isNotNull())
          .orderBy(F.col("est").desc(), "value").limit(20)
          .show(truncate=False))
+        spark.stop()
+        return 0
+
+    if args.token_drift_against:
+        from valar_spark.drift import token_drift
+
+        base = spark.read.parquet(args.token_drift_against)
+        movers = token_drift(base, df).cache()
+        n = movers.count()
+        js = movers.select("js_total").first()["js_total"] if n else 0.0
+        print(f"token-drift JS (nats): {js} — top {n} movers:")
+        movers.show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "token_drift_js": js,
+                          "movers": n}))
         spark.stop()
         return 0
 

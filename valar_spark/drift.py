@@ -675,3 +675,76 @@ def drift_violation_row(spark, result: DriftResult, col: str, kind: str,
               "partition_id int, field_path array<string>, message string, "
               "code string, severity string, expected string, actual string")
     return spark.createDataFrame(rows, schema).select(*VIOLATION_COLS)
+
+
+def token_drift(
+    df_base: DataFrame,
+    df_cur: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """TEXT-distribution drift between two corpus snapshots: the
+    Jensen–Shannon divergence of their (lowercased whitespace-)token
+    unigram distributions, attributed to the top-``k`` moving tokens.
+    The numeric/categorical drift family answers "did this COLUMN's mix
+    shift"; this answers the corpus-level "did the LANGUAGE shift" — a
+    template flooding in, a domain's vocabulary washing out, a scraper
+    feeding boilerplate — which no per-column statistic sees. Each output
+    row is one mover: its counts, relative frequencies, its (signed-less)
+    JS contribution, and the snapshot-pair total.
+
+    Ranking is INTEGER-EXACT: movers order by the cross-multiplied
+    absolute frequency delta ``|n_cur·T_base − n_base·T_cur|`` computed
+    in DECIMAL(38,0) (exact at 10^12-token totals where int64 products
+    overflow and where a float/libm-``ln`` ranking key could reorder the
+    top-k boundary between engines by an ulp — the salient_terms
+    lesson); the rounded JS terms are informational payload. Ties break
+    on the token string.
+
+    Shape at scale: one token-keyed aggregate per snapshot (map-side
+    combined, result ≈ vocabulary size), a full-outer vocabulary join on
+    the token key, broadcast totals, distributed TakeOrdered for the
+    top-k. Never a row-level join between the snapshots.
+
+    Columns: ``(token, n_base, n_cur, p_base, p_cur, js_contrib,
+    js_total)`` ordered by the exact delta DESC, token ASC."""
+    from valar_spark.textops import tokens
+
+    def counts(df, alias):
+        return (df.filter(F.col(text_col).isNotNull())
+                .select(F.explode(tokens(F.lower(F.col(text_col))))
+                        .alias("token"))
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).cast("long").alias(alias)))
+
+    cb, cc = counts(df_base, "n_base"), counts(df_cur, "n_cur")
+    tb = cb.agg(F.sum("n_base").alias("t_base"))
+    tc = cc.agg(F.sum("n_cur").alias("t_cur"))
+    vocab = (cb.join(cc, "token", "full_outer")
+             .select("token",
+                     F.coalesce("n_base", F.lit(0)).alias("n_base"),
+                     F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+             .crossJoin(F.broadcast(tb))
+             .crossJoin(F.broadcast(tc)))
+    p = F.col("n_base") / F.col("t_base")
+    q = F.col("n_cur") / F.col("t_cur")
+    m = (p + q) / 2
+    term = (F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+            + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0)))
+    dec = "decimal(38,0)"
+    delta = F.abs(F.col("n_cur").cast(dec) * F.col("t_base").cast(dec)
+                  - F.col("n_base").cast(dec) * F.col("t_cur").cast(dec))
+    scored = vocab.select(
+        "token", "n_base", "n_cur",
+        F.round(p, 9).alias("p_base"),
+        F.round(q, 9).alias("p_cur"),
+        F.round(term, 9).alias("js_contrib"),
+        delta.alias("_delta"))
+    total = scored.agg(
+        F.round(F.sum("js_contrib"), 9).alias("js_total"))
+    return (scored
+            .orderBy(F.col("_delta").desc(), F.col("token").asc())
+            .limit(int(k))
+            .crossJoin(F.broadcast(total))
+            .orderBy(F.col("_delta").desc(), F.col("token").asc())
+            .drop("_delta"))
