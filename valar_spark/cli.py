@@ -260,6 +260,14 @@ def main(argv: list[str] | None = None) -> int:
                         "EXCLUSIVE token n-grams — a near-zero "
                         "exclusivity source is redundant mass, a high "
                         "one is irreplaceable coverage")
+    p.add_argument("--transcript-report", action="store_true",
+                   help="one-stop corpus health report over a "
+                        "transcripts-shaped input: shape, terminal "
+                        "grammar, language mix, cadence, the three "
+                        "pattern censuses (refusal / injection / "
+                        "special-token), tool echo+grounding, intra-conv "
+                        "loops — section counts plus ONE machine-readable "
+                        "JSON line; exits 1 if any security census fires")
     p.add_argument("--depth-profile", action="store_true",
                    help="turn-depth x role length profile over a "
                         "transcripts-shaped input: mean token length and "
@@ -752,6 +760,51 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"run_id": args.run_id, "diversity_sources": n}))
         spark.stop()
         return 0
+
+    if args.transcript_report:
+        # ONE cached scan feeds every section; each section is its own
+        # bounded-output aggregate, so the report costs ~the sum of the
+        # individual CLI surfaces minus the repeated input scans
+        df = df.cache()
+        sections: dict[str, int] = {}
+
+        def sec(name: str, frame, title: str, show_n: int = 10) -> int:
+            n = frame.count()
+            sections[name] = n
+            print(f"== {title}: {n}")
+            if n:
+                frame.limit(show_n).show(truncate=60)
+            return n
+
+        stats = D.conversation_stats(df).cache()
+        print(f"== conversations: {stats.count()}, "
+              f"turns: {df.count()}")
+        sections["conversations"] = stats.count()
+        sections["turns"] = df.count()
+        sec("shape_violations", D.conversation_violations(df, stats=stats),
+            "conversation-shape violations")
+        sec("mixed_language",
+            D.conversation_language_profile(df).filter("mixed"),
+            "mixed-language conversations")
+        sec("constant_cadence",
+            D.conversation_cadence_profile(df)
+            .filter("constant_cadence"), "constant-cadence conversations")
+        sec("refusal_patterns", D.refusal_pattern_census(df),
+            "refusal patterns firing")
+        inj = sec("injection_patterns", D.prompt_injection_census(df),
+                  "injection patterns firing")
+        tok = sec("special_token_classes", D.special_token_leakage(df),
+                  "special-token classes firing")
+        sec("tool_echoes", D.tool_output_echo(df),
+            "assistant turns echoing tool output")
+        sec("ungrounded_turns",
+            D.tool_grounding_check(df).filter("n_ungrounded > 0"),
+            "assistant turns with ungrounded numbers")
+        sec("intra_repeats", D.intra_conversation_repeats(df),
+            "repeated texts within conversations")
+        print(json.dumps({"run_id": args.run_id, **sections}))
+        spark.stop()
+        return 1 if (inj or tok) else 0
 
     if args.depth_profile:
         prof = D.conversation_depth_profile(df).cache()
