@@ -260,6 +260,14 @@ def main(argv: list[str] | None = None) -> int:
                         "EXCLUSIVE token n-grams — a near-zero "
                         "exclusivity source is redundant mass, a high "
                         "one is irreplaceable coverage")
+    p.add_argument("--corpus-report", action="store_true",
+                   help="one-stop corpus health report over a "
+                        "documents-shaped input: quality gate, exact/"
+                        "normalized dup mass, charset+invisible+mixed-"
+                        "script hygiene, credential/PII counts, source "
+                        "diversity, vocabulary-growth tail — section "
+                        "counts plus ONE JSON line; exits 1 if "
+                        "credentials are found")
     p.add_argument("--transcript-report", action="store_true",
                    help="one-stop corpus health report over a "
                         "transcripts-shaped input: shape, terminal "
@@ -760,6 +768,55 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"run_id": args.run_id, "diversity_sources": n}))
         spark.stop()
         return 0
+
+    if args.corpus_report:
+        from valar_spark import textops as X
+
+        df = df.cache()
+        sections: dict[str, int] = {}
+
+        def sec(name: str, frame, title: str, show_n: int = 10) -> int:
+            n = frame.count()
+            sections[name] = n
+            print(f"== {title}: {n}")
+            if n:
+                frame.limit(show_n).show(truncate=60)
+            return n
+
+        sections["docs"] = df.count()
+        print(f"== documents: {sections['docs']}")
+        sec("quality_dropped", X.corpus_filter(df).filter("NOT keep"),
+            "quality-gate dropped docs")
+        sec("exact_dup_groups", X.exact_duplicate_groups(df),
+            "exact duplicate groups")
+        sec("normalized_dup_groups", X.normalized_duplicate_groups(df),
+            "normalization-key duplicate groups")
+        sec("mojibake_docs",
+            X.charset_features(df).filter("n_replacement > 0"),
+            "docs with U+FFFD replacement chars")
+        sec("invisible_char_docs",
+            X.invisible_char_features(df)
+            .filter("has_invisible OR has_bidi"),
+            "docs with invisible/bidi controls")
+        sec("mixed_script_docs",
+            X.mixed_script_features(df).filter("has_mixed_script"),
+            "docs with mixed-script (homoglyph) tokens")
+        cred = sec("credential_docs",
+                   X.credential_scan(df).filter("flagged"),
+                   "docs with leaked credentials")
+        sec("diversity_sources", X.source_diversity_profile(df),
+            "sources profiled (exclusive-gram diversity)")
+        curve = X.vocab_growth_curve(df).cache()
+        sections["vocab_buckets"] = curve.count()
+        tail = curve.orderBy(F.col("bucket").desc()).first()
+        sections["tail_novelty_pct"] = (
+            float(tail["novelty_pct"]) if tail and
+            tail["novelty_pct"] is not None else None)
+        print(f"== vocab-growth tail novelty: "
+              f"{sections['tail_novelty_pct']}%")
+        print(json.dumps({"run_id": args.run_id, **sections}))
+        spark.stop()
+        return 1 if cred else 0
 
     if args.transcript_report:
         # ONE cached scan feeds every section; each section is its own
