@@ -770,6 +770,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.corpus_report:
+        from pyspark.sql import functions as F
+
         from valar_spark import textops as X
 
         df = df.cache()
@@ -796,7 +798,7 @@ def main(argv: list[str] | None = None) -> int:
             "docs with U+FFFD replacement chars")
         sec("invisible_char_docs",
             X.invisible_char_features(df)
-            .filter("has_invisible OR has_bidi"),
+            .filter("has_invisible OR bidi_unbalanced"),
             "docs with invisible/bidi controls")
         sec("mixed_script_docs",
             X.mixed_script_features(df).filter("has_mixed_script"),
