@@ -851,6 +851,13 @@ def run_transcript_ops_round(spark, rng: random.Random,
     _ground_bait = rng.choice(_GROUND_BAITS)
     _st_bait = rng.choice(_ST_BAITS)
     _td_bait = rng.choice(_TD_BAITS)
+    _inj_any = " OR ".join(
+        f"regexp_matches(LOWER(translate(text, '’', '''')), '{pat}')"
+        for _, pat in INJECTION_PATTERNS)
+    _tok_any = " OR ".join(
+        ("regexp_matches(LOWER(text), " if key == "role_prefix"
+         else "regexp_matches(text, ") + f"'{pat}')"
+        for key, pat in SPECIAL_TOKEN_PATTERNS)
     _st_union = "\n        UNION ALL ".join(
         f"SELECT '{key}' AS pattern, conv_id FROM turns "
         f"WHERE regexp_matches("
@@ -891,6 +898,76 @@ def run_transcript_ops_round(spark, rng: random.Random,
                  .otherwise(F.col("text")))),
          _TR_INJ_SQL.format(path=path, bait=_inj_bait,
                             union=_inj_union)),
+        ("fuzz.conversation_quarantine",
+         # unplanted composition check: random roles/texts/indices fuzz
+         # the lag pairing + battery + digit-list machinery as ONE rollup;
+         # the injection/special plants of the sibling pairs make some
+         # draws quarantine-positive via the same rng table
+         D.conversation_quarantine(df),
+         f"""
+         WITH l AS (
+             SELECT conv_id AS conv, role, text,
+                    LAG(role) OVER w AS prev_role,
+                    LAG(text) OVER w AS prev_text,
+                    CASE WHEN role IN ('user', 'tool')
+                              AND text IS NOT NULL
+                              AND ({_inj_any}) THEN 1 ELSE 0 END AS inj,
+                    CASE WHEN role = 'assistant' AND text IS NOT NULL
+                              AND ({_tok_any}) THEN 1 ELSE 0 END AS tok
+             FROM read_parquet('{path}/*.parquet')
+             WINDOW w AS (PARTITION BY conv_id
+                          ORDER BY CAST(turn_idx AS BIGINT)
+                                       ASC NULLS FIRST,
+                                   role ASC NULLS FIRST,
+                                   md5(COALESCE(text, '')) ASC)
+         ), cls AS (
+             SELECT conv, inj, tok,
+                    CASE WHEN role = 'assistant' AND prev_role = 'tool'
+                              AND prev_text IS NOT NULL
+                              AND text IS NOT NULL
+                              AND LENGTH(prev_text) >= 20
+                              AND contains(text, prev_text)
+                         THEN 1 ELSE 0 END AS echo,
+                    CASE WHEN role = 'assistant' AND prev_role = 'tool'
+                              AND prev_text IS NOT NULL
+                              AND text IS NOT NULL
+                              AND len(list_distinct(regexp_extract_all(
+                                      text, '{NUMBER_TOKEN_PATTERN}')))
+                                  > 0
+                              AND len(list_filter(
+                                      list_distinct(regexp_extract_all(
+                                          text,
+                                          '{NUMBER_TOKEN_PATTERN}')),
+                                      x -> NOT list_contains(
+                                          list_distinct(
+                                              regexp_extract_all(
+                                                  prev_text,
+                                                  '{NUMBER_TOKEN_PATTERN}'
+                                              )), x))) > 0
+                         THEN 1 ELSE 0 END AS ung
+             FROM l
+         ), agg AS (
+             SELECT conv, CAST(COUNT(*) AS BIGINT) AS n_turns,
+                    CAST(SUM(inj) AS BIGINT) AS n_injection_turns,
+                    CAST(SUM(tok) AS BIGINT) AS n_special_turns,
+                    CAST(SUM(echo) AS BIGINT) AS n_echo_turns,
+                    CAST(SUM(ung) AS BIGINT) AS n_ungrounded_turns
+             FROM cls GROUP BY conv
+         )
+         SELECT conv, n_turns, n_injection_turns, n_special_turns,
+                n_echo_turns, n_ungrounded_turns,
+                (n_injection_turns > 0 OR n_special_turns > 0)
+                    AS quarantine,
+                concat_ws(',',
+                    CASE WHEN n_injection_turns > 0
+                         THEN 'injection' END,
+                    CASE WHEN n_special_turns > 0
+                         THEN 'special_token' END,
+                    CASE WHEN n_echo_turns > 0 THEN 'tool_echo' END,
+                    CASE WHEN n_ungrounded_turns > 0
+                         THEN 'ungrounded' END) AS reasons
+         FROM agg
+         """),
         ("fuzz.token_drift",
          # snapshot pair = the fuzz table vs itself with an rng-chosen
          # template planted on idx%3==0 turns: the template's tokens

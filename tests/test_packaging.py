@@ -252,6 +252,11 @@ def test_gate_window_covers_never_gated():
         # vocabulary join (token-keyed aggregates + TakeOrdered) with
         # its own full hash oracle + unit tests + planted fuzz pair
         "token_drift_transcripts": "js_by_cohort_events",
+        # session-N: the quarantine rollup composes the already-gated
+        # battery projections + the tool_echo lag window into one conv
+        # aggregate, with its own full hash oracle (combined plant) +
+        # unit tests + an unplanted fuzz pair
+        "conversation_quarantine_transcripts": "tool_echo_transcripts",
     }
     orphans = [
         k for k in keys[50:]

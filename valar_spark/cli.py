@@ -260,6 +260,13 @@ def main(argv: list[str] | None = None) -> int:
                         "EXCLUSIVE token n-grams — a near-zero "
                         "exclusivity source is redundant mass, a high "
                         "one is irreplaceable coverage")
+    p.add_argument("--quarantine", action="store_true",
+                   help="conversation-grain security quarantine over a "
+                        "transcripts-shaped input: per-conv injection/"
+                        "special-token/echo/ungrounded counts with a "
+                        "reasons csv; writes the quarantined convs "
+                        "parquet and exits 1 if any conversation is "
+                        "quarantined")
     p.add_argument("--corpus-report", action="store_true",
                    help="one-stop corpus health report over a "
                         "documents-shaped input: quality gate, exact/"
@@ -768,6 +775,21 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"run_id": args.run_id, "diversity_sources": n}))
         spark.stop()
         return 0
+
+    if args.quarantine:
+        import os
+
+        ledger = D.conversation_quarantine(df).cache()
+        bad = ledger.filter("quarantine").cache()
+        n = bad.count()
+        out = os.path.join(args.work_dir, f"quarantine_{args.run_id}")
+        bad.write.mode("overwrite").parquet(out)
+        print(f"quarantined conversations: {n} of {ledger.count()}")
+        bad.orderBy("conv").limit(50).show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "quarantined": n,
+                          "quarantine_path": out}))
+        spark.stop()
+        return 1 if n else 0
 
     if args.corpus_report:
         from pyspark.sql import functions as F

@@ -3927,3 +3927,86 @@ def conversation_depth_profile(
                  .alias("blank_pct"))
             .orderBy(F.col("depth_bucket").asc_nulls_first(),
                      F.col("role").asc_nulls_first()))
+
+
+def conversation_quarantine(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    echo_min_chars: int = 20,
+) -> DataFrame:
+    """Conversation-grain security/quality quarantine rollup — the unit a
+    pipeline actually acts on: turn-level findings are evidence, but
+    dropping individual turns breaks dialogue coherence, so ingestion
+    gates quarantine whole conversations. Per conversation: counts of
+    injection-bait turns (user/tool surfaces,
+    :data:`INJECTION_PATTERNS`), special-token-leaking assistant turns
+    (:data:`SPECIAL_TOKEN_PATTERNS`), verbatim tool echoes, and
+    ungrounded-number turns (both via the shared content-closed lag
+    contract of :func:`tool_output_echo` /
+    :func:`tool_grounding_check`), plus ``quarantine`` = any SECURITY
+    hit (injection or token leak — the two classes that must never
+    train) and a canonical-order ``reasons`` csv covering all four.
+    Shares every classification Column with the censuses / rules /
+    streams, so this rollup can never disagree with them.
+
+    Cost: ONE shuffle-free per-turn classification projection, ONE
+    conv-keyed window (the same lag the engine already pays for
+    echo/grounding), ONE conv aggregate. Output is one row per
+    conversation.
+
+    Columns: ``(conv, n_turns, n_injection_turns, n_special_turns,
+    n_echo_turns, n_ungrounded_turns, quarantine, reasons)``."""
+    base = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(idx_col).cast("long").alias("_i"),
+        F.col(role_col).alias("_role"),
+        F.col(text_col).alias("_text"),
+        ((F.size(injection_label_array(text_col)) > 0)
+         & F.col(role_col).isin("user", "tool")
+         & F.col(text_col).isNotNull()).cast("int").alias("_inj"),
+        ((F.size(special_token_label_array(text_col)) > 0)
+         & F.col(role_col).eqNullSafe("assistant")
+         & F.col(text_col).isNotNull()).cast("int").alias("_tok"))
+    w = Window.partitionBy("conv").orderBy(
+        F.col("_i").asc_nulls_first(),
+        F.col("_role").asc_nulls_first(),
+        F.md5(F.coalesce(F.col("_text"), F.lit(""))).asc())
+    prev_role = F.lag("_role").over(w)
+    prev_text = F.lag("_text").over(w)
+    after_tool = ((F.col("_role") == "assistant")
+                  & (prev_role == "tool")
+                  & prev_text.isNotNull()
+                  & F.col("_text").isNotNull())
+    echo = (after_tool
+            & (F.length(prev_text) >= int(echo_min_chars))
+            & F.col("_text").contains(prev_text))
+    pat = F.lit(NUMBER_TOKEN_PATTERN)
+    nums = F.array_distinct(F.regexp_extract_all("_text", pat, 0))
+    tnums = F.array_distinct(F.regexp_extract_all(prev_text, pat, 0))
+    ungrounded = (after_tool & (F.size(nums) > 0)
+                  & (F.size(F.array_except(nums, tnums)) > 0))
+    turns = base.select(
+        "conv", "_inj", "_tok",
+        echo.cast("int").alias("_echo"),
+        ungrounded.cast("int").alias("_ung"))
+    agg = turns.groupBy("conv").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("_inj").cast("long").alias("n_injection_turns"),
+        F.sum("_tok").cast("long").alias("n_special_turns"),
+        F.sum("_echo").cast("long").alias("n_echo_turns"),
+        F.sum("_ung").cast("long").alias("n_ungrounded_turns"))
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_injection_turns") > 0, F.lit("injection")),
+        F.when(F.col("n_special_turns") > 0, F.lit("special_token")),
+        F.when(F.col("n_echo_turns") > 0, F.lit("tool_echo")),
+        F.when(F.col("n_ungrounded_turns") > 0, F.lit("ungrounded")))
+    return agg.select(
+        "conv", "n_turns", "n_injection_turns", "n_special_turns",
+        "n_echo_turns", "n_ungrounded_turns",
+        ((F.col("n_injection_turns") > 0)
+         | (F.col("n_special_turns") > 0)).alias("quarantine"),
+        reasons.alias("reasons"))
