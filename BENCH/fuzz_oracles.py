@@ -121,6 +121,11 @@ FUZZ_QUERIES = [
     # random drawing makes organic cross-source dup clusters likely
     "mixed_script_documents",
     "dup_sources_documents",
+    # session-O PMI collocations: exact integer bigram/unigram counts on
+    # adversarial unicode (LOWER dialect + \s tokenization, precedented),
+    # then ONE fixed-order multiply chain + LN + ROUND + the -0.0
+    # canonicalization — boundary draws fuzz the sign-of-zero contract
+    "pmi_documents",
 ]
 
 _WORDS = ["the", "and", "der", "und", "le", "el", "que", "的", "是",
@@ -260,6 +265,18 @@ TRANSCRIPTS_QUERIES = [
     # while Spark's cast returns null. The operator itself is
     # count/count-distinct-md5 (no dialect surface) and is pinned by its
     # unit test + the gate hash oracle on all 3 SFs.
+    # session-O trio: conv_pack fuzzes the token fragment + md5 ordering
+    # key + (k, conv) tie discipline of the two-phase cumsum vs the
+    # oracle's single-window replay on random conv ids (incl. the
+    # concat_ws null-skip contract); verbosity_trend fuzzes exact
+    # BIGINT-vs-HUGEINT sum agreement + the one-division round on random
+    # indices; parrot fuzzes the shared lag tie discipline + the
+    # array_intersect/list_intersect set semantics on adversarial
+    # unicode (NULL idx makes the %5 plant predicate NULL -> ELSE on
+    # both engines)
+    "conv_pack_transcripts",
+    "verbosity_trend_transcripts",
+    "parrot_transcripts",
 ]
 
 

@@ -3345,6 +3345,72 @@ def _q_tool_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("conv", "turn_idx", "ungrounded_csv"))
 
 
+def _q_conv_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation → training-sequence packing
+    (dataset_rules.conversation_sequence_packing) over the persisted
+    transcript parquet UNPLANTED: the synth table's own null/blank/long
+    text plants exercise the token contract, and the oracle replays the
+    md5 ordering key + two-phase-equivalent running total as one window
+    cumsum (same contract the pack_shards_documents oracle pins)."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    return (D.conversation_sequence_packing(df, max_tokens=512)
+            .orderBy("conv"))
+
+
+def _q_verbosity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation verbosity slope (dataset_rules.verbosity_trend)
+    over the persisted transcript parquet UNPLANTED: assistant token
+    counts vs turn index with all five regression sums accumulated as
+    exact BIGINTs on both engines — the single IEEE division happens
+    once per conversation, after aggregation, so partial-agg order can
+    never flip a bit."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    return D.verbosity_trend(df).orderBy("conv")
+
+
+def _q_parrot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parroting census (dataset_rules.parrot_census) over the persisted
+    transcript parquet with the content-closed plant trick (same family
+    as tool_grounding): user turns at idx%5==1 carry a 7-distinct-token
+    prompt keyed by (conv, idx); assistant turns at idx%5==2 carry a
+    superset restatement keyed by (conv, idx-1). When the shared lag
+    contract adjacent-pairs them the containment is 100% by
+    construction, and BOTH engines derive the identical pairing (plus
+    any natural hits from the unplanted synth text)."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    user_t = F.concat(F.lit("please describe deterministic item "),
+                      F.col("conv_id"), F.lit(" number "),
+                      F.col("turn_idx").cast("string"))
+    asst_t = F.concat(F.lit("sure: please describe deterministic item "),
+                      F.col("conv_id"), F.lit(" number "),
+                      (F.col("turn_idx") - 1).cast("string"),
+                      F.lit(" done"))
+    t = (F.when((F.col("role") == "user") & (F.col("turn_idx") % 5 == 1),
+                user_t)
+         .when((F.col("role") == "assistant") & (F.col("turn_idx") % 5 == 2),
+               asst_t)
+         .otherwise(F.col("text")))
+    planted = df.select("conv_id", "turn_idx", "role", t.alias("text"))
+    return D.parrot_census(planted).orderBy("conv", "turn_idx")
+
+
+def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation profile (textops.pmi_collocations) over the
+    documents table: exact integer counts, a fixed-order multiply chain
+    and one ln — the oracle replays the identical arithmetic shape so
+    the rounded doubles agree bit-for-bit."""
+    from valar_spark import textops as X
+
+    docs = _read(spark, sf_dir, "documents")
+    return X.pmi_collocations(docs, min_pair_count=5).orderBy("w1", "w2")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order = the DRIVER'S GATE ORDER: the driver verifies a 50-query
     # prefix of this dict against the DuckDB oracles. The window (recomputed
@@ -3562,6 +3628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_profile_transcripts": _q_depth_profile,
         "token_drift_transcripts": _q_token_drift,
         "conversation_quarantine_transcripts": _q_conversation_quarantine,
+        "conv_pack_transcripts": _q_conv_pack,
+        "verbosity_trend_transcripts": _q_verbosity_trend,
+        "parrot_transcripts": _q_parrot,
+        "pmi_documents": _q_pmi,
     }
 
 
@@ -7857,5 +7927,149 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN per_b p USING (b)
         LEFT JOIN first f USING (b)
         ORDER BY bucket
+    """
+    # conversation -> training-sequence packing: the pack_shards oracle
+    # contract lifted to conv grain — md5 ordering key, one window
+    # cumsum (the two-phase Spark plan is algebraically this), floor
+    # assignment; supervised tokens via the shared token fragment
+    o["conv_pack_transcripts"] = rf"""
+        WITH t AS (
+            SELECT conv_id AS conv, role,
+                   CASE WHEN text IS NULL OR regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = ''
+                        THEN 0
+                        ELSE len(regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+'))
+                   END AS tok
+            FROM read_parquet('{_tp}/*.parquet')
+        ), per AS (
+            SELECT conv,
+                   CAST(SUM(tok) AS BIGINT) AS conv_tokens,
+                   CAST(SUM(CASE WHEN role = 'assistant' THEN tok
+                                 ELSE 0 END) AS BIGINT)
+                       AS supervised_tokens,
+                   ('0x' || substr(md5(CASE WHEN conv IS NULL
+                        THEN 'valar:seqpack'
+                        ELSE conv || ':valar:seqpack'
+                        END), 1, 8))::UBIGINT AS k
+            FROM t GROUP BY conv
+        ), c AS (
+            SELECT conv, conv_tokens, supervised_tokens,
+                   SUM(GREATEST(conv_tokens, 0)) OVER (
+                       ORDER BY k ASC, conv ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+            FROM per
+        )
+        SELECT conv, conv_tokens, supervised_tokens,
+               CAST(FLOOR((cum - GREATEST(conv_tokens, 0)) * 1.0 / 512)
+                 AS BIGINT) AS seq_id,
+               conv_tokens > 512 AS overflow
+        FROM c ORDER BY conv
+    """
+    # verbosity slope: five exact-integer sums (DuckDB's HUGEINT SUM and
+    # Spark's BIGINT SUM hold the same exact values at this scale), ONE
+    # double division, rounded; declining compares the ROUNDED slope
+    o["verbosity_trend_transcripts"] = rf"""
+        WITH r AS (
+            SELECT conv_id AS conv, CAST(turn_idx AS BIGINT) AS x,
+                   CAST(CASE WHEN text IS NULL OR regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = ''
+                        THEN 0
+                        ELSE len(regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+'))
+                        END AS BIGINT) AS y
+            FROM read_parquet('{_tp}/*.parquet')
+            WHERE role = 'assistant' AND turn_idx IS NOT NULL
+        ), a AS (
+            SELECT conv, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM r GROUP BY conv
+        ), s AS (
+            SELECT conv, n,
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+            FROM a WHERE n >= 3 AND n * sxx - sx * sx > 0
+        )
+        SELECT conv, n AS n_turns, slope, slope < -0.5 AS declining
+        FROM s ORDER BY conv
+    """
+    # parroting census: the content-closed plant replayed as one CASE,
+    # the shared lag contract, token-SET containment via
+    # list_distinct/list_intersect (= Spark array_distinct/
+    # array_intersect on deduped inputs)
+    o["parrot_transcripts"] = rf"""
+        WITH p AS (
+            SELECT conv_id AS conv, CAST(turn_idx AS BIGINT) AS i, role,
+                   CASE WHEN role = 'user' AND turn_idx % 5 = 1
+                        THEN 'please describe deterministic item '
+                             || conv_id || ' number '
+                             || CAST(turn_idx AS VARCHAR)
+                        WHEN role = 'assistant' AND turn_idx % 5 = 2
+                        THEN 'sure: please describe deterministic item '
+                             || conv_id || ' number '
+                             || CAST(turn_idx - 1 AS VARCHAR) || ' done'
+                        ELSE text END AS text
+            FROM read_parquet('{_tp}/*.parquet')
+        ), l AS (
+            SELECT conv, i, role, text,
+                   LAG(role) OVER w AS prev_role,
+                   LAG(text) OVER w AS prev_text
+            FROM p
+            WINDOW w AS (PARTITION BY conv
+                         ORDER BY i ASC NULLS FIRST,
+                                  role ASC NULLS FIRST,
+                                  md5(COALESCE(text, '')) ASC)
+        ), c AS (
+            SELECT conv, i,
+                   list_distinct(CASE WHEN regexp_replace(LOWER(prev_text), '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = '' THEN []
+                        ELSE regexp_split_to_array(regexp_replace(LOWER(prev_text), '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') END)
+                       AS ut_l,
+                   list_distinct(CASE WHEN regexp_replace(LOWER(text), '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = '' THEN []
+                        ELSE regexp_split_to_array(regexp_replace(LOWER(text), '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+') END)
+                       AS at_l
+            FROM l
+            WHERE role = 'assistant' AND prev_role = 'user'
+                  AND prev_text IS NOT NULL AND text IS NOT NULL
+        ), m AS (
+            SELECT conv, i, CAST(len(ut_l) AS BIGINT) AS ut,
+                   CAST(len(list_intersect(ut_l, at_l)) AS BIGINT) AS ov
+            FROM c
+        )
+        SELECT conv, i AS turn_idx, ut AS user_tokens,
+               ov AS overlap_tokens,
+               ROUND(ov * 100.0 / ut, 4) AS containment_pct
+        FROM m WHERE ut >= 5 AND ov * 1.0 >= 0.8 * ut
+        ORDER BY conv, turn_idx
+    """
+    # PMI collocations: exact integer counts, the identical fixed-order
+    # multiply chain, one LN, one round (LN parity precedented by the
+    # entropy/MI/tfidf oracles)
+    o["pmi_documents"] = r"""
+        WITH tk AS (
+            SELECT CASE WHEN text IS NULL OR regexp_replace(LOWER(text), '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(regexp_replace(LOWER(text), '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+')
+                   END AS t
+            FROM documents
+        ), uc AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS w_count
+            FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w
+        ), pc AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+            FROM (SELECT unnest(list_transform(range(1, len(t)),
+                              i -> {'w1': t[i], 'w2': t[i+1]}),
+                         recursive := true)
+                  FROM tk WHERE len(t) >= 2)
+            GROUP BY w1, w2 HAVING COUNT(*) >= 5
+        ), tot AS (SELECT CAST(SUM(w_count) AS BIGINT) AS n FROM uc),
+        ptot AS (SELECT CAST(SUM(len(t) - 1) AS BIGINT) AS p
+                 FROM tk WHERE len(t) >= 2)
+        SELECT pc.w1, pc.w2, pc.pair_count,
+               u1.w_count AS w1_count, u2.w_count AS w2_count,
+               ROUND(LN((CAST(pc.pair_count AS DOUBLE) * n * n)
+                        / (CAST(p AS DOUBLE) * u1.w_count * u2.w_count)),
+                     4) + 0.0 AS pmi
+        FROM pc
+        JOIN uc u1 ON pc.w1 = u1.w
+        JOIN uc u2 ON pc.w2 = u2.w, tot, ptot
+        ORDER BY w1, w2
     """
     return o

@@ -257,6 +257,23 @@ def test_gate_window_covers_never_gated():
         # aggregate, with its own full hash oracle (combined plant) +
         # unit tests + an unplanted fuzz pair
         "conversation_quarantine_transcripts": "tool_echo_transcripts",
+        # session-O: conv packing is the pack_token_shards two-phase
+        # cumsum (r04-gated via pack_shards_documents) lifted to conv
+        # grain, with its own full hash oracle + running-total-contract
+        # unit test + fuzz pair
+        "conv_pack_transcripts": "pack_shards_documents",
+        # session-O: verbosity trend is ONE conv-keyed aggregate of
+        # exact integer sums — the conversation_stats shape — with its
+        # own full hash oracle + exact-slope unit tests + fuzz pair
+        "verbosity_trend_transcripts": "conversation_stats_transcripts",
+        # session-O: parroting shares tool_echo's lag contract with a
+        # token-set containment filter; full hash oracle (content-closed
+        # plant) + unit tests + fuzz pair
+        "parrot_transcripts": "tool_echo_transcripts",
+        # session-O: PMI is gram-keyed aggregate algebra (the
+        # dup_ngram/salient_terms shape) + the precedented LN/ROUND
+        # contract; full hash oracle + exact-value unit test + fuzz pair
+        "pmi_documents": "salient_terms_documents",
     }
     orphans = [
         k for k in keys[50:]

@@ -1,0 +1,158 @@
+"""Session-O operators: conversation→sequence packing, verbosity trend,
+parroting census, PMI collocations."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from valar_spark import dataset_rules as D
+from valar_spark import textops as X
+
+
+@pytest.fixture(scope="module")
+def convs(spark):
+    rows = []
+    for cid in range(4):
+        for i in range(6):
+            role = ["user", "assistant"][i % 2]
+            # assistant replies shrink with depth: 12, 10, 8 tokens
+            n = 12 - i if role == "assistant" else 5
+            rows.append((f"c{cid}", i, role, " ".join(
+                f"w{cid}t{i}k{j}" for j in range(n))))
+    # a growing-verbosity conversation
+    for i in range(6):
+        role = ["user", "assistant"][i % 2]
+        n = 3 + 4 * i if role == "assistant" else 4
+        rows.append(("grow", i, role, " ".join(f"g{i}k{j}" for j in range(n))))
+    # parroting pair
+    rows.append(("parrot", 0, "user",
+                 "please summarize the quarterly acme revenue numbers"))
+    rows.append(("parrot", 1, "assistant",
+                 "the quarterly acme revenue numbers please summarize: done"))
+    # non-parroting pair (fresh tokens)
+    rows.append(("fresh", 0, "user",
+                 "please summarize the quarterly acme revenue numbers"))
+    rows.append(("fresh", 1, "assistant",
+                 "income grew twelve percent year over year"))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+
+
+def test_packing_conversation_integrity(spark, convs):
+    p = D.conversation_sequence_packing(convs, max_tokens=60)
+    rows = {r["conv"]: r for r in p.collect()}
+    # one row per conversation — a conversation is never split
+    assert len(rows) == convs.select("conv_id").distinct().count()
+    # token accounting: conv c0 = 3 user turns x 5 + (11+9+7) assistant
+    # (assistant turns sit at odd indices i=1,3,5 with n = 12-i)
+    assert rows["c0"]["conv_tokens"] == 15 + 27
+    assert rows["c0"]["supervised_tokens"] == 27
+    assert not rows["c0"]["overflow"]
+    # budget-exceeding conversation flags overflow: grow has
+    # user 3x4=12 + assistant 7+15+23=45 -> 57 < 60 no overflow; check flag math
+    assert rows["grow"]["conv_tokens"] == 12 + 45
+    assert rows["grow"]["overflow"] == (57 > 60)
+
+
+def test_packing_deterministic_and_stats(spark, convs):
+    a = D.conversation_sequence_packing(convs, max_tokens=40).collect()
+    b = D.conversation_sequence_packing(convs, max_tokens=40).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    p = D.conversation_sequence_packing(convs, max_tokens=40)
+    s = D.sequence_packing_stats(p, max_tokens=40)
+    srows = s.collect()
+    # stats conserve tokens
+    assert sum(r["total_tokens"] for r in srows) == \
+        sum(r["conv_tokens"] for r in p.collect())
+    for r in srows:
+        assert 0 <= r["supervised_pct"] <= 100
+
+
+def test_packing_running_total_contract(spark, convs):
+    """seq_id equals floor((prefix-sum-before-this-conv)/budget) in
+    md5-key order — recomputed independently in Python."""
+    from valar_spark.textops import md5_order_key
+
+    budget = 40
+    p = D.conversation_sequence_packing(convs, max_tokens=budget)
+    keyed = (p.withColumn("_k", md5_order_key(F.col("conv"),
+                                              "valar:seqpack"))
+             .orderBy("_k", "conv").collect())
+    cum = 0
+    for r in keyed:
+        assert r["seq_id"] == cum // budget
+        cum += r["conv_tokens"]
+
+
+def test_verbosity_trend_slopes(spark, convs):
+    out = {r["conv"]: r for r in D.verbosity_trend(convs).collect()}
+    # c0: assistant turns (1,11),(3,9),(5,7) -> slope exactly -1
+    assert out["c0"]["slope"] == -1.0
+    assert out["c0"]["declining"]
+    # grow: (1,7),(3,15),(5,23) -> slope exactly +4
+    assert out["grow"]["slope"] == 4.0
+    assert not out["grow"]["declining"]
+    # parrot/fresh have < 3 assistant turns -> excluded
+    assert "parrot" not in out and "fresh" not in out
+
+
+def test_verbosity_trend_degenerate_denominator(spark):
+    # all assistant turns share one index -> den == 0 -> excluded
+    df = spark.createDataFrame(
+        [("c", 1, "assistant", "a b"), ("c", 1, "assistant", "a b c"),
+         ("c", 1, "assistant", "a")],
+        "conv_id string, turn_idx int, role string, text string")
+    assert D.verbosity_trend(df).count() == 0
+
+
+def test_parrot_census_hits_and_threshold(spark, convs):
+    hits = D.parrot_census(convs).collect()
+    byconv = {r["conv"]: r for r in hits}
+    assert "parrot" in byconv
+    r = byconv["parrot"]
+    assert r["user_tokens"] == 7
+    # "summarize:" != "summarize" as a token, so 6 of 7 tokens overlap
+    assert r["overlap_tokens"] == 6
+    assert math.isclose(r["containment_pct"], round(600 / 7, 4))
+    assert "fresh" not in byconv
+
+
+def test_parrot_census_min_tokens_guard(spark):
+    # 3-token prompt fully restated is NOT flagged (floor = 5)
+    df = spark.createDataFrame(
+        [("c", 0, "user", "what is this"),
+         ("c", 1, "assistant", "what is this indeed")],
+        "conv_id string, turn_idx int, role string, text string")
+    assert D.parrot_census(df).count() == 0
+
+
+def test_pmi_collocations_exact(spark):
+    # corpus engineered so "san francisco" is a perfect collocation
+    docs = spark.createDataFrame(
+        [(i, "san francisco is great") for i in range(6)]
+        + [(100 + i, "alpha beta") for i in range(6)]
+        + [(200, "beta alpha san beta francisco alpha")],
+        "doc_id int, text string")
+    out = {(r["w1"], r["w2"]): r
+           for r in X.pmi_collocations(docs, min_pair_count=5).collect()}
+    sf = out[("san", "francisco")]
+    # counts: pair 6, san 7, francisco 7, N = 4*6+2*6+6 = 42,
+    # P = 6*3 + 6*1 + 5 = 29
+    assert sf["pair_count"] == 6 and sf["w1_count"] == 7
+    expected = round(math.log((6.0 * 42 * 42) / (29.0 * 7 * 7)), 4)
+    assert sf["pmi"] == expected
+    # floored: ("alpha","beta") appears 6 times too
+    assert ("alpha", "beta") in out
+    # sub-floor pairs are absent (count 1 < 5)
+    assert ("beta", "alpha") not in out
+
+
+def test_pmi_no_python_udf(spark):
+    docs = spark.createDataFrame([(1, "a b a b a b a b a b")],
+                                 "doc_id int, text string")
+    plan = X.pmi_collocations(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -289,6 +289,26 @@ def main(argv: list[str] | None = None) -> int:
                         "blank share by depth bucket — the context-rot "
                         "curve (shrinking tails, serving-limit cliffs, "
                         "blank ramps)")
+    p.add_argument("--pack", metavar="MAX_TOKENS", type=int, default=None,
+                   help="conversation -> training-sequence packing over a "
+                        "transcripts-shaped input: assign whole "
+                        "conversations to fixed-token context windows "
+                        "(never splitting a dialogue) and report the "
+                        "window fill / supervised-token-share rollup")
+    p.add_argument("--verbosity-trend", action="store_true",
+                   help="per-conversation regression slope of assistant "
+                        "reply length vs turn depth (integer-exact sums): "
+                        "names WHICH conversations exhibit the "
+                        "context-rot decay the depth profile averages")
+    p.add_argument("--parrot", action="store_true",
+                   help="parroting census over a transcripts-shaped "
+                        "input: assistant turns whose token set contains "
+                        ">=80%% of the preceding user turn's tokens — "
+                        "near-zero-signal replies at full token cost")
+    p.add_argument("--pmi", action="store_true",
+                   help="PMI collocation profile over a documents-shaped "
+                        "input: adjacent-bigram association scores for "
+                        "phrase-mining / boilerplate triage")
     p.add_argument("--intra-repeats", action="store_true",
                    help="within-conversation repeated-turn scan over a "
                         "transcripts-shaped input: the model-loop class "
@@ -893,6 +913,58 @@ def main(argv: list[str] | None = None) -> int:
         print(f"depth x role buckets profiled: {n}")
         prof.show(50, truncate=False)
         print(json.dumps({"run_id": args.run_id, "depth_buckets": n}))
+        spark.stop()
+        return 0
+
+    if args.pack is not None:
+        packed = D.conversation_sequence_packing(
+            df, max_tokens=args.pack).cache()
+        stats = D.sequence_packing_stats(packed, max_tokens=args.pack)
+        n_conv = packed.count()
+        n_over = packed.filter("overflow").count()
+        n_seq = stats.count()
+        print(f"{n_conv} conversations packed into {n_seq} "
+              f"{args.pack}-token windows ({n_over} overflow)")
+        stats.orderBy("seq_id").show(30)
+        print(json.dumps({"run_id": args.run_id, "conversations": n_conv,
+                          "windows": n_seq, "overflow": n_over}))
+        spark.stop()
+        return 0
+
+    if args.verbosity_trend:
+        tr = D.verbosity_trend(df).cache()
+        n = tr.count()
+        dec = tr.filter("declining").count()
+        print(f"conversations regressed: {n} ({dec} declining)")
+        tr.orderBy("slope").limit(30).show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "regressed": n,
+                          "declining": dec}))
+        spark.stop()
+        return 0
+
+    if args.parrot:
+        from pyspark.sql import functions as F
+
+        hits = D.parrot_census(df).cache()
+        n = hits.count()
+        print(f"parroting assistant turns: {n}")
+        hits.orderBy(F.desc("containment_pct"), "conv", "turn_idx") \
+            .limit(30).show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "parrot_turns": n}))
+        spark.stop()
+        return 0
+
+    if args.pmi:
+        from pyspark.sql import functions as F
+
+        from valar_spark import textops as X
+
+        col = X.pmi_collocations(df).cache()
+        n = col.count()
+        print(f"collocations above floor: {n}")
+        col.orderBy(F.desc("pmi"), "w1", "w2").limit(30) \
+            .show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "collocations": n}))
         spark.stop()
         return 0
 

@@ -4010,3 +4010,206 @@ def conversation_quarantine(
         ((F.col("n_injection_turns") > 0)
          | (F.col("n_special_turns") > 0)).alias("quarantine"),
         reasons.alias("reasons"))
+
+
+def conversation_sequence_packing(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    supervised_role: str = "assistant",
+    salt: str = "valar:seqpack",
+    range_buckets: int = 256,
+) -> DataFrame:
+    """Conversation → training-SEQUENCE packing: assign whole
+    conversations to fixed-budget context windows (SFT sequence packing)
+    without ever splitting a dialogue. Splitting breaks turn coherence
+    (an assistant turn without its user turn trains on nothing), so the
+    packing unit is the CONVERSATION; a conversation longer than the
+    window is flagged ``overflow`` for downstream truncation rather than
+    silently split here.
+
+    Per conversation: total whitespace-token count, SUPERVISED token
+    count (turns whose role == ``supervised_role`` — the tokens the loss
+    actually trains on; user/tool turns are attention context with the
+    loss masked), and a ``seq_id`` from the deterministic hash-shuffled
+    running-total assignment of :func:`valar_spark.textops.
+    pack_token_shards` — i.e. the SAME two-phase range-bucket cumsum
+    (never a single-partition global sort) with ``conv_id`` as the
+    packing key. Assignment semantics match shard packing: a
+    conversation belongs to the window where its running total STARTS,
+    so windows can overrun the budget by less than one conversation —
+    the standard greedy-order packing contract, bit-reproducible on any
+    engine with md5.
+
+    Cost at 10^12 turns: one conv-keyed aggregate (the shuffle the
+    engine already pays for every conversation profile), then the
+    range-bucket cumsum whose widest shuffle is an ordinary hash
+    partition on the 256 buckets. Output: one row per conversation —
+    ``(conv, conv_tokens, supervised_tokens, seq_id, overflow)``."""
+    from valar_spark.textops import pack_token_shards, token_count
+
+    tok = token_count(F.col(text_col)).cast("long")
+    per_conv = (df.groupBy(F.col(conv_col).alias("conv"))
+                .agg(F.sum(tok).alias("conv_tokens"),
+                     F.sum(F.when(F.col(role_col) == supervised_role, tok)
+                           .otherwise(F.lit(0)))
+                     .alias("supervised_tokens")))
+    packed = pack_token_shards(
+        per_conv, tokens_col="conv_tokens", shard_tokens=int(max_tokens),
+        id_col="conv", salt=salt, range_buckets=range_buckets)
+    return packed.select(
+        "conv",
+        F.col("conv_tokens").cast("long").alias("conv_tokens"),
+        F.col("supervised_tokens").cast("long").alias("supervised_tokens"),
+        F.col("shard_id").alias("seq_id"),
+        (F.col("conv_tokens") > int(max_tokens)).alias("overflow"))
+
+
+def sequence_packing_stats(
+    packed: DataFrame,
+    max_tokens: int = 2048,
+) -> DataFrame:
+    """Window-grain rollup of :func:`conversation_sequence_packing` —
+    the packing-efficiency report a dataloader owner reads: per
+    ``seq_id`` the conversation count, token total, fill percentage
+    against the budget, and the SUPERVISED-token share (what fraction
+    of the window the loss actually sees — a corpus whose windows are
+    20% supervised tokens pays 5× compute per trained token). One
+    aggregate over the conv-grain frame; output bounded by window
+    count. Columns: ``(seq_id, n_convs, total_tokens,
+    supervised_tokens, fill_pct, supervised_pct, n_overflow)``."""
+    return (packed.groupBy("seq_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_convs"),
+                 F.sum("conv_tokens").cast("long").alias("total_tokens"),
+                 F.sum("supervised_tokens").cast("long")
+                 .alias("supervised_tokens"),
+                 F.sum(F.col("overflow").cast("int")).cast("long")
+                 .alias("n_overflow"))
+            .select("seq_id", "n_convs", "total_tokens",
+                    "supervised_tokens",
+                    F.round(F.col("total_tokens") * 100.0
+                            / F.lit(int(max_tokens)), 4).alias("fill_pct"),
+                    F.round(F.col("supervised_tokens") * 100.0
+                            / F.greatest(F.col("total_tokens"), F.lit(1)),
+                            4).alias("supervised_pct"),
+                    "n_overflow"))
+
+
+def verbosity_trend(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "assistant",
+    min_turns: int = 3,
+    declining_floor: float = -0.5,
+) -> DataFrame:
+    """Per-conversation REGRESSION slope of reply length vs turn depth —
+    the trend-grade companion of :func:`conversation_depth_profile`:
+    the corpus-level depth profile shows WHERE the average decays, this
+    names WHICH conversations decay. An assistant whose replies shrink
+    as the conversation deepens (slope ≪ 0 tokens/turn) is the
+    context-exhaustion / lazy-model signature; a steep positive slope
+    marks runaway verbosity. Both poison length-balanced sampling if
+    unnoticed.
+
+    Numerics are INTEGER-EXACT until the final division: with x =
+    turn index and y = whitespace-token count (both exact BIGINTs), the
+    slope is ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` — all five sums
+    accumulate as integers (order-independent, so engine partial-agg
+    order can never flip a bit), and only the LAST operation is one
+    IEEE double division, rounded. Conversations need ``min_turns``
+    turns of ``role`` and a non-degenerate index spread (denominator
+    > 0) to regress.
+
+    Cost: ONE conv-keyed aggregate over a scan projection — the
+    per-turn shuffle rows carry (conv, 5 ints). Columns: ``(conv,
+    n_turns, slope, declining)`` with ``declining`` = slope below
+    ``declining_floor`` tokens/turn."""
+    from valar_spark.textops import token_count
+
+    x = F.col(idx_col).cast("long")
+    y = token_count(F.col(text_col)).cast("long")
+    rows = (df.filter((F.col(role_col) == role) & F.col(idx_col).isNotNull())
+            .select(F.col(conv_col).alias("conv"), x.alias("_x"),
+                    y.alias("_y")))
+    agg = rows.groupBy("conv").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"))
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return (agg.filter((F.col("_n") >= int(min_turns)) & (den > 0))
+            .select("conv", F.col("_n").alias("n_turns"),
+                    F.round(num.cast("double") / den.cast("double"), 6)
+                    .alias("slope"))
+            .withColumn("declining",
+                        F.col("slope") < float(declining_floor)))
+
+
+def parrot_census(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_user_tokens: int = 5,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Parroting detector — assistant turns that merely restate the
+    IMMEDIATELY PRECEDING user turn: the user→assistant twin of
+    :func:`tool_output_echo` (which catches tool regurgitation by
+    verbatim substring; parroting is sloppier, so the test is TOKEN-SET
+    containment: the share of the user's distinct lowercased tokens
+    that reappear in the reply). A reply containing ≥
+    ``min_containment`` of a ≥ ``min_user_tokens``-token prompt adds
+    near-zero training signal at full token cost, and RLHF-style
+    length-reward artifacts make this failure mode common enough to
+    budget for at corpus scale.
+
+    Ordering discipline: the SAME lag contract as ``tool_output_echo``
+    (idx ASC NULLS FIRST, role, md5(text)) so index-tied duplicates
+    pair identically across every operator and engine. Cost at 10^12
+    turns: the conv-keyed window shuffle the engine already pays, then
+    a JVM ``array_intersect`` projection bounded by the two turns'
+    lengths — no explode, no Python, and the output carries HITS only.
+
+    Columns: ``(conv, turn_idx, user_tokens, overlap_tokens,
+    containment_pct)`` — one row per parroting assistant turn."""
+    from valar_spark.textops import tokens
+
+    base = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(idx_col).cast("long").alias("_i"),
+        F.col(role_col).alias("_role"),
+        F.col(text_col).alias("_text"))
+    w = Window.partitionBy("conv").orderBy(
+        F.col("_i").asc_nulls_first(),
+        F.col("_role").asc_nulls_first(),
+        F.md5(F.coalesce(F.col("_text"), F.lit(""))).asc())
+    cand = (base
+            .withColumn("_prev_role", F.lag("_role").over(w))
+            .withColumn("_prev_text", F.lag("_text").over(w))
+            .filter((F.col("_role") == "assistant")
+                    & (F.col("_prev_role") == "user")
+                    & F.col("_prev_text").isNotNull()
+                    & F.col("_text").isNotNull()))
+    u = F.array_distinct(tokens(F.lower(F.col("_prev_text"))))
+    a = F.array_distinct(tokens(F.lower(F.col("_text"))))
+    cand = (cand.withColumn("_ut", F.size(u).cast("long"))
+            .withColumn("_ov", F.size(F.array_intersect(u, a))
+                        .cast("long")))
+    return (cand.filter(
+        (F.col("_ut") >= int(min_user_tokens))
+        & (F.col("_ov") * 1.0
+           >= float(min_containment) * F.col("_ut")))
+        .select("conv", F.col("_i").alias("turn_idx"),
+                F.col("_ut").alias("user_tokens"),
+                F.col("_ov").alias("overlap_tokens"),
+                F.round(F.col("_ov") * 100.0 / F.col("_ut"), 4)
+                .alias("containment_pct")))

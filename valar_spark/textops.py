@@ -3216,3 +3216,69 @@ def vocab_growth_curve(
         .alias("novelty_pct"),
         F.sum(n_new).over(w).cast("long").alias("vocab_cumulative"))
         .orderBy("bucket"))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_pair_count: int = 5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation profile over adjacent
+    token bigrams — the phrase-mining / boilerplate lens the frequency
+    censuses can't give: raw bigram counts (``top_ngram_stats``) surface
+    whatever common words collide, while PMI
+    ``ln(p(xy) / (p(x)·p(y)))`` surfaces pairs that co-occur far MORE
+    than their unigram frequencies predict — templated legalese,
+    navigation chrome, and multiword entities ("los angeles") that a
+    tokenizer-vocabulary or boilerplate-strip decision needs
+    (Church & Hanks 1990's association-ratio measure).
+
+    Determinism contract: all counts are exact integers;
+    ``p(xy) = c(xy)/P`` over bigram occurrences and ``p(x) = c(x)/N``
+    over unigram occurrences, algebraically rearranged so the ONLY
+    floating-point work is one fixed-order multiply chain + one ``ln``
+    + one round — bit-reproducible against the DuckDB oracle. Pairs
+    below ``min_pair_count`` are floored out BEFORE the join (PMI is
+    meaningless at count 1 — a typo pair scores arbitrarily high).
+
+    Shape at scale: explode → two map-side-combined hash aggregates
+    (bounded by vocab / distinct-bigram cardinality, never doc×doc),
+    two key-equality joins of the floored pair table against the
+    unigram table (AQE picks broadcast vs shuffle by actual vocab
+    size), totals via broadcast 1-row aggregates. Output: ``(w1, w2,
+    pair_count, w1_count, w2_count, pmi)``, one row per surviving
+    bigram."""
+    c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = df.select(tokens(c).alias("_t"))
+    uni = (toks.select(F.explode("_t").alias("w"))
+           .groupBy("w")
+           .agg(F.count(F.lit(1)).cast("long").alias("w_count")))
+    pairs_arr = F.expr(
+        "transform(sequence(1, size(_t) - 1), "
+        "i -> struct(_t[i-1] AS w1, _t[i] AS w2))")
+    pr = (toks.filter(F.size("_t") >= 2)
+          .select(F.explode(pairs_arr).alias("p"))
+          .select("p.w1", "p.w2")
+          .groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+          .filter(F.col("pair_count") >= int(min_pair_count)))
+    n_tok = uni.agg(F.sum("w_count").cast("long").alias("_n"))
+    n_pair = (toks.filter(F.size("_t") >= 2)
+              .select((F.size("_t") - 1).cast("long").alias("_k"))
+              .agg(F.sum("_k").cast("long").alias("_p")))
+    j = (pr.join(uni.withColumnRenamed("w", "w1")
+                 .withColumnRenamed("w_count", "w1_count"), "w1")
+         .join(uni.withColumnRenamed("w", "w2")
+               .withColumnRenamed("w_count", "w2_count"), "w2")
+         .crossJoin(F.broadcast(n_tok))
+         .crossJoin(F.broadcast(n_pair)))
+    # + 0.0 canonicalizes IEEE negative zero (Spark's BigDecimal round
+    # drops the sign of zero, DuckDB's keeps it — a tiny negative PMI
+    # would otherwise hash as -0.0 vs 0.0 across engines)
+    pmi = F.round(F.log(
+        (F.col("pair_count").cast("double") * F.col("_n") * F.col("_n"))
+        / (F.col("_p").cast("double") * F.col("w1_count")
+           * F.col("w2_count"))), 4) + F.lit(0.0)
+    return j.select("w1", "w2", "pair_count", "w1_count", "w2_count",
+                    pmi.alias("pmi"))
