@@ -277,6 +277,13 @@ TRANSCRIPTS_QUERIES = [
     "conv_pack_transcripts",
     "verbosity_trend_transcripts",
     "parrot_transcripts",
+    # conv_split_leakage_transcripts is NOT fuzzed for the same reason
+    # as divergent_dups: its plant keys on the synth's numeric conv_id
+    # layout (SUBSTR→INT), which random conv ids break under DuckDB's
+    # strict CAST. Its two fragments (conv fingerprint, hash split) are
+    # independently fuzzed via conv_dedup/hash_split machinery and the
+    # composition is pinned by the gate hash oracle + engineered-twin
+    # unit tests.
 ]
 
 

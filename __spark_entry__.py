@@ -3345,6 +3345,27 @@ def _q_tool_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("conv", "turn_idx", "ungrounded_csv"))
 
 
+def _q_conv_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-grain split-leakage audit
+    (dataset_rules.conversation_split_leakage) with the conv_dedup
+    plant (conv_num % 29 == 5 convs become content-identical) and an
+    adversarial 50/50 train/test cut so identical conversations land on
+    both sides; the oracle replays fingerprint + split + cluster rollup
+    in SQL."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    cn = _conv_num()
+    planted = df.withColumn(
+        "text",
+        F.when(cn % 29 == 5,
+               F.concat(F.lit("dup turn-"), F.col("turn_idx").cast("string")))
+        .otherwise(F.col("text")))
+    return (D.conversation_split_leakage(
+        planted, weights={"train": 0.5, "test": 0.5})
+        .orderBy("conv"))
+
+
 def _q_conv_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation → training-sequence packing
     (dataset_rules.conversation_sequence_packing) over the persisted
@@ -3632,6 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verbosity_trend_transcripts": _q_verbosity_trend,
         "parrot_transcripts": _q_parrot,
         "pmi_documents": _q_pmi,
+        "conv_split_leakage_transcripts": _q_conv_split_leakage,
     }
 
 
@@ -8038,6 +8060,44 @@ def oracle_sql() -> dict[str, str]:
                ROUND(ov * 100.0 / ut, 4) AS containment_pct
         FROM m WHERE ut >= 5 AND ov * 1.0 >= 0.8 * ut
         ORDER BY conv, turn_idx
+    """
+    # conversation-grain split leakage: the conv_dedup fingerprint
+    # contract + the hash_split assignment contract + a fingerprint
+    # rollup join — all three fragments individually hash-proven
+    o["conv_split_leakage_transcripts"] = rf"""
+        WITH m AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN CAST(SUBSTR(conv_id, 2, 8) AS INT) % 29 = 5
+                        THEN 'dup turn-' || CAST(turn_idx AS VARCHAR)
+                        ELSE text END AS text
+            FROM read_parquet('{_tp}/*.parquet')
+        ), p AS (
+            SELECT conv_id AS conv,
+                   md5(string_agg(
+                       CAST(turn_idx AS VARCHAR) || ':'
+                           || md5(COALESCE(text, chr(0))), chr(2)
+                       ORDER BY turn_idx,
+                                md5(COALESCE(text, chr(0)))))
+                     AS fingerprint
+            FROM m GROUP BY conv_id
+        ), s AS (
+            SELECT conv, fingerprint,
+                   CASE WHEN ('0x' || substr(md5(CASE WHEN conv IS NULL
+                            THEN 'valar:convsplit'
+                            ELSE conv || ':valar:convsplit'
+                            END), 1, 8))::UBIGINT % 10000 < 5000
+                        THEN 'train' ELSE 'test' END AS split
+            FROM p
+        ), cl AS (
+            SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                   CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+            FROM s GROUP BY fingerprint
+        )
+        SELECT s.conv, s.split, s.fingerprint, cl.cluster_size,
+               cl.n_splits
+        FROM s JOIN cl USING (fingerprint)
+        WHERE cl.n_splits >= 2
+        ORDER BY conv
     """
     # PMI collocations: exact integer counts, the identical fixed-order
     # multiply chain, one LN, one round (LN parity precedented by the

@@ -274,6 +274,11 @@ def test_gate_window_covers_never_gated():
         # dup_ngram/salient_terms shape) + the precedented LN/ROUND
         # contract; full hash oracle + exact-value unit test + fuzz pair
         "pmi_documents": "salient_terms_documents",
+        # session-O: split leakage composes the conv_dedup fingerprint
+        # (r05-gated in-window via conv_dedup_transcripts) with the
+        # hash_split assignment (r04-gated) and a rollup join; full hash
+        # oracle + engineered-twin unit tests
+        "conv_split_leakage_transcripts": "conv_dedup_transcripts",
     }
     orphans = [
         k for k in keys[50:]

@@ -156,3 +156,89 @@ def test_pmi_no_python_udf(spark):
     plan = X.pmi_collocations(docs)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_conv_split_leakage_finds_cross_split_twins(spark):
+    # two identical conversations under different ids + one unique conv;
+    # a 50/50 cut makes the twin pair span splits iff their id hashes
+    # land on opposite sides — engineer ids until they do
+    from valar_spark.textops import md5_order_key
+
+    base = [(0, "user", "hello there"), (1, "assistant", "hi")]
+    probe = spark.createDataFrame(
+        [(f"c{i}",) for i in range(40)], "conv string")
+    keys = {r["conv"]: r["k"] % 10000 for r in probe.select(
+        "conv", md5_order_key(F.col("conv"), "valar:convsplit")
+        .alias("k")).collect()}
+    lo = next(c for c, b in keys.items() if b < 5000)
+    hi = next(c for c, b in keys.items() if b >= 5000)
+    rows = [(cid, i, r, t) for cid in (lo, hi, "unique")
+            for (i, r, t) in base]
+    rows[-1] = ("unique", 1, "assistant", "completely different")
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    out = D.conversation_split_leakage(
+        df, weights={"train": 0.5, "test": 0.5}).collect()
+    got = {(r["conv"], r["split"], r["cluster_size"], r["n_splits"])
+           for r in out}
+    assert got == {(lo, "train", 2, 2), (hi, "test", 2, 2)}
+
+
+def test_conv_split_leakage_same_side_cluster_not_flagged(spark):
+    # identical convs whose ids hash to the SAME side are dup (caught by
+    # conversation_fingerprint_dedup) but NOT leakage
+    from valar_spark.textops import md5_order_key
+
+    probe = spark.createDataFrame(
+        [(f"d{i}",) for i in range(60)], "conv string")
+    keys = {r["conv"]: r["k"] % 10000 for r in probe.select(
+        "conv", md5_order_key(F.col("conv"), "valar:convsplit")
+        .alias("k")).collect()}
+    same = [c for c, b in keys.items() if b < 5000][:2]
+    rows = [(cid, 0, "user", "identical") for cid in same]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    assert D.conversation_split_leakage(
+        df, weights={"train": 0.5, "test": 0.5}).count() == 0
+
+
+def test_stream_parrot_across_batches(spark, tmp_path):
+    """The user turn arrives in micro-batch 1 and the parroting reply in
+    batch 2: only the state store can pair them. The result must match
+    the batch operator run over the union."""
+    import time as _time
+
+    from valar_spark.streaming import stream_parrot
+
+    schema = "conv_id string, turn_idx int, role string, text string"
+    b1 = spark.createDataFrame(
+        [("A", 0, "user",
+          "please summarize the quarterly acme revenue numbers"),
+         ("B", 0, "user", "short one")], schema)
+    b2 = spark.createDataFrame(
+        [("A", 1, "assistant",
+          "the quarterly acme revenue numbers please summarize now"),
+         ("B", 1, "assistant", "short one indeed"),   # < 5 user tokens
+         ("B", 2, "user", "tell me something entirely new"),
+         ("B", 3, "assistant", "unrelated fresh content here")], schema)
+    src = str(tmp_path / "parrot_src")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{src}/b*"))
+    q = (stream_parrot(stream).writeStream
+         .format("memory").queryName("parrot_mem")
+         .option("checkpointLocation", str(tmp_path / "parrot_ck"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["conv"], r["turn_idx"], r["user_tokens"],
+            r["overlap_tokens"], r["containment_pct"])
+           for r in spark.sql("SELECT * FROM parrot_mem").collect()}
+    want = {(r["conv"], r["turn_idx"], r["user_tokens"],
+             r["overlap_tokens"], r["containment_pct"])
+            for r in D.parrot_census(b1.unionByName(b2)).collect()}
+    assert got == want and len(got) == 1
+    assert next(iter(got))[:2] == ("A", 1)

@@ -309,6 +309,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="PMI collocation profile over a documents-shaped "
                         "input: adjacent-bigram association scores for "
                         "phrase-mining / boilerplate triage")
+    p.add_argument("--conv-leakage", action="store_true",
+                   help="conversation-grain train/eval leakage audit "
+                        "over a transcripts-shaped input: exact-content "
+                        "conversation clusters spanning >=2 hash splits "
+                        "(exit 1 on any leak)")
     p.add_argument("--intra-repeats", action="store_true",
                    help="within-conversation repeated-turn scan over a "
                         "transcripts-shaped input: the model-loop class "
@@ -967,6 +972,17 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"run_id": args.run_id, "collocations": n}))
         spark.stop()
         return 0
+
+    if args.conv_leakage:
+        leaks = D.conversation_split_leakage(df).cache()
+        n = leaks.count()
+        n_cl = leaks.select("fingerprint").distinct().count()
+        print(f"split-spanning conversations: {n} in {n_cl} clusters")
+        leaks.orderBy("fingerprint", "conv").limit(50).show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "leaked_convs": n,
+                          "leaked_clusters": n_cl}))
+        spark.stop()
+        return 0 if n == 0 else 1
 
     if args.intra_repeats:
         reps = D.intra_conversation_repeats(df).cache()

@@ -2413,6 +2413,78 @@ def template_turns(
     )
 
 
+def _conversation_fingerprints(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    content_cols: Sequence[str] = ("text",),
+) -> DataFrame:
+    """``(conv, n_turns, fingerprint)`` — one row per conversation, the
+    whole-sequence content fingerprint shared by
+    :func:`conversation_fingerprint_dedup` and
+    :func:`conversation_split_leakage`: md5 over the (idx, content-hash)
+    pairs sorted by (idx, hash), \\x02-joined. The sort makes the
+    fingerprint invariant to partition layout AND to planted duplicate
+    rows (ties are content-equal, hence interchangeable); one conv-keyed
+    aggregate, map-side combined."""
+    h = _turn_content_hash(content_cols)
+    elem = F.struct(F.col(idx_col).cast("long").alias("_i"), h.alias("_h"))
+    return (
+        df.groupBy(F.col(conv_col).alias("conv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+             F.md5(F.concat_ws("\x02", F.transform(
+                 F.array_sort(F.collect_list(elem)),
+                 lambda s: F.concat(s["_i"].cast("string"),
+                                    F.lit(":"), s["_h"]))))
+             .alias("fingerprint"))
+    )
+
+
+def conversation_split_leakage(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    content_cols: Sequence[str] = ("text",),
+    weights: dict[str, float] | None = None,
+    salt: str = "valar:convsplit",
+) -> DataFrame:
+    """Train/eval leakage audit at CONVERSATION grain — the transcripts
+    face of the split-contamination family (`split_overlap` for events,
+    `cross_split_contamination` for documents): assign every
+    conversation its deterministic content-stable split
+    (:func:`valar_spark.textops.hash_split` semantics over ``conv_col``),
+    then surface whole-conversation exact-content clusters that SPAN ≥2
+    splits — a conversation whose verbatim copy sits in both train and
+    test inflates eval scores by exactly the amount the model memorized.
+    Splitting at conversation grain is itself the point: a turn-grain or
+    doc-grain split would put halves of one dialogue on both sides by
+    construction; this audit catches the failure that remains — distinct
+    conv_ids carrying identical content (re-ingested logs, mirrored
+    exports) that land on different sides of the hash cut.
+
+    Shape at 10^12 turns: the conv-keyed fingerprint aggregate the
+    dedup pass already pays, a pure-projection split assignment, one
+    fingerprint-keyed aggregate (map-side combined, output = distinct
+    fingerprints), and a key-equality join back. Never any pairwise
+    compare; identical conversations MEET in the fingerprint partition.
+
+    Columns: ``(conv, split, fingerprint, cluster_size, n_splits)`` —
+    one row per conversation in a split-spanning cluster."""
+    from valar_spark.textops import md5_order_key, split_assign_expr
+
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    fp = _conversation_fingerprints(df, conv_col, idx_col, content_cols)
+    bucket = md5_order_key(F.col("conv"), salt) % 10_000
+    sp = fp.withColumn("split", split_assign_expr(bucket, weights))
+    cl = (sp.groupBy("fingerprint")
+          .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"),
+               F.countDistinct("split").cast("long").alias("n_splits")))
+    return (sp.join(cl, "fingerprint")
+            .filter(F.col("n_splits") >= 2)
+            .select("conv", "split", "fingerprint", "cluster_size",
+                    "n_splits"))
+
+
 def conversation_fingerprint_dedup(
     df: DataFrame,
     conv_col: str = "conv_id",
@@ -2439,17 +2511,7 @@ def conversation_fingerprint_dedup(
     compare. The (idx, content-hash) sort inside ``array_sort`` makes the
     fingerprint invariant to partition layout AND to planted duplicate
     rows (ties are content-equal, hence interchangeable)."""
-    h = _turn_content_hash(content_cols)
-    elem = F.struct(F.col(idx_col).cast("long").alias("_i"), h.alias("_h"))
-    fp = (
-        df.groupBy(F.col(conv_col).alias("conv"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
-             F.md5(F.concat_ws("\x02", F.transform(
-                 F.array_sort(F.collect_list(elem)),
-                 lambda s: F.concat(s["_i"].cast("string"),
-                                    F.lit(":"), s["_h"]))))
-             .alias("fingerprint"))
-    )
+    fp = _conversation_fingerprints(df, conv_col, idx_col, content_cols)
     wc = Window.partitionBy("fingerprint")
     return (
         fp.withColumn("cluster_size",

@@ -954,3 +954,94 @@ def stream_special_token_flags(
                     & F.col(text_col).isNotNull())
             .withColumn("patterns", special_token_label_array(text_col))
             .filter(F.size("patterns") > 0))
+
+
+def stream_parrot(
+    stream_df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_user_tokens: int = 5,
+    min_containment: float = 0.8,
+    close_after: str | None = None,
+) -> DataFrame:
+    """CROSS-micro-batch parroting monitor — the streaming face of
+    :func:`valar_spark.dataset_rules.parrot_census`, built on the same
+    state design as :func:`stream_tool_echo`: each open conversation's
+    last (role, text) survives in the state store, so an assistant reply
+    in batch k+1 is still checked against the user prompt that arrived
+    in batch k. Token-set containment uses the SAME contract as the
+    batch operator (distinct lowercased maximal non-whitespace runs over
+    the ASCII whitespace class); per-conversation ordering/eviction
+    semantics, state bounds, and the ``close_after`` processing-time
+    caveats are exactly :func:`stream_tool_echo`'s.
+
+    Output rows mirror the batch operator: ``(conv, turn_idx,
+    user_tokens, overlap_tokens, containment_pct)``."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    close_ms = None
+    if close_after is not None:
+        qty, unit = close_after.split()
+        close_ms = int(float(qty) * {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000}[unit])
+    conv_t = stream_df.schema[conv_col].dataType.simpleString()
+    out_cols = ["conv", "turn_idx", "user_tokens", "overlap_tokens",
+                "containment_pct"]
+    out_ddl = (f"conv {conv_t}, turn_idx bigint, user_tokens bigint, "
+               "overlap_tokens bigint, containment_pct double")
+    state_ddl = "last_role string, last_text string"
+    ws = re.compile(r"\S+", re.ASCII)
+
+    def _md5(v) -> str:
+        s = "" if v is None or (isinstance(v, float) and pd.isna(v)) else v
+        return hashlib.md5(str(s).encode()).hexdigest()
+
+    def _tokset(t) -> set:
+        return set(ws.findall(t.lower())) if isinstance(t, str) else set()
+
+    def fn(key, pdf_iter, state):
+        conv = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_role, last_text = state.get if state.exists else (None, None)
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        # the batch operator's content-closed total order
+        pdf = (pdf.assign(_h=pdf[text_col].map(_md5))
+               .sort_values([order_col, role_col, "_h"],
+                            na_position="first"))
+        out = []
+        for idx, role, text in zip(pdf[order_col], pdf[role_col],
+                                   pdf[text_col]):
+            role = None if pd.isna(role) else role
+            text = None if (text is None or (isinstance(text, float)
+                                             and pd.isna(text))) else text
+            if (role == "assistant" and last_role == "user"
+                    and last_text is not None and text is not None):
+                u = _tokset(last_text)
+                ut = len(u)
+                ov = len(u & _tokset(text))
+                if ut >= min_user_tokens and ov * 1.0 >= \
+                        min_containment * ut:
+                    out.append((conv,
+                                None if pd.isna(idx) else int(idx),
+                                ut, ov, round(ov * 100.0 / ut, 4)))
+            last_role, last_text = role, text
+        state.update((last_role, last_text))
+        if close_ms is not None:
+            state.setTimeoutDuration(close_ms)
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return stream_df.groupBy(conv_col).applyInPandasWithState(
+        fn, out_ddl, state_ddl, "append",
+        "NoTimeout" if close_ms is None else "ProcessingTimeTimeout")
