@@ -277,6 +277,12 @@ TRANSCRIPTS_QUERIES = [
     "conv_pack_transcripts",
     "verbosity_trend_transcripts",
     "parrot_transcripts",
+    # session-O correction miner: the anchored battery (TRIM/translate/
+    # LOWER + Java-vs-RE2 prefix agreement, the refusal surface) TIMES
+    # the shared lag tie discipline — NULL idx makes the %7/%11 plant
+    # predicates NULL -> ELSE on both engines, exotic roles must not
+    # match the exact 'user'/'assistant' literals
+    "corrections_transcripts",
     # conv_split_leakage_transcripts is NOT fuzzed for the same reason
     # as divergent_dups: its plant keys on the synth's numeric conv_id
     # layout (SUBSTR→INT), which random conv ids break under DuckDB's

@@ -3366,6 +3366,30 @@ def _q_conv_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("conv"))
 
 
+def _q_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrected-assistant-turn miner (dataset_rules.correction_pairs)
+    over the persisted transcript parquet with two planted correction
+    openers on user turns (idx%7==3 flat_no with an em-dash + derived
+    digits, idx%11==5 actually) — attribution pairs via the shared lag
+    contract, so only corrections whose NATURAL predecessor is an
+    assistant turn emit; both engines replay the identical CASE and
+    lag."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    u = F.col("role") == "user"
+    t = (F.when(u & (F.col("turn_idx") % 7 == 3),
+                F.concat(F.lit("No, that's wrong — the figure for turn "),
+                         F.col("turn_idx").cast("string"),
+                         F.lit(" should be higher.")))
+         .when(u & (F.col("turn_idx") % 11 == 5),
+               F.lit("Actually, I meant the second option."))
+         .otherwise(F.col("text")))
+    planted = df.select("conv_id", "turn_idx", "role", t.alias("text"))
+    return (D.correction_pairs(planted)
+            .orderBy("conv", "user_turn_idx", "pattern"))
+
+
 def _q_conv_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation → training-sequence packing
     (dataset_rules.conversation_sequence_packing) over the persisted
@@ -3654,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parrot_transcripts": _q_parrot,
         "pmi_documents": _q_pmi,
         "conv_split_leakage_transcripts": _q_conv_split_leakage,
+        "corrections_transcripts": _q_corrections,
     }
 
 
@@ -8060,6 +8085,47 @@ def oracle_sql() -> dict[str, str]:
                ROUND(ov * 100.0 / ut, 4) AS containment_pct
         FROM m WHERE ut >= 5 AND ov * 1.0 >= 0.8 * ut
         ORDER BY conv, turn_idx
+    """
+    # correction miner: the battery CASE generated from the SAME
+    # constants the Spark operator compiles (first-match-wins), the
+    # shared lag contract, assistant-predecessor attribution
+    from valar_spark.dataset_rules import CORRECTION_PATTERNS
+    _cor_case = "CASE " + " ".join(
+        f"WHEN regexp_matches(tl, '{pat.replace(chr(39), chr(39) * 2)}') "
+        f"THEN '{key}'"
+        for key, pat in CORRECTION_PATTERNS) + " END"
+    o["corrections_transcripts"] = f"""
+        WITH p AS (
+            SELECT conv_id AS conv, CAST(turn_idx AS BIGINT) AS i, role,
+                   CASE WHEN role = 'user' AND turn_idx % 7 = 3
+                        THEN 'No, that''s wrong — the figure for turn '
+                             || CAST(turn_idx AS VARCHAR)
+                             || ' should be higher.'
+                        WHEN role = 'user' AND turn_idx % 11 = 5
+                        THEN 'Actually, I meant the second option.'
+                        ELSE text END AS text
+            FROM read_parquet('{_tp}/*.parquet')
+        ), l AS (
+            SELECT conv, i, role, text,
+                   LAG(role) OVER w AS prev_role,
+                   LAG(i) OVER w AS prev_i
+            FROM p
+            WINDOW w AS (PARTITION BY conv
+                         ORDER BY i ASC NULLS FIRST,
+                                  role ASC NULLS FIRST,
+                                  md5(COALESCE(text, '')) ASC)
+        ), c AS (
+            SELECT conv, prev_i AS asst_turn_idx, i AS user_turn_idx,
+                   role, prev_role,
+                   LOWER(TRIM(translate(text, '’', ''''))) AS tl
+            FROM l
+        )
+        SELECT conv, asst_turn_idx, user_turn_idx,
+               {_cor_case} AS pattern
+        FROM c
+        WHERE role = 'user' AND prev_role = 'assistant'
+              AND {_cor_case} IS NOT NULL
+        ORDER BY conv, user_turn_idx, pattern
     """
     # conversation-grain split leakage: the conv_dedup fingerprint
     # contract + the hash_split assignment contract + a fingerprint

@@ -279,6 +279,12 @@ def test_gate_window_covers_never_gated():
         # hash_split assignment (r04-gated) and a rollup join; full hash
         # oracle + engineered-twin unit tests
         "conv_split_leakage_transcripts": "conv_dedup_transcripts",
+        # session-O: the correction miner is the refusal battery's
+        # classification contract (in-window via refusal_census... the
+        # r05 judge-gated family) composed with tool_echo's lag
+        # attribution; full hash oracle + attribution unit tests + fuzz
+        # pair
+        "corrections_transcripts": "tool_echo_transcripts",
     }
     orphans = [
         k for k in keys[50:]

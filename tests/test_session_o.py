@@ -242,3 +242,34 @@ def test_stream_parrot_across_batches(spark, tmp_path):
             for r in D.parrot_census(b1.unionByName(b2)).collect()}
     assert got == want and len(got) == 1
     assert next(iter(got))[:2] == ("A", 1)
+
+
+def test_correction_pairs_attribution(spark):
+    rows = [
+        ("A", 0, "user", "please compute the total"),
+        ("A", 1, "assistant", "the total is 40"),
+        ("A", 2, "user", "No, that's wrong — it is 42"),      # flat_no
+        ("A", 3, "assistant", "you're right, 42"),
+        ("A", 4, "user", "Actually, I meant the median"),     # actually wins
+        ("B", 0, "tool", "result: 7"),
+        ("B", 1, "user", "No, that's wrong"),   # prev is tool: no pair
+        ("C", 0, "assistant", "hello"),
+        ("C", 1, "user", "what's the weather"),  # not a correction
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {(r["conv"], r["asst_turn_idx"], r["user_turn_idx"],
+            r["pattern"])
+           for r in D.correction_pairs(df).collect()}
+    assert got == {("A", 1, 2, "flat_no"), ("A", 3, 4, "actually")}
+
+
+def test_correction_battery_first_match_wins(spark):
+    # "actually" is listed before "i_meant": a turn matching both takes
+    # the first
+    df = spark.createDataFrame(
+        [("X", 0, "assistant", "reply"),
+         ("X", 1, "user", "Actually, I meant the other one")],
+        "conv_id string, turn_idx int, role string, text string")
+    out = D.correction_pairs(df).collect()
+    assert len(out) == 1 and out[0]["pattern"] == "actually"

@@ -309,6 +309,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="PMI collocation profile over a documents-shaped "
                         "input: adjacent-bigram association scores for "
                         "phrase-mining / boilerplate triage")
+    p.add_argument("--corrections", action="store_true",
+                   help="corrected-assistant-turn miner over a "
+                        "transcripts-shaped input: user turns opening "
+                        "with a correction marker right after an "
+                        "assistant reply, attributed to that reply — "
+                        "exclusion/preference-mining candidates")
     p.add_argument("--conv-leakage", action="store_true",
                    help="conversation-grain train/eval leakage audit "
                         "over a transcripts-shaped input: exact-content "
@@ -970,6 +976,18 @@ def main(argv: list[str] | None = None) -> int:
         col.orderBy(F.desc("pmi"), "w1", "w2").limit(30) \
             .show(truncate=False)
         print(json.dumps({"run_id": args.run_id, "collocations": n}))
+        spark.stop()
+        return 0
+
+    if args.corrections:
+        pairs = D.correction_pairs(df).cache()
+        n = pairs.count()
+        n_conv = pairs.select("conv").distinct().count()
+        print(f"corrected assistant turns: {n} in {n_conv} conversations")
+        pairs.orderBy("conv", "user_turn_idx").limit(50) \
+            .show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "corrected_turns": n,
+                          "conversations": n_conv}))
         spark.stop()
         return 0
 

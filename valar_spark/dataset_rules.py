@@ -4275,3 +4275,71 @@ def parrot_census(
                 F.col("_ov").alias("overlap_tokens"),
                 F.round(F.col("_ov") * 100.0 / F.col("_ut"), 4)
                 .alias("containment_pct")))
+
+
+# User-side correction battery — the failure-signal twin of
+# :data:`REFUSAL_PATTERNS`: a user turn that OPENS by rejecting the
+# previous reply marks that reply as a model failure. Anchored prefixes
+# (corrections open turns, like refusals), kept inside the Java-regex ∩
+# RE2 intersection (alternation + optional groups only) so Spark's
+# rlike and DuckDB's regexp_matches compile them identically.
+CORRECTION_PATTERNS: list[tuple[str, str]] = [
+    ("actually", r"^actually[, ]"),
+    ("flat_no", r"^(no[.,!] |no,? (that|it|this)\b|nope[.,! ])"),
+    ("i_meant", r"^(i meant\b|no, i meant\b"
+                r"|that('s| is) not what i (meant|asked|said)\b)"),
+    ("thats_wrong", r"^(that('s| is) (wrong|incorrect"
+                    r"|not (right|correct))\b)"),
+    ("try_again", r"^(try again\b|wrong[.,!]|incorrect[.,!]"
+                  r"|still (wrong|incorrect|broken|not working)\b)"),
+]
+
+
+def correction_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corrected-assistant-turn miner: user turns that OPEN with a
+    correction marker (:data:`CORRECTION_PATTERNS`) immediately after an
+    assistant turn, ATTRIBUTED to that turn — "no, that's wrong"
+    following a reply is the cheapest ground-truth failure label a
+    transcript corpus carries. Downstream uses: exclude (or downweight)
+    the corrected replies from SFT, and mine (corrected reply, eventual
+    accepted reply) pairs as preference data — which is why the output
+    keeps BOTH turn indices, not just a count.
+
+    Matching contract is the refusal census's (``lower(trim())`` with
+    U+2019 normalized, first matching pattern wins); pairing is the
+    shared lag contract of :func:`tool_output_echo` — one conv-keyed
+    window the engine already pays, then a pure filter projection, hits
+    only. A correction after a tool/user turn does NOT pair (no reply to
+    attribute).
+
+    Columns: ``(conv, asst_turn_idx, user_turn_idx, pattern)`` — one row
+    per corrected reply."""
+    t = F.lower(F.trim(F.translate(F.col(text_col), "’", "'")))
+    label: Column = F.lit(None).cast("string")
+    for key, pat in reversed(CORRECTION_PATTERNS):
+        label = F.when(t.rlike(pat), F.lit(key)).otherwise(label)
+    base = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(idx_col).cast("long").alias("_i"),
+        F.col(role_col).alias("_role"),
+        F.col(text_col).alias("_text"),
+        label.alias("pattern"))
+    w = Window.partitionBy("conv").orderBy(
+        F.col("_i").asc_nulls_first(),
+        F.col("_role").asc_nulls_first(),
+        F.md5(F.coalesce(F.col("_text"), F.lit(""))).asc())
+    out = (base
+           .withColumn("_prev_role", F.lag("_role").over(w))
+           .withColumn("_prev_i", F.lag("_i").over(w))
+           .filter((F.col("_role") == "user")
+                   & F.col("pattern").isNotNull()
+                   & (F.col("_prev_role") == "assistant")))
+    return out.select(
+        "conv", F.col("_prev_i").alias("asst_turn_idx"),
+        F.col("_i").alias("user_turn_idx"), "pattern")
