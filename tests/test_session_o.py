@@ -273,3 +273,87 @@ def test_correction_battery_first_match_wins(spark):
         "conv_id string, turn_idx int, role string, text string")
     out = D.correction_pairs(df).collect()
     assert len(out) == 1 and out[0]["pattern"] == "actually"
+
+
+# -- property-based invariants (hypothesis) over the session-O operators --
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+_turn_text = st.one_of(
+    st.none(),
+    st.lists(_word, min_size=0, max_size=8).map(" ".join))
+_conv_rows = st.lists(
+    st.tuples(st.integers(0, 5),            # conv number
+              st.integers(-2, 12),          # turn_idx
+              st.sampled_from(["user", "assistant", "tool"]),
+              _turn_text),
+    min_size=1, max_size=40)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(f"c{c}", i, r, t) for (c, i, r, t) in rows],
+        "conv_id string, turn_idx int, role string, text string")
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(rows=_conv_rows)
+def test_packing_properties(spark, rows):
+    """Packing invariants on random corpora: every conversation is
+    assigned exactly one window; stats conserve both token totals;
+    seq_ids are a dense-enough prefix (0 <= seq_id <= total//budget)."""
+    df = _df(spark, rows)
+    budget = 30
+    p = D.conversation_sequence_packing(df, max_tokens=budget)
+    rows_p = p.collect()
+    assert len(rows_p) == df.select("conv_id").distinct().count()
+    total = sum(r["conv_tokens"] for r in rows_p)
+    assert all(0 <= r["seq_id"] <= total // budget for r in rows_p)
+    assert all(r["overflow"] == (r["conv_tokens"] > budget)
+               for r in rows_p)
+    assert all(0 <= r["supervised_tokens"] <= r["conv_tokens"]
+               for r in rows_p)
+    s = D.sequence_packing_stats(p, max_tokens=budget).collect()
+    assert sum(r["total_tokens"] for r in s) == total
+    assert sum(r["supervised_tokens"] for r in s) == \
+        sum(r["supervised_tokens"] for r in rows_p)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(rows=_conv_rows)
+def test_parrot_and_corrections_hit_shape(spark, rows):
+    """Hits-only contracts on random corpora: every parrot hit satisfies
+    its own threshold arithmetic; every correction pair has user after
+    assistant with a battery pattern."""
+    df = _df(spark, rows)
+    for r in D.parrot_census(df).collect():
+        assert r["user_tokens"] >= 5
+        assert 0 <= r["overlap_tokens"] <= r["user_tokens"]
+        assert r["overlap_tokens"] >= 0.8 * r["user_tokens"]
+    pats = {k for k, _ in D.CORRECTION_PATTERNS}
+    for r in D.correction_pairs(df).collect():
+        assert r["pattern"] in pats
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.one_of(st.none(),
+                               st.lists(_word, min_size=0, max_size=10)
+                               .map(" ".join)),
+                     min_size=1, max_size=30))
+def test_pmi_count_conservation(spark, rows):
+    """PMI table invariants on random corpora: pair_count never exceeds
+    either unigram count, and all surviving pairs meet the floor."""
+    docs = spark.createDataFrame(
+        list(enumerate(rows)), "doc_id int, text string")
+    for r in X.pmi_collocations(docs, min_pair_count=2).collect():
+        assert r["pair_count"] >= 2
+        assert r["pair_count"] <= r["w1_count"]
+        assert r["pair_count"] <= r["w2_count"]
