@@ -62,6 +62,9 @@ EST = {
     "entropy_events_type": 3, "sequence_gaps_lineitem": 2,
     "conv_curation_transcripts": 16,
     "cross_split_near_dup_documents": 6, "markdown_transcripts": 3,
+    "conv_pack_transcripts": 4, "parrot_transcripts": 4,
+    "conv_split_leakage_transcripts": 4, "corrections_transcripts": 5,
+    "pmi_documents": 2,
 }
 SEGMENT_BUDGET = 35.0
 SOLO_AT = 12.0  # a query this heavy drains the bucket itself: run it solo

@@ -914,6 +914,12 @@ def main(argv: list[str] | None = None) -> int:
             "assistant turns with ungrounded numbers")
         sec("intra_repeats", D.intra_conversation_repeats(df),
             "repeated texts within conversations")
+        sec("parrot_turns", D.parrot_census(df),
+            "assistant turns parroting the preceding user turn")
+        sec("corrected_turns", D.correction_pairs(df),
+            "assistant turns the user corrected")
+        sec("split_leaks", D.conversation_split_leakage(df),
+            "identical conversations spanning train/eval splits")
         print(json.dumps({"run_id": args.run_id, **sections}))
         spark.stop()
         return 1 if (inj or tok) else 0
