@@ -283,6 +283,11 @@ TRANSCRIPTS_QUERIES = [
     # predicates NULL -> ELSE on both engines, exotic roles must not
     # match the exact 'user'/'assistant' literals
     "corrections_transcripts",
+    # session-O role-attributed PII census: the shared PII_PATTERNS
+    # regexp_count/extract_all agreement over organic adversarial text
+    # (the _WORDS pool carries email/IP/phone tokens) × stack-vs-UNION
+    # melt parity × null role/text exclusion on both engines
+    "pii_roles_transcripts",
     # conv_split_leakage_transcripts is NOT fuzzed for the same reason
     # as divergent_dups: its plant keys on the synth's numeric conv_id
     # layout (SUBSTR→INT), which random conv ids break under DuckDB's

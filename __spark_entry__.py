@@ -3390,6 +3390,32 @@ def _q_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("conv", "user_turn_idx", "pattern"))
 
 
+def _q_pii_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-attributed PII census (dataset_rules.pii_role_census) over
+    the persisted transcript parquet with one content-closed plant per
+    surface: tool turns (idx%5==0) leak a derived email, assistant
+    turns (idx%6==2) a derived IPv4, user turns (idx%9==4) a phone —
+    so all three (role, category) attribution cells carry signal and
+    both engines derive identical counts from the shared PII_PATTERNS
+    contract."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    t = (F.when((F.col("role") == "tool") & (F.col("turn_idx") % 5 == 0),
+                F.concat(F.col("text"), F.lit(" record user"),
+                         F.col("turn_idx").cast("string"),
+                         F.lit("@example.com")))
+         .when((F.col("role") == "assistant") & (F.col("turn_idx") % 6 == 2),
+               F.concat(F.col("text"), F.lit(" node 10.0."),
+                        (F.col("turn_idx") % 256).cast("string"),
+                        F.lit(".7")))
+         .when((F.col("role") == "user") & (F.col("turn_idx") % 9 == 4),
+               F.concat(F.col("text"), F.lit(" call +1 555 123 4567")))
+         .otherwise(F.col("text")))
+    planted = df.select("conv_id", "turn_idx", "role", t.alias("text"))
+    return D.pii_role_census(planted)
+
+
 def _q_conv_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation → training-sequence packing
     (dataset_rules.conversation_sequence_packing) over the persisted
@@ -3679,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_documents": _q_pmi,
         "conv_split_leakage_transcripts": _q_conv_split_leakage,
         "corrections_transcripts": _q_corrections,
+        "pii_roles_transcripts": _q_pii_roles,
     }
 
 
@@ -8085,6 +8112,53 @@ def oracle_sql() -> dict[str, str]:
                ROUND(ov * 100.0 / ut, 4) AS containment_pct
         FROM m WHERE ut >= 5 AND ov * 1.0 >= 0.8 * ut
         ORDER BY conv, turn_idx
+    """
+    # role-attributed PII census: per-category regexp_extract_all counts
+    # from the SAME PII_PATTERNS constants, melted via UNION ALL (= the
+    # Spark stack()), hits-only aggregate + per-role totals join
+    from valar_spark.textops import PII_PATTERNS as _PII
+    _pii_cnt = {k: (f"COALESCE(len(regexp_extract_all(text, "
+                    f"'{_PII[k]}')), 0)") for k in ("email", "ipv4",
+                                                    "phone")}
+    o["pii_roles_transcripts"] = f"""
+        WITH p AS (
+            SELECT conv_id, role,
+                   CASE WHEN role = 'tool' AND turn_idx % 5 = 0
+                        THEN text || ' record user'
+                             || CAST(turn_idx AS VARCHAR)
+                             || '@example.com'
+                        WHEN role = 'assistant' AND turn_idx % 6 = 2
+                        THEN text || ' node 10.0.'
+                             || CAST(turn_idx % 256 AS VARCHAR) || '.7'
+                        WHEN role = 'user' AND turn_idx % 9 = 4
+                        THEN text || ' call +1 555 123 4567'
+                        ELSE text END AS text
+            FROM read_parquet('{_tp}/*.parquet')
+        ), b AS (
+            SELECT role, conv_id,
+                   {_pii_cnt['email']} AS email,
+                   {_pii_cnt['ipv4']} AS ipv4,
+                   {_pii_cnt['phone']} AS phone
+            FROM p WHERE role IS NOT NULL AND text IS NOT NULL
+        ), m AS (
+            SELECT role, conv_id, 'email' AS category, email AS n FROM b
+            UNION ALL
+            SELECT role, conv_id, 'ipv4', ipv4 FROM b
+            UNION ALL
+            SELECT role, conv_id, 'phone', phone FROM b
+        ), tot AS (
+            SELECT role, COUNT(*) AS rt FROM b GROUP BY role
+        ), h AS (
+            SELECT role, category,
+                   CAST(SUM(n) AS BIGINT) AS n_hits,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM m WHERE n > 0 GROUP BY role, category
+        )
+        SELECT h.role, h.category, n_hits, n_turns, n_convs,
+               ROUND(n_turns * 100.0 / rt, 4) AS turns_share_pct
+        FROM h JOIN tot ON h.role = tot.role
+        ORDER BY h.role, category
     """
     # correction miner: the battery CASE generated from the SAME
     # constants the Spark operator compiles (first-match-wins), the

@@ -285,6 +285,11 @@ def test_gate_window_covers_never_gated():
         # attribution; full hash oracle + attribution unit tests + fuzz
         # pair
         "corrections_transcripts": "tool_echo_transcripts",
+        # session-O: the role-attributed PII census reuses the
+        # pii_scrub/pii_reuse pattern contract (both r04/r05-gated) in
+        # a stack-melt aggregate; full hash oracle + attribution unit
+        # test + fuzz pair
+        "pii_roles_transcripts": "pii_scrub_documents",
     }
     orphans = [
         k for k in keys[50:]

@@ -357,3 +357,27 @@ def test_pmi_count_conservation(spark, rows):
         assert r["pair_count"] >= 2
         assert r["pair_count"] <= r["w1_count"]
         assert r["pair_count"] <= r["w2_count"]
+
+
+def test_pii_role_census_attribution(spark):
+    rows = [
+        ("A", 0, "user", "my email is me@example.com and spare me2@example.com"),
+        ("A", 1, "assistant", "reach the server at 10.0.0.1"),
+        ("A", 2, "tool", "call +1 555 123 4567"),
+        ("A", 3, "assistant", "no pii here"),
+        ("B", 0, "assistant", "another host 192.168.1.1"),
+        ("B", 1, None, "unattributed me3@example.com"),   # null role: excluded
+        ("B", 2, "user", None),                           # null text: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {(r["role"], r["category"]):
+           (r["n_hits"], r["n_turns"], r["n_convs"], r["turns_share_pct"])
+           for r in D.pii_role_census(df).collect()}
+    # user: 1 turn with 2 emails, of 1 non-null user turn
+    assert got[("user", "email")] == (2, 1, 1, 100.0)
+    # assistant: 2 ip turns of 3 assistant turns
+    assert got[("assistant", "ipv4")] == (2, 2, 2, round(200 / 3, 4))
+    assert got[("tool", "phone")] == (1, 1, 1, 100.0)
+    assert ("assistant", "email") not in got
+    assert not any(r is None for r, _ in got)

@@ -309,6 +309,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="PMI collocation profile over a documents-shaped "
                         "input: adjacent-bigram association scores for "
                         "phrase-mining / boilerplate triage")
+    p.add_argument("--pii-roles", action="store_true",
+                   help="role-attributed PII census over a "
+                        "transcripts-shaped input: user turns = "
+                        "disclosure, tool turns = leaking connector, "
+                        "assistant turns = memorization tripwire "
+                        "(exit 1 on any assistant-side hit)")
     p.add_argument("--corrections", action="store_true",
                    help="corrected-assistant-turn miner over a "
                         "transcripts-shaped input: user turns opening "
@@ -984,6 +990,21 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"run_id": args.run_id, "collocations": n}))
         spark.stop()
         return 0
+
+    if args.pii_roles:
+        from pyspark.sql import functions as F
+
+        census = D.pii_role_census(df).cache()
+        n = census.count()
+        asst = census.filter("role = 'assistant'") \
+            .agg(F.sum("n_hits")).first()[0] or 0
+        print(f"(role, category) cells with PII: {n} "
+              f"({asst} assistant-side hits)")
+        census.show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "pii_cells": n,
+                          "assistant_hits": int(asst)}))
+        spark.stop()
+        return 1 if asst else 0
 
     if args.corrections:
         pairs = D.correction_pairs(df).cache()

@@ -4343,3 +4343,57 @@ def correction_pairs(
     return out.select(
         "conv", F.col("_prev_i").alias("asst_turn_idx"),
         F.col("_i").alias("user_turn_idx"), "pattern")
+
+
+def pii_role_census(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII census with ROLE attribution — the transcripts face of the
+    document scrubber (:data:`valar_spark.textops.PII_PATTERNS`, same
+    Java∩RE2 contract), split by the surface that matters: PII in USER
+    turns is disclosure to collect-and-scrub, PII in TOOL turns is a
+    retrieval pipe leaking records, and PII in ASSISTANT turns is the
+    memorization tripwire — a model EMITTING identifiers nobody typed
+    this conversation. A corpus-grain count (``pii_scrub``) can't
+    distinguish the three; curation treats them completely differently
+    (scrub / fix the connector / drop and investigate).
+
+    Shape at 10^12 turns: per-category match counts are computed in the
+    scan projection (chained ``regexp_count``, no Python), melted via
+    ``stack`` (3 rows per turn, filtered to HITS before the shuffle), so
+    the aggregate input is bounded by matching turns × categories;
+    per-role turn totals are one (role)-keyed aggregate joined back.
+    Null-role turns are excluded (no surface to attribute) — both
+    engines filter identically.
+
+    Columns: ``(role, category, n_hits, n_turns, n_convs,
+    turns_share_pct)`` — turns_share_pct = matching turns as a share of
+    that role's non-null-text turns — ordered by (role, category)."""
+    from valar_spark.textops import _PII_ORDER, pii_counts
+
+    base = (df.filter(F.col(role_col).isNotNull()
+                      & F.col(text_col).isNotNull())
+            .select(F.col(role_col).alias("role"),
+                    F.col(conv_col).alias("_conv"),
+                    pii_counts(F.col(text_col)).alias("_p")))
+    stack_args = ", ".join(f"'{k}', _p.{k}" for k in _PII_ORDER)
+    melt = base.select(
+        "role", "_conv",
+        F.expr(f"stack({len(_PII_ORDER)}, {stack_args}) "
+               "AS (category, _n)"))
+    hits = (melt.filter(F.col("_n") > 0)
+            .groupBy("role", "category")
+            .agg(F.sum("_n").cast("long").alias("n_hits"),
+                 F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.countDistinct("_conv").cast("long").alias("n_convs")))
+    tot = base.groupBy("role").agg(
+        F.count(F.lit(1)).cast("long").alias("_role_turns"))
+    return (hits.join(tot, "role")
+            .select("role", "category", "n_hits", "n_turns", "n_convs",
+                    F.round(F.col("n_turns") * 100.0
+                            / F.col("_role_turns"), 4)
+                    .alias("turns_share_pct"))
+            .orderBy("role", "category"))
