@@ -926,9 +926,13 @@ def main(argv: list[str] | None = None) -> int:
             "assistant turns the user corrected")
         sec("split_leaks", D.conversation_split_leakage(df),
             "identical conversations spanning train/eval splits")
+        asst_pii = sec("assistant_pii_cells",
+                       D.pii_role_census(df)
+                       .filter("role = 'assistant'"),
+                       "assistant-side PII cells (memorization)")
         print(json.dumps({"run_id": args.run_id, **sections}))
         spark.stop()
-        return 1 if (inj or tok) else 0
+        return 1 if (inj or tok or asst_pii) else 0
 
     if args.depth_profile:
         prof = D.conversation_depth_profile(df).cache()
