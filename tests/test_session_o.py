@@ -381,3 +381,46 @@ def test_pii_role_census_attribution(spark):
     assert got[("tool", "phone")] == (1, 1, 1, 100.0)
     assert ("assistant", "email") not in got
     assert not any(r is None for r, _ in got)
+
+
+def test_cli_curate_semantic_stage(spark, tmp_path, monkeypatch, capsys):
+    """--curate --semantic drops a planted paraphrase-grade duplicate:
+    doc 9000 clones doc 0's embedding (cosine 1.0) under DIFFERENT text,
+    so no token stage can catch it — only the SemDeDup stage does, and
+    the victim's ledger row reads drop_stage='near_dup' while the
+    minimum-id representative survives."""
+    from tests.test_cli import _json_line, _run_cli
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keeper = docs.filter("doc_id = 0")
+    clone = keeper.select(
+        F.lit(9000).cast(docs.schema["doc_id"].dataType).alias("doc_id"),
+        *[F.when(F.col(c).isNotNull(),
+                 F.lit("a completely different rewording of it"))
+          .otherwise(None).alias(c) if c == "text" else F.col(c)
+          for c in docs.columns if c != "doc_id"])
+    doc_path = str(tmp_path / "docs")
+    docs.unionByName(clone).write.parquet(doc_path)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eclone = emb.filter("vec_id = 0").select(
+        F.lit(9000).cast(emb.schema["vec_id"].dataType).alias("vec_id"),
+        *[F.col(c) for c in emb.columns if c != "vec_id"])
+    emb_path = str(tmp_path / "emb")
+    emb.unionByName(eclone).write.parquet(emb_path)
+
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", doc_path,
+        "--work-dir", str(tmp_path), "--run-id", "sem1",
+        "--curate", "--semantic", emb_path])
+    assert rc == 0
+    led = spark.read.parquet(_json_line(out)["ledger"])
+    row = {r["doc_id"]: r for r in led.collect()}
+    # the clone has different text (not exact-dup) but an identical
+    # embedding: only the semantic stage can have dropped it
+    if row[0]["drop_stage"] is None:
+        assert row[9000]["drop_stage"] == "near_dup"
+    else:
+        # doc 0 failed an earlier gate: survivor scoping then means the
+        # clone must NOT have been dropped as its near-dup
+        assert row[9000]["drop_stage"] != "near_dup"

@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="per-source document cap for --curate")
     p.add_argument("--minhash", action="store_true",
                    help="add the MinHash near-dup stage to --curate")
+    p.add_argument("--semantic", metavar="EMB_PATH", default=None,
+                   help="add the SemDeDup embedding near-dup stage to "
+                        "--curate: parquet with (vec_id, embedding) "
+                        "where vec_id aligns with doc_id; drop ids are "
+                        "computed over the quality+dedup survivors only")
     # NOTE: --containment (defined below) composes with --curate the same
     # way: the subsumption drop set (computed over the survivors) joins
     # the ledger's near_dup stage alongside the MinHash victims
@@ -407,7 +412,7 @@ def main(argv: list[str] | None = None) -> int:
         from valar_spark import textops as X
 
         nd = None
-        if args.minhash or args.containment:
+        if args.minhash or args.containment or args.semantic:
             # compute the near-dup drop sets over the quality+dedup
             # SURVIVORS, not the raw corpus — otherwise a surviving doc
             # can be dropped as near-dup of a keeper that itself failed
@@ -422,6 +427,21 @@ def main(argv: list[str] | None = None) -> int:
             if args.containment:
                 # subsumed docs drop in favour of their maximal container
                 parts.append(X.containment_drop_ids(surv))
+            if args.semantic:
+                # SemDeDup stage: paraphrase-grade duplicates no token
+                # fingerprint can see; keep=false ids drop in favour of
+                # the minimum-id representative of each cosine component
+                from pyspark.sql import functions as F
+
+                from valar_spark import ann
+
+                emb = spark.read.parquet(args.semantic)
+                emb_s = emb.join(
+                    surv.select(F.col("doc_id").alias("vec_id")),
+                    "vec_id")
+                sd = ann.semantic_dedup(emb_s)
+                parts.append(sd.filter(~F.col("keep"))
+                             .select(F.col("vec_id").alias("doc_id")))
             nd = parts[0]
             for extra in parts[1:]:
                 nd = nd.unionByName(extra)
