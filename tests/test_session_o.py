@@ -424,3 +424,65 @@ def test_cli_curate_semantic_stage(spark, tmp_path, monkeypatch, capsys):
         # doc 0 failed an earlier gate: survivor scoping then means the
         # clone must NOT have been dropped as its near-dup
         assert row[9000]["drop_stage"] != "near_dup"
+
+
+def test_session_o_plan_shapes(spark):
+    """Plan-quality pins for the session-O operators (the per-operator
+    shuffle contracts the docstrings claim). Counting partitioning
+    occurrences in the executed plan pins that no corpus-wide extra
+    shuffle, no single-partition data window, no Python UDF, and no
+    cartesian product ever sneaks in."""
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "please sum the figures now"),
+         ("c1", 1, "assistant", "please sum the figures now ok"),
+         ("c1", 2, "user", "no, that is wrong"),
+         ("c1", 3, "assistant", "ok me@example.com")],
+        "conv_id string, turn_idx int, role string, text string")
+
+    def shape(q):
+        s = q._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+        assert "CartesianProduct" not in s
+        return (s.count("BroadcastExchange"),
+                s.count("rangepartitioning"),
+                s.count("hashpartitioning"),
+                s.count("Exchange SinglePartition"))
+
+    # parrot / corrections: exactly the ONE conv-keyed window Exchange
+    assert shape(D.parrot_census(df)) == (0, 0, 1, 0)
+    assert shape(D.correction_pairs(df)) == (0, 0, 1, 0)
+    # verbosity: ONE conv aggregate (partial + final share the same
+    # hashpartitioning key; Spark prints it once per Exchange)
+    assert shape(D.verbosity_trend(df)) == (0, 0, 1, 0)
+    # packing: the conv aggregate + the bucket repartition for the
+    # two-phase cumsum; the ONLY single-partition exchange is the
+    # <=range_buckets-row offsets aggregate, and the offsets side comes
+    # back broadcast
+    # (the offsets branch re-derives the conv aggregate — h counts both
+    # sides' keyed shuffles, same shape the pack_shards oracle pins)
+    b, r, h, sp = shape(D.conversation_sequence_packing(df))
+    assert b == 1 and sp <= 1 and h <= 4, (b, r, h, sp)
+    # pii census: hits aggregate (+countDistinct expansion), totals
+    # aggregate, and the role-keyed join — all keyed shuffles, none
+    # single-partition, final sort bounded by roles x categories
+    b, r, h, sp = shape(D.pii_role_census(df))
+    assert sp == 0 and r <= 1 and h <= 5, (b, r, h, sp)
+    # split leakage: fingerprint aggregate + cluster rollup + join back
+    # (the rollup side re-derives the fingerprint aggregate in the
+    # static plan; AQE's ReusedExchange collapses it at runtime) — the
+    # pin is NO single-partition shuffle and only keyed exchanges
+    b, r, h, sp = shape(D.conversation_split_leakage(df))
+    assert sp == 0 and h <= 5, (b, r, h, sp)
+
+
+def test_pmi_plan_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b")], "doc_id int, text string")
+    s = X.pmi_collocations(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    # totals come back as TWO broadcast 1-row sides; unigram joins are
+    # key-equality (broadcast at this size, shuffle at vocab scale —
+    # either way never a cartesian)
+    assert s.count("Exchange SinglePartition") <= 2  # the two 1-row totals
