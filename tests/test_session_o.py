@@ -486,3 +486,47 @@ def test_pmi_plan_shape(spark):
     # key-equality (broadcast at this size, shuffle at vocab scale —
     # either way never a cartesian)
     assert s.count("Exchange SinglePartition") <= 2  # the two 1-row totals
+
+
+def test_stream_corrections_across_batches(spark, tmp_path):
+    """The assistant reply arrives in micro-batch 1 and the user
+    correction in batch 2: only the state store can attribute them. The
+    result must match the batch operator over the union — including a
+    tab-padded correction, which the Spark-trim contract must NOT
+    match on either path."""
+    import time as _time
+
+    from valar_spark.streaming import stream_corrections
+
+    schema = "conv_id string, turn_idx int, role string, text string"
+    b1 = spark.createDataFrame(
+        [("A", 0, "user", "what is the total"),
+         ("A", 1, "assistant", "the total is 40")], schema)
+    b2 = spark.createDataFrame(
+        [("A", 2, "user", "No, that is wrong — it's 42"),   # correction
+         ("B", 0, "assistant", "hello"),
+         ("B", 1, "user", "\tactually, the other one"),     # tab-padded
+         ("B", 2, "assistant", "sure"),
+         ("B", 3, "user", "thanks, perfect")], schema)
+    src = str(tmp_path / "corr_src")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{src}/b*"))
+    q = (stream_corrections(stream).writeStream
+         .format("memory").queryName("corr_mem")
+         .option("checkpointLocation", str(tmp_path / "corr_ck"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["conv"], r["asst_turn_idx"], r["user_turn_idx"],
+            r["pattern"])
+           for r in spark.sql("SELECT * FROM corr_mem").collect()}
+    want = {(r["conv"], r["asst_turn_idx"], r["user_turn_idx"],
+             r["pattern"])
+            for r in D.correction_pairs(b1.unionByName(b2)).collect()}
+    assert got == want
+    # "No, that is wrong" hits flat_no first (battery precedence)
+    assert got == {("A", 1, 2, "flat_no")}

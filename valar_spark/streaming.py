@@ -1045,3 +1045,99 @@ def stream_parrot(
     return stream_df.groupBy(conv_col).applyInPandasWithState(
         fn, out_ddl, state_ddl, "append",
         "NoTimeout" if close_ms is None else "ProcessingTimeTimeout")
+
+
+def stream_corrections(
+    stream_df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    close_after: str | None = None,
+) -> DataFrame:
+    """CROSS-micro-batch corrected-reply monitor — the streaming face of
+    :func:`valar_spark.dataset_rules.correction_pairs`, on the same
+    state design as :func:`stream_tool_echo`: each open conversation's
+    last (role, turn_idx) survives in the state store, so a user
+    correction arriving in batch k+1 still attributes to the assistant
+    reply from batch k. At ingest time this is a LIVE model-failure-rate
+    signal (corrections/minute per deployment), available before any
+    batch job runs. Battery and precedence are compiled from the SAME
+    :data:`~valar_spark.dataset_rules.CORRECTION_PATTERNS` constants via
+    Python ``re`` (patterns live in the Java∩RE2∩Python intersection);
+    ordering/eviction semantics and the ``close_after`` caveats are
+    exactly :func:`stream_tool_echo`'s.
+
+    Output rows mirror the batch operator: ``(conv, asst_turn_idx,
+    user_turn_idx, pattern)``."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from valar_spark.dataset_rules import CORRECTION_PATTERNS
+
+    compiled = [(k, re.compile(p)) for k, p in CORRECTION_PATTERNS]
+
+    close_ms = None
+    if close_after is not None:
+        qty, unit = close_after.split()
+        close_ms = int(float(qty) * {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000}[unit])
+    conv_t = stream_df.schema[conv_col].dataType.simpleString()
+    out_cols = ["conv", "asst_turn_idx", "user_turn_idx", "pattern"]
+    out_ddl = (f"conv {conv_t}, asst_turn_idx bigint, "
+               "user_turn_idx bigint, pattern string")
+    state_ddl = "last_role string, last_idx bigint"
+
+    def _md5(v) -> str:
+        s = "" if v is None or (isinstance(v, float) and pd.isna(v)) else v
+        return hashlib.md5(str(s).encode()).hexdigest()
+
+    def _label(t):
+        if not isinstance(t, str):
+            return None
+        # .strip(" ") not .strip(): Spark's trim() removes ASCII spaces
+        # only, and the batch-parity contract must match it exactly on
+        # tab/newline-padded corrections
+        tl = t.replace("’", "'").strip(" ").lower()
+        for k, pat in compiled:
+            if pat.search(tl):
+                return k
+        return None
+
+    def fn(key, pdf_iter, state):
+        conv = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_role, last_idx = state.get if state.exists else (None, None)
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = (pdf.assign(_h=pdf[text_col].map(_md5))
+               .sort_values([order_col, role_col, "_h"],
+                            na_position="first"))
+        out = []
+        for idx, role, text in zip(pdf[order_col], pdf[role_col],
+                                   pdf[text_col]):
+            role = None if pd.isna(role) else role
+            idx = None if pd.isna(idx) else int(idx)
+            text = None if (text is None or (isinstance(text, float)
+                                             and pd.isna(text))) else text
+            if role == "user" and last_role == "assistant":
+                lab = _label(text)
+                if lab is not None:
+                    out.append((conv, last_idx, idx, lab))
+            last_role, last_idx = role, idx
+        state.update((last_role, last_idx))
+        if close_ms is not None:
+            state.setTimeoutDuration(close_ms)
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return stream_df.groupBy(conv_col).applyInPandasWithState(
+        fn, out_ddl, state_ddl, "append",
+        "NoTimeout" if close_ms is None else "ProcessingTimeTimeout")
