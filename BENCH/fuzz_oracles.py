@@ -288,6 +288,15 @@ TRANSCRIPTS_QUERIES = [
     # (the _WORDS pool carries email/IP/phone tokens) × stack-vs-UNION
     # melt parity × null role/text exclusion on both engines
     "pii_roles_transcripts",
+    # session-O false-callback detector: unanchored battery over
+    # adversarial unicode × the running prior-role counts over the
+    # shared total order (rows frame to 1 PRECEDING) — the plant keys
+    # only on role literals and idx mods, so random tables replay it.
+    # response_variants_transcripts is NOT fuzzed: its variant plant
+    # keys on the synth's numeric conv_id layout (SUBSTR→INT, the
+    # divergent_dups constraint); its machinery (lead pairing + md5
+    # bucket) is pinned by the gate hash + exact-bucket unit tests.
+    "false_callbacks_transcripts",
     # conv_split_leakage_transcripts is NOT fuzzed for the same reason
     # as divergent_dups: its plant keys on the synth's numeric conv_id
     # layout (SUBSTR→INT), which random conv ids break under DuckDB's

@@ -3390,6 +3390,59 @@ def _q_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("conv", "user_turn_idx", "pattern"))
 
 
+def _q_false_callbacks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hallucinated-context detector (dataset_rules.false_callbacks)
+    over the persisted transcript parquet: assistant turns at idx%13==0
+    claim a self-callback, at idx%17==2 a user-callback — whether each
+    is FALSE depends on the NATURAL running prior-turn counts under the
+    shared total order, which both engines derive identically."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    a = F.col("role") == "assistant"
+    t = (F.when(a & (F.col("turn_idx") % 13 == 0),
+                F.concat(F.lit("As I mentioned earlier, the answer for "
+                               "turn "),
+                         F.col("turn_idx").cast("string"),
+                         F.lit(" is ready.")))
+         .when(a & (F.col("turn_idx") % 17 == 2),
+               F.concat(F.lit("Earlier you said turn "),
+                        F.col("turn_idx").cast("string"),
+                        F.lit(" mattered.")))
+         .otherwise(F.col("text")))
+    planted = df.select("conv_id", "turn_idx", "role", t.alias("text"))
+    return (D.false_callbacks(planted)
+            .orderBy("conv", "turn_idx", "pattern"))
+
+
+def _q_response_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-prompt variant miner (dataset_rules.response_variants) over
+    the persisted transcript parquet with three planted regimes: user
+    idx%5==1 turns collapse to one constant prompt whose (naturally
+    distinct) replies form a big bucket; user idx%7==2 turns collapse to
+    a second prompt whose following assistant replies are planted to
+    EXACTLY TWO constants (even conv -> A, odd conv -> B at idx%7==3),
+    making a surviving 2-variant bucket whose variant split both
+    engines derive from the same conv-number parity."""
+    from valar_spark import dataset_rules as D
+
+    df = spark.read.parquet(_transcripts_parquet(spark))
+    u = F.col("role") == "user"
+    a = F.col("role") == "assistant"
+    cn = _conv_num()
+    t = (F.when(u & (F.col("turn_idx") % 5 == 1),
+                F.lit("please run the standard diagnostic check now"))
+         .when(u & (F.col("turn_idx") % 7 == 2),
+               F.lit("summarize the weekly report please"))
+         .when(a & (F.col("turn_idx") % 7 == 3) & (cn % 2 == 0),
+               F.lit("Reply variant A."))
+         .when(a & (F.col("turn_idx") % 7 == 3) & (cn % 2 == 1),
+               F.lit("Reply variant B."))
+         .otherwise(F.col("text")))
+    planted = df.select("conv_id", "turn_idx", "role", t.alias("text"))
+    return D.response_variants(planted).orderBy("user_md5")
+
+
 def _q_pii_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Role-attributed PII census (dataset_rules.pii_role_census) over
     the persisted transcript parquet with one content-closed plant per
@@ -3706,6 +3759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_split_leakage_transcripts": _q_conv_split_leakage,
         "corrections_transcripts": _q_corrections,
         "pii_roles_transcripts": _q_pii_roles,
+        "false_callbacks_transcripts": _q_false_callbacks,
+        "response_variants_transcripts": _q_response_variants,
     }
 
 
@@ -8112,6 +8167,101 @@ def oracle_sql() -> dict[str, str]:
                ROUND(ov * 100.0 / ut, 4) AS containment_pct
         FROM m WHERE ut >= 5 AND ov * 1.0 >= 0.8 * ut
         ORDER BY conv, turn_idx
+    """
+    # false-callback detector: battery from the SAME constants, running
+    # prior-role counts over the shared total order (rows frame ending
+    # at 1 PRECEDING), first-match-wins among independently-checked
+    # (match AND prior==0) classes
+    from valar_spark.dataset_rules import CALLBACK_PATTERNS
+    _cb_when = " ".join(
+        f"WHEN regexp_matches(tl, "
+        f"'{pat.replace(chr(39), chr(39) * 2)}') AND "
+        + ("prev_a" if ref == "assistant" else "prev_u")
+        + f" = 0 THEN '{key}'"
+        for key, ref, pat in CALLBACK_PATTERNS)
+    o["false_callbacks_transcripts"] = f"""
+        WITH p AS (
+            SELECT conv_id AS conv, CAST(turn_idx AS BIGINT) AS i, role,
+                   CASE WHEN role = 'assistant' AND turn_idx % 13 = 0
+                        THEN 'As I mentioned earlier, the answer for '
+                             || 'turn ' || CAST(turn_idx AS VARCHAR)
+                             || ' is ready.'
+                        WHEN role = 'assistant' AND turn_idx % 17 = 2
+                        THEN 'Earlier you said turn '
+                             || CAST(turn_idx AS VARCHAR) || ' mattered.'
+                        ELSE text END AS text
+            FROM read_parquet('{_tp}/*.parquet')
+        ), l AS (
+            SELECT conv, i, role, text,
+                   COALESCE(SUM(CASE WHEN role = 'assistant' THEN 1
+                                     ELSE 0 END) OVER wprev, 0) AS prev_a,
+                   COALESCE(SUM(CASE WHEN role = 'user' THEN 1
+                                     ELSE 0 END) OVER wprev, 0) AS prev_u
+            FROM p
+            WINDOW wprev AS (PARTITION BY conv
+                             ORDER BY i ASC NULLS FIRST,
+                                      role ASC NULLS FIRST,
+                                      md5(COALESCE(text, '')) ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+        ), c AS (
+            SELECT conv, i, prev_a, prev_u,
+                   LOWER(translate(text, '’', '''')) AS tl
+            FROM l WHERE role = 'assistant' AND text IS NOT NULL
+        )
+        SELECT conv, i AS turn_idx,
+               CASE {_cb_when} END AS pattern,
+               CAST(prev_a AS BIGINT) AS prior_assistant_turns,
+               CAST(prev_u AS BIGINT) AS prior_user_turns
+        FROM c WHERE CASE {_cb_when} END IS NOT NULL
+        ORDER BY conv, turn_idx, pattern
+    """
+    # same-prompt variant miner: the shared lead pairing + md5 bucket,
+    # token floor via the shared token fragment
+    o["response_variants_transcripts"] = rf"""
+        WITH p AS (
+            SELECT conv_id AS conv, CAST(turn_idx AS BIGINT) AS i, role,
+                   CASE WHEN role = 'user' AND turn_idx % 5 = 1
+                        THEN 'please run the standard diagnostic check now'
+                        WHEN role = 'user' AND turn_idx % 7 = 2
+                        THEN 'summarize the weekly report please'
+                        WHEN role = 'assistant' AND turn_idx % 7 = 3
+                             AND CAST(SUBSTR(conv_id, 2, 8) AS INT)
+                                 % 2 = 0
+                        THEN 'Reply variant A.'
+                        WHEN role = 'assistant' AND turn_idx % 7 = 3
+                             AND CAST(SUBSTR(conv_id, 2, 8) AS INT)
+                                 % 2 = 1
+                        THEN 'Reply variant B.'
+                        ELSE text END AS text
+            FROM read_parquet('{_tp}/*.parquet')
+        ), l AS (
+            SELECT conv, i, role, text,
+                   LEAD(role) OVER w AS next_role,
+                   LEAD(text) OVER w AS next_text
+            FROM p
+            WINDOW w AS (PARTITION BY conv
+                         ORDER BY i ASC NULLS FIRST,
+                                  role ASC NULLS FIRST,
+                                  md5(COALESCE(text, '')) ASC)
+        ), pairs AS (
+            SELECT conv, text, next_text FROM l
+            WHERE role = 'user' AND text IS NOT NULL
+              AND next_role = 'assistant' AND next_text IS NOT NULL
+              AND CASE WHEN regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g') = ''
+                       THEN 0
+                       ELSE len(regexp_split_to_array(regexp_replace(text, '(^[ \t\n\f\r\x0B]+)|([ \t\n\f\r\x0B]+$)', '', 'g'), '[ \t\n\f\r\x0B]+'))
+                  END >= 3
+        ), g AS (
+            SELECT md5(text) AS user_md5,
+                   substr(MIN(text), 1, 80) AS user_preview,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT md5(next_text)) AS BIGINT)
+                       AS n_variants,
+                   MIN(conv) AS sample_conv
+            FROM pairs GROUP BY md5(text)
+        )
+        SELECT * FROM g WHERE n_variants >= 2 ORDER BY user_md5
     """
     # role-attributed PII census: per-category regexp_extract_all counts
     # from the SAME PII_PATTERNS constants, melted via UNION ALL (= the

@@ -290,6 +290,15 @@ def test_gate_window_covers_never_gated():
         # a stack-melt aggregate; full hash oracle + attribution unit
         # test + fuzz pair
         "pii_roles_transcripts": "pii_scrub_documents",
+        # session-O: false callbacks = the battery classification
+        # contract (refusal/injection family) × the shared-order running
+        # counts; full hash oracle + unit tests + fuzz pair
+        "false_callbacks_transcripts": "injection_census_transcripts",
+        # session-O: response variants = the shared lead pairing
+        # (tool_echo family) + an md5-keyed aggregate; full hash oracle
+        # + exact-bucket unit tests (plant not fuzzable — SUBSTR conv
+        # layout, the divergent_dups constraint)
+        "response_variants_transcripts": "tool_echo_transcripts",
     }
     orphans = [
         k for k in keys[50:]

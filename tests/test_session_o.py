@@ -530,3 +530,46 @@ def test_stream_corrections_across_batches(spark, tmp_path):
     assert got == want
     # "No, that is wrong" hits flat_no first (battery precedence)
     assert got == {("A", 1, 2, "flat_no")}
+
+
+def test_false_callbacks_detection(spark):
+    rows = [
+        # first assistant turn claims a self-callback: FALSE
+        ("A", 0, "assistant", "As I mentioned earlier, it is 42."),
+        ("A", 1, "user", "ok"),
+        # now a prior assistant turn exists: legitimate
+        ("A", 2, "assistant", "As I mentioned earlier, it is 42."),
+        # user-callback before any user turn: FALSE
+        ("B", 0, "assistant", "Earlier you said to skip it."),
+        ("B", 1, "user", "right"),
+        ("B", 2, "assistant", "earlier you said to skip it"),  # legit now
+        ("C", 0, "assistant", "hello there"),                  # no marker
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {(r["conv"], r["turn_idx"], r["pattern"])
+           for r in D.false_callbacks(df).collect()}
+    assert got == {("A", 0, "self_mentioned"), ("B", 0, "user_said")}
+
+
+def test_response_variants_buckets(spark):
+    rows = []
+    # same 4-token prompt in three conversations, three distinct replies
+    for i, reply in enumerate(["alpha", "beta", "gamma"]):
+        rows += [(f"c{i}", 0, "user", "what is the answer"),
+                 (f"c{i}", 1, "assistant", reply)]
+    # same prompt, SAME reply twice -> 1 variant -> filtered
+    for i in range(2):
+        rows += [(f"d{i}", 0, "user", "run the job again now"),
+                 (f"d{i}", 1, "assistant", "done")]
+    # short prompt (< 3 tokens) -> floored out
+    rows += [("e0", 0, "user", "ok go"), ("e0", 1, "assistant", "x"),
+             ("e1", 0, "user", "ok go"), ("e1", 1, "assistant", "y")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    out = D.response_variants(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pairs"] == 3 and r["n_variants"] == 3
+    assert r["user_preview"] == "what is the answer"
+    assert r["sample_conv"] == "c0"

@@ -314,6 +314,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="PMI collocation profile over a documents-shaped "
                         "input: adjacent-bigram association scores for "
                         "phrase-mining / boilerplate triage")
+    p.add_argument("--false-callbacks", action="store_true",
+                   help="hallucinated-context scan over a "
+                        "transcripts-shaped input: assistant turns "
+                        "claiming 'as I mentioned earlier' with no "
+                        "earlier turn to reference — the synthetic-"
+                        "template tripwire")
+    p.add_argument("--response-variants", action="store_true",
+                   help="same-prompt/different-response miner over a "
+                        "transcripts-shaped input: repeated user "
+                        "prompts with >=2 distinct replies — "
+                        "preference-pair candidates")
     p.add_argument("--pii-roles", action="store_true",
                    help="role-attributed PII census over a "
                         "transcripts-shaped input: user turns = "
@@ -1012,6 +1023,27 @@ def main(argv: list[str] | None = None) -> int:
         col.orderBy(F.desc("pmi"), "w1", "w2").limit(30) \
             .show(truncate=False)
         print(json.dumps({"run_id": args.run_id, "collocations": n}))
+        spark.stop()
+        return 0
+
+    if args.false_callbacks:
+        hits = D.false_callbacks(df).cache()
+        n = hits.count()
+        print(f"false callbacks: {n}")
+        hits.orderBy("conv", "turn_idx").limit(50).show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "false_callbacks": n}))
+        spark.stop()
+        return 0
+
+    if args.response_variants:
+        from pyspark.sql import functions as F
+
+        buckets = D.response_variants(df).cache()
+        n = buckets.count()
+        print(f"repeated prompts with divergent replies: {n}")
+        buckets.orderBy(F.desc("n_variants"), "user_md5").limit(30) \
+            .show(truncate=False)
+        print(json.dumps({"run_id": args.run_id, "variant_buckets": n}))
         spark.stop()
         return 0
 

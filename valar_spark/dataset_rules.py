@@ -4397,3 +4397,136 @@ def pii_role_census(
                             / F.col("_role_turns"), 4)
                     .alias("turns_share_pct"))
             .orderBy("role", "category"))
+
+
+# Discourse-callback battery: assistant phrases that REFERENCE earlier
+# conversation content, split by which role's earlier content they
+# reference. Unanchored (callbacks sit mid-sentence), Java∩RE2 only.
+CALLBACK_PATTERNS: list[tuple[str, str, str]] = [
+    # (key, referenced role, pattern)
+    ("self_mentioned", "assistant",
+     r"\bas (i|we) (mentioned|said|noted|explained|discussed)"
+     r"( earlier| before| previously| above)?\b"),
+    ("self_like_said", "assistant",
+     r"\blike i said( earlier| before)?\b"),
+    ("user_said", "user",
+     r"\b(earlier,? you (said|asked|mentioned)"
+     r"|(as )?you (said|asked|mentioned) (earlier|before|previously))\b"),
+]
+
+
+def false_callbacks(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hallucinated-context detector: assistant turns that claim a
+    callback to earlier conversation content that DOES NOT EXIST — "as
+    I mentioned earlier" in a conversation's FIRST assistant turn, or
+    "earlier you said" before the user has said anything. Human dialogue
+    almost never does this; synthetic-data generators do it constantly
+    (the template says "as discussed" regardless of context), so at
+    corpus scale this is one of the sharpest synthetic-artifact /
+    broken-merge tripwires — and it is invisible to every per-turn rule
+    because the phrase itself is perfectly well-formed.
+
+    Each battery class names the role whose earlier content it
+    references; the callback is FALSE exactly when the running count of
+    PRIOR turns of that role (under the engine's shared content-closed
+    total order) is zero. Cost: the one conv-keyed window the engine
+    already pays (two running counts over a rows frame), a shuffle-free
+    battery projection, hits-only output.
+
+    Columns: ``(conv, turn_idx, pattern, prior_assistant_turns,
+    prior_user_turns)`` — one row per false callback."""
+    t = F.lower(F.translate(F.col(text_col), "’", "'"))
+    base = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(idx_col).cast("long").alias("_i"),
+        F.col(role_col).alias("_role"),
+        F.col(text_col).alias("_text"),
+        *[t.rlike(pat).alias(f"_m_{key}")
+          for key, _, pat in CALLBACK_PATTERNS])
+    w = (Window.partitionBy("conv")
+         .orderBy(F.col("_i").asc_nulls_first(),
+                  F.col("_role").asc_nulls_first(),
+                  F.md5(F.coalesce(F.col("_text"), F.lit(""))).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = (base
+            .withColumn("_prev_a", F.coalesce(
+                F.sum((F.col("_role") == "assistant").cast("long"))
+                .over(w), F.lit(0)))
+            .withColumn("_prev_u", F.coalesce(
+                F.sum((F.col("_role") == "user").cast("long"))
+                .over(w), F.lit(0))))
+    label: Column = F.lit(None).cast("string")
+    for key, ref_role, _ in reversed(CALLBACK_PATTERNS):
+        prior = F.col("_prev_a") if ref_role == "assistant" \
+            else F.col("_prev_u")
+        label = F.when(F.col(f"_m_{key}") & (prior == 0),
+                       F.lit(key)).otherwise(label)
+    return (base
+            .filter((F.col("_role") == "assistant")
+                    & F.col("_text").isNotNull())
+            .withColumn("pattern", label)
+            .filter(F.col("pattern").isNotNull())
+            .select("conv", F.col("_i").alias("turn_idx"), "pattern",
+                    F.col("_prev_a").alias("prior_assistant_turns"),
+                    F.col("_prev_u").alias("prior_user_turns")))
+
+
+def response_variants(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_variants: int = 2,
+    min_user_tokens: int = 3,
+) -> DataFrame:
+    """Same-prompt / different-response miner — the raw material of
+    preference-pair construction: user turns whose EXACT text recurs
+    across the corpus (immediately followed by an assistant reply each
+    time) with ≥ ``min_variants`` DISTINCT replies. Each such bucket is
+    a ready-made candidate set for response ranking (RLHF/DPO) and,
+    read the other way, a fingerprint of templated traffic whose reply
+    distribution merits an audit. ``min_user_tokens`` floors out
+    degenerate buckets ("ok", "yes") whose variants mean nothing.
+
+    Pairing uses the shared total order's ``lead``; bucketing keys on
+    ``md5(user text)`` so the shuffle carries a fixed-width key, never
+    the text. Cost: one conv-keyed window + one md5-keyed aggregate
+    (map-side combined; output bounded by distinct repeated prompts).
+
+    Columns: ``(user_md5, user_preview, n_pairs, n_variants,
+    sample_conv)`` — one row per repeated prompt with divergent
+    replies."""
+    from valar_spark.textops import token_count
+
+    base = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(idx_col).cast("long").alias("_i"),
+        F.col(role_col).alias("_role"),
+        F.col(text_col).alias("_text"))
+    w = Window.partitionBy("conv").orderBy(
+        F.col("_i").asc_nulls_first(),
+        F.col("_role").asc_nulls_first(),
+        F.md5(F.coalesce(F.col("_text"), F.lit(""))).asc())
+    pairs = (base
+             .withColumn("_next_role", F.lead("_role").over(w))
+             .withColumn("_next_text", F.lead("_text").over(w))
+             .filter((F.col("_role") == "user")
+                     & F.col("_text").isNotNull()
+                     & (F.col("_next_role") == "assistant")
+                     & F.col("_next_text").isNotNull()
+                     & (token_count(F.col("_text"))
+                        >= int(min_user_tokens))))
+    g = (pairs.groupBy(F.md5("_text").alias("user_md5"))
+         .agg(F.substring(F.min("_text"), 1, 80).alias("user_preview"),
+              F.count(F.lit(1)).cast("long").alias("n_pairs"),
+              F.countDistinct(F.md5("_next_text")).cast("long")
+              .alias("n_variants"),
+              F.min("conv").alias("sample_conv")))
+    return g.filter(F.col("n_variants") >= int(min_variants))
