@@ -573,3 +573,21 @@ def test_response_variants_buckets(spark):
     assert r["n_pairs"] == 3 and r["n_variants"] == 3
     assert r["user_preview"] == "what is the answer"
     assert r["sample_conv"] == "c0"
+
+
+def test_cli_pack_writes_assignment(spark, tmp_path, monkeypatch, capsys):
+    from tests.test_cli import _json_line, _run_cli
+
+    rc, out = _run_cli(monkeypatch, capsys, [
+        "--input", "synth:5000",
+        "--work-dir", str(tmp_path), "--run-id", "p1",
+        "--pack", "512"])
+    assert rc == 0
+    info = _json_line(out)
+    packed = spark.read.parquet(info["packing"])
+    assert set(packed.columns) == {"conv", "conv_tokens",
+                                   "supervised_tokens", "seq_id",
+                                   "overflow"}
+    assert packed.count() == info["conversations"]
+    # every conversation appears exactly once in the assignment
+    assert packed.select("conv").distinct().count() == packed.count()

@@ -975,17 +975,24 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.pack is not None:
+        import os
+
         packed = D.conversation_sequence_packing(
             df, max_tokens=args.pack).cache()
         stats = D.sequence_packing_stats(packed, max_tokens=args.pack)
         n_conv = packed.count()
         n_over = packed.filter("overflow").count()
         n_seq = stats.count()
+        # the product a dataloader consumes: the conv -> window
+        # assignment, persisted like the curation ledger
+        out = os.path.join(args.work_dir, f"packing_{args.run_id}")
+        packed.write.mode("overwrite").parquet(out)
         print(f"{n_conv} conversations packed into {n_seq} "
               f"{args.pack}-token windows ({n_over} overflow)")
         stats.orderBy("seq_id").show(30)
         print(json.dumps({"run_id": args.run_id, "conversations": n_conv,
-                          "windows": n_seq, "overflow": n_over}))
+                          "windows": n_seq, "overflow": n_over,
+                          "packing": out}))
         spark.stop()
         return 0
 
