@@ -905,7 +905,13 @@ def main(argv: list[str] | None = None) -> int:
             float(tail["novelty_pct"]) if tail and
             tail["novelty_pct"] is not None else None)
         print(f"== vocab-growth tail novelty: "
-              f"{sections['tail_novelty_pct']}%")
+            f"{sections['tail_novelty_pct']}%")
+        # high-PMI collocations with a high pair count = templated
+        # boilerplate phrases worth a strip rule; top-10 shown, count
+        # of floored collocations recorded
+        sec("collocations", X.pmi_collocations(df)
+            .orderBy(F.desc("pmi"), "w1", "w2"),
+            "collocations above the count floor (top by PMI)")
         print(json.dumps({"run_id": args.run_id, **sections}))
         spark.stop()
         return 1 if cred else 0
