@@ -64,7 +64,9 @@ EST = {
     "cross_split_near_dup_documents": 6, "markdown_transcripts": 3,
     "conv_pack_transcripts": 4, "parrot_transcripts": 4,
     "conv_split_leakage_transcripts": 4, "corrections_transcripts": 5,
-    "pmi_documents": 2,
+    "pmi_documents": 2, "pii_roles_transcripts": 4,
+    "false_callbacks_transcripts": 6, "response_variants_transcripts": 2,
+    "verbosity_trend_transcripts": 2,
 }
 SEGMENT_BUDGET = 35.0
 SOLO_AT = 12.0  # a query this heavy drains the bucket itself: run it solo
