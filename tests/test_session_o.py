@@ -591,3 +591,38 @@ def test_cli_pack_writes_assignment(spark, tmp_path, monkeypatch, capsys):
     assert packed.count() == info["conversations"]
     # every conversation appears exactly once in the assignment
     assert packed.select("conv").distinct().count() == packed.count()
+
+
+def test_session_o_violation_adapters(spark, convs):
+    """Every session-O finding unions into the engine's violation
+    schema (the two-faces contract of dataset_rules)."""
+    from valar_spark.dataset_rules import VIOLATION_COLS
+
+    adapters = [
+        D.parrot_violations(convs),
+        D.correction_violations(spark.createDataFrame(
+            [("c", 0, "assistant", "it is 40"),
+             ("c", 1, "user", "no, that is wrong")],
+            "conv_id string, turn_idx int, role string, text string")),
+        D.false_callback_violations(spark.createDataFrame(
+            [("c", 0, "assistant", "as I mentioned earlier, yes")],
+            "conv_id string, turn_idx int, role string, text string")),
+        D.pii_role_violations(spark.createDataFrame(
+            [("c", 0, "assistant", "mail me at x@example.com")],
+            "conv_id string, turn_idx int, role string, text string")),
+        D.split_leakage_violations(convs),
+    ]
+    u = adapters[0]
+    for a in adapters[1:]:
+        assert tuple(a.columns) == tuple(VIOLATION_COLS)
+        u = u.unionByName(a)
+    rows = u.collect()
+    codes = {r["code"] for r in rows}
+    assert "validation.quality.corrected_reply" in codes
+    assert "validation.quality.false_callback" in codes
+    assert "validation.security.assistant_pii" in codes
+    assert "validation.quality.parrot" in codes
+    # corrected-reply violation points at the ASSISTANT turn
+    corr = [r for r in rows
+            if r["code"] == "validation.quality.corrected_reply"][0]
+    assert corr["turn_idx"] == "0"

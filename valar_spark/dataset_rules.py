@@ -4530,3 +4530,111 @@ def response_variants(
               .alias("n_variants"),
               F.min("conv").alias("sample_conv")))
     return g.filter(F.col("n_variants") >= int(min_variants))
+
+
+def parrot_violations(
+    df: DataFrame,
+    rule_id: str = "dataset.parrot",
+    **kwargs,
+) -> DataFrame:
+    """:func:`parrot_census` hits in the engine's violation schema, so
+    parroting findings union with row-rule findings in one report."""
+    hits = parrot_census(df, **kwargs)
+    return _as_violations(
+        hits, rule_id, E.CODE_PARROT,
+        F.concat(F.lit("assistant restates "),
+                 F.col("containment_pct").cast("string"),
+                 F.lit("% of the preceding user turn's tokens")),
+        keys=("conv", "turn_idx"),
+        field_path=("text",),
+        expected="reply adds content beyond the prompt",
+        actual=F.concat(F.col("overlap_tokens").cast("string"),
+                        F.lit("/"),
+                        F.col("user_tokens").cast("string"),
+                        F.lit(" tokens contained")))
+
+
+def correction_violations(
+    df: DataFrame,
+    rule_id: str = "dataset.corrected_reply",
+    **kwargs,
+) -> DataFrame:
+    """:func:`correction_pairs` in the violation schema — the VIOLATING
+    row is the CORRECTED ASSISTANT TURN (that's the row a curation pass
+    drops or downweights), with the correcting user turn in the
+    message."""
+    hits = correction_pairs(df, **kwargs)
+    return _as_violations(
+        hits, rule_id, E.CODE_CORRECTED,
+        F.concat(F.lit("reply corrected by the user at turn "),
+                 F.col("user_turn_idx").cast("string"),
+                 F.lit(" ("), F.col("pattern"), F.lit(")")),
+        keys=("conv", "asst_turn_idx"),
+        field_path=("text",),
+        expected="reply the user accepts",
+        actual=F.col("pattern"))
+
+
+def false_callback_violations(
+    df: DataFrame,
+    rule_id: str = "dataset.false_callback",
+    **kwargs,
+) -> DataFrame:
+    """:func:`false_callbacks` in the violation schema."""
+    hits = false_callbacks(df, **kwargs)
+    return _as_violations(
+        hits, rule_id, E.CODE_FALSE_CALLBACK,
+        F.concat(F.lit("callback ("), F.col("pattern"),
+                 F.lit(") with no earlier turn to reference")),
+        keys=("conv", "turn_idx"),
+        field_path=("text",),
+        expected="referenced earlier content exists",
+        actual=F.concat(F.lit("prior assistant="),
+                        F.col("prior_assistant_turns").cast("string"),
+                        F.lit(", prior user="),
+                        F.col("prior_user_turns").cast("string")))
+
+
+def pii_role_violations(
+    df: DataFrame,
+    rule_id: str = "dataset.assistant_pii",
+    roles: Sequence[str] = ("assistant",),
+    **kwargs,
+) -> DataFrame:
+    """:func:`pii_role_census` cells for the given roles (default: the
+    memorization-tripwire assistant surface) in the violation schema —
+    one violation row per firing (role, category) cell."""
+    cells = pii_role_census(df, **kwargs).filter(
+        F.col("role").isin(list(roles)))
+    return _as_violations(
+        cells, rule_id, E.CODE_ASSISTANT_PII,
+        F.concat(F.col("n_hits").cast("string"), F.lit(" "),
+                 F.col("category"), F.lit(" hit(s) in "),
+                 F.col("n_turns").cast("string"), F.lit(" "),
+                 F.col("role"), F.lit(" turn(s) across "),
+                 F.col("n_convs").cast("string"),
+                 F.lit(" conversation(s)")),
+        keys=("role",),
+        field_path=("text",),
+        expected="no PII on this surface",
+        actual=F.col("category"))
+
+
+def split_leakage_violations(
+    df: DataFrame,
+    rule_id: str = "dataset.split_leakage",
+    **kwargs,
+) -> DataFrame:
+    """:func:`conversation_split_leakage` in the violation schema — one
+    violation per conversation sitting in a split-spanning cluster."""
+    leaks = conversation_split_leakage(df, **kwargs)
+    return _as_violations(
+        leaks, rule_id, E.CODE_SPLIT_LEAK,
+        F.concat(F.lit("identical-content cluster of "),
+                 F.col("cluster_size").cast("string"),
+                 F.lit(" conversations spans "),
+                 F.col("n_splits").cast("string"), F.lit(" splits")),
+        keys=("conv",),
+        field_path=(),
+        expected="cluster confined to one split",
+        actual=F.col("split"))

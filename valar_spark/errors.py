@@ -41,6 +41,11 @@ CODE_CROSS_FIELD = "validation.cross_field"
 CODE_INVALID_JSON = "validation.string.invalid_json"
 CODE_INJECTION_BAIT = "validation.security.injection_bait"
 CODE_SPECIAL_TOKEN = "validation.security.special_token"
+CODE_ASSISTANT_PII = "validation.security.assistant_pii"
+CODE_PARROT = "validation.quality.parrot"
+CODE_CORRECTED = "validation.quality.corrected_reply"
+CODE_FALSE_CALLBACK = "validation.quality.false_callback"
+CODE_SPLIT_LEAK = "validation.dataset.split_leakage"
 
 # Engine-level dataset rule codes (BASELINE.json:6 obligations).
 CODE_DUPLICATE_KEY = "validation.dataset.duplicate_key"
