@@ -3793,6 +3793,14 @@ BENCH_ORDER = [
     "ann_topk_embeddings",
     "ann_ivf_topk_embeddings",
     "ann_ivf_probe_all_embeddings",
+    # session-O mid-weight transcript queries (3-6s clean): run before
+    # the sub-second tail so a drained burst budget can't inflate them
+    "false_callbacks_transcripts",
+    "corrections_transcripts",
+    "conv_split_leakage_transcripts",
+    "conv_pack_transcripts",
+    "parrot_transcripts",
+    "pii_roles_transcripts",
 ]
 
 
