@@ -626,3 +626,44 @@ def test_session_o_violation_adapters(spark, convs):
     corr = [r for r in rows
             if r["code"] == "validation.quality.corrected_reply"][0]
     assert corr["turn_idx"] == "0"
+
+
+def test_stream_verbosity_mergeable_state(spark, tmp_path):
+    """Turns split across two micro-batches: the five integer sums
+    merge associatively in the state store, so the LAST emitted row per
+    conversation equals the batch operator over the union exactly."""
+    import time as _time
+
+    from valar_spark.streaming import stream_verbosity
+
+    schema = "conv_id string, turn_idx int, role string, text string"
+    b1 = spark.createDataFrame(
+        [("A", 1, "assistant", "a b c d e f g h i j k"),   # (1,11)
+         ("A", 2, "user", "x"),
+         ("B", 1, "assistant", "one two")], schema)
+    b2 = spark.createDataFrame(
+        [("A", 3, "assistant", "a b c d e f g h i"),        # (3,9)
+         ("A", 5, "assistant", "a b c d e f g"),            # (5,7)
+         ("B", 3, "assistant", "one two three")], schema)
+    src = str(tmp_path / "verb_src")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{src}/b*"))
+    q = (stream_verbosity(stream).writeStream
+         .format("memory").queryName("verb_mem")
+         .option("checkpointLocation", str(tmp_path / "verb_ck"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM verb_mem").collect()
+    # A reaches min_turns only after batch 2; B never does (2 turns)
+    last = {}
+    for r in rows:
+        last[r["conv"]] = (r["n_turns"], r["slope"], r["declining"])
+    want = {r["conv"]: (r["n_turns"], r["slope"], r["declining"])
+            for r in D.verbosity_trend(b1.unionByName(b2)).collect()}
+    assert last == want
+    assert last["A"] == (3, -1.0, True) and "B" not in last

@@ -1141,3 +1141,85 @@ def stream_corrections(
     return stream_df.groupBy(conv_col).applyInPandasWithState(
         fn, out_ddl, state_ddl, "append",
         "NoTimeout" if close_ms is None else "ProcessingTimeTimeout")
+
+
+def stream_verbosity(
+    stream_df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "assistant",
+    min_turns: int = 3,
+    declining_floor: float = -0.5,
+    close_after: str | None = None,
+) -> DataFrame:
+    """CROSS-micro-batch verbosity-trend monitor — the streaming face of
+    :func:`valar_spark.dataset_rules.verbosity_trend`, and the engine's
+    demonstration that MERGEABLE SUFFICIENT STATISTICS make regression
+    streamable: the state per open conversation is the five exact
+    integer sums ``(n, Σx, Σy, Σxy, Σx²)``, which merge associatively
+    across micro-batches, so the slope after batch k+1 is EXACTLY the
+    batch operator's slope over all turns seen so far — no
+    approximation, no window buffer, state = 5 BIGINTs per open
+    conversation. Token counting replicates the batch tokenizer
+    contract (maximal ASCII-whitespace-separated runs; null/blank ⇒ 0).
+
+    Emits one row per conversation per micro-batch THAT TOUCHED IT,
+    carrying the updated cumulative trend (append mode — a snapshot
+    stream; the LAST row per conversation equals the batch result).
+    Eviction semantics per ``close_after`` are
+    :func:`stream_tool_echo`'s.
+
+    Columns: ``(conv, n_turns, slope, declining)``."""
+    import re
+
+    import pandas as pd
+
+    close_ms = None
+    if close_after is not None:
+        qty, unit = close_after.split()
+        close_ms = int(float(qty) * {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000}[unit])
+    conv_t = stream_df.schema[conv_col].dataType.simpleString()
+    out_cols = ["conv", "n_turns", "slope", "declining"]
+    out_ddl = (f"conv {conv_t}, n_turns bigint, slope double, "
+               "declining boolean")
+    state_ddl = ("n bigint, sx bigint, sy bigint, sxy bigint, "
+                 "sxx bigint")
+    ws = re.compile(r"\S+", re.ASCII)
+
+    def fn(key, pdf_iter, state):
+        conv = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, sx, sy, sxy, sxx = state.get if state.exists \
+            else (0, 0, 0, 0, 0)
+        for pdf in pdf_iter:
+            sel = pdf[(pdf[role_col] == role)
+                      & pdf[order_col].notna()]
+            for idx, text in zip(sel[order_col], sel[text_col]):
+                x = int(idx)
+                y = len(ws.findall(text)) if isinstance(text, str) else 0
+                n += 1
+                sx += x
+                sy += y
+                sxy += x * y
+                sxx += x * x
+        state.update((n, sx, sy, sxy, sxx))
+        if close_ms is not None:
+            state.setTimeoutDuration(close_ms)
+        den = n * sxx - sx * sx
+        if n >= min_turns and den > 0:
+            slope = round((n * sxy - sx * sy) / den, 6)
+            yield pd.DataFrame(
+                [(conv, n, slope, slope < declining_floor)],
+                columns=out_cols)
+
+    return stream_df.groupBy(conv_col).applyInPandasWithState(
+        fn, out_ddl, state_ddl, "append",
+        "NoTimeout" if close_ms is None else "ProcessingTimeTimeout")
