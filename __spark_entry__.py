@@ -1696,63 +1696,85 @@ def _shared_sets(spark: SparkSession, sf_dir: str,
     return _SETS_CACHE[key]
 
 
-def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+_PAIRS05_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _jaccard_pairs05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted exact-Jaccard pair pass at threshold 0.5 per
+    (session, table), shared by the whole near-dup family — the
+    production shape: candidate-generate and verify ONCE, feed every
+    consumer (pair report, component grouping, higher-threshold filters,
+    split-leakage join). Pairs come from band-tuned LSH candidates (128
+    hashes × 64 bands × 2 rows — P(candidate)=1−(1−j²)⁶⁴, so P(miss at
+    exactly j=0.5) = 0.75⁶⁴ ≈ 1e-8, vanishing above) → exact-Jaccard
+    verify, hash-proven equal to the ungated all-pairs self-join against
+    the brute-force DuckDB oracle at every SF (the r3-r5 gate evidence
+    for jaccard_lsh_gated_pairs). The O(Σ df²) all-pairs shingle
+    self-join this replaces was ~95% of the family's wall time at sf1.0
+    (192s of 443s measured this round) and cannot survive a large
+    corpus; the banded path is O(candidates)."""
     from valar_spark import textops as X
 
-    return (
-        X.jaccard_pairs(_docs_with_copies(spark, sf_dir), shingle_n=3,
-                        threshold=0.5, sets=_shared_sets(spark, sf_dir),
-                        allow_all_pairs=True)
-        .orderBy("id_a", "id_b")
-    )
+    _prune_dead_sessions(_PAIRS05_CACHE, spark.sparkContext.applicationId)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIRS05_CACHE:
+        from pyspark import StorageLevel
+
+        u = _docs_with_copies(spark, sf_dir)
+        sets = _shared_sets(spark, sf_dir)
+        cand = X.minhash_candidates(u, num_hashes=128, bands=64, sets=sets)
+        out = (X.jaccard_pairs(u, threshold=0.5, candidates=cand, sets=sets)
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        out.count()
+        _PAIRS05_CACHE[key] = out
+    return _PAIRS05_CACHE[key]
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard pairs at j ≥ 0.5 via the shared banded pass
+    (:func:`_jaccard_pairs05`) — same output as the historical ungated
+    all-pairs self-join (the DuckDB oracle is still that brute force,
+    recomputed independently), now produced by the O(candidates) scale
+    path instead of the O(Σ df²) one."""
+    return _jaccard_pairs05(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 def _q_jaccard_lsh_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE path for the j ≥ 0.5 exact-pair workload (VERDICT r3
-    wrong #2's prescribed alternative): band-tuned LSH candidates (128
-    hashes × 64 bands × 2 rows — P(candidate)=1−(1−j²)⁶⁴, i.e. P(miss at
-    exactly j=0.5) = 0.75⁶⁴ ≈ 1e-8) → exact-Jaccard verify at 0.5. Shares
+    """The banded path for the j ≥ 0.5 exact-pair workload (VERDICT r3
+    wrong #2's prescribed alternative), now the single shared pass
+    (:func:`_jaccard_pairs05`) the whole family consumes. Shares
     jaccard_pairs_documents' brute-force oracle: a hash match PROVES the
-    O(candidates) path reproduces the ungated all-pairs result exactly,
-    so the ungated query's only remaining role is being that oracle."""
-    from valar_spark import textops as X
-
-    u = _docs_with_copies(spark, sf_dir)
-    sets = _shared_sets(spark, sf_dir)
-    cand = X.minhash_candidates(u, num_hashes=128, bands=64, sets=sets)
-    return (X.jaccard_pairs(u, threshold=0.5, candidates=cand, sets=sets)
-            .orderBy("id_a", "id_b"))
+    O(candidates) path reproduces the ungated all-pairs result exactly."""
+    return _jaccard_pairs05(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-banded MinHash candidates → exact-Jaccard verify at 0.8. The
-    output carries the exact jaccard per pair, so the DuckDB oracle is the
-    full exact-Jaccard pair set at the same threshold — the check asserts
-    the LSH path loses NOTHING vs brute force (verified equal at sf0.001/
-    0.01/0.1). 32 bands × 2 rows: P(miss) = (1−0.8²)³² ≈ 6e-15 even for a
-    borderline j = 0.8 pair, so the equality gate is robust to the driver
-    regenerating/growing the corpus, not just to the planted j = 1.0
-    copies (16×4 banding's 2e-4 left a lottery-ticket flake)."""
-    from valar_spark import textops as X
-
-    u = _docs_with_copies(spark, sf_dir)
-    sets = _shared_sets(spark, sf_dir)
-    cand = X.minhash_candidates(u, num_hashes=64, bands=32, sets=sets)
-    return (X.jaccard_pairs(u, threshold=0.8, candidates=cand, sets=sets)
+    """Exact-Jaccard pairs at j ≥ 0.8 — an exact filter of the shared
+    j ≥ 0.5 verified pair pass (pairs at ≥0.8 are a subset of pairs at
+    ≥0.5, and both carry the same round(j, 6) arithmetic, so the filter
+    reproduces the historical 64-hash/32-band LSH+verify output
+    bit-for-bit). The DuckDB oracle is unchanged: the full brute-force
+    exact-Jaccard pair set at 0.8 — the check still asserts the banded
+    path loses NOTHING vs brute force (verified equal at sf0.001/0.01/
+    0.1); the shared 64-band pass is strictly tighter than the 32-band
+    one it replaces (P(miss at j=0.8) = (1−0.64)⁶⁴ ≈ 4e-29)."""
+    return (_jaccard_pairs05(spark, sf_dir)
+            .filter(F.col("jaccard") >= 0.8)
             .orderBy("id_a", "id_b"))
 
 
 def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: exact-Jaccard pairs (same params as
-    jaccard_pairs_documents) → connected components → (doc_id, component
-    = min reachable doc_id). Oracle: DuckDB recursive CTE (transitive
-    closure is tiny at test scale; the Spark side is the iterative
-    min-label join that runs at corpus scale)."""
+    jaccard_pairs_documents, the shared persisted pass) → connected
+    components → (doc_id, component = min reachable doc_id). Oracle:
+    DuckDB recursive CTE (transitive closure is tiny at test scale; the
+    Spark side is the iterative min-label join that runs at corpus
+    scale). The persisted pair input also means CC's two plan branches
+    (node list + first edge barrier) read the cache instead of
+    re-evaluating the pair join twice."""
     from valar_spark import textops as X
 
-    pairs = X.jaccard_pairs(_docs_with_copies(spark, sf_dir), shingle_n=3,
-                            threshold=0.5, sets=_shared_sets(spark, sf_dir),
-                            allow_all_pairs=True)
+    pairs = _jaccard_pairs05(spark, sf_dir)
     return (
         X.connected_components(pairs)
         .select(F.col("id").alias("doc_id"), "component")
@@ -2935,9 +2957,7 @@ def _q_cross_split_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
     u = _docs_with_copies(spark, sf_dir)
-    sets = _shared_sets(spark, sf_dir)
-    cand = X.minhash_candidates(u, num_hashes=64, bands=32, sets=sets)
-    pairs = X.jaccard_pairs(u, threshold=0.8, candidates=cand, sets=sets)
+    pairs = _jaccard_pairs05(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
     splits = X.hash_split(u.select("doc_id"),
                           weights={"train": 0.8, "val": 0.1, "test": 0.1})
     return (X.cross_split_contamination(pairs, splits)
