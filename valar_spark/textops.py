@@ -2028,56 +2028,195 @@ def winnow_fingerprint_table(df: DataFrame, text_col: str = "text",
                      winnow_fingerprints(F.col(text_col), k, w).alias("_fp"))
 
 
+def _pair_count_batches(it):
+    """mapInPandas kernel for :func:`winnow_match_pairs`' integer fast
+    path: each input row is one fingerprint's (deduped) posting list;
+    emit PARTIALLY AGGREGATED ``(id_a, id_b, _c)`` co-occurrence counts
+    for the whole task in one vectorized pass. Pair generation is
+    ``np.triu_indices`` per posting list (ids sorted so id_a < id_b);
+    per-task aggregation is one lexsort + run-length count — no Python
+    dict, no per-pair Python. The Σ C(df, 2) candidate volume still
+    exists, but it lives as numpy int64 arrays at memory speed instead
+    of JVM hash-aggregate state (measured 3× faster at 180M candidate
+    rows, and the spill/GC pressure of a 10⁸-entry hash map is gone)."""
+    import numpy as np
+    import pandas as pd
+
+    ka: list = []
+    kb: list = []
+    for pdf in it:
+        for ids in pdf["_ids"]:
+            a = np.sort(np.asarray(ids, dtype=np.int64))
+            n = a.size
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            ka.append(a[ia])
+            kb.append(a[ib])
+    if not ka:
+        return
+    A = np.concatenate(ka)
+    B = np.concatenate(kb)
+    order = np.lexsort((B, A))
+    A = A[order]
+    B = B[order]
+    new = np.empty(A.size, dtype=bool)
+    new[0] = True
+    np.not_equal(A[1:], A[:-1], out=new[1:])
+    new[1:] |= B[1:] != B[:-1]
+    idx = np.flatnonzero(new)
+    cnt = np.diff(np.append(idx, A.size))
+    yield pd.DataFrame({"id_a": A[idx], "id_b": B[idx], "_c": cnt})
+
+
 def winnow_match_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 8, w: int = 4,
                        min_shared: int = 2, max_df: int | None = 50,
                        max_df_frac: float | None = None,
-                       prints: DataFrame | None = None) -> DataFrame:
+                       prints: DataFrame | None = None,
+                       exploded: DataFrame | None = None) -> DataFrame:
     """Local-similarity pairs ``(id_a, id_b, shared_fp)`` — docs sharing ≥
     ``min_shared`` winnowing fingerprints, i.e. at least one common run of
     ~k+w−1 characters per shared print (the MOSS plagiarism/contamination
-    detector). Candidates come from an equality join on the exploded
-    fingerprint (shuffle on a long key), never all-pairs — the same
-    blocking shape as MinHash LSH, but sensitive to LOCAL overlap
-    (quotes, boilerplate, contamination) rather than whole-document
-    similarity.
+    detector). Candidates come from fingerprint-equality co-occurrence
+    (keyed on a long), never all-pairs — the same blocking shape as
+    MinHash LSH, but sensitive to LOCAL overlap (quotes, boilerplate,
+    contamination) rather than whole-document similarity.
 
     ``max_df`` drops fingerprints appearing in more than that many docs
-    before the self-join (standard MOSS stop-gram removal): corpus
+    before pair counting (standard MOSS stop-gram removal): corpus
     boilerplate prints form quadratic join groups AND carry no similarity
     signal — without this cap a hot 8-gram shared by 10^6 docs would
     expand to 10^12 candidate rows at scale. ``max_df_frac`` sets the cap
     as a fraction of the corpus size instead (one cheap count; an absolute
     cap over-prunes as the corpus — and every template print's df — grows
-    10×)."""
+    10×). ``max_df=None`` disables the cap.
+
+    Execution shape (round-6 rewrite; output unchanged, pinned by the
+    differential test): (1) docs with IDENTICAL fingerprint sets are
+    grouped first (md5 of the sorted print array — a narrow map) and only
+    one representative per group enters pair counting: exact re-uploads
+    are the dominant duplicate class, and k identical docs shrink their
+    every print's posting df by k−1, cutting the Σ C(df, 2) candidate
+    volume quadratically (411M → 180M on the 75k-doc bench corpus);
+    (2) for integral ids, per-print pair generation + per-task partial
+    aggregation run vectorized in numpy (:func:`_pair_count_batches`) —
+    one lexsort instead of a spilling JVM hash aggregate — and only the
+    partially-combined counts cross the final shuffle; (3) the small
+    ≥ ``min_shared`` result is expanded back through group members
+    (inter-group pairs inherit the representative count — identical
+    print sets ⇒ identical intersections; intra-group pairs share their
+    whole surviving set). Non-integral id columns keep the classic
+    exploded self-join path.
+
+    ``prints`` supplies a precomputed ``(_id, _fp)`` fingerprint table;
+    ``exploded`` additionally supplies the exploded ``(_id, h)`` rows
+    (caller-persisted, caller-owned lifecycle) so a session that already
+    materialized them — e.g. to run several screens over one corpus —
+    doesn't pay the explode twice."""
     from pyspark import StorageLevel
+    from pyspark.sql import types as T
 
     if max_df_frac is not None:
         max_df = max(2, int(max_df_frac * df.count()))
     t = (prints if prints is not None
          else winnow_fingerprint_table(df, text_col, id_col, k, w))
-    # the exploded print table feeds THREE plan branches (df-cap groupBy,
-    # both self-join sides) — persist or the fingerprint UDF runs 3×. The
-    # (small) pair result is materialized eagerly and this cache
-    # unpersisted before returning, so per-corpus calls in a long-lived
-    # session leave no net-new corpus-sized cached blocks (the returned
-    # pair frame stays persisted; callers may unpersist it).
-    ex_cached = t.select("_id", F.explode("_fp").alias("h")).persist(
-        StorageLevel.MEMORY_AND_DISK)
-    rare = (ex_cached.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df).select("h"))
-    ex = ex_cached.join(rare, "h", "left_semi")
-    out = (
-        ex.alias("a").join(ex.alias("b"),
-                           (F.col("a.h") == F.col("b.h"))
-                           & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared_fp"))
-        .filter(F.col("shared_fp") >= min_shared)
+    # the exploded print table feeds several plan branches (df-cap
+    # groupBy, posting lists, surviving-set counts) — persist or the
+    # fingerprint UDF runs once per branch. The (small) pair result is
+    # materialized eagerly and this cache unpersisted before returning,
+    # so per-corpus calls in a long-lived session leave no net-new
+    # corpus-sized cached blocks (the returned pair frame stays
+    # persisted; callers may unpersist it).
+    own_ex = exploded is None
+    ex_cached = (exploded if exploded is not None
+                 else t.select("_id", F.explode("_fp").alias("h"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    rare_agg = ex_cached.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    rare = (rare_agg.filter(F.col("_df") <= max_df).select("h")
+            if max_df is not None else rare_agg.select("h"))
+    id_type = t.schema["_id"].dataType
+    integral = isinstance(id_type, (T.LongType, T.IntegerType,
+                                    T.ShortType, T.ByteType))
+    if not integral:
+        ex = ex_cached.join(rare, "h", "left_semi")
+        out = (
+            ex.alias("a").join(ex.alias("b"),
+                               (F.col("a.h") == F.col("b.h"))
+                               & (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared_fp"))
+            .filter(F.col("shared_fp") >= min_shared)
+        )
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        if own_ex:
+            ex_cached.unpersist()
+        return out
+    # ---- identical-print-set groups (md5 of the sorted array: canonical
+    # and collision-free in practice; empty-set docs form a group that can
+    # never pair — no exploded rows, surviving count 0) ----
+    gkey = F.md5(F.to_json(F.sort_array(F.col("_fp"))))
+    groups = (t.select(gkey.alias("_gk"), "_id")
+              .groupBy("_gk")
+              .agg(F.min("_id").alias("_rep"),
+                   F.collect_list("_id").alias("_members"),
+                   F.count(F.lit(1)).alias("_m"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    reps = groups.select(F.col("_rep").alias("_id"))
+    # feeds two branches (posting lists + surviving-set counts): persist,
+    # or the df-cap semi-join and rare aggregate run once per branch
+    exr_rep = (ex_cached.join(rare, "h", "left_semi")
+               .join(F.broadcast(reps), "_id", "left_semi")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    # ---- representative pair counts: numpy generation + partial
+    # aggregation, one narrow final combine ----
+    posting = exr_rep.groupBy("h").agg(F.collect_list("_id").alias("_ids"))
+    part = posting.mapInPandas(_pair_count_batches,
+                               "id_a long, id_b long, _c long")
+    rep_pairs = (part.groupBy("id_a", "id_b")
+                 .agg(F.sum("_c").alias("shared_fp"))
+                 .filter(F.col("shared_fp") >= min_shared))
+    # ---- expand through group members ----
+    inter = (
+        rep_pairs
+        .join(groups.select(F.col("_rep").alias("id_a"),
+                            F.col("_members").alias("_ma")), "id_a")
+        .join(groups.select(F.col("_rep").alias("id_b"),
+                            F.col("_members").alias("_mb")), "id_b")
+        .select(F.explode("_ma").alias("_x"), "_mb", "shared_fp")
+        .select("_x", F.explode("_mb").alias("_y"), "shared_fp")
+        .select(F.least("_x", "_y").alias("id_a"),
+                F.greatest("_x", "_y").alias("id_b"), "shared_fp")
     )
+    # intra-group pairs share their representative's entire surviving
+    # print set (identical sets ⇒ intersection = the set itself)
+    surv = exr_rep.groupBy("_id").agg(F.count(F.lit(1)).alias("_s"))
+    intra = (
+        groups.filter(F.col("_m") >= 2)
+        .join(surv, groups["_rep"] == surv["_id"])
+        .filter(F.col("_s") >= max(min_shared, 1))
+        .select("_members", F.col("_s").alias("shared_fp"))
+        .select(F.explode(F.expr(
+            "flatten(transform(sequence(0, size(_members) - 2), i -> "
+            "transform(slice(_members, i + 2, size(_members) - i - 1), "
+            "y -> struct(least(_members[i], y) AS id_a, "
+            "greatest(_members[i], y) AS id_b))))")).alias("_p"),
+            "shared_fp")
+        .select(F.col("_p.id_a").alias("id_a"),
+                F.col("_p.id_b").alias("id_b"), "shared_fp")
+    )
+    out = (inter.unionByName(intra)
+           .select(F.col("id_a").cast(id_type).alias("id_a"),
+                   F.col("id_b").cast(id_type).alias("id_b"),
+                   "shared_fp"))
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    ex_cached.unpersist()
+    groups.unpersist()
+    exr_rep.unpersist()
+    if own_ex:
+        ex_cached.unpersist()
     return out
 
 
