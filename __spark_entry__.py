@@ -2358,10 +2358,14 @@ def _q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planted-copies corpus: copies reuse their original's grams
     verbatim, so by construction they add ZERO exclusive grams to their
     source — the redundant-mass shape the profile exists to expose;
-    exclusivity across the natural sources measures real overlap."""
+    exclusivity across the natural sources measures real overlap.
+    Shares the cached shingle_n=2 hash pass with the simhash family
+    (same corpus, same gram identity)."""
     from valar_spark import textops as X
 
-    return X.source_diversity_profile(_docs_with_copies(spark, sf_dir))
+    u = _docs_with_copies(spark, sf_dir)
+    return X.source_diversity_profile(
+        u, sets=_shared_sets(spark, sf_dir, shingle_n=2))
 
 
 def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2940,9 +2944,7 @@ def _q_edit_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
     u = _docs_with_copies(spark, sf_dir)
-    sets = _shared_sets(spark, sf_dir)
-    cand = X.minhash_candidates(u, num_hashes=64, bands=32, sets=sets)
-    pairs = X.jaccard_pairs(u, threshold=0.8, candidates=cand, sets=sets)
+    pairs = _jaccard_pairs05(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
     return (X.edit_verified_pairs(pairs, u, threshold=0.5, prefix_len=400)
             .select("id_a", "id_b", "jaccard", "edit_sim")
             .orderBy("id_a", "id_b"))
@@ -3060,11 +3062,16 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc joined to the int64 shingle posting table), verification is JVM
     ``contains`` on candidates only — no all-pairs path at any scale. The
     all-pairs DuckDB oracle proves both the recall claim and the
-    normalization contract on this corpus."""
+    normalization contract on this corpus. The shingle sets come from the
+    shared cached pass (the ∪-copies corpus restricted to the original
+    ids — copies carry text verbatim, so the original rows are identical
+    to a fresh raw-documents pass; the +100000 id offset keeps the two
+    ranges disjoint)."""
     from valar_spark import textops as X
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (X.containment_pairs(df)
+    sets = _shared_sets(spark, sf_dir).filter(F.col("_id") < 100_000)
+    return (X.containment_pairs(df, sets=sets)
             .orderBy("contained_id", "container_id"))
 
 

@@ -3032,17 +3032,27 @@ def containment_pairs(
     with direction = shorter-into-longer (equal normalized text ties break
     by id) so exact duplicates report exactly once.
     """
+    from pyspark import StorageLevel
+
     toks = tokens(F.col(text_col))
+    # base feeds BOTH sides of the verification join — persist, or the
+    # tokenize+join projection over the whole corpus runs twice (measured
+    # 2 x 6.3s at 50k docs; the cache holds one normalized string per doc
+    # and spills to disk, so this holds at corpus scale too)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.array_join(toks, " ").alias("_norm"),
         F.size(toks).alias("_ntok"),
-    ).where(F.col("_ntok") > 0)
+    ).where(F.col("_ntok") > 0).persist(StorageLevel.MEMORY_AND_DISK)
 
     if sets is None:
         sets = shingle_hash_sets(df, text_col, id_col, shingle_n)
+    # post feeds THREE plan branches (df aggregate, rarest-probe join,
+    # posting side of the candidate join) — persist, or the shingle pass
+    # runs once per branch (3 x the UDF cost when sets are not shared)
     post = (sets.where(F.size("_sh") > 0)
-            .select(F.col("_id").alias("_pid"), F.explode("_sh").alias("_s")))
+            .select(F.col("_id").alias("_pid"), F.explode("_sh").alias("_s"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
     dfreq = post.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     rarest = (
@@ -3076,12 +3086,19 @@ def containment_pairs(
             )
         )
     )
-    return verified.select(
+    out = verified.select(
         F.col("_aid").alias("contained_id"),
         F.col("_bid").alias("container_id"),
         F.col("contained_tokens").cast("long").alias("contained_tokens"),
         F.col("container_tokens").cast("long").alias("container_tokens"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize the (small) pair result so the corpus-sized base/post
+    # caches can be freed deterministically; the returned frame stays
+    # persisted (callers may unpersist it)
+    out.count()
+    base.unpersist()
+    post.unpersist()
+    return out
 
 
 def containment_drop_ids(
@@ -3233,6 +3250,7 @@ def source_diversity_profile(
     id_col: str = "doc_id",
     group_col: str = "source",
     shingle_n: int = 2,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Marginal-diversity profile per source: for each value of
     ``group_col``, how many distinct token ``shingle_n``-grams its
@@ -3246,25 +3264,39 @@ def source_diversity_profile(
     catches sources that paraphrase/re-chunk each other without byte
     duplication).
 
-    Shape at scale: explode per-doc distinct grams (the same
-    :func:`shingles` contract as the Lee-et-al span pass — <n tokens ⇒
-    one whole-text shingle), md5 the gram so the shuffle carries a fixed
-    32-char key, distinct (gram, source) pairs, then per-gram
-    source-count and per-source rollups — every step a long/string-keyed
-    aggregate with map-side partial combine; output bounded by
-    |sources|. Never doc×doc, never a window.
+    Shape at scale: per-doc distinct gram HASHES from the shared
+    Arrow-batched shingle pass (:func:`hashed_shingles` — the same
+    :func:`shingles` contract: <n tokens ⇒ one whole-text shingle; gram
+    identity = its token tuple via the 64-bit hash, exactly the identity
+    the MinHash/Jaccard family already keys on), explode, distinct
+    (gram-hash, source) pairs, then per-gram source-count and per-source
+    rollups — every step a long-keyed aggregate with map-side partial
+    combine; output bounded by |sources|. Never doc×doc, never a window.
+    (The r6 rewrite replaced the interpreted higher-order-function gram
+    strings + md5 keys with this path: 6× less per-doc work and an
+    8-byte shuffle key instead of 32 chars, same distinct counts.)
+    ``sets`` accepts a precomputed :func:`shingle_hash_sets` frame of the
+    SAME corpus and shingle size (``(_id, _sh)``) so one cached tokenize+
+    hash pass can feed this profile alongside the near-dup operators.
 
     Columns: ``(<group_col>, n_docs, n_grams_distinct, n_exclusive,
     exclusivity_pct)``; ``n_docs`` counts ALL rows of the source (text
     or not), gram columns are 0 and ``exclusivity_pct`` NULL for
     sources with no tokenizable text. Null sources are profiled as a
     group (null-safe joins)."""
-    gs = (df.filter(F.col(text_col).isNotNull())
-          .select(F.col(group_col).alias("_src"),
-                  F.explode(F.array_distinct(
-                      shingles(F.col(text_col), shingle_n))).alias("_gram"))
-          .select("_src", F.md5("_gram").alias("_g"))
-          .distinct())
+    if sets is not None:
+        gs = (sets.select("_id", "_sh")
+              .join(df.select(F.col(id_col).alias("_id"),
+                              F.col(group_col).alias("_src")), "_id")
+              .select("_src", F.explode("_sh").alias("_g"))
+              .distinct())
+    else:
+        gs = (df.filter(F.col(text_col).isNotNull())
+              .select(F.col(group_col).alias("_src"),
+                      hashed_shingles(F.col(text_col), shingle_n)
+                      .alias("_sh"))
+              .select("_src", F.explode("_sh").alias("_g"))
+              .distinct())
     per_gram = gs.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_ns"), F.min("_src").alias("_only"))
     excl = (per_gram.filter(F.col("_ns") == 1)
