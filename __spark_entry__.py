@@ -1103,6 +1103,9 @@ def _q_json_contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(eid % 17 == 0, F.lit('{"j": 1}'))
         .when(eid % 19 == 0, F.lit('{"k": "abc"}'))
         .otherwise(F.col("props")).alias("props"))
+    # single-row-group input: spread the per-row JSON parse (see
+    # _mutated_events note)
+    mut = mut.repartition(spark.sparkContext.defaultParallelism)
     out = D.json_contract_violations(
         mut, "props",
         [D.JsonField("$.k", required=True, numeric=True, lo=0, hi=80)],
@@ -1135,6 +1138,9 @@ def _q_json_key_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(eid % 23 == 0, F.lit('[1, 2]'))
         .when(eid % 29 == 0, F.lit('{}'))
         .otherwise(F.col("props")).alias("props"))
+    # single-row-group input: spread the per-row JSON parse (see
+    # _mutated_events note)
+    mut = mut.repartition(spark.sparkContext.defaultParallelism)
     return D.json_key_profile(mut, "props").orderBy("key")
 
 
@@ -1244,7 +1250,11 @@ def _mutated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(eid.cast("string")).alias("value_str"),
         F.when(eid % 911 == 0, F.lit(" ")).otherwise(F.col("props"))
         .alias("props"),
-    )
+        # the driver's events.parquet is ONE row group (1 scan task at
+        # sf1.0) — spread the per-row rule evaluation over all cores;
+        # a production table's row-group layout yields thousands of
+        # splits and would skip this (same note as _docs_with_copies)
+    ).repartition(spark.sparkContext.defaultParallelism)
 
 
 def events_ruleset():
@@ -1305,7 +1315,10 @@ def _q_json_valid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_id") % 17 == 0, F.lit("{'k': 1}"))
         .when(F.col("event_id") % 19 == 0, F.lit(" "))
         .otherwise(F.col("props")))
-    mut = ev.select("user_id", "event_id", props.alias("props"))
+    # single-row-group input: spread the per-row JSON parse (see
+    # _mutated_events note)
+    mut = (ev.select("user_id", "event_id", props.alias("props"))
+           .repartition(spark.sparkContext.defaultParallelism))
     run = validate(mut, {"props": R.json_parseable()},
                    keys=("user_id", "event_id"),
                    partition_cols=("user_id",))
@@ -2846,8 +2859,11 @@ def _q_semantic_types_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import dataset_rules as D
 
     ev = _read(spark, sf_dir, "events")
+    # single-row-group input: spread the per-row regex battery (see
+    # _mutated_events note)
     return D.semantic_type_profile(
-        ev.select(_semantic_plant(ev).alias("v")), "v")
+        ev.select(_semantic_plant(ev).alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism), "v")
 
 
 def _q_semantic_types_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2770,20 +2770,37 @@ def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
     JSON null — extract-based checks see those as missing, which is
     exactly the gap a profile-vs-contract comparison surfaces.
 
-    Entirely JVM-side: ``json_object_keys`` (null for invalid JSON and
-    non-objects — the object filter), one explode, one key aggregate,
-    and a broadcast 1-row denominator. Cost at 10^12 rows: one narrow
-    map + one aggregate whose key space is the corpus's distinct key
-    set (map-side combine collapses repeats before the shuffle)."""
+    Entirely JVM-side, ONE pass: ``json_object_keys`` (null for invalid
+    JSON and non-objects — the object filter) runs once per row; each
+    object row explodes to a sentinel NULL plus its keys, so the key
+    aggregate yields the per-key counts AND the object-row denominator
+    (the NULL group — JSON keys are never null, so the sentinel is
+    unambiguous) from the same parse. The denominator fans back out via
+    a global window over the key-cardinality-sized aggregate (a handful
+    of rows — never data-scaled). The previous shape computed the
+    denominator as a separate broadcast aggregate, which re-parsed every
+    payload a second time. Cost at 10^12 rows: one narrow map + one
+    aggregate whose key space is the corpus's distinct key set
+    (map-side combine collapses repeats before the shuffle)."""
+    from pyspark.sql import Window
+
     c = F.col(json_col).cast("string")
     objs = (df.select(F.json_object_keys(c).alias("_ks"))
             .filter(F.col("_ks").isNotNull()))
-    n_obj = objs.agg(F.count(F.lit(1)).cast("long").alias("_n_objects"))
-    return (
-        objs.select(F.explode("_ks").alias("key"))
+    counts = (
+        objs.select(F.explode(
+            F.concat(F.array(F.lit(None).cast("string")), F.col("_ks")))
+            .alias("key"))
         .groupBy("key")
         .agg(F.count(F.lit(1)).cast("long").alias("n_present"))
-        .crossJoin(F.broadcast(n_obj))
+    )
+    w = Window.partitionBy()
+    return (
+        counts
+        .withColumn("_n_objects",
+                    F.sum(F.when(F.col("key").isNull(),
+                                 F.col("n_present"))).over(w))
+        .filter(F.col("key").isNotNull())
         .select("key", "n_present",
                 F.round(F.col("n_present") / F.col("_n_objects"), 6)
                 .alias("coverage"))

@@ -860,10 +860,14 @@ def _cc_round_barrier(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     (``df.checkpoint``) — an executor death mid-iteration recomputes from
     the checkpoint file, so a 1000-executor run survives node loss. Without
     one, ``localCheckpoint`` (executor-local, non-replicated) is used: fine
-    single-process, documented-unsafe on a real cluster."""
+    single-process, documented-unsafe on a real cluster. The local variant
+    is LAZY: the round's convergence checksum is the first action over the
+    barrier, so it materializes the checkpoint and computes the checksum in
+    ONE job instead of two (each star round is a handful of tiny stages —
+    job-launch latency, not data, dominates at small edge counts)."""
     if checkpoint_dir is not None:
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=False)
 
 
 class _ScopedCheckpointDir:
@@ -1717,6 +1721,47 @@ def _gram_strings_udf(n: int):
     return g
 
 
+def _top_gram_udf(n: int):
+    """Arrow-batched per-doc top token n-gram: ``struct<top_gram,
+    top_count>`` — the most frequent gram, ties to the lexicographically
+    smallest (``np.unique`` sorts ascending in code-point order, which
+    equals Spark's UTF-8 binary string order, and ``argmax`` returns the
+    FIRST maximum). Same tokenization and short-doc semantics as
+    :func:`shingles`/:func:`_gram_strings_udf`."""
+
+    @F.pandas_udf("struct<top_gram: string, top_count: bigint>")
+    def tg(texts):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\S+", re.ASCII)
+        grams_out: list = []
+        counts_out: list = []
+        for t in texts:
+            toks = ws.findall(t) if isinstance(t, str) else []
+            k = len(toks)
+            if k == 0:
+                grams = []
+            elif k < n:
+                grams = [" ".join(toks)]
+            else:
+                grams = [" ".join(toks[i:i + n]) for i in range(k - n + 1)]
+            if not grams:
+                grams_out.append(None)
+                counts_out.append(None)
+                continue
+            u, c = np.unique(np.asarray(grams, dtype=object),
+                             return_counts=True)
+            i = int(np.argmax(c))
+            grams_out.append(u[i])
+            counts_out.append(int(c[i]))
+        return pd.DataFrame({"top_gram": grams_out, "top_count": counts_out})
+
+    return tg
+
+
 def top_ngram_stats(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", n: int = 2) -> DataFrame:
     """Most frequent token n-gram per doc (Gopher's "top n-gram character
@@ -1725,31 +1770,26 @@ def top_ngram_stats(df: DataFrame, text_col: str = "text",
     ignored). Ties break to the lexicographically smallest gram so the
     result is deterministic across engines.
 
-    Shape at scale: one explode + per-(doc, gram) hash aggregate + one
-    per-doc window — both shuffles are keyed by doc id, so they partition
-    evenly no matter how skewed gram frequencies are ACROSS docs."""
-    from pyspark.sql import Window
-
+    Shape at scale: ONE narrow Arrow pass — the top gram is a per-doc
+    reduction, so it is computed inside the gram UDF itself
+    (:func:`_top_gram_udf`) instead of exploding every gram occurrence
+    through a (doc, gram) aggregate plus a per-doc window (the r6
+    rewrite: two doc-keyed shuffles and a sort removed; the fraction
+    arithmetic stays in the JVM, bit-identical)."""
     c = F.col(text_col)
-    g = df.filter(c.isNotNull()
-                  & (F.regexp_replace(c, WS_STRIP, "") != "")).select(
+    base = df.filter(c.isNotNull()
+                     & (F.regexp_replace(c, WS_STRIP, "") != "")).select(
         F.col(id_col),
         F.length(c).alias("_nc"),
-        F.explode(_gram_strings_udf(n)(c)).alias("top_gram"),
+        _top_gram_udf(n)(c).alias("_t"),
     )
-    counts = g.groupBy(id_col, "_nc", "top_gram").agg(
-        F.count(F.lit(1)).alias("top_count"))
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("top_count"), F.asc("top_gram"))
-    return (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "top_gram", F.col("top_count").cast("long")
-                .alias("top_count"),
-                F.round(F.col("top_count") * F.length("top_gram")
-                        / F.greatest(F.col("_nc"), F.lit(1)), 6)
-                .alias("top_frac"))
-    )
+    return base.select(
+        id_col,
+        F.col("_t.top_gram").alias("top_gram"),
+        F.col("_t.top_count").cast("long").alias("top_count"),
+        F.round(F.col("_t.top_count") * F.length("_t.top_gram")
+                / F.greatest(F.col("_nc"), F.lit(1)), 6)
+        .alias("top_frac"))
 
 
 def duplicated_ngram_fraction(df: DataFrame, text_col: str = "text",
@@ -1808,19 +1848,25 @@ def salient_terms(df: DataFrame, text_col: str = "text",
     combine), a term-keyed document-frequency aggregate whose result is
     vocab-sized (Catalyst/AQE broadcasts it back when it fits — hot terms
     skew only the pre-combined partials), and one doc-keyed top-k
-    window."""
+    window. The (doc, term, tf) table feeds three plan branches (df
+    aggregate, N-docs denominator, the ranked join itself), so it is
+    persisted for the call and freed after the small top-k result
+    materializes — without it the tokenize+explode+aggregate ran once
+    per branch."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     c = F.col(text_col)
     toks = df.filter(
         c.isNotNull() & (F.regexp_replace(c, WS_STRIP, "") != "")
     ).select(F.col(id_col), F.explode(tokens(F.lower(c))).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = tf.select(F.count_distinct(id_col).alias("_n"))
     w = Window.partitionBy(id_col).orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term"))
-    return (
+    out = (
         tf.join(dfreq, "term")
         .withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
@@ -1831,7 +1877,10 @@ def salient_terms(df: DataFrame, text_col: str = "text",
                                              / (F.col("df") + 1.0)) + 1.0),
                         6).alias("tfidf"),
                 F.col("term_rank").cast("int").alias("term_rank"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist()
+    return out
 
 
 def ngram_overlap(corpus: DataFrame, eval_df: DataFrame,
@@ -3417,9 +3466,12 @@ def pmi_collocations(
     (bounded by vocab / distinct-bigram cardinality, never doc×doc),
     two key-equality joins of the floored pair table against the
     unigram table (AQE picks broadcast vs shuffle by actual vocab
-    size), totals via broadcast 1-row aggregates. Output: ``(w1, w2,
-    pair_count, w1_count, w2_count, pmi)``, one row per surviving
-    bigram."""
+    size), totals via broadcast 1-row aggregates. (An r6 experiment
+    persisting the unigram table measured SLOWER at 50k docs — the
+    vocab aggregate is cheap enough that cache materialization costs
+    more than the re-evaluations it saves; left as-is.)
+    Output: ``(w1, w2, pair_count, w1_count, w2_count, pmi)``, one row
+    per surviving bigram."""
     c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     toks = df.select(tokens(c).alias("_t"))
     uni = (toks.select(F.explode("_t").alias("w"))
