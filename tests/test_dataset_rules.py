@@ -757,6 +757,23 @@ def test_bloom_orphans_subset_under_saturation(spark):
     assert got <= exact
 
 
+def test_bloom_merge_is_executor_side_and_partition_invariant(spark):
+    # r6: the per-partition bitmap rows OR-merge in an executor-side
+    # fan-in tree — the driver's collect must receive ONE bitmap row
+    # however many partitions the parent scans as (the r5 review's
+    # driver-traffic hole), and the merged bitmap must be bit-identical
+    # to a single-partition build (OR is order-independent).
+    parent = spark.createDataFrame(
+        [("k%04d" % i,) for i in range(500)], ["key"]).repartition(16)
+    rows = D._bloom_bitmap_rows(parent, "key", 1 << 12, 5, 1105)
+    assert rows.rdd.getNumPartitions() == 1
+    collected = rows.collect()
+    assert len(collected) == 1
+    wide = D.build_key_bloom(parent, "key", 1 << 12, 5)
+    narrow = D.build_key_bloom(parent.coalesce(1), "key", 1 << 12, 5)
+    assert wide == narrow == collected[0].bm
+
+
 def test_bloom_orphans_null_key_flagged(spark):
     child = spark.createDataFrame(
         [("k1",), (None,), (None,)], ["key"])

@@ -214,23 +214,26 @@ def _bloom_positions(key: Column, num_bits: int, num_hashes: int,
     ]
 
 
-def build_key_bloom(df: DataFrame, key_col: str, num_bits: int,
-                    num_hashes: int, seed: int = 1105) -> bytes:
-    """Distributed Bloom-filter build over a key column: each partition
-    reduces to ONE ``num_bits/8``-byte bitmap row inside a single
-    ``mapInPandas`` pass (positions are computed JVM-side by
-    ``xxhash64``; the Python side is pure numpy bit-OR — no per-row
-    Python), and the driver ORs the per-partition bitmaps. This is the
-    same shape as Spark's own injected runtime bloom filter
-    (``spark.sql.optimizer.runtime.bloomFilter.enabled``,
-    BloomFilterAggregate): insertion is bitwise OR, hence
-    order-independent and DETERMINISTIC for fixed (num_bits,
-    num_hashes, seed) regardless of partitioning. Driver traffic is
-    bounded by partitions × num_bits/8 bytes — a 10⁹-bit filter for
-    10⁸ dim keys is 125 MB, broadcastable where the key SET is not."""
+#: executor-side OR fan-in per tree level of the Bloom bitmap merge
+_BLOOM_MERGE_FANIN = 64
+
+
+def _bloom_bitmap_rows(df: DataFrame, key_col: str, num_bits: int,
+                       num_hashes: int, seed: int) -> DataFrame:
+    """The distributed half of :func:`build_key_bloom`: per-partition
+    bitmap rows reduced EXECUTOR-SIDE to a single row by a fan-in-
+    ``_BLOOM_MERGE_FANIN`` OR tree (repartition + ``mapInPandas`` OR per
+    level). Returned as a 1-row DataFrame so the driver's collect
+    receives one ``num_bits/8``-byte bitmap REGARDLESS of the parent's
+    partition count — the r5 review's scale hole was the driver ORing
+    one bitmap row per partition (a 10⁸-key parent scanned as ~1000
+    partitions shipped ~1000 × 125 MB to the driver; now those bytes
+    cross the executor-side shuffle, whose job this is). OR is
+    associative and commutative, so the merged bitmap is bit-identical
+    under any tree shape."""
+    import math
+
     nb = int(num_bits)
-    if nb % 8:
-        raise ValueError(f"num_bits must be a multiple of 8, got {nb}")
     pos = _bloom_positions(F.col(key_col), nb, num_hashes, seed)
     slim = df.filter(F.col(key_col).isNotNull()).select(*pos)
 
@@ -250,11 +253,51 @@ def build_key_bloom(df: DataFrame, key_col: str, num_bits: int,
         if seen:
             yield pd.DataFrame({"bm": [bm.tobytes()]})
 
+    def _or_rows(it):
+        import numpy as np
+        import pandas as pd
+
+        bm = None
+        for pdf in it:
+            for b in pdf["bm"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                bm = arr.copy() if bm is None else bm | arr
+        if bm is not None:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    merged = slim.mapInPandas(_part, schema="bm binary")
+    nparts = slim.rdd.getNumPartitions()
+    while nparts > 1:
+        nparts = max(1, math.ceil(nparts / _BLOOM_MERGE_FANIN))
+        merged = merged.repartition(nparts).mapInPandas(
+            _or_rows, schema="bm binary")
+    return merged
+
+
+def build_key_bloom(df: DataFrame, key_col: str, num_bits: int,
+                    num_hashes: int, seed: int = 1105) -> bytes:
+    """Distributed Bloom-filter build over a key column: each partition
+    reduces to ONE ``num_bits/8``-byte bitmap row inside a single
+    ``mapInPandas`` pass (positions are computed JVM-side by
+    ``xxhash64``; the Python side is pure numpy bit-OR — no per-row
+    Python), per-partition rows are OR-merged executor-side in a fan-in
+    tree (:func:`_bloom_bitmap_rows`), and the driver receives exactly
+    one bitmap. This is the same shape as Spark's own injected runtime
+    bloom filter (``spark.sql.optimizer.runtime.bloomFilter.enabled``,
+    BloomFilterAggregate): insertion is bitwise OR, hence
+    order-independent and DETERMINISTIC for fixed (num_bits,
+    num_hashes, seed) regardless of partitioning. Driver traffic is one
+    ``num_bits/8``-byte row however many partitions the parent scan
+    has — a 10⁹-bit filter for 10⁸ dim keys is 125 MB once,
+    broadcastable where the key SET is not."""
+    nb = int(num_bits)
+    if nb % 8:
+        raise ValueError(f"num_bits must be a multiple of 8, got {nb}")
     import numpy as np
 
-    parts = slim.mapInPandas(_part, schema="bm binary").collect()
+    rows = _bloom_bitmap_rows(df, key_col, nb, num_hashes, seed).collect()
     out = np.zeros(nb // 8, dtype=np.uint8)
-    for r in parts:
+    for r in rows:
         out |= np.frombuffer(r.bm, dtype=np.uint8)
     return out.tobytes()
 
