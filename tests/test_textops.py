@@ -237,6 +237,65 @@ def test_winnow_match_pairs_equals_classic_join(spark):
     last = {(r["id_a"], r["id_b"]) for r in
             X.winnow_match_pairs(df, min_shared=1, max_df=50).collect()}
     assert {(1, 2), (1, 3), (2, 3), (11, 12), (1, 11)} <= last
+    # ids ≥ 2^31 force the lexsort fallback in _pair_count_batches (the
+    # packed int64-key fast path requires unsigned-31-bit ids); the
+    # fallback must produce the identical pair counts
+    big = 1 << 32
+    df_big = spark.createDataFrame(
+        [(i + big, t) for i, t in rows], "doc_id bigint, text string")
+    got_big = sorted((r["id_a"] - big, r["id_b"] - big, r["shared_fp"])
+                     for r in X.winnow_match_pairs(
+                         df_big, min_shared=1, max_df=50).collect())
+    want_big = sorted(map(tuple, X.winnow_match_pairs(
+        df, min_shared=1, max_df=50).collect()))
+    assert got_big == want_big
+
+
+def test_winnow_fingerprints_equal_per_doc_reference(spark):
+    # Differential pin for the r6 batch-global fingerprint kernel (one
+    # concatenated rolling-hash + window-min pass per Arrow batch): every
+    # doc's selected print set must equal the classic per-doc
+    # stride-tricks formulation bit-for-bit, across the boundary-sensitive
+    # shapes — empty/blank/null, shorter than k, hash count <= w, exact-k
+    # and k+w-1 lengths, multi-byte UTF-8, and long texts adjacent in the
+    # same batch (where a buggy global pass would leak boundary windows).
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from valar_spark.textops import _splitmix64
+
+    k, w = 8, 4
+    texts = ["", "   ", None, "ab", "abcdefg", "abcdefgh", "abcdefghi",
+             "abcdefghij", "abcdefghijk", "x" * 8, "x" * 11, "x" * 40,
+             "héllo wörld ünïcode", "é" * 3, "世界" * 2, " \t\n\f\r\x0b",
+             "the quick brown fox jumps over the lazy dog " * 5,
+             "zzzzzzzz" + "the quick brown fox",  # shared boundary bytes
+             "a" * 7 + "b" * 7]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["_id"]: list(r["_fp"]) for r in
+           X.winnow_fingerprint_table(df, k=k, w=w).collect()}
+
+    powers = np.array([pow(1099511628211, i, 1 << 64) for i in range(k)],
+                      dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if not isinstance(t, str) or not t.strip(" \t\n\f\r\x0b"):
+            want = []
+        else:
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if len(b) < k:
+                want = list(_splitmix64(
+                    (b.astype(np.uint64) * powers[:len(b)])
+                    .sum(dtype=np.uint64, keepdims=True)).view(np.int64))
+            else:
+                grams = sliding_window_view(b, k).astype(np.uint64)
+                hashes = _splitmix64(grams @ powers)
+                if len(hashes) <= w:
+                    sel = hashes.min(keepdims=True)
+                else:
+                    sel = sliding_window_view(hashes, w).min(axis=1)
+                want = list(np.unique(sel).view(np.int64))
+        assert got[i] == want, (i, t, got[i], want)
 
 
 def test_connected_components_transitive(spark):

