@@ -1,0 +1,212 @@
+"""Generate a PROFILING-ONLY dataset shaped like the driver's testdata at a
+larger scale factor (default sf1.0 => 10x the sf0.1 row counts).
+
+The driver's own round-end measurement generates its own data; this script
+exists so optimization sessions can profile at the driver's measurement
+scale after /tmp is wiped.  It matches the EMPIRICAL marginal distributions
+of /root/testdata/sf0.1 (word frequencies + doc length for documents;
+event-type/user/value/ts-gap for events; TPC-H-ish columns for the star
+schema), which is what the per-query costs depend on: shingle df profiles,
+join fan-outs, group cardinalities.  It is NOT bit-identical to the
+driver's generator -- never use it for oracle/correctness checks (those run
+on the read-only /root/testdata SFs).
+
+Usage: python BENCH/gen_profile_sf.py [out_dir] [scale]
+       default out_dir=/tmp/sfprof1.0 scale=10 (relative to sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfprof1.0"
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(42)
+    con = duckdb.connect()
+
+    # ---- documents: word-salad matching word freq + length dist ----------
+    rows = con.execute(
+        f"SELECT text, lang FROM '{SRC}/documents.parquet'").fetchall()
+    from collections import Counter
+    wc: Counter = Counter()
+    lens = []
+    for text, _lang in rows:
+        ws = text.split(" ")
+        wc.update(ws)
+        lens.append(len(ws))
+    vocab = sorted(wc)
+    freq = np.array([wc[w] for w in vocab], dtype=np.float64)
+    freq /= freq.sum()
+    lens = np.array(lens)
+    langs, lang_w = zip(*Counter(l for _t, l in rows).items())
+    lang_p = np.array(lang_w, dtype=np.float64) / len(rows)
+
+    n_docs = 5000 * scale
+    doc_len = rng.choice(lens, size=n_docs)  # empirical length dist
+    total_words = int(doc_len.sum())
+    words = rng.choice(np.array(vocab, dtype=object), size=total_words,
+                       p=freq)
+    texts = []
+    off = 0
+    for L in doc_len:
+        texts.append(" ".join(words[off:off + L]))
+        off += L
+    doc_lang = rng.choice(np.array(langs, dtype=object), size=n_docs,
+                          p=lang_p)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(doc_lang, pa.string()),
+        "source": pa.array([f"src{i % 20}" for i in range(n_docs)],
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, f"{out}/documents.parquet")
+    print("documents", n_docs)
+
+    # ---- events ----------------------------------------------------------
+    n_ev = 100_000 * scale
+    et, et_n = zip(*con.execute(
+        f"SELECT event_type, count(*) FROM '{SRC}/events.parquet' "
+        "GROUP BY 1").fetchall())
+    et_p = np.array(et_n, dtype=np.float64) / sum(et_n)
+    # ts: same avg inter-arrival (~26s) => duration scales with rows
+    gaps = rng.exponential(25.9, size=n_ev)
+    ts = (np.datetime64("2024-01-01T00:00:00") +
+          (np.cumsum(gaps) * 1e6).astype("timedelta64[us]"))
+    ev = pa.table({
+        "event_id": pa.array(np.arange(n_ev), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 1500 * scale, n_ev), pa.int64()),
+        "event_type": pa.array(
+            rng.choice(np.array(et, dtype=object), size=n_ev, p=et_p),
+            pa.string()),
+        "value": pa.array(
+            np.round(rng.exponential(75.0, n_ev).clip(0, 6000), 2),
+            pa.float64()),
+        "props": pa.array([json.dumps({"k": int(k)})
+                           for k in rng.integers(0, 100, n_ev)], pa.string()),
+    })
+    # the driver's events.parquet is ONE row group at every SF (the entry
+    # notes depend on that shape) -- keep it
+    pq.write_table(ev, f"{out}/events.parquet", row_group_size=n_ev)
+    print("events", n_ev)
+
+    # ---- embeddings: unit-norm i.i.d. gaussian, labels independent (the
+    # source corpus shows no label clustering and unit norms) --------------
+    n_emb = 2000 * (4 if scale == 10 else max(1, scale // 2))
+    dim = 64
+    labels = rng.integers(0, 10, n_emb)
+    emb = rng.normal(0, 1, (n_emb, dim))
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = emb.astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n_emb), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32), pa.int32()),
+    })
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    print("embeddings", n_emb)
+
+    # ---- star schema -----------------------------------------------------
+    n_cust = 15_000 * scale
+    seg = np.array(["FURNITURE", "MACHINERY", "AUTOMOBILE", "BUILDING",
+                    "HOUSEHOLD"], dtype=object)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype(np.int32),
+                                pa.int32()),
+        "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, n_cust), 2)),
+        "c_mktsegment": pa.array(rng.choice(seg, n_cust)),
+    }), f"{out}/customer.parquet")
+
+    n_part = 20_000 * scale
+    adjs = np.array(["large", "hot", "small", "cold", "fast"], dtype=object)
+    nouns = np.array(["ring", "bolt", "cap", "gear", "rod"], dtype=object)
+    ptypes = np.array(["LARGE", "ECONOMY", "STANDARD", "SMALL", "PROMO"],
+                      dtype=object)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+        "p_name": pa.array([f"{a} {b}" for a, b in
+                            zip(rng.choice(adjs, n_part),
+                                rng.choice(nouns, n_part))]),
+        "p_brand": pa.array([f"Brand#{i}" for i in
+                             rng.integers(1, 26, n_part)]),
+        "p_type": pa.array(rng.choice(ptypes, n_part)),
+        "p_size": pa.array(rng.integers(1, 51, n_part).astype(np.int32),
+                           pa.int32()),
+        "p_retailprice": pa.array(
+            np.round(900.0 + 0.1 * np.arange(n_part) % 1100, 2)),
+    }), f"{out}/part.parquet")
+
+    n_supp = 1000 * scale
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype(np.int32),
+                                pa.int32()),
+        "s_acctbal": pa.array(np.round(rng.uniform(-999, 9999, n_supp), 2)),
+    }), f"{out}/supplier.parquet")
+
+    n_ord = 150_000 * scale
+    stat = np.array(["O", "F", "P"], dtype=object)
+    prio = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                     "5-LOW"], dtype=object)
+    odate = (np.datetime64("1995-01-01") +
+             rng.integers(0, 2500, n_ord).astype("timedelta64[D]"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+        "o_orderstatus": pa.array(rng.choice(stat, n_ord)),
+        "o_totalprice": pa.array(
+            np.round(rng.uniform(1000, 500_000, n_ord), 2)),
+        "o_orderdate": pa.array(odate.astype("datetime64[us]"),
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(rng.choice(prio, n_ord)),
+    }), f"{out}/orders.parquet")
+
+    n_li = 600_000 * scale
+    rflag = np.array(["N", "A", "R"], dtype=object)
+    lstat = np.array(["O", "F"], dtype=object)
+    sdate = (np.datetime64("1995-01-01") +
+             rng.integers(0, 2800, n_li).astype("timedelta64[D]"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+        "l_linenumber": pa.array(rng.integers(1, 8, n_li).astype(np.int32),
+                                 pa.int32()),
+        "l_quantity": pa.array(rng.integers(1, 51, n_li).astype(np.float64)),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(900, 105_000, n_li), 2)),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_li), 2)),
+        "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n_li), 2)),
+        "l_returnflag": pa.array(rng.choice(rflag, n_li)),
+        "l_linestatus": pa.array(rng.choice(lstat, n_li)),
+        "l_shipdate": pa.array(sdate.astype("datetime64[us]"),
+                               pa.timestamp("us")),
+    }), f"{out}/lineitem.parquet")
+    print("star schema done")
+
+    # nation/region: copy verbatim (tiny, fixed)
+    import shutil
+    for t in ("nation", "region"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -2027,7 +2027,12 @@ def _winnow_raw_prints(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prune_dead_sessions(_WINNOW_FP_CACHE, spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _WINNOW_FP_CACHE:
-        docs = _read(spark, sf_dir, "documents")
+        # the local documents.parquet is ONE row group ⇒ one scan task, so
+        # without a repartition the fingerprint UDF ran on ONE core
+        # (measured 8.8s single-task vs ~1s spread); a production table's
+        # row-group layout yields thousands of splits and skips this
+        docs = _read(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism)
         _WINNOW_FP_CACHE[key] = (
             X.winnow_fingerprint_table(docs)
             .persist(StorageLevel.MEMORY_AND_DISK))
@@ -2079,8 +2084,11 @@ def _winnow_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # their +100000 copies have identical text, so their prints are
         # the same rows re-keyed); untouched docs reuse the shared raw
         # print pass. One UDF pass over n/2 docs instead of 3n/2.
+        # repartition: the one-row-group scan would otherwise feed the
+        # fingerprint UDF from a single task (see _winnow_raw_prints)
         fp_even = X.winnow_fingerprint_table(
-            suffixed.join(docs.filter(even).select("doc_id"), "doc_id"))
+            suffixed.join(docs.filter(even).select("doc_id"), "doc_id")
+            .repartition(spark.sparkContext.defaultParallelism))
         prints = (
             _winnow_raw_prints(spark, sf_dir)
             .join(docs.filter(~even).select(F.col("doc_id").alias("_id")),
@@ -2099,16 +2107,19 @@ def _winnow_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex = prints.select("_id", F.explode("_fp").alias("h")).persist(
             StorageLevel.MEMORY_AND_DISK)
         cap = max(2, int(0.02 * u.count()))
+        # ONE persisted df-cap aggregate serves both the pair pass and
+        # the recall membership below (it ran once per consumer before)
+        rare = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= cap).select("h")
+                .persist(StorageLevel.MEMORY_AND_DISK))
         pairs5 = X.winnow_match_pairs(u, min_shared=5, max_df=cap,
-                                      prints=prints, exploded=ex)
+                                      prints=prints, exploded=ex, rare=rare)
         # planted-pair recall membership: the +100000 copy carries the
         # SAME print rows re-keyed (constructed above), so the pair
         # (a, a+100000) shares ≥1 surviving (df ≤ cap) print iff doc a
         # has ≥1 surviving print — the same df-cap semantics the full
         # pair table applied, restricted to the planted diagonal instead
         # of materializing 351M rows to probe 25k of them.
-        rare = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") <= cap).select("h"))
         recall = (ex.join(rare, "h", "left_semi")
                   .filter((F.col("_id") < 100_000)
                           & (F.col("_id") % 2 == 0))
@@ -2168,7 +2179,8 @@ def _q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("doc_id").alias("_id")), "_id")
         .unionByName(X.winnow_fingerprint_table(
             planted.join(docs.filter(contaminated).select("doc_id"),
-                         "doc_id"))))
+                         "doc_id")
+            .repartition(spark.sparkContext.defaultParallelism))))
     return (X.winnow_contamination(planted, ev, min_shared=2,
                                    max_df_frac=0.05, prints=prints)
             .select("doc_id", "eval_id").orderBy("doc_id"))

@@ -195,6 +195,43 @@ def test_winnow_fingerprints_match_and_locality(spark):
     assert (1, 4) not in pairs
 
 
+def test_pair_blob_kernels_count_across_batches_and_buckets():
+    # Kernel-level pin for the blob-packed pair exchange: events for one
+    # pair emitted from DIFFERENT input batches (and therefore different
+    # blob rows) must still merge into one exact count, every event must
+    # route to the bucket determined by its packed key, and min_shared
+    # must filter inside the merge kernel.
+    import numpy as np
+    import pandas as pd
+
+    from valar_spark.textops import (_pair_emit_blob_batches,
+                                     _pair_merge_blob_batches)
+
+    n_buckets = 4
+    # two input batches; posting lists deliberately repeat pairs across
+    # batches: (1,2) appears in 3 postings, (1,3)/(2,3) in 1
+    b1 = pd.DataFrame({"_ids": [[2, 1], [1, 2, 3]]})
+    b2 = pd.DataFrame({"_ids": [[1, 2], [7], []]})
+    out = list(_pair_emit_blob_batches(n_buckets)(iter([b1, b2])))
+    rows = pd.concat(out, ignore_index=True)
+    # bucket column must equal pk % n_buckets for every event in the blob
+    for bucket, blob in zip(rows["bucket"], rows["blob"]):
+        ks = np.frombuffer(blob, dtype=np.int64)
+        assert (ks % n_buckets == bucket).all()
+        assert ((ks >> 32) < (ks & 0xFFFFFFFF)).all()  # id_a < id_b
+    # merge across all blobs (as the exchange would co-locate them)
+    merged = list(_pair_merge_blob_batches(1)(iter(out)))
+    got = {(int(r.id_a), int(r.id_b)): int(r.shared_fp)
+           for m in merged for r in m.itertuples()}
+    assert got == {(1, 2): 3, (1, 3): 1, (2, 3): 1}
+    # min_shared filters inside the kernel
+    merged2 = pd.concat(list(_pair_merge_blob_batches(2)(iter(out))),
+                        ignore_index=True)
+    assert len(merged2) == 1 and int(merged2["shared_fp"][0]) == 3
+    # empty input yields nothing
+    assert list(_pair_merge_blob_batches(1)(iter([]))) == []
+
+
 def test_winnow_match_pairs_equals_classic_join(spark):
     # Differential pin for the r6 pair-counting rewrite (identical-set
     # dedup + numpy partial aggregation): the new path must reproduce the

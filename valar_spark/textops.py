@@ -2182,12 +2182,98 @@ def _pair_count_batches(it):
     yield pd.DataFrame({"id_a": A[idx], "id_b": B[idx], "_c": cnt})
 
 
+def _pair_emit_blob_batches(n_buckets: int):
+    """Kernel factory — packed-key pair GENERATION with blob-packed
+    output: each input row is one fingerprint's posting list of
+    31-bit-safe ids; every co-occurrence event becomes one packed int64
+    ``id_a << 32 | id_b`` (id_a < id_b), events are bucketed by
+    ``pk % n_buckets`` (a pure function of the pair, so every occurrence
+    of a pair lands in the same bucket no matter which task emits it),
+    and each (input-batch, bucket) slice ships as ONE ``binary`` cell of
+    raw little-endian int64 bytes.  Two measured facts drive this shape:
+    per-task partial aggregation combined only 0.6% of events (a pair's
+    shared prints land in different tasks — the per-task sort bought
+    nothing), and a row-per-event exchange of the same 177M events cost
+    ~35s of pure row-conversion/shuffle overhead while generation itself
+    took 3.5s.  Blob cells move the same bytes through the shuffle as a
+    few thousand rows instead of 1.8×10⁸ (guide §2.3 / §4.2: shuffle
+    fewer *rows*, keep whole batches in native code)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            ks = []
+            for ids in pdf["_ids"]:
+                a = np.sort(np.asarray(ids, dtype=np.int64))
+                if a.size < 2:
+                    continue
+                ia, ib = np.triu_indices(a.size, k=1)
+                ks.append((a[ia] << 32) | a[ib])
+            if not ks:
+                continue
+            kk = np.concatenate(ks)
+            del ks
+            b = kk % n_buckets
+            order = np.argsort(b, kind="stable")
+            kk = kk[order]
+            b = b[order]
+            bounds = np.searchsorted(b, np.arange(n_buckets + 1))
+            out_b, out_blob = [], []
+            for i in range(n_buckets):
+                s, e = bounds[i], bounds[i + 1]
+                if s == e:
+                    continue
+                out_b.append(i)
+                out_blob.append(kk[s:e].tobytes())
+            yield pd.DataFrame({"bucket": np.asarray(out_b, dtype=np.int64),
+                                "blob": out_blob})
+
+    return gen
+
+
+def _pair_merge_blob_batches(min_shared: int):
+    """Kernel factory for the packed-key pair COUNT: the exchange
+    co-locates all blobs of a bucket (and therefore every occurrence of
+    a pair); concatenate the partition's blobs, one ``np.sort`` +
+    run-length count, apply ``min_shared`` BEFORE emitting — the
+    ≥-filter drops ~99.97% of pairs on the profile corpus, so the
+    kernel's output is final-result-sized.  Replaces a JVM hash
+    aggregate whose ~1.7×10⁸-key state spilled (measured 50s of the 84s
+    profile query)."""
+    import numpy as np
+    import pandas as pd
+
+    def merge(it):
+        chunks = []
+        for pdf in it:
+            for blob in pdf["blob"]:
+                chunks.append(np.frombuffer(blob, dtype=np.int64))
+        if not chunks:
+            return
+        kk = np.concatenate(chunks) if len(chunks) > 1 else chunks[0].copy()
+        del chunks
+        kk.sort()
+        new = np.empty(kk.size, dtype=bool)
+        new[0] = True
+        np.not_equal(kk[1:], kk[:-1], out=new[1:])
+        idx = np.flatnonzero(new)
+        cnt = np.diff(np.append(idx, kk.size))
+        keep = cnt >= min_shared
+        ku = kk[idx][keep]
+        yield pd.DataFrame({"id_a": ku >> 32, "id_b": ku & 0xFFFFFFFF,
+                            "shared_fp": cnt[keep]})
+
+    return merge
+
+
 def winnow_match_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 8, w: int = 4,
                        min_shared: int = 2, max_df: int | None = 50,
                        max_df_frac: float | None = None,
                        prints: DataFrame | None = None,
-                       exploded: DataFrame | None = None) -> DataFrame:
+                       exploded: DataFrame | None = None,
+                       rare: DataFrame | None = None) -> DataFrame:
     """Local-similarity pairs ``(id_a, id_b, shared_fp)`` — docs sharing ≥
     ``min_shared`` winnowing fingerprints, i.e. at least one common run of
     ~k+w−1 characters per shared print (the MOSS plagiarism/contamination
@@ -2226,7 +2312,11 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
     ``exploded`` additionally supplies the exploded ``(_id, h)`` rows
     (caller-persisted, caller-owned lifecycle) so a session that already
     materialized them — e.g. to run several screens over one corpus —
-    doesn't pay the explode twice."""
+    doesn't pay the explode twice; ``rare`` likewise supplies the
+    surviving-print table (``h`` rows with df ≤ cap, caller-owned) so
+    consumers that need the same df-cap result (e.g. a planted-recall
+    gate over the same corpus) share one aggregate instead of re-running
+    the corpus-wide groupBy."""
     from pyspark import StorageLevel
     from pyspark.sql import types as T
 
@@ -2245,9 +2335,10 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
     ex_cached = (exploded if exploded is not None
                  else t.select("_id", F.explode("_fp").alias("h"))
                  .persist(StorageLevel.MEMORY_AND_DISK))
-    rare_agg = ex_cached.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-    rare = (rare_agg.filter(F.col("_df") <= max_df).select("h")
-            if max_df is not None else rare_agg.select("h"))
+    if rare is None:
+        rare_agg = ex_cached.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        rare = (rare_agg.filter(F.col("_df") <= max_df).select("h")
+                if max_df is not None else rare_agg.select("h"))
     id_type = t.schema["_id"].dataType
     integral = isinstance(id_type, (T.LongType, T.IntegerType,
                                     T.ShortType, T.ByteType))
@@ -2267,15 +2358,19 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
         if own_ex:
             ex_cached.unpersist()
         return out
-    # ---- identical-print-set groups (md5 of the sorted array: canonical
-    # and collision-free in practice; empty-set docs form a group that can
-    # never pair — no exploded rows, surviving count 0) ----
-    gkey = F.md5(F.to_json(F.sort_array(F.col("_fp"))))
-    groups = (t.select(gkey.alias("_gk"), "_id")
+    # ---- identical-print-set groups (the _fp array itself is the group
+    # key: the fingerprint kernel emits np.unique output, so equal sets ⇒
+    # byte-identical arrays — grouping on the array directly drops the
+    # md5(to_json(...)) string build, which was most of this aggregate's
+    # CPU; the array-keyed exchange is corpus-row-sized and narrow.
+    # Empty-set docs form a group that can never pair — no exploded rows,
+    # surviving count 0 ----
+    groups = (t.select(F.col("_fp").alias("_gk"), "_id")
               .groupBy("_gk")
               .agg(F.min("_id").alias("_rep"),
                    F.collect_list("_id").alias("_members"),
                    F.count(F.lit(1)).alias("_m"))
+              .select("_rep", "_members", "_m")
               .persist(StorageLevel.MEMORY_AND_DISK))
     reps = groups.select(F.col("_rep").alias("_id"))
     # feeds two branches (posting lists + surviving-set counts): persist,
@@ -2283,14 +2378,32 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
     exr_rep = (ex_cached.join(rare, "h", "left_semi")
                .join(F.broadcast(reps), "_id", "left_semi")
                .persist(StorageLevel.MEMORY_AND_DISK))
-    # ---- representative pair counts: numpy generation + partial
-    # aggregation, one narrow final combine ----
+    # ---- representative pair counts ----
     posting = exr_rep.groupBy("h").agg(F.collect_list("_id").alias("_ids"))
-    part = posting.mapInPandas(_pair_count_batches,
-                               "id_a long, id_b long, _c long")
-    rep_pairs = (part.groupBy("id_a", "id_b")
-                 .agg(F.sum("_c").alias("shared_fp"))
-                 .filter(F.col("shared_fp") >= min_shared))
+    bounds = exr_rep.agg(F.min("_id"), F.max("_id")).first()
+    if (bounds[0] is not None and bounds[0] >= 0
+            and bounds[1] < (1 << 31)):
+        # packed-key blob path: generation emits every co-occurrence
+        # event as ONE int64 packed into per-bucket binary blobs (see
+        # _pair_emit_blob_batches — a row-per-event exchange measured
+        # ~35s of pure row overhead for 3.5s of generation), the
+        # exchange moves a few thousand blob rows, and a numpy
+        # sort/run-length count applies min_shared BEFORE emitting.
+        # Bucket count = 4× shuffle partitions so hash collisions on the
+        # bucket column still balance the merge tasks (balls-in-bins).
+        n_buckets = 4 * max(
+            1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+        pk = posting.mapInPandas(_pair_emit_blob_batches(n_buckets),
+                                 "bucket long, blob binary")
+        rep_pairs = (pk.repartition(F.col("bucket"))
+                     .mapInPandas(_pair_merge_blob_batches(min_shared),
+                                  "id_a long, id_b long, shared_fp long"))
+    else:
+        part = posting.mapInPandas(_pair_count_batches,
+                                   "id_a long, id_b long, _c long")
+        rep_pairs = (part.groupBy("id_a", "id_b")
+                     .agg(F.sum("_c").alias("shared_fp"))
+                     .filter(F.col("shared_fp") >= min_shared))
     # ---- expand through group members ----
     inter = (
         rep_pairs
@@ -2368,15 +2481,26 @@ def winnow_contamination(corpus: DataFrame, eval_df: DataFrame,
         max_df = max(2, int(max_df_frac * corpus.count()))
     t = (prints if prints is not None
          else winnow_fingerprint_table(corpus, text_col, id_col, k, w))
-    ce = (t.select("_id", F.explode("_fp").alias("h"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    ce = t.select("_id", F.explode("_fp").alias("h"))
     ee = (winnow_fingerprint_table(eval_df, eval_text_col, eval_id_col, k, w)
           .select(F.col("_id").alias("_eid"), F.explode("_fp").alias("h")))
-    side = ce
+    # restrict the corpus print stream to eval-matching prints FIRST (a
+    # broadcast semi-join — eval sets are tiny by definition): the df cap
+    # only ever matters for prints that reach the eval join, and per-doc
+    # print arrays are already deduped, so the per-h row count over the
+    # matched stream IS the full-corpus df for those prints. This removes
+    # a corpus-print-table-wide groupBy('h') exchange (measured: the df
+    # aggregate was most of the screen's cost, shuffling ~9M rows to cap
+    # prints of which only ~10⁵ could ever match) and with it the need to
+    # persist the full exploded table — one pass over the corpus prints.
+    matched = (ce.join(F.broadcast(ee.select("h").distinct()),
+                       "h", "left_semi")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    side = matched
     if max_df is not None:
-        rare = (ce.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        rare = (matched.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
                 .filter(F.col("_df") <= max_df).select("h"))
-        side = ce.join(rare, "h", "left_semi")
+        side = matched.join(F.broadcast(rare), "h", "left_semi")
     out = (
         side.join(F.broadcast(ee), "h")
         .groupBy(F.col("_id").alias(id_col), F.col("_eid").alias(eval_id_col))
@@ -2385,7 +2509,7 @@ def winnow_contamination(corpus: DataFrame, eval_df: DataFrame,
     )
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    ce.unpersist()
+    matched.unpersist()
     return out
 
 
