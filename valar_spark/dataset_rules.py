@@ -2901,12 +2901,19 @@ def json_contract_violations(
     Cost at 10^12 turns: a pure narrow map over the scan — no shuffle,
     no state; violations stream out at scan speed exactly like row
     rules. Each JSON parse runs ONCE per row: ``try_parse_json`` and the
-    per-field ``get_json_object`` are bound into a single struct that a
-    one-element ``transform`` lambda references — codegen's common-
-    subexpression elimination skips conditional (CASE WHEN) branches, so
-    the naive form re-parsed the payload once per referencing check
-    (measured 36.7s → 13.6s at 10⁶ rows for a 1-field contract; the
-    lambda's own comparisons are interpreted but trivial)."""
+    per-field ``get_json_object`` are bound into a single struct that is
+    exploded through a one-element array — the Generate is an optimizer
+    barrier (CollapseProject cannot merge across it), so every check
+    reads a BOUND column instead of re-deriving the parse, and unlike
+    the earlier ``transform``-lambda binding the whole pipeline stays on
+    codegen'd non-HOF expressions (higher-order functions evaluate
+    interpreted; the lambda form measured 8.8s vs 3.4s for this shape at
+    10⁶ rows — and the original unbound form, where CASE WHEN branches
+    defeat codegen's common-subexpression elimination and each check
+    re-parsed the payload, 36.7s). Null violation slots are exploded and
+    filtered AFTER the Generate — a width-of-contract row fan-out at
+    scan speed — rather than compacted by an interpreted array
+    ``filter``."""
     c = F.col(json_col).cast("string")
     code = "validation." + rule_id
 
@@ -2960,14 +2967,12 @@ def json_contract_violations(
                     ex))
         return out
 
-    arr = F.element_at(
-        F.transform(F.array(bound),
-                    lambda s: F.filter(F.array(*items(s)),
-                                       lambda x: x.isNotNull())), 1)
+    s1 = df.select(*[F.col(k) for k in keys],
+                   F.explode(F.array(bound)).alias("_s"))
     exploded = (
-        df.select(*[F.col(k) for k in keys], arr.alias("_v"))
-        .filter(F.size("_v") > 0)
-        .select(*keys, F.explode("_v").alias("_e"))
+        s1.select(*keys, F.explode(F.array(*items(F.col("_s"))))
+                  .alias("_e"))
+        .filter(F.col("_e").isNotNull())
     )
     key_cols = []
     aliases = ("conv_id", "turn_idx")
