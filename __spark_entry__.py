@@ -594,7 +594,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB can verify the Arrow-batched mapInPandas path (n_bytes + sha)."""
     from valar_spark import multimodal as M
 
-    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _docs_spread(spark, sf_dir).filter(F.col("text").isNotNull())
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -1589,6 +1589,18 @@ def _q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned to the core count: the local parquet is
+    ONE row group ⇒ one scan task, so tokenize/explode/regex-heavy
+    per-row stages otherwise run on a single core before their first
+    exchange (measured 4.2s single-task for salient_terms' tokenize
+    alone at 50k docs). A production table's row-group layout yields
+    thousands of splits and skips this — same note as
+    :func:`_docs_with_copies` / ``_mutated_events``."""
+    return _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies of the even-id docs (ids +100000) — a
     deterministic construction both engines can reproduce, so dedup
@@ -1627,7 +1639,7 @@ def _banner_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with a boilerplate banner line prepended to every 3rd doc
     (plus a trailing footer on every 5th) — the deterministic repeated-
     line fixture both engines reproduce for the C4-style line dedup."""
-    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _docs_spread(spark, sf_dir).filter(F.col("text").isNotNull())
     t = F.col("text")
     t = F.when(F.col("doc_id") % 3 == 0,
                F.concat(F.lit("  Accept cookies to continue.  \n"), t)
@@ -1961,7 +1973,7 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return X.top_ngram_stats(docs, n=2).orderBy("doc_id")
 
 
@@ -2351,7 +2363,7 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valar_spark import textops as X
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return (X.salient_terms(docs, k=3)
             .orderBy("doc_id", "term_rank"))
 
@@ -2473,7 +2485,7 @@ def _q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger — the end-to-end composition, not just its stages."""
     from valar_spark import textops as X
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return (X.curation_ledger(docs, cap=20,
                               fractions={"en": 0.8, "de": 0.6},
                               default_fraction=0.5)
@@ -2693,7 +2705,7 @@ def _q_pii_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_ids. JVM regexp projection, explode, one aggregate."""
     from valar_spark import textops as X
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     d = F.col("doc_id")
     inj = docs.select(
         "doc_id",
@@ -2764,7 +2776,7 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates the identical expression."""
     from valar_spark import textops as X
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return X.unigram_logprob(docs).orderBy("doc_id")
 
 
@@ -2775,7 +2787,7 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus yields real OOV mass."""
     from valar_spark import textops as X
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     c = F.col("text")
     stripped = F.regexp_replace(c, X.WS_STRIP, "")
     vocab = (
@@ -2796,7 +2808,7 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothed surprise."""
     from valar_spark import textops as X
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     ref = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
     lm, n, v = X.fit_unigram_lm(ref)
@@ -2825,7 +2837,7 @@ def _q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms via distributed TakeOrdered; one verdict row."""
     from valar_spark import textops as X
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return X.zipf_profile(docs, k=200)
 
 
@@ -3219,7 +3231,7 @@ def _q_dup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     condition wins, replayed verbatim by the oracle."""
     from valar_spark import textops as X
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     nn = F.col("text").isNotNull()
     t = (F.when((F.col("doc_id") % 29 == 0) & nn,
                 F.lit("boilerplate footer: subscribe to our newsletter"))
@@ -3677,7 +3689,7 @@ def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rounded doubles agree bit-for-bit."""
     from valar_spark import textops as X
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return X.pmi_collocations(docs, min_pair_count=5).orderBy("w1", "w2")
 
 
