@@ -2392,7 +2392,18 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
                .persist(StorageLevel.MEMORY_AND_DISK))
     # ---- representative pair counts ----
     posting = exr_rep.groupBy("h").agg(F.collect_list("_id").alias("_ids"))
-    bounds = exr_rep.agg(F.min("_id"), F.max("_id")).first()
+    # regime switch on surviving-print volume (the persisted exr_rep is
+    # already materialized by this count): below ~10⁶ exploded rows the
+    # candidate volume is JVM-hash-aggregate-friendly and the blob
+    # exchange's extra stages dominate (interleaved sf0.1 A/B: classic
+    # 9.3-10.8s vs blob 12.3-13.0s for the whole query); above, the
+    # aggregate's key state grows with Σ C(df,2) and spills (measured
+    # 50s at 1.3M exploded rows / 178M events) while the blob exchange
+    # stays event-linear. A data-volume branch, not a core-count one —
+    # the same broadcast-vs-shuffle style of regime choice.
+    n_exr = exr_rep.count()
+    bounds = (exr_rep.agg(F.min("_id"), F.max("_id")).first()
+              if n_exr >= 1_000_000 else (None, None))
     if (bounds[0] is not None and bounds[0] >= 0
             and bounds[1] < (1 << 31)):
         # packed-key blob path: generation emits every co-occurrence
