@@ -1896,9 +1896,44 @@ def _simhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                          spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIMHASH_PAIRS_CACHE:
-        _SIMHASH_PAIRS_CACHE[key] = X.simhash_near_pairs(
-            _docs_with_copies(spark, sf_dir), max_hamming=3,
-            sets=_shared_sets(spark, sf_dir, shingle_n=2))
+        from pyspark import StorageLevel
+
+        # copy-group dedup BY CONSTRUCTION (round 6, same argument as
+        # _jaccard_pairs05): copies carry identical shingle sets ⇒
+        # identical 64-bit signatures ⇒ identical chunk keys, so only
+        # the originals are signed/blocked/verified and the pair set
+        # expands back in a projection — (d, d+100000) is hamming 0 for
+        # every non-empty even doc (exactly the planted-recall
+        # construction), and inter pairs inherit the original pair's
+        # hamming (identical signatures). Empty docs stay excluded on
+        # both paths (simhash_table filters n_sh > 0).
+        sets = _shared_sets(spark, sf_dir, shingle_n=2)
+        rep_sets = sets.filter(F.col("_id") < 100_000)
+        rep_pairs = X.simhash_near_pairs(
+            _docs_with_copies(spark, sf_dir), max_hamming=3, sets=rep_sets)
+        mem_a = (F.when(F.col("id_a") % 2 == 0,
+                        F.array(F.col("id_a"), F.col("id_a") + 100_000))
+                 .otherwise(F.array(F.col("id_a"))))
+        mem_b = (F.when(F.col("id_b") % 2 == 0,
+                        F.array(F.col("id_b"), F.col("id_b") + 100_000))
+                 .otherwise(F.array(F.col("id_b"))))
+        inter = (
+            rep_pairs
+            .select(F.explode(mem_a).alias("_x"), mem_b.alias("_mb"),
+                    "hamming")
+            .select("_x", F.explode("_mb").alias("_y"), "hamming")
+            .select(F.least("_x", "_y").alias("id_a"),
+                    F.greatest("_x", "_y").alias("id_b"), "hamming"))
+        intra = (
+            rep_sets.filter((F.col("_id") % 2 == 0) & (F.col("n_sh") > 0))
+            .select(F.col("_id").alias("id_a"),
+                    (F.col("_id") + 100_000).alias("id_b"),
+                    F.lit(0).cast("int").alias("hamming")))
+        out = (inter.unionByName(intra)
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        out.count()
+        rep_pairs.unpersist()
+        _SIMHASH_PAIRS_CACHE[key] = out
     return _SIMHASH_PAIRS_CACHE[key]
 
 
