@@ -2240,8 +2240,26 @@ def _winnow_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         rare = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
                 .filter(F.col("_df") <= cap).select("h")
                 .persist(StorageLevel.MEMORY_AND_DISK))
+        # identical-print-set groups BY CONSTRUCTION: {d, d+100000} for
+        # the suffixed even docs (the copy carries the suffixed text
+        # verbatim), singletons otherwise — ANY identical-set partition
+        # is exact (see winnow_match_pairs), and the generic md5/array
+        # aggregate was fed from this un-persisted prints union, so it
+        # re-evaluated the whole fingerprint pass a second time (~4s at
+        # the measurement scale)
+        groups = (
+            docs.filter(even).select(
+                F.col("doc_id").alias("_rep"),
+                F.array(F.col("doc_id"), F.col("doc_id") + 100_000)
+                .alias("_members"),
+                F.lit(2).cast("long").alias("_m"))
+            .unionByName(docs.filter(~even).select(
+                F.col("doc_id").alias("_rep"),
+                F.array(F.col("doc_id")).alias("_members"),
+                F.lit(1).cast("long").alias("_m"))))
         pairs5 = X.winnow_match_pairs(u, min_shared=5, max_df=cap,
-                                      prints=prints, exploded=ex, rare=rare)
+                                      prints=prints, exploded=ex, rare=rare,
+                                      groups=groups)
         # planted-pair recall membership: the +100000 copy carries the
         # SAME print rows re-keyed (constructed above), so the pair
         # (a, a+100000) shares ≥1 surviving (df ≤ cap) print iff doc a

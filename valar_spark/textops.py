@@ -2285,7 +2285,8 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
                        max_df_frac: float | None = None,
                        prints: DataFrame | None = None,
                        exploded: DataFrame | None = None,
-                       rare: DataFrame | None = None) -> DataFrame:
+                       rare: DataFrame | None = None,
+                       groups: DataFrame | None = None) -> DataFrame:
     """Local-similarity pairs ``(id_a, id_b, shared_fp)`` — docs sharing ≥
     ``min_shared`` winnowing fingerprints, i.e. at least one common run of
     ~k+w−1 characters per shared print (the MOSS plagiarism/contamination
@@ -2328,7 +2329,14 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
     surviving-print table (``h`` rows with df ≤ cap, caller-owned) so
     consumers that need the same df-cap result (e.g. a planted-recall
     gate over the same corpus) share one aggregate instead of re-running
-    the corpus-wide groupBy."""
+    the corpus-wide groupBy; ``groups`` supplies a precomputed
+    identical-print-set grouping ``(_rep, _members, _m)`` — ANY partition
+    of the corpus into groups of identical-set docs is exact (grouping is
+    a performance device: k identical docs shrink posting dfs k-fold),
+    so a caller that constructed its duplicates (e.g. re-keyed copies)
+    can hand the grouping over as a projection instead of paying the
+    md5/array aggregate — which, fed from an un-persisted prints union,
+    re-evaluated the whole fingerprint pass a second time."""
     from pyspark import StorageLevel
     from pyspark.sql import types as T
 
@@ -2377,13 +2385,15 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
     # CPU; the array-keyed exchange is corpus-row-sized and narrow.
     # Empty-set docs form a group that can never pair — no exploded rows,
     # surviving count 0 ----
-    groups = (t.select(F.col("_fp").alias("_gk"), "_id")
-              .groupBy("_gk")
-              .agg(F.min("_id").alias("_rep"),
-                   F.collect_list("_id").alias("_members"),
-                   F.count(F.lit(1)).alias("_m"))
-              .select("_rep", "_members", "_m")
-              .persist(StorageLevel.MEMORY_AND_DISK))
+    own_groups = groups is None
+    if own_groups:
+        groups = (t.select(F.col("_fp").alias("_gk"), "_id")
+                  .groupBy("_gk")
+                  .agg(F.min("_id").alias("_rep"),
+                       F.collect_list("_id").alias("_members"),
+                       F.count(F.lit(1)).alias("_m"))
+                  .select("_rep", "_members", "_m")
+                  .persist(StorageLevel.MEMORY_AND_DISK))
     reps = groups.select(F.col("_rep").alias("_id"))
     # feeds two branches (posting lists + surviving-set counts): persist,
     # or the df-cap semi-join and rare aggregate run once per branch
@@ -2462,7 +2472,8 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
                    "shared_fp"))
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    groups.unpersist()
+    if own_groups:
+        groups.unpersist()
     exr_rep.unpersist()
     if own_ex:
         ex_cached.unpersist()
