@@ -230,6 +230,16 @@ def test_pair_blob_kernels_count_across_batches_and_buckets():
     assert len(merged2) == 1 and int(merged2["shared_fp"][0]) == 3
     # empty input yields nothing
     assert list(_pair_merge_blob_batches(1)(iter([]))) == []
+    # the uint32 key width (16-bit-safe ids) must produce identical counts
+    out32 = list(_pair_emit_blob_batches(n_buckets, 32)(iter([b1, b2])))
+    for bucket, blob in zip(*(pd.concat(out32, ignore_index=True)
+                              [c] for c in ("bucket", "blob"))):
+        ks = np.frombuffer(blob, dtype=np.uint32)
+        assert (ks % n_buckets == bucket).all()
+    merged32 = {(int(r.id_a), int(r.id_b)): int(r.shared_fp)
+                for m in _pair_merge_blob_batches(1, 32)(iter(out32))
+                for r in m.itertuples()}
+    assert merged32 == got
 
 
 def test_winnow_match_pairs_equals_classic_join(spark):

@@ -2194,7 +2194,7 @@ def _pair_count_batches(it):
     yield pd.DataFrame({"id_a": A[idx], "id_b": B[idx], "_c": cnt})
 
 
-def _pair_emit_blob_batches(n_buckets: int):
+def _pair_emit_blob_batches(n_buckets: int, key_bits: int = 64):
     """Kernel factory — packed-key pair GENERATION with blob-packed
     output: each input row is one fingerprint's posting list of
     31-bit-safe ids; every co-occurrence event becomes one packed int64
@@ -2213,6 +2213,9 @@ def _pair_emit_blob_batches(n_buckets: int):
     import numpy as np
     import pandas as pd
 
+    half = key_bits // 2
+    dt = np.uint32 if key_bits == 32 else np.int64
+
     def gen(it):
         for pdf in it:
             ks = []
@@ -2221,7 +2224,7 @@ def _pair_emit_blob_batches(n_buckets: int):
                 if a.size < 2:
                     continue
                 ia, ib = np.triu_indices(a.size, k=1)
-                ks.append((a[ia] << 32) | a[ib])
+                ks.append(((a[ia] << half) | a[ib]).astype(dt, copy=False))
             if not ks:
                 continue
             kk = np.concatenate(ks)
@@ -2244,7 +2247,7 @@ def _pair_emit_blob_batches(n_buckets: int):
     return gen
 
 
-def _pair_merge_blob_batches(min_shared: int):
+def _pair_merge_blob_batches(min_shared: int, key_bits: int = 64):
     """Kernel factory for the packed-key pair COUNT: the exchange
     co-locates all blobs of a bucket (and therefore every occurrence of
     a pair); concatenate the partition's blobs, one ``np.sort`` +
@@ -2256,11 +2259,15 @@ def _pair_merge_blob_batches(min_shared: int):
     import numpy as np
     import pandas as pd
 
+    half = key_bits // 2
+    dt = np.uint32 if key_bits == 32 else np.int64
+    mask = (1 << half) - 1
+
     def merge(it):
         chunks = []
         for pdf in it:
             for blob in pdf["blob"]:
-                chunks.append(np.frombuffer(blob, dtype=np.int64))
+                chunks.append(np.frombuffer(blob, dtype=dt))
         if not chunks:
             return
         kk = np.concatenate(chunks) if len(chunks) > 1 else chunks[0].copy()
@@ -2272,8 +2279,8 @@ def _pair_merge_blob_batches(min_shared: int):
         idx = np.flatnonzero(new)
         cnt = np.diff(np.append(idx, kk.size))
         keep = cnt >= min_shared
-        ku = kk[idx][keep]
-        yield pd.DataFrame({"id_a": ku >> 32, "id_b": ku & 0xFFFFFFFF,
+        ku = kk[idx][keep].astype(np.int64, copy=False)
+        yield pd.DataFrame({"id_a": ku >> half, "id_b": ku & mask,
                             "shared_fp": cnt[keep]})
 
     return merge
@@ -2417,20 +2424,26 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
     if (bounds[0] is not None and bounds[0] >= 0
             and bounds[1] < (1 << 31)):
         # packed-key blob path: generation emits every co-occurrence
-        # event as ONE int64 packed into per-bucket binary blobs (see
+        # event as ONE packed key in per-bucket binary blobs (see
         # _pair_emit_blob_batches — a row-per-event exchange measured
         # ~35s of pure row overhead for 3.5s of generation), the
         # exchange moves a few thousand blob rows, and a numpy
         # sort/run-length count applies min_shared BEFORE emitting.
+        # Key width follows the id domain: 16-bit-safe ids pack into
+        # uint32 (HALF the event bytes through the shuffle and the
+        # kernels; runtime-guarded, larger corpora take the int64 path).
         # Bucket count = 4× shuffle partitions so hash collisions on the
         # bucket column still balance the merge tasks (balls-in-bins).
+        key_bits = 32 if bounds[1] < (1 << 16) else 64
         n_buckets = 4 * max(
             1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-        pk = posting.mapInPandas(_pair_emit_blob_batches(n_buckets),
-                                 "bucket long, blob binary")
+        pk = posting.mapInPandas(
+            _pair_emit_blob_batches(n_buckets, key_bits),
+            "bucket long, blob binary")
         rep_pairs = (pk.repartition(F.col("bucket"))
-                     .mapInPandas(_pair_merge_blob_batches(min_shared),
-                                  "id_a long, id_b long, shared_fp long"))
+                     .mapInPandas(
+                         _pair_merge_blob_batches(min_shared, key_bits),
+                         "id_a long, id_b long, shared_fp long"))
     else:
         part = posting.mapInPandas(_pair_count_batches,
                                    "id_a long, id_b long, _c long")
