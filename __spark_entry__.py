@@ -1738,9 +1738,8 @@ def _shared_sets(spark: SparkSession, sf_dir: str,
         # re-keyed — instead of hashing the same text a second time
         # (round 6: a third less UDF work for every consumer of this
         # shared pass)
-        docs = _read(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism)
-        base = X.shingle_hash_sets(docs, shingle_n=shingle_n)
+        base = X.shingle_hash_sets(_docs_spread(spark, sf_dir),
+                                   shingle_n=shingle_n)
         out = (base.select(
             F.explode(
                 F.when(F.col("_id") % 2 == 0,
@@ -1810,30 +1809,43 @@ def _jaccard_pairs05(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = X.minhash_candidates(u, num_hashes=128, bands=64, band=band)
         rep_pairs = X.jaccard_pairs(u, threshold=0.5, candidates=cand,
                                     sets=rep_sets)
-        mem_a = (F.when(F.col("id_a") % 2 == 0,
-                        F.array(F.col("id_a"), F.col("id_a") + 100_000))
-                 .otherwise(F.array(F.col("id_a"))))
-        mem_b = (F.when(F.col("id_b") % 2 == 0,
-                        F.array(F.col("id_b"), F.col("id_b") + 100_000))
-                 .otherwise(F.array(F.col("id_b"))))
-        inter = (
-            rep_pairs
-            .select(F.explode(mem_a).alias("_x"), mem_b.alias("_mb"),
-                    "jaccard")
-            .select("_x", F.explode("_mb").alias("_y"), "jaccard")
-            .select(F.least("_x", "_y").alias("id_a"),
-                    F.greatest("_x", "_y").alias("id_b"), "jaccard"))
-        intra = (
-            rep_sets.filter((F.col("_id") % 2 == 0) & (F.col("n_sh") > 0))
-            .select(F.col("_id").alias("id_a"),
-                    (F.col("_id") + 100_000).alias("id_b"),
-                    F.lit(1.0).alias("jaccard")))
-        out = (inter.unionByName(intra)
+        out = (_expand_copy_pairs(rep_pairs, rep_sets, "jaccard", F.lit(1.0))
                .persist(StorageLevel.MEMORY_AND_DISK))
         out.count()
         band.unpersist()
         _PAIRS05_CACHE[key] = out
     return _PAIRS05_CACHE[key]
+
+
+def _expand_copy_pairs(rep_pairs: DataFrame, rep_sets: DataFrame,
+                       value_col: str, diag_value) -> DataFrame:
+    """Expand a representative-level pair frame through the construction-
+    known copy groups ({d, d+100000} for even d; singletons otherwise):
+    inter pairs inherit the rep pair's ``value_col`` (identical sets ⇒
+    identical similarity against any third set), and the (d, d+100000)
+    diagonal carries ``diag_value`` for every non-empty even doc — the
+    empty-set docs are excluded exactly as the verify paths' guards
+    excluded them. Shared by the jaccard (value 1.0) and simhash
+    (hamming 0) by-construction passes so the expansion semantics can't
+    drift between them."""
+    mem_a = (F.when(F.col("id_a") % 2 == 0,
+                    F.array(F.col("id_a"), F.col("id_a") + 100_000))
+             .otherwise(F.array(F.col("id_a"))))
+    mem_b = (F.when(F.col("id_b") % 2 == 0,
+                    F.array(F.col("id_b"), F.col("id_b") + 100_000))
+             .otherwise(F.array(F.col("id_b"))))
+    inter = (
+        rep_pairs
+        .select(F.explode(mem_a).alias("_x"), mem_b.alias("_mb"), value_col)
+        .select("_x", F.explode("_mb").alias("_y"), value_col)
+        .select(F.least("_x", "_y").alias("id_a"),
+                F.greatest("_x", "_y").alias("id_b"), value_col))
+    intra = (
+        rep_sets.filter((F.col("_id") % 2 == 0) & (F.col("n_sh") > 0))
+        .select(F.col("_id").alias("id_a"),
+                (F.col("_id") + 100_000).alias("id_b"),
+                diag_value.alias(value_col)))
+    return inter.unionByName(intra)
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1916,25 +1928,8 @@ def _simhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_sets = sets.filter(F.col("_id") < 100_000)
         rep_pairs = X.simhash_near_pairs(
             _docs_with_copies(spark, sf_dir), max_hamming=3, sets=rep_sets)
-        mem_a = (F.when(F.col("id_a") % 2 == 0,
-                        F.array(F.col("id_a"), F.col("id_a") + 100_000))
-                 .otherwise(F.array(F.col("id_a"))))
-        mem_b = (F.when(F.col("id_b") % 2 == 0,
-                        F.array(F.col("id_b"), F.col("id_b") + 100_000))
-                 .otherwise(F.array(F.col("id_b"))))
-        inter = (
-            rep_pairs
-            .select(F.explode(mem_a).alias("_x"), mem_b.alias("_mb"),
-                    "hamming")
-            .select("_x", F.explode("_mb").alias("_y"), "hamming")
-            .select(F.least("_x", "_y").alias("id_a"),
-                    F.greatest("_x", "_y").alias("id_b"), "hamming"))
-        intra = (
-            rep_sets.filter((F.col("_id") % 2 == 0) & (F.col("n_sh") > 0))
-            .select(F.col("_id").alias("id_a"),
-                    (F.col("_id") + 100_000).alias("id_b"),
-                    F.lit(0).cast("int").alias("hamming")))
-        out = (inter.unionByName(intra)
+        out = (_expand_copy_pairs(rep_pairs, rep_sets, "hamming",
+                                  F.lit(0).cast("int"))
                .persist(StorageLevel.MEMORY_AND_DISK))
         out.count()
         rep_pairs.unpersist()
@@ -2155,14 +2150,10 @@ def _winnow_raw_prints(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prune_dead_sessions(_WINNOW_FP_CACHE, spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _WINNOW_FP_CACHE:
-        # the local documents.parquet is ONE row group ⇒ one scan task, so
-        # without a repartition the fingerprint UDF ran on ONE core
-        # (measured 8.8s single-task vs ~1s spread); a production table's
-        # row-group layout yields thousands of splits and skips this
-        docs = _read(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism)
+        # spread scan: the fingerprint UDF ran on ONE core without it
+        # (measured 8.8s single-task vs ~1s — see _docs_spread)
         _WINNOW_FP_CACHE[key] = (
-            X.winnow_fingerprint_table(docs)
+            X.winnow_fingerprint_table(_docs_spread(spark, sf_dir))
             .persist(StorageLevel.MEMORY_AND_DISK))
     return _WINNOW_FP_CACHE[key]
 
@@ -2213,10 +2204,15 @@ def _winnow_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the same rows re-keyed); untouched docs reuse the shared raw
         # print pass. One UDF pass over n/2 docs instead of 3n/2.
         # repartition: the one-row-group scan would otherwise feed the
-        # fingerprint UDF from a single task (see _winnow_raw_prints)
-        fp_even = X.winnow_fingerprint_table(
+        # fingerprint UDF from a single task (see _winnow_raw_prints).
+        # Persisted: BOTH union branches below (the suffixed docs and
+        # their re-keyed +100000 copies) reference this subtree, and a
+        # pandas-UDF projection is not exchange-reusable — without the
+        # persist the UDF ran once per branch (review finding, r6).
+        fp_even = (X.winnow_fingerprint_table(
             suffixed.join(docs.filter(even).select("doc_id"), "doc_id")
             .repartition(spark.sparkContext.defaultParallelism))
+            .persist(StorageLevel.MEMORY_AND_DISK))
         prints = (
             _winnow_raw_prints(spark, sf_dir)
             .join(docs.filter(~even).select(F.col("doc_id").alias("_id")),
@@ -2260,6 +2256,10 @@ def _winnow_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs5 = X.winnow_match_pairs(u, min_shared=5, max_df=cap,
                                       prints=prints, exploded=ex, rare=rare,
                                       groups=groups)
+        # pairs5 is materialized eagerly inside winnow_match_pairs, which
+        # also populates the `ex` cache — the fp_even cache has served
+        # its purpose (both union branches read it once) and can go
+        fp_even.unpersist()
         # planted-pair recall membership: the +100000 copy carries the
         # SAME print rows re-keyed (constructed above), so the pair
         # (a, a+100000) shares ≥1 surviving (df ≤ cap) print iff doc a

@@ -284,6 +284,21 @@ def test_winnow_match_pairs_equals_classic_join(spark):
     last = {(r["id_a"], r["id_b"]) for r in
             X.winnow_match_pairs(df, min_shared=1, max_df=50).collect()}
     assert {(1, 2), (1, 3), (2, 3), (11, 12), (1, 11)} <= last
+    # force the blob-packed exchange regime (normally gated on >=1M
+    # surviving exploded prints) so its Spark wiring — the mapInPandas
+    # blob schema, repartition(bucket), and the uint32 width selection
+    # for 16-bit-safe ids — is differentially pinned too, not just the
+    # numpy kernels
+    import valar_spark.textops as _t
+    saved = _t.PAIR_BLOB_MIN_EXPLODED
+    _t.PAIR_BLOB_MIN_EXPLODED = 0
+    try:
+        got_blob = sorted(map(tuple, X.winnow_match_pairs(
+            df, min_shared=1, max_df=50).collect()))
+    finally:
+        _t.PAIR_BLOB_MIN_EXPLODED = saved
+    assert got_blob == sorted(map(tuple, X.winnow_match_pairs(
+        df, min_shared=1, max_df=50).collect()))
     # ids ≥ 2^31 force the lexsort fallback in _pair_count_batches (the
     # packed int64-key fast path requires unsigned-31-bit ids); the
     # fallback must produce the identical pair counts

@@ -2194,6 +2194,14 @@ def _pair_count_batches(it):
     yield pd.DataFrame({"id_a": A[idx], "id_b": B[idx], "_c": cnt})
 
 
+#: surviving-exploded-print row count above which winnow_match_pairs
+#: switches from the classic partial-agg + JVM-combine pair count to the
+#: blob-packed exchange (see the regime comment in winnow_match_pairs).
+#: Module-level so tests can patch it to force the blob regime on small
+#: fixtures.
+PAIR_BLOB_MIN_EXPLODED = 1_000_000
+
+
 def _pair_emit_blob_batches(n_buckets: int, key_bits: int = 64):
     """Kernel factory — packed-key pair GENERATION with blob-packed
     output: each input row is one fingerprint's posting list of
@@ -2420,7 +2428,7 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
     # the same broadcast-vs-shuffle style of regime choice.
     n_exr = exr_rep.count()
     bounds = (exr_rep.agg(F.min("_id"), F.max("_id")).first()
-              if n_exr >= 1_000_000 else (None, None))
+              if n_exr >= PAIR_BLOB_MIN_EXPLODED else (None, None))
     if (bounds[0] is not None and bounds[0] >= 0
             and bounds[1] < (1 << 31)):
         # packed-key blob path: generation emits every co-occurrence
@@ -2435,8 +2443,12 @@ def winnow_match_pairs(df: DataFrame, text_col: str = "text",
         # Bucket count = 4× shuffle partitions so hash collisions on the
         # bucket column still balance the merge tasks (balls-in-bins).
         key_bits = 32 if bounds[1] < (1 << 16) else 64
-        n_buckets = 4 * max(
-            1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+        try:
+            shuffle_parts = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except ValueError:  # e.g. "auto" on managed platforms
+            shuffle_parts = df.sparkSession.sparkContext.defaultParallelism
+        n_buckets = 4 * max(1, shuffle_parts)
         pk = posting.mapInPandas(
             _pair_emit_blob_batches(n_buckets, key_bits),
             "bucket long, blob binary")
